@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each domain module under `graft.queries` contributes a map of named
+  * queries `(SparkSession, sfDir) => DataFrame` plus matching DuckDB
+  * oracle SQL (bare table names — the driver registers each fixture
+  * parquet as a view). Column names are aliased identically on both
+  * sides; outputs are explicitly ordered and avoid raw
+  * accumulation-order-sensitive floats (SURVEY §7 hard parts).
+  */
 object SparkEntry {
+
+  private def modules = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
+    (Similarity.defs, Similarity.oracles),
+    (Relational.defs, Relational.oracles),
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Similarity.knnTopK(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    modules.iterator.map(_._2).reduce(_ ++ _)
 }
