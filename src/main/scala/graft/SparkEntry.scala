@@ -18,6 +18,7 @@ object SparkEntry {
   private def modules = Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])](
     (Similarity.defs, Similarity.oracles),
     (Relational.defs, Relational.oracles),
+    (Events.defs, Events.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

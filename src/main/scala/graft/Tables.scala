@@ -12,7 +12,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark vectorized reader rejects. Read nanos as LONG
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a
+    * microsecond TIMESTAMP — the same truncation the DuckDB oracle
+    * applies via `CAST(ts AS TIMESTAMP)`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -1,42 +1,193 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Relational coverage (SURVEY §2.5–2.6): aggregation, joins, top-k.
+/** Relational coverage (SURVEY §2.5–2.6): aggregation, joins, window
+  * functions, top-k, set ops, rollup, string functions.
   *
   * Float discipline for the DuckDB oracle: double sums are
   * accumulation-order-dependent, so every money aggregate is computed over
   * `DECIMAL` (exact, associative) and only cast to DOUBLE at the end —
   * bit-identical in both engines.
+  *
+  * Scale notes: all dimension joins (`customer`, `nation`, `region`,
+  * `supplier`) are explicit `broadcast()`s — at 100 TB the fact tables
+  * (`lineitem`, `orders`, `events`) never shuffle for these joins; the
+  * only shuffles are the final aggregations on their group keys, and AQE
+  * handles skew/coalescing at runtime.
   */
 object Relational {
+
+  private val CutoffDate = "1997-06-01"
+
+  // l_extendedprice has 2 decimal digits; products with (1±x) factors have
+  // ≤6 — cast to DECIMAL before summing so the aggregate is exact.
+  private def decSum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   /** TPC-H Q1-style pricing summary (hash aggregate, SURVEY R7). */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val price = col("l_extendedprice").cast("decimal(18,2)")
-    val disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast("decimal(18,4)")
-    val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-      (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        sum(price).cast("double").as("sum_base_price"),
-        sum(disc).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        decSum(disc, 4).as("sum_disc_price"),
+        decSum(disc * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (decSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
+    * `customer` is the small side — broadcast; `orders ⋈ lineitem` is the
+    * one genuine shuffle, on the join key.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit(CutoffDate).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit(CutoffDate).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join, all dims broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Semi/anti join: customers with ≥1 order vs none (SURVEY §2.6 joins). */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ordKeys = Tables.orders(spark, dir).select("o_custkey")
+    val withO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val noO = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    withO.unionByName(noO).orderBy("c_custkey")
+  }
+
+  /** Argmax / top-k (SURVEY R8): TakeOrderedAndProject, no full sort. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** Global aggregate (SURVEY R9): exact + distinct counts, min/max. */
+  def globalStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      sum(col("l_quantity")).as("sum_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+  }
+
+  /** ROLLUP grouping sets over lineitem flags. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Running-window aggregates (frame spec) per supplier — deterministic
+    * total order via (shipdate, orderkey, linenumber) tie-break
+    * (SURVEY §7 "determinism").
+    */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn") <= 50)
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** String function coverage over `part` (SURVEY §2.6 string functions). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lc"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^\\w+", 0).as("type_head"),
+        col("p_name").contains("a").as("has_a"))
+      .orderBy("p_partkey")
+
+  /** Set operations: INTERSECT / EXCEPT on customer key sets. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+    val ordCust = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+    val both = custKeys.intersect(ordCust).withColumn("op", lit("intersect"))
+    val only = custKeys.except(ordCust).withColumn("op", lit("except"))
+    both.unionByName(only).orderBy("op", "k")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "join_semi_anti" -> (joinSemiAnti _),
+    "topk_orders" -> (topkOrders _),
+    "global_stats" -> (globalStats _),
+    "rollup_agg" -> (rollupAgg _),
+    "window_running" -> (windowRunning _),
+    "string_funcs" -> (stringFuncs _),
+    "set_ops" -> (setOps _),
   )
+
+  private val duckRevenue =
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -51,5 +202,71 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $duckRevenue AS revenue
+         |FROM lineitem, orders, customer
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '$CutoffDate'
+         |  AND l_shipdate > TIMESTAMP '$CutoffDate'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT r_name, n_name, $duckRevenue AS revenue
+         |FROM lineitem, orders, customer, supplier, nation, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+         |GROUP BY r_name, n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT c_custkey, EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "global_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_shipdate) AS min_ship,
+        |  max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_running" ->
+      """WITH t AS (
+        |  SELECT l_suppkey,
+        |    row_number() OVER w AS rn,
+        |    l_orderkey, l_linenumber,
+        |    sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC))
+        |SELECT * FROM t WHERE rn <= 50 ORDER BY l_suppkey, rn""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lc,
+        |  upper(p_brand) AS brand_uc,
+        |  substr(p_type, 1, 5) AS type_pfx,
+        |  length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  coalesce(regexp_extract(p_type, '^\w+'), '') AS type_head,
+        |  contains(p_name, 'a') AS has_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "set_ops" ->
+      """WITH ck AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+        |     ok AS (SELECT o_custkey AS k FROM orders)
+        |SELECT k, 'intersect' AS op FROM (SELECT * FROM ck INTERSECT SELECT * FROM ok)
+        |UNION ALL
+        |SELECT k, 'except' AS op FROM (SELECT * FROM ck EXCEPT SELECT * FROM ok)
+        |ORDER BY op, k""".stripMargin,
   )
 }
