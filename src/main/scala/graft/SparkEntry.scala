@@ -19,6 +19,8 @@ object SparkEntry {
     (Similarity.defs, Similarity.oracles),
     (Relational.defs, Relational.oracles),
     (Events.defs, Events.oracles),
+    (TextAnalysis.defs, TextAnalysis.oracles),
+    (DedupQueries.defs, DedupQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

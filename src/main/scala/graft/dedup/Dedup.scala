@@ -1,0 +1,103 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFns
+
+/** Deduplication operators for large-scale text corpora (builder-prompt
+  * first-class components): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine.
+  *
+  * All hashing goes through md5 so every stage is reproducible in the
+  * DuckDB oracle. Scale design per operator:
+  *  - exact: one hash-aggregate on the fingerprint — the cheapest
+  *    possible full-corpus dedup; shuffle is the fingerprint groupBy.
+  *  - n-gram Jaccard: the pair generator joins on shingle, so cost is
+  *    Σ df(shingle)² — fine for realistic shingle vocabularies; for
+  *    skewed corpora cap document frequency (drop shingles with df > N,
+  *    the standard trick) before the join.
+  *  - MinHash+LSH: candidate generation by band-bucket join touches only
+  *    b × |docs| signature rows (b=4 bands × r=4 rows here); true Jaccard
+  *    is then verified on candidates only. This is the 100 TB path.
+  *  - SimHash: linear signature computation; hamming-0 clustering via
+  *    groupBy(simhash).
+  *  - embedding-cosine: brute-force for small corpora; LSH/IVF variants
+  *    in graft.search for scale.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document: (id, s). */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFns.shingles3(TextFns.tokens(col(textCol)))).as("s"))
+      .distinct()
+
+  /** True Jaccard for every pair sharing ≥1 shingle: (a, b, jac). */
+  def pairJaccard(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .as("jac"))
+  }
+
+  /** MinHash signatures: numHashes seeded md5 minima per doc: (id, j, mh). */
+  def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
+    val seeds = spark.range(numHashes).select(col("id").cast("int").as("j"))
+    sh.crossJoin(broadcast(seeds))
+      .groupBy(col("id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("s")))).as("mh"))
+  }
+
+  /** LSH band keys from minhash signatures: (id, band, bkey). */
+  def lshBands(mh: DataFrame, rowsPerBand: Int): DataFrame =
+    mh.groupBy(col("id"), floor(col("j") / rowsPerBand).cast("int").as("band"))
+      .agg(md5(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")))
+        .as("bkey"))
+
+  /** Candidate pairs sharing ≥1 LSH band bucket: (a, b) distinct. */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    bands.as("p").join(bands.as("q"),
+        col("p.band") === col("q.band") && col("p.bkey") === col("q.bkey"))
+      .filter(col("p.id") < col("q.id"))
+      .select(col("p.id").as("a"), col("q.id").as("b"))
+      .distinct()
+
+  /** 32-bit SimHash over term frequencies, as a bit string: (id, simhash). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val bits = spark.range(32).select(col("id").cast("int").as("b"))
+    tf.crossJoin(broadcast(bits))
+      // bit b of a token = MSB of hex digit b of its md5 (hex chars are
+      // lowercase; '8' <= c compares identically in both engines)
+      .withColumn("v",
+        when(substring(md5(col("tok")), col("b") + 1, lit(1)) >= "8", col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("v")).as("s"))
+      .groupBy(col("id"))
+      .agg(concat_ws("", expr(
+        "transform(array_sort(collect_list(struct(b, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit)"))
+        .as("simhash"))
+  }
+
+  /** Attach `dup_of` = min id within each group-key value. */
+  def dupOf(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.withColumn("dup_of", min(col(idCol)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("is_dup", (col(idCol) =!= col("dup_of")).cast("int"))
+}

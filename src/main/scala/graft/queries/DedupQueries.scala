@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.Vec
+import graft.text.TextFns
+
+/** Dedup query surface over `documents` / `embeddings` (builder prompt:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+  */
+object DedupQueries {
+
+  /** Exact dedup: md5 of normalized text; dup_of = min doc_id per group. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(TextFns.normalized(col("text"))).as("fingerprint"))
+    Dedup.dupOf(fp, "doc_id", "fingerprint")
+      .select(col("doc_id"), col("fingerprint"), col("dup_of"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** n-gram Jaccard near-dup pairs (threshold 0.8). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.pairJaccard(sh)
+      .filter(col("jac") >= 0.8)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidates, verified at true
+    * Jaccard ≥ 0.7 — the scale path for near-dedup.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
+    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
+    cands.join(Dedup.pairJaccard(sh), Seq("a", "b"))
+      .filter(col("jac") >= 0.7)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+      .orderBy("a", "b")
+  }
+
+  /** SimHash signatures + hamming-0 clustering. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.dupOf(sh, "id", "simhash")
+      .select(col("id").as("doc_id"), col("simhash"), col("dup_of"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding near-dup: top-20 most-similar pairs by cosine. */
+  def dedupEmbeddingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("sim", Vec.dot(col("va"), col("vb")))
+      .orderBy(col("sim").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckShingleSet =
+    s"""SELECT DISTINCT doc_id AS id, unnest(
+       |    CASE WHEN len($duckToks) >= 3
+       |      THEN list_transform(range(1, len($duckToks) - 1),
+       |             i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
+       |      ELSE [] END) AS s
+       |  FROM documents""".stripMargin
+  private val duckPairJaccard =
+    s"""sh AS ($duckShingleSet),
+       |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+       |shared AS (
+       |  SELECT x.id AS a, y.id AS b, count(*) AS shared
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |jacs AS (
+       |  SELECT a, b, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
+       |  FROM shared JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint,
+        |  min(doc_id) OVER (PARTITION BY fingerprint) AS dup_of,
+        |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS INTEGER) AS is_dup
+        |FROM fp ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $duckPairJaccard
+         |SELECT a, b, round(jac, 4) AS jac FROM jacs
+         |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $duckPairJaccard,
+         |mh AS (
+         |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS mh
+         |  FROM sh, range(16) t(j) GROUP BY id, j),
+         |bands AS (
+         |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
+         |         md5(string_agg(mh, '' ORDER BY j)) AS bkey
+         |  FROM mh GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT p.id AS a, q.id AS b
+         |  FROM bands p JOIN bands q
+         |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id)
+         |SELECT j.a, j.b, round(j.jac, 4) AS jac
+         |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id AS id, t AS tok, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT id, b,
+         |    sum(CASE WHEN substr(md5(tok), CAST(b + 1 AS INTEGER), 1) >= '8'
+         |             THEN cnt ELSE -cnt END) AS s
+         |  FROM tf, range(32) t(b) GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+         |  FROM bits GROUP BY id)
+         |SELECT id AS doc_id, simhash,
+         |  min(id) OVER (PARTITION BY simhash) AS dup_of,
+         |  CAST(id <> min(id) OVER (PARTITION BY simhash) AS INTEGER) AS is_dup
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_topk" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
+        |FROM embeddings a CROSS JOIN embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |ORDER BY list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') DESC,
+        |  a.vec_id ASC, b.vec_id ASC
+        |LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFns
+
+/** Text-analysis surface over `documents` (builder-prompt first-class
+  * components: token counting, quality scoring, language-ID,
+  * fingerprinting, term stats). All operators are pure Catalyst
+  * expressions over one narrow scan — no shuffle except the final
+  * aggregates, which are partial+final hash aggregates.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it", "on", "for")
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "los", "y", "es", "un", "que", "de"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "que", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "我"),
+  )
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, w => w.isin(words: _*)))
+
+  /** Reference token-count heuristic per document (utils.py:30-35). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        size(TextFns.tokens(col("text"))).as("n_words"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/word/stopword/digit signals. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val nWords = size(t).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val wordChars = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+    val nStop = countIn(t, stopEn).cast("double")
+    val nDigit = (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        round(wordChars / nWords, 4).as("avg_word_len"),
+        round(nStop / nWords, 4).as("stopword_ratio"),
+        round(nDigit / nChars, 4).as("digit_ratio"),
+        (nWords >= 20 && nWords <= 1000).cast("int").as("len_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by marker-stopword voting, fixed preference order on
+    * ties (deterministic — SURVEY §7).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val scores = markers.map { case (l, ws) => l -> countIn(t, ws) }
+    // argmax with fixed order: first language whose score >= all others
+    val pred = scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(scores.map(_._2).map(o => s >= o).reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: md5 of normalized text + min-shingle hash
+    * (a 1-permutation minhash), portable across engines.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(TextFns.normalized(col("text"))).as("fingerprint"),
+        array_min(transform(TextFns.shingles3(toks), s => md5(s))).as("min_shingle_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level term stats: global top-25 terms (TakeOrdered — no full
+    * sort at scale).
+    */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(25)
+
+  /** Hashing-TF embedder output (reference E1 restated as a deterministic
+    * seeded hashing embedder — SURVEY §2.3): token → md5 bucket (mod 64),
+    * per-doc L2-normalized weights. Emitted as (doc_id, bucket, w) rows
+    * so the oracle stays pure SQL.
+    */
+  def embedHash(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), (TextFns.md5Int(col("tok")) % dim).as("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val norm = tf.groupBy("doc_id")
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+    tf.join(norm, "doc_id")
+      .select(col("doc_id"), col("bucket"), (col("cnt") / col("nrm")).as("w"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_count" -> (tokenCount _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "top_terms" -> (topTerms _),
+    "embed_hash" -> (embedHash _),
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def duckCountIn(words: Seq[String]): String =
+    s"len(list_filter($duckToks, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private val duckShingles =
+    s"""CASE WHEN len($duckToks) >= 3
+       |  THEN list_transform(range(1, len($duckToks) - 1),
+       |         i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
+       |  ELSE [] END""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($duckToks) + CAST(length(text) // 4 AS INTEGER) END AS n_tokens,
+         |  len($duckToks) AS n_words,
+         |  length(text) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_words,
+         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len($duckToks), 4) AS avg_word_len,
+         |  round(CAST(${duckCountIn(stopEn)} AS DOUBLE) / len($duckToks), 4) AS stopword_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio,
+         |  CAST(len($duckToks) BETWEEN 20 AND 1000 AS INTEGER) AS len_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val scores = markers.map { case (l, ws) => l -> duckCountIn(ws) }
+      val cases = scores.map { case (l, s) =>
+        val conds = scores.map { case (_, o) => s"$s >= $o" }.mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang,
+         |  CASE $cases ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  list_min(list_transform($duckShingles, s -> md5(s))) AS min_shingle_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "top_terms" ->
+      s"""SELECT t AS term, count(*) AS n
+         |FROM (SELECT unnest($duckToks) AS t FROM documents)
+         |GROUP BY t ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
+    "embed_hash" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |         CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM tf GROUP BY doc_id)
+         |SELECT tf.doc_id AS doc_id, bucket, cnt / nrm.nrm AS w
+         |FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
+         |ORDER BY tf.doc_id, bucket""".stripMargin,
+  )
+}

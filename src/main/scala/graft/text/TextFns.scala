@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the chunking, dedup and text-analysis
+  * surfaces. Everything here is a pure Catalyst expression (codegen-able,
+  * no UDFs) and — deliberately — reproducible in DuckDB for the oracle:
+  * tokenization is `\s+` splitting and all hashing goes through `md5`,
+  * which both engines implement identically.
+  */
+object TextFns {
+
+  /** Whitespace tokens of trimmed text (Python `str.split()` semantics —
+    * reference: src/utils.py:30-35 uses `len(text.split())`).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** The reference's token-count heuristic: words + chars/4
+    * (reference: src/utils.py:30-35 `count_tokens`).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(tokens(text)) + (length(text) / 4).cast("int"))
+
+  /** Normalized form for exact dedup: lowercase, collapsed whitespace. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Word k-gram shingles (k=3), as space-joined strings. */
+  def shingles3(toks: Column): Column = {
+    val t = toks
+    when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat(element_at(t, i + 1), lit(" "),
+          element_at(t, i + 2), lit(" "), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Portable 32-bit integer hash: first 8 hex chars of md5, as a long.
+    * (DuckDB: `CAST('0x' || substr(md5(s),1,8) AS BIGINT)`.)
+    */
+  def md5Int(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}
