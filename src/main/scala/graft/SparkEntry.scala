@@ -21,11 +21,15 @@ object SparkEntry {
     (Events.defs, Events.oracles),
     (TextAnalysis.defs, TextAnalysis.oracles),
     (DedupQueries.defs, DedupQueries.oracles),
+    (Rag.defs, Rag.oracles),
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference experiment: chunk ×5 strategies, embed ×5 models,
+    * retrieve, evaluate — one DAG (SURVEY §3.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Similarity.knnTopK(spark, "/root/testdata/sf0.001")
+    Rag.ragEval(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

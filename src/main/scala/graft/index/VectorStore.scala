@@ -1,0 +1,73 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.search.Knn
+
+/** Partitioned-parquet vector store — the Spark restatement of the
+  * reference's embedded Qdrant manager (reference: src/vector_db.py).
+  * One `collection=<name>` partition replaces one Qdrant collection
+  * (SURVEY §1.4): partition pruning gives the same per-collection
+  * isolation, and an overwrite of a single partition is the reference's
+  * recreate-on-exists semantics (vector_db.py:42-46).
+  *
+  * Scale: the store is write-once/read-many columnar data; reads prune
+  * to one partition and only the columns a query needs. At 100 TB the
+  * same layout holds — collections are directories, vectors are a
+  * float-array column, and search is a scan + top-k (exact) or an
+  * LSH-bucketed join (approximate, see Knn).
+  */
+class VectorStore(spark: SparkSession, basePath: String) {
+
+  private def table: DataFrame = spark.read
+    .option("basePath", basePath).parquet(s"$basePath/collection=*")
+
+  /** V1+V2: (re)create a collection from rows carrying an `embedding`
+    * column plus payload columns; ids are assigned by `row_order` if
+    * present, else zipWithIndex-style via a window on the given order
+    * column (reference assigns enumerate() ids, vector_db.py:75-81).
+    */
+  def createCollection(name: String, rows: DataFrame, orderCol: String): Unit = {
+    val w = Window.orderBy(col(orderCol))
+    rows
+      .withColumn("id", row_number().over(w).cast("long") - 1)
+      .write.mode("overwrite")
+      .parquet(s"$basePath/collection=$name")
+  }
+
+  /** V3: exact cosine top-k within one collection (vector_db.py:93-119). */
+  def search(collection: String, queries: DataFrame, k: Int): DataFrame =
+    Knn.bruteForceTopK(read(collection), queries, k, idCol = "id")
+      .withColumnRenamed("vec_id", "id")
+
+  /** Read one collection (partition-pruned). */
+  def read(collection: String): DataFrame =
+    spark.read.parquet(s"$basePath/collection=$collection")
+
+  /** V4: drop a collection. */
+  def deleteCollection(name: String): Unit = {
+    val dir = new java.io.File(s"$basePath/collection=$name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists) rm(dir)
+  }
+
+  /** V5: list collections (catalog listing / SHOW PARTITIONS analog). */
+  def collectionNames(): Seq[String] = {
+    val base = new java.io.File(basePath)
+    if (!base.exists) Seq.empty
+    else base.listFiles.filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("collection=")).map(_.stripPrefix("collection="))
+      .sorted.toSeq
+  }
+
+  /** V6: per-collection info: point count + dim (vector_db.py:138-150). */
+  def collectionInfo(): DataFrame =
+    table.groupBy(col("collection"))
+      .agg(count(lit(1)).as("points"), max(size(col("embedding"))).as("dim"))
+      .orderBy("collection")
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashingEmbedder
+import graft.index.VectorStore
+import graft.model.Document
+import graft.rag.Pipeline
+
+class EmbedderSpec extends SparkSpec {
+  import HashingEmbedder._
+
+  test("embeddings are L2-normalized, deterministic, model-sensitive") {
+    val m = modelsByName("hash-64")
+    val v = embed("satellites trade altitude for speed", m)
+    assert(v.length == 64)
+    val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(v.toSeq == embed("satellites trade altitude for speed", m).toSeq)
+    val v2 = embed("satellites trade altitude for speed", modelsByName("hash-128"))
+    assert(v2.length == 128)
+    assert(embed("", m).forall(_ == 0f)) // zero-token → zero vector
+  }
+
+  test("self-similarity is 1, symmetry holds") {
+    val m = modelsByName("hash-64")
+    val a = embed("alpha beta gamma", m)
+    val b = embed("beta gamma delta", m)
+    assert(math.abs(similarity(a, a) - 1.0) < 1e-6)
+    assert(similarity(a, b) == similarity(b, a))
+    assert(similarity(a, b) > 0 && similarity(a, b) < 1)
+  }
+}
+
+class VectorStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("create / search / info / delete round-trip") {
+    val base = java.nio.file.Files.createTempDirectory("vstore").toString
+    val store = new VectorStore(spark, base)
+    val m = HashingEmbedder.modelsByName("hash-64")
+    val texts = Seq("red apples and pears", "green apples only",
+      "orbital mechanics primer", "station keeping burns")
+    val rows = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, HashingEmbedder.embed(t, m)) }
+      .toDF("row_order", "content", "embedding")
+    store.createCollection("fixed_size_hash-64", rows, "row_order")
+    assert(store.collectionNames() == Seq("fixed_size_hash-64"))
+
+    val info = store.collectionInfo().collect().head
+    assert(info.getAs[Long]("points") == 4 && info.getAs[Int]("dim") == 64)
+
+    val q = Seq((0L, HashingEmbedder.embed("apples", m)))
+      .toDF("query_id", "qvec")
+    val hits = store.search("fixed_size_hash-64", q, 2)
+      .orderBy("rank").collect()
+    assert(hits.length == 2)
+    // both apple documents outrank the orbital ones
+    assert(Set(hits(0).getAs[Long]("id"), hits(1).getAs[Long]("id")) == Set(0L, 1L))
+
+    store.deleteCollection("fixed_size_hash-64")
+    assert(store.collectionNames().isEmpty)
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("end-to-end experiment: 25 configs, metrics bounded, self-retrieval works") {
+    val docs = Seq(
+      Document("corpus/apples.md", "# Apples\n\nApples are pomes. Orchards prune in winter. Cider needs pressing."),
+      Document("corpus/orbits.md", "# Orbits\n\nSatellites trade altitude for speed. Drag decays low orbits."),
+      Document("corpus/bread.md", "# Bread\n\nSourdough needs a starter. Gluten develops with kneading."),
+    ).toDS()
+    // the hashing embedder is token-exact (the reference embeds raw text
+    // too — its case-robustness came from the neural model), so queries
+    // quote the documents verbatim
+    val queries = Seq(
+      ("q1", "Apples are pomes", Seq("apples", "cider"), Seq("apples")),
+      ("q2", "Satellites trade altitude", Seq("satellites", "drag"), Seq("orbits")),
+    ).toDF("query_id", "query", "expected_keywords", "expected_source_patterns")
+
+    val report = Pipeline.run(spark, docs, queries).collect()
+    assert(report.length == 5 * 5)
+    report.foreach { r =>
+      Seq("top_1_accuracy", "top_3_accuracy", "mrr", "avg_similarity").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      assert(r.getAs[Long]("num_queries") == 2)
+      // the corpus is tiny and queries quote the docs verbatim — every
+      // config should retrieve the right source in its top-3
+      assert(r.getAs[Double]("top_3_accuracy") == 1.0)
+    }
+  }
+}

@@ -56,6 +56,15 @@ def main():
         ok = True
         for c in s.columns:
             a, b = s[c].values, d[c].values
+            # normalize NULL representations (None vs NaN) across engines
+            an = pd.isna(pd.Series(a)).values
+            bn = pd.isna(pd.Series(b)).values
+            if an.any() or bn.any():
+                if not np.array_equal(an, bn):
+                    print(f"  col {c}: null-mask mismatch"); ok = False; continue
+                a, b = a[~an], b[~bn]
+                if len(a) == 0:
+                    continue
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 eq = np.array_equal(a.astype('float64'), b.astype('float64'))
                 close = np.allclose(a.astype('float64'), b.astype('float64'),

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Generate golden chunker outputs by RUNNING the reference implementation
+(read-only import from /root/reference) on our own fixture documents.
+
+This does not copy reference code into the engine — it executes it once,
+offline, to capture expected outputs for ScalaTest parity specs
+(src/test/resources/chunk_golden.json).
+"""
+import sys, json, io, contextlib
+
+sys.path.insert(0, "/root/reference")
+
+from src.chunking import get_all_chunkers  # noqa: E402
+
+DOCS = {
+    "fixture/structured.md": """# Orbital Mechanics Primer
+
+Satellites trade altitude for speed. A lower orbit means a faster period! Drag
+matters below six hundred kilometers. Station keeping burns correct the decay.
+
+## Transfer Windows
+
+A Hohmann transfer uses two burns. The first raises apogee. The second
+circularizes at the target. Plane changes are expensive? Yes, combine them with
+the apogee burn when possible.
+
+### Delta-V Budgets
+
+Missions budget margin for dispersions. Upper stages under-perform sometimes.
+
+## Ground Segment
+
+| station | band | dishes |
+| goldstone | x | 3 |
+| canberra | s | 2 |
+
+Telemetry arrives in frames. Frames carry packets. Packets carry parameters.
+""",
+    "fixture/longtext.md": " ".join(
+        f"Sentence number {i} talks about topic {i % 7} and adds detail item {i * 3}."
+        for i in range(200)
+    ),
+    "fixture/plain.md": "a short plain note with no punctuation and no structure",
+    "fixture/tables.md": "intro line before tables\n"
+        + "\n".join(f"| row{i} | val{i} | extra{i} |" for i in range(40))
+        + "\nclosing remarks after the table. final sentence here.",
+}
+
+rows = []
+for name, chunker in get_all_chunkers().items():
+    for src, text in DOCS.items():
+        with contextlib.redirect_stderr(io.StringIO()):
+            chunks = chunker.chunk(text, src)
+        for c in chunks:
+            m = c.metadata
+            rows.append({
+                "strategy": c.strategy,
+                "source_file": c.source_file,
+                "chunk_id": c.chunk_id,
+                "chunk_index": c.chunk_index,
+                "content": c.content,
+                "chunk_size": m.get("chunk_size"),
+                "sentence_count": m.get("sentence_count"),
+                "level": None if m.get("level") is None else str(m.get("level")),
+                "heading": m.get("heading") if m.get("heading") else None,
+                "is_table": m.get("is_table"),
+                "chunk_type": m.get("chunk_type"),
+                "merged": m.get("merged"),
+            })
+
+with open("src/test/resources/chunk_golden.json", "w") as f:
+    for r in rows:
+        f.write(json.dumps(r) + "\n")
+with open("src/test/resources/chunk_docs.json", "w") as f:
+    for src, text in DOCS.items():
+        f.write(json.dumps({"source_file": src, "content": text}) + "\n")
+print(f"wrote {len(rows)} golden chunks")
