@@ -49,21 +49,27 @@ object Dedup {
           .as("jac"))
   }
 
-  /** MinHash signatures: numHashes seeded md5 minima per doc: (id, j, mh). */
+  /** MinHash signatures, wide form: ONE hash-aggregate with `numHashes`
+    * min() expressions — (id, mh_0..mh_{n-1}). The naive shape
+    * (crossJoin with a seed table, then groupBy (id, seed)) shuffles
+    * |shingles| × numHashes rows; this shuffles |docs| rows once.
+    */
   def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
-    val spark = sh.sparkSession
-    val seeds = spark.range(numHashes).select(col("id").cast("int").as("j"))
-    sh.crossJoin(broadcast(seeds))
-      .groupBy(col("id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("s")))).as("mh"))
+    val mins = (0 until numHashes).map(j =>
+      min(md5(concat(lit(j.toString), lit("|"), col("s")))).as(s"mh_$j"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band keys from minhash signatures: (id, band, bkey). */
-  def lshBands(mh: DataFrame, rowsPerBand: Int): DataFrame =
-    mh.groupBy(col("id"), floor(col("j") / rowsPerBand).cast("int").as("band"))
-      .agg(md5(concat_ws("",
-        expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")))
-        .as("bkey"))
+  /** LSH band keys from wide minhash signatures: (id, band, bkey). */
+  def lshBands(mh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val numHashes = mh.columns.count(_.startsWith("mh_"))
+    val bandKeys = (0 until numHashes / rowsPerBand).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh_$j"))
+      md5(concat(cols: _*))
+    }
+    mh.select(col("id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
 
   /** Candidate pairs sharing ≥1 LSH band bucket: (a, b) distinct. */
   def lshCandidates(bands: DataFrame): DataFrame =
@@ -72,6 +78,25 @@ object Dedup {
       .filter(col("p.id") < col("q.id"))
       .select(col("p.id").as("a"), col("q.id").as("b"))
       .distinct()
+
+  /** True Jaccard restricted to given candidate pairs — the verify stage
+    * of LSH dedup. Cost is |candidates| × shingles-per-doc, independent
+    * of corpus size; the candidate set is broadcast.
+    */
+  def candidateJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = broadcast(cands)
+      .join(sh.as("x"), col("x.id") === col("a"))
+      .join(sh.as("y"), col("y.id") === col("b") && col("y.s") === col("x.s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .as("jac"))
+  }
 
   /** 32-bit SimHash over term frequencies, as a bit string: (id, simhash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

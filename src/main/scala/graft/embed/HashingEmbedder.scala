@@ -40,6 +40,20 @@ object HashingEmbedder {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  // Token hashes follow a Zipfian distribution in any real corpus — memoize
+  // (seed|token) → md5 prefix per executor JVM. Bounded: beyond the cap we
+  // fall through to hashing (never wrong, just uncached).
+  private val MaxCache = 1 << 20
+  private val hashCache = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def md5PrefixCached(key: String): Long = {
+    val got = hashCache.get(key)
+    if (got != 0L) return got // md5 prefix 0 is ~2^-32; falls through harmlessly
+    val h = md5PrefixLong(key)
+    if (hashCache.size < MaxCache) hashCache.put(key, h)
+    h
+  }
+
   /** E1: text → L2-normalized float vector. Tokens are hashed (seeded)
     * into `dim` buckets; the vector is the normalized bucket-count
     * histogram. Zero-token text → zero vector.
@@ -47,7 +61,7 @@ object HashingEmbedder {
   def embed(text: String, model: Model): Array[Float] = {
     val v = new Array[Double](model.dim)
     for (tok <- text.split("\\s+") if tok.nonEmpty) {
-      val b = (md5PrefixLong(s"${model.seed}|$tok") % model.dim).toInt
+      val b = (md5PrefixCached(s"${model.seed}|$tok") % model.dim).toInt
       v(b) += 1.0
     }
     var ss = 0.0

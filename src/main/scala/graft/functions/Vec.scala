@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Vec {
 
-  /** Σ a_i * b_i, accumulated left-to-right in double. */
+  /** Σ a_i * b_i, accumulated left-to-right in double — a native codegen
+    * expression (see [[DotProduct]]); bit-identical to the equivalent
+    * `aggregate(zip_with(...))` higher-order-function form.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    Columns.of(DotProduct(Columns.expr(a), Columns.expr(b)))
 
   /** √(Σ a_i²) */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -37,7 +37,7 @@ object DedupQueries {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
     val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
-    cands.join(Dedup.pairJaccard(sh), Seq("a", "b"))
+    Dedup.candidateJaccard(sh, cands)
       .filter(col("jac") >= 0.7)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
       .orderBy("a", "b")
