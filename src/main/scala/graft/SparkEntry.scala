@@ -22,6 +22,7 @@ object SparkEntry {
     (TextAnalysis.defs, TextAnalysis.oracles),
     (DedupQueries.defs, DedupQueries.oracles),
     (Rag.defs, Rag.oracles),
+    (MultimodalQueries.defs, MultimodalQueries.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Document
+
+/** Multi-format document ingestion (SURVEY §2.1 S1–S8) — the Spark
+  * restatement of the reference's recursive folder scan + per-format
+  * extraction (reference: src/document_loader.py:44-84).
+  *
+  * Directory listing, recursion, extension filtering and parallel reads
+  * are Spark's `binaryFile`/`text` sources; per-format text extraction is
+  * a per-row function over the binary content. The PDF/DOCX/XLSX/PPTX
+  * codecs are NOT bundled in this environment, so those extractors are
+  * deterministic STUBS behind the real dispatch/plumbing (schema,
+  * dispatch table, page/sheet/slide marker formats all match the
+  * reference's observable output shape).
+  */
+object DocumentLoader {
+
+  /** Extension → extractor dispatch (document_loader.py:69-84). */
+  val SupportedTypes: Set[String] = Set(".pdf", ".docx", ".xlsx", ".pptx", ".md")
+
+  /** S1: recursive scan of a folder for all supported types. Returns
+    * (source_file, content), dropping empty documents
+    * (document_loader.py:60-61).
+    */
+  def loadDocuments(spark: SparkSession, folder: String): Dataset[Document] = {
+    import spark.implicits._
+    val glob = "*.{pdf,docx,xlsx,pptx,md}"
+    val extract = udf((path: String, bytes: Array[Byte]) => extractText(path, bytes))
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(folder)
+      .select(col("path").as("source_file"),
+        extract(col("path"), col("content")).as("content"))
+      .filter(length(trim(col("content"))) > 0)
+      .as[Document]
+  }
+
+  /** S6: markdown = raw UTF-8 (document_loader.py:169-177). */
+  def extractMarkdown(bytes: Array[Byte]): String =
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** S2: PDF — per-page text with `--- Page N ---` markers
+    * (document_loader.py:86-102). STUB: the container has no PDF codec;
+    * a real deployment drops pdfbox in here. The stub emits the marker
+    * structure deterministically from the bytes.
+    */
+  def extractPdf(bytes: Array[Byte]): String =
+    stubPages(bytes, "Page")
+
+  /** S3: DOCX — paragraphs + tables flattened as pipe-joined cells
+    * (document_loader.py:104-127). STUB (real impl: Apache POI).
+    */
+  def extractDocx(bytes: Array[Byte]): String =
+    stubText(bytes) + "\nc1 | c2 | c3"
+
+  /** S4: XLSX — per-sheet `--- Sheet: name ---` + pipe-joined rows
+    * (document_loader.py:129-149). STUB (real impl: Apache POI).
+    */
+  def extractXlsx(bytes: Array[Byte]): String =
+    s"--- Sheet: Sheet1 ---\n" + stubText(bytes)
+
+  /** S5: PPTX — per-slide `--- Slide N ---` + shape text
+    * (document_loader.py:151-167). STUB (real impl: Apache POI).
+    */
+  def extractPptx(bytes: Array[Byte]): String =
+    stubPages(bytes, "Slide")
+
+  private def stubText(bytes: Array[Byte]): String =
+    s"[stub-extracted ${bytes.length} bytes md5=${md5Hex(bytes)}]"
+
+  private def stubPages(bytes: Array[Byte], marker: String): String = {
+    val pages = math.max(1, bytes.length / 1024)
+    (1 to math.min(pages, 3)).map(i => s"--- $marker $i ---\n${stubText(bytes)}")
+      .mkString("\n")
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  def extractText(path: String, bytes: Array[Byte]): String = {
+    val ext = path.lastIndexOf('.') match {
+      case -1 => ""
+      case i => path.substring(i).toLowerCase
+    }
+    ext match {
+      case ".md" => extractMarkdown(bytes)
+      case ".pdf" => extractPdf(bytes)
+      case ".docx" => extractDocx(bytes)
+      case ".xlsx" => extractXlsx(bytes)
+      case ".pptx" => extractPptx(bytes)
+      case _ => ""
+    }
+  }
+
+  /** S7: query-set JSON source (utils.py:46-51, main.py:163-172). */
+  def loadQueries(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(col("query_id"), col("query"),
+        col("expected_keywords"), col("expected_source_patterns"))
+
+  /** S8: sample-document generator (main.py:66-160 writes 3 demo docs
+    * when the corpus folder is empty). Our own fixture text, same
+    * structural shape: H1–H3 headings, bullet metrics, a pipe table.
+    */
+  def writeSampleDocuments(folder: String): Seq[String] = {
+    val docs = Map(
+      "alpine_survey.md" ->
+        """# Alpine Survey 2031
+          |
+          |## Summary
+          |
+          |The survey covered nine valleys. Snowpack receded by twelve percent. Trail
+          |erosion accelerated near the tree line.
+          |
+          |## Measurements
+          |
+          |- stations: 42
+          |- readings: 18,204
+          |- anomalies: 17
+          |
+          |### Sensor Table
+          |
+          || sensor | valley | status |
+          || s-01 | kander | ok |
+          || s-02 | lauter | degraded |
+          |""".stripMargin,
+      "harvest_notes.md" ->
+        """# Harvest Notes
+          |
+          |## Orchard Block A
+          |
+          |Yield improved after thinning. Brix readings averaged fourteen. Frost nets
+          |deployed twice.
+          |
+          |## Orchard Block B
+          |
+          |Hail damaged the west rows. Replanting begins in spring.
+          |""".stripMargin,
+      "reactor_log.md" ->
+        """# Reactor Log
+          |
+          |## Cycle 7
+          |
+          |Output held at ninety-two percent. Coolant margins stayed nominal. One
+          |valve actuator was swapped during the maintenance window.
+          |""".stripMargin,
+    )
+    val dir = new java.io.File(folder)
+    dir.mkdirs()
+    docs.map { case (name, text) =>
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, text)
+      f.getPath
+    }.toSeq
+  }
+}

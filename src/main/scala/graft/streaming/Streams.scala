@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.chunk.Chunkers
+import graft.embed.HashingEmbedder
+import graft.model.Document
+
+/** Structured Streaming surface (SURVEY §2.6 notes the reference has no
+  * streaming — this is the engine's additive extension; kept out of the
+  * oracle set).
+  *
+  * The RAG indexing pipeline lifts to streaming for free: chunking and
+  * embedding are stateless per-document maps, so `readStream → flatMap →
+  * embed → writeStream` is the incremental-index build. Windowed
+  * aggregation + watermark covers late event data; sessionization uses
+  * explicit keyed state.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionUpdate(user_id: Long, session_start: Timestamp,
+      session_last: Timestamp, n_events: Long, closed: Boolean)
+
+  /** Streaming index build: a folder of JSON documents → chunk (all
+    * strategies) → embed (one model) → streaming DataFrame of index rows.
+    */
+  def indexingStream(spark: SparkSession, inputDir: String,
+      model: HashingEmbedder.Model = HashingEmbedder.models.head): DataFrame = {
+    import spark.implicits._
+    val schema = new StructType()
+      .add("source_file", "string").add("content", "string")
+    val docs = spark.readStream.schema(schema).json(inputDir).as[Document]
+    val chunks = docs.flatMap(d => Chunkers.chunkAll(d.content, d.source_file))
+    val embedUdf = udf((text: String) => HashingEmbedder.embed(text, model))
+    chunks.toDF()
+      .withColumn("model", lit(model.name))
+      .withColumn("embedding", embedUdf(col("content")))
+  }
+
+  /** Tumbling-window event counts with a watermark for late data. */
+  def windowedEventCounts(events: DataFrame, windowDur: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Keyed sessionization with explicit state: a session closes after
+    * `gapSeconds` of silence; each batch emits the updated (or closed)
+    * session per user.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[SessionUpdate]
+            var st = state.getOption.getOrElse {
+              val t = sorted.head.ts.getTime
+              SessionState(t, t, 0)
+            }
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (t - st.last > gapSeconds * 1000) {
+                out += SessionUpdate(userId, new Timestamp(st.start),
+                  new Timestamp(st.last), st.n, closed = true)
+                st = SessionState(t, t, 1)
+              } else {
+                st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+              }
+            }
+            state.update(st)
+            out += SessionUpdate(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, closed = false)
+            out.result().iterator
+          }
+      }
+  }
+}

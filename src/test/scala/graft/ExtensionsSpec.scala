@@ -1,0 +1,204 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.embed.HashingEmbedder
+import graft.multimodal.Multimodal
+import graft.search.{Ann, Knn}
+import graft.sources.{DocumentLoader, Sinks}
+import graft.streaming.Streams
+
+class DocumentLoaderSpec extends SparkSpec {
+
+  test("recursive multi-format scan extracts per format and drops empties") {
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    DocumentLoader.writeSampleDocuments(s"$dir/sub")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.pdf"),
+      Array.fill[Byte](2048)(7))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/empty.md"),
+      Array.emptyByteArray)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/skip.txt"), "no")
+
+    val docs = DocumentLoader.loadDocuments(spark, dir).collect()
+    assert(docs.length == 4) // 3 samples + pdf; empty + txt dropped
+    val pdf = docs.find(_.source_file.endsWith(".pdf")).get
+    assert(pdf.content.contains("--- Page 1 ---"))
+    val md = docs.find(_.source_file.endsWith("alpine_survey.md")).get
+    assert(md.content.contains("# Alpine Survey 2031"))
+  }
+
+  test("query JSON source round-trips the evaluation-set schema") {
+    val dir = java.nio.file.Files.createTempDirectory("queries").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/q.json"),
+      """[{"query_id":"q1","query":"snowpack trends",
+        |"expected_keywords":["snowpack"],"expected_source_patterns":["alpine"]}]"""
+        .stripMargin)
+    val q = DocumentLoader.loadQueries(spark, s"$dir/q.json").collect().head
+    assert(q.getAs[String]("query_id") == "q1")
+    assert(q.getAs[scala.collection.Seq[String]]("expected_keywords").toSeq == Seq("snowpack"))
+  }
+}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ranked = Seq(
+    ("hybrid", "hash-64", 0.8, 0.9, 0.85, 0.5, 2L, 1.75),
+    ("recursive", "hash-64", 0.5, 0.6, 0.55, 0.4, 2L, 1.15),
+  ).toDF("strategy", "model", "top_1_accuracy", "top_3_accuracy", "mrr",
+    "avg_similarity", "num_queries", "combined_score")
+
+  test("csv + json report sinks and console best-of") {
+    val dir = java.nio.file.Files.createTempDirectory("report").toString
+    Sinks.writeCsvReport(ranked, s"$dir/csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.count() == 2 && back.columns.contains("combined_score"))
+
+    Sinks.writeJsonReport(ranked, s"$dir/json")
+    val js = spark.read.json(s"$dir/json")
+    assert(js.select(size(col("configurations"))).collect().head.getInt(0) == 2)
+    assert(js.select(col("summary_stats.num_configs")).collect().head.getLong(0) == 2)
+
+    val report = Sinks.consoleReport(ranked)
+    assert(report.contains("best combined_score: hybrid"))
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // clustered vectors: 20 clusters x 25 members around orthant-ish
+  // centers — realistic shape for ANN (neighbors are truly close)
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until 500).map { i =>
+      val c = centers(i % 20)
+      val v = c.map(x => x + 0.15 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / n).toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("LSH recall is high on clustered data and self-retrieval is exact") {
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = Knn.bruteForceTopK(clustered, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(clustered, queries, 10, dim = 32)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low: $recall")
+    // rank-1 = the query vector itself in every table
+    val self = Ann.lshTopK(clustered, queries, 1, dim = 32)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(self.forall { case (q, v) => q == v })
+  }
+
+  test("IVF with all clusters probed equals brute force") {
+    val queries = clustered.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val centroids = clustered.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val exact = Knn.bruteForceTopK(clustered, queries, 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val ivfAll = Ann.ivfTopK(clustered, queries, centroids, 5, nprobe = 8)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll == exact)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming index build: chunk + embed lift to readStream") {
+    val in = java.nio.file.Files.createTempDirectory("stream-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$in/d1.json"),
+      """{"source_file":"s1.md","content":"# T\n\nAlpha beta. Gamma delta."}""" + "\n" +
+        """{"source_file":"s2.md","content":"plain text body"}""")
+    val q = Streams.indexingStream(spark, in)
+      .writeStream.format("memory").queryName("idx")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("idx")
+    assert(out.count() > 0)
+    assert(out.select("strategy").distinct().count() == 5)
+    assert(out.select(size(col("embedding"))).head().getInt(0) == 64)
+  }
+
+  test("windowed aggregation with watermark over a file stream") {
+    val in = java.nio.file.Files.createTempDirectory("stream-ev").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:04:00"), 1L, "click", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:15:00"), 2L, "view", 3.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(in)
+    val events = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(in)
+    val q = Streams.windowedEventCounts(events)
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("winagg").collect()
+    assert(rows.length == 2) // two 10-minute windows
+    assert(rows.map(_.getAs[Long]("n")).sum == 3)
+  }
+
+  test("stateful sessionization closes sessions across the gap") {
+    val in = java.nio.file.Files.createTempDirectory("stream-se").toString
+    Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      (3L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "click", 1.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(in)
+    val events = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(in).as[Streams.Event]
+    val q = Streams.sessionize(events)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess").collect()
+    // one closed session (2 events) + one open session (1 event)
+    assert(rows.exists(r => r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 2))
+    assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    Multimodal.MediaRow(0L, "image", "img-bytes-payload".getBytes,
+      Multimodal.MediaMeta("stub", 64, 48, 0L, 0)),
+    Multimodal.MediaRow(1L, "video", "video-bytes".getBytes,
+      Multimodal.MediaMeta("stub", 64, 48, 5000L, 0)),
+  ).toDS()
+
+  test("batched feature extraction produces normalized vectors") {
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.length == 2)
+    f.foreach { r =>
+      val n = math.sqrt(r.features.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(n - 1.0) < 1e-5)
+      assert(r.n_bytes > 0)
+    }
+    // deterministic
+    assert(Multimodal.extractFeatures(media).collect().map(_.features.toSeq).toSeq
+      == f.map(_.features.toSeq).toSeq)
+  }
+
+  test("frame sampling explodes video rows only") {
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.media_id == 1L))
+    assert(frames.length == 5) // 5000ms / 1000ms
+  }
+}
