@@ -75,7 +75,52 @@ object Rag {
         round(col("combined_score"), 4).as("combined_score"))
       .orderBy("strategy", "model")
 
+  /** Retrieval ranks for ONE strategy × two hashing models, with a FULL
+    * DuckDB oracle: the oracle recomputes tokenize → bucket-hash → TF →
+    * float32 weights → dot product with the same float casts and the
+    * same left-to-right (bucket-ascending) double accumulation, so the
+    * ranks match bit-exactly — an end-to-end proof of the chunk→embed→
+    * retrieve path, not just of relational plumbing.
+    */
+  def ragRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.embed.HashingEmbedder
+    val models = HashingEmbedder.models.take(2) // hash-64, hash-128
+    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF()
+    val embedded = Pipeline.embedChunks(chunks, models)
+    val qv = Pipeline.embedQueries(syntheticQueries(spark, dir), models)
+    Pipeline.retrieve(embedded, qv, 10)
+      .select(col("model"), col("query_id"), col("rank"), col("chunk_id"))
+      .orderBy("model", "query_id", "rank")
+  }
+
+  /** Per-config IR metrics over the oracle-checked retrieval slice —
+    * extends the rag_retrieval proof through relevance (R1), top-k/MRR/
+    * avg-similarity (R2–R5), expected-source resolution (R6) and
+    * per-config aggregation (R7).
+    */
+  def ragMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import graft.embed.HashingEmbedder
+    import graft.eval.Metrics
+    val models = HashingEmbedder.models.take(2)
+    val queries = syntheticQueries(spark, dir)
+    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF()
+    val embedded = Pipeline.embedChunks(chunks, models)
+    val hits = Pipeline.retrieve(embedded, Pipeline.embedQueries(queries, models), 10)
+    val expected = Metrics.resolveExpectedSources(
+      chunks.select(col("strategy"), col("source_file")).distinct(), queries)
+    Metrics.perConfig(Metrics.perQuery(hits, queries, expected))
+      .select(col("model"),
+        round(col("top_1_accuracy"), 4).as("top_1_accuracy"),
+        round(col("top_3_accuracy"), 4).as("top_3_accuracy"),
+        round(col("mrr"), 4).as("mrr"),
+        round(col("avg_similarity"), 4).as("avg_similarity"),
+        col("num_queries"))
+      .orderBy("model")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_retrieval" -> (ragRetrieval _),
+    "rag_metrics" -> (ragMetrics _),
     "chunk_fixed_size" -> chunkQuery("fixed_size", Seq("sentence_count")) _,
     "chunk_recursive" -> chunkQuery("recursive", Seq("level")) _,
     "chunk_structure_aware" -> chunkQuery("structure_aware", Seq("level")) _,
@@ -100,7 +145,109 @@ object Rag {
        |  $extras
        |FROM documents ORDER BY source_file""".stripMargin
 
+  /** Shared oracle CTE prefix: fixture docs → hashed TF → float32
+    * weights → bucket-ordered double dot products for every
+    * (model, query, doc) triple — the SQL restatement of
+    * HashingEmbedder.embed + Vec.dot, bit-exact.
+    */
+  private val ragSimsCtes: String = {
+    val bucket = "CAST(('0x' || substr(md5(CAST(m.seed AS VARCHAR) || '|' || t.tok), 1, 8)) AS BIGINT) % m.dim"
+    s"""WITH models(model, dim, seed) AS (VALUES ('hash-64', 64, 1), ('hash-128', 128, 2)),
+       |docs AS (
+       |  SELECT $src AS sf, trim(text) AS content FROM documents),
+       |dtoks AS (
+       |  SELECT sf, unnest(regexp_split_to_array(content, '\\s+')) AS tok FROM docs),
+       |dtf AS (
+       |  SELECT m.model, t.sf, $bucket AS bucket, count(*) AS cnt
+       |  FROM dtoks t CROSS JOIN models m GROUP BY 1, 2, 3),
+       |dnorm AS (
+       |  SELECT model, sf, sqrt(sum(CAST(cnt AS DOUBLE) * cnt)) AS nrm
+       |  FROM dtf GROUP BY 1, 2),
+       |dvec AS (
+       |  SELECT dtf.model, dtf.sf, bucket, CAST(cnt / nrm AS FLOAT) AS w
+       |  FROM dtf JOIN dnorm ON dtf.model = dnorm.model AND dtf.sf = dnorm.sf),
+       |q AS (
+       |  SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+       |         list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 8) AS qt
+       |  FROM documents WHERE doc_id < 12),
+       |qtoks AS (SELECT query_id, unnest(qt) AS tok FROM q),
+       |qtf AS (
+       |  SELECT m.model, t.query_id, $bucket AS bucket, count(*) AS cnt
+       |  FROM qtoks t CROSS JOIN models m GROUP BY 1, 2, 3),
+       |qnorm AS (
+       |  SELECT model, query_id, sqrt(sum(CAST(cnt AS DOUBLE) * cnt)) AS nrm
+       |  FROM qtf GROUP BY 1, 2),
+       |qvec AS (
+       |  SELECT qtf.model, qtf.query_id, bucket, CAST(cnt / nrm AS FLOAT) AS w
+       |  FROM qtf JOIN qnorm ON qtf.model = qnorm.model AND qtf.query_id = qnorm.query_id),
+       |shared AS (
+       |  SELECT d.model, q.query_id, d.sf,
+       |    list_aggregate(list(CAST(q.w AS DOUBLE) * CAST(d.w AS DOUBLE) ORDER BY d.bucket), 'sum') AS sim
+       |  FROM dvec d JOIN qvec q ON d.model = q.model AND d.bucket = q.bucket
+       |  GROUP BY 1, 2, 3),
+       |allpairs AS (
+       |  SELECT m.model, q.query_id, docs.sf FROM docs
+       |  CROSS JOIN models m CROSS JOIN q),
+       |sims AS (
+       |  SELECT a.model, a.query_id, a.sf, coalesce(s.sim, 0.0) AS sim
+       |  FROM allpairs a LEFT JOIN shared s
+       |    ON a.model = s.model AND a.query_id = s.query_id AND a.sf = s.sf)""".stripMargin
+  }
+
+  private val ragRetrievalOracle: String =
+    s"""$ragSimsCtes,
+       |ranked AS (
+       |  SELECT model, query_id, sf || '_fixed_size_0' AS chunk_id,
+       |    row_number() OVER (PARTITION BY model, query_id
+       |                       ORDER BY sim DESC, sf || '_fixed_size_0' ASC) AS rank
+       |  FROM sims)
+       |SELECT model, query_id, rank, chunk_id FROM ranked WHERE rank <= 10
+       |ORDER BY model, query_id, rank""".stripMargin
+
+  private val ragMetricsOracle: String =
+    s"""$ragSimsCtes,
+       |ranked AS (
+       |  SELECT model, query_id, sf, sim,
+       |    row_number() OVER (PARTITION BY model, query_id
+       |                       ORDER BY sim DESC, sf || '_fixed_size_0' ASC) AS rank
+       |  FROM sims),
+       |hits AS (SELECT * FROM ranked WHERE rank <= 10),
+       |qmeta AS (
+       |  SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+       |    list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 5) AS kw,
+       |    '/doc' || CAST(doc_id AS VARCHAR) || '.md' AS pat
+       |  FROM documents WHERE doc_id < 12),
+       |expected AS (
+       |  SELECT q.query_id, min(d.sf) AS expected_source
+       |  FROM qmeta q JOIN docs d ON contains(lower(d.sf), lower(q.pat))
+       |  GROUP BY 1),
+       |rel AS (
+       |  SELECT h.model, h.query_id, h.rank, h.sim,
+       |    (contains(h.sf, e.expected_source)
+       |     AND len(list_filter(q.kw, k -> contains(lower(d.content), lower(k)))) > 0)
+       |      AS relevant
+       |  FROM hits h
+       |  JOIN qmeta q ON h.query_id = q.query_id
+       |  JOIN expected e ON h.query_id = e.query_id
+       |  JOIN docs d ON h.sf = d.sf),
+       |perq AS (
+       |  SELECT model, query_id,
+       |    max(CASE WHEN relevant AND rank <= 1 THEN 1.0 ELSE 0.0 END) AS top_1,
+       |    max(CASE WHEN relevant AND rank <= 3 THEN 1.0 ELSE 0.0 END) AS top_3,
+       |    coalesce(1.0 / min(CASE WHEN relevant THEN rank END), 0.0) AS mrr,
+       |    coalesce(avg(CASE WHEN relevant AND rank <= 5 THEN sim END), 0.0) AS avg_similarity
+       |  FROM rel GROUP BY 1, 2)
+       |SELECT model,
+       |  round(avg(top_1), 4) AS top_1_accuracy,
+       |  round(avg(top_3), 4) AS top_3_accuracy,
+       |  round(avg(mrr), 4) AS mrr,
+       |  round(avg(avg_similarity), 4) AS avg_similarity,
+       |  count(*) AS num_queries
+       |FROM perq GROUP BY model ORDER BY model""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "rag_retrieval" -> ragRetrievalOracle,
+    "rag_metrics" -> ragMetricsOracle,
     "chunk_fixed_size" -> chunkOracle("fixed_size", "trim(text)", "trim(text)",
       "1 AS sentence_count"),
     "chunk_recursive" -> chunkOracle("recursive", "trim(text)", "text",
