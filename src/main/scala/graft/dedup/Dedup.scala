@@ -28,10 +28,16 @@ import graft.text.TextFns
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document: (id, s). */
+  /** Distinct word-3-gram shingles per document: (id, s).
+    *
+    * Tokens are bound to a column BEFORE the shingle lambda: splicing the
+    * `split()` expression tree into the higher-order function would make
+    * every `element_at` re-run the regex split (O(len²) per document —
+    * measured 5× slower at sf0.1).
+    */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(TextFns.shingles3(TextFns.tokens(col(textCol)))).as("s"))
+    docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("t"))
+      .select(col("id"), explode(TextFns.shingles3(col("t"))).as("s"))
       .distinct()
 
   /** True Jaccard for every pair sharing ≥1 shingle: (a, b, jac). */

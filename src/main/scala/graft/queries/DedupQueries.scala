@@ -35,7 +35,9 @@ object DedupQueries {
     * Jaccard ≥ 0.7 — the scale path for near-dedup.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
+    // the shingle set feeds signature build AND both sides of the
+    // candidate-verify join — cache it once
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
     val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
     Dedup.candidateJaccard(sh, cands)
       .filter(col("jac") >= 0.7)

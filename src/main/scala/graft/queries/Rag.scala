@@ -85,10 +85,11 @@ object Rag {
   def ragRetrieval(spark: SparkSession, dir: String): DataFrame = {
     import graft.embed.HashingEmbedder
     val models = HashingEmbedder.models.take(2) // hash-64, hash-128
-    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF()
+    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF().cache()
     val embedded = Pipeline.embedChunks(chunks, models)
     val qv = Pipeline.embedQueries(syntheticQueries(spark, dir), models)
-    Pipeline.retrieve(embedded, qv, 10)
+    Pipeline.retrieve(embedded, qv, 10,
+      payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
       .select(col("model"), col("query_id"), col("rank"), col("chunk_id"))
       .orderBy("model", "query_id", "rank")
   }
@@ -103,9 +104,10 @@ object Rag {
     import graft.eval.Metrics
     val models = HashingEmbedder.models.take(2)
     val queries = syntheticQueries(spark, dir)
-    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF()
+    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF().cache()
     val embedded = Pipeline.embedChunks(chunks, models)
-    val hits = Pipeline.retrieve(embedded, Pipeline.embedQueries(queries, models), 10)
+    val hits = Pipeline.retrieve(embedded, Pipeline.embedQueries(queries, models), 10,
+      payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
     val expected = Metrics.resolveExpectedSources(
       chunks.select(col("strategy"), col("source_file")).distinct(), queries)
     Metrics.perConfig(Metrics.perQuery(hits, queries, expected))

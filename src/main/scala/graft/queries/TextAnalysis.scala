@@ -73,15 +73,15 @@ object TextAnalysis {
   /** Document fingerprints: md5 of normalized text + min-shingle hash
     * (a 1-permutation minhash), portable across engines.
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // bind tokens first — see Dedup.shingleSet on HOF subtree splicing
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("t"))
       .select(
         col("doc_id"),
         md5(TextFns.normalized(col("text"))).as("fingerprint"),
-        array_min(transform(TextFns.shingles3(toks), s => md5(s))).as("min_shingle_md5"))
+        array_min(transform(TextFns.shingles3(col("t")), s => md5(s))).as("min_shingle_md5"))
       .orderBy("doc_id")
-  }
 
   /** Corpus-level term stats: global top-25 terms (TakeOrdered — no full
     * sort at scale).

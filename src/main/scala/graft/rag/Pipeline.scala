@@ -63,16 +63,27 @@ object Pipeline {
     * Knn.bruteForceTopK's per-partition heap or an LSH bucket join; the
     * logical contract is identical.
     */
-  def retrieve(embedded: DataFrame, queryVecs: DataFrame, k: Int = 10): DataFrame = {
+  def retrieve(embedded: DataFrame, queryVecs: DataFrame, k: Int = 10,
+      payload: Option[DataFrame] = None): DataFrame = {
+    // Project away vectors and payload BEFORE the top-k exchange: the
+    // shuffle carries (keys, chunk_id, sim) — a few dozen bytes per
+    // candidate instead of the embedding + content (at scale the
+    // difference is GBs per stage). Payload is joined back onto the
+    // k·|queries| winners only.
     val sims = embedded.join(
         broadcast(queryVecs.select(col("query_id"), col("model").as("qmodel"), col("qvec"))),
         col("model") === col("qmodel"))
-      .withColumn("sim", Vec.dot(col("embedding"), col("qvec")))
+      .select(col("strategy"), col("model"), col("query_id"), col("chunk_id"),
+        Vec.dot(col("embedding"), col("qvec")).as("sim"))
     val w = Window.partitionBy(col("strategy"), col("model"), col("query_id"))
       .orderBy(col("sim").desc, col("chunk_id").asc)
-    sims
+    val top = sims
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+    val pay = payload.getOrElse(embedded
+      .select(col("chunk_id"), col("source_file"), col("content"))
+      .dropDuplicates("chunk_id"))
+    top.join(pay, "chunk_id")
       .select(col("strategy"), col("model"), col("query_id"), col("rank"),
         col("sim"), col("chunk_id"), col("source_file"), col("content"))
   }
@@ -88,9 +99,16 @@ object Pipeline {
   def run(spark: SparkSession, docs: Dataset[Document], queries: DataFrame,
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models,
       strategies: Seq[String] = Chunkers.strategyNames, k: Int = 10): DataFrame = {
-    val chunks = chunkDocuments(docs, strategies).toDF()
-    val embedded = embedChunks(chunks, models)
-    val hits = retrieve(embedded, embedQueries(queries, models), k)
+    // chunks feed three consumers (embedding, hit payload, source
+    // resolution) — materialize once
+    val chunks = chunkDocuments(docs, strategies).toDF().cache()
+    // Materialize the index: without a barrier Catalyst inlines the
+    // embedding UDF into the post-join projection and recomputes every
+    // chunk's vector once PER QUERY. This is also the reference's own
+    // shape — stage 5 persists the index before retrieval (main.py:224).
+    val embedded = embedChunks(chunks, models).cache()
+    val hits = retrieve(embedded, embedQueries(queries, models), k,
+      payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
     evaluate(hits, queries, chunks)
   }
 }
