@@ -173,7 +173,51 @@ object Relational {
     both.unionByName(only).orderBy("op", "k")
   }
 
+  /** TPC-H Q6-style forecast revenue: tight filter + global agg — the
+    * whole query collapses into the parquet scan + one partial/final agg.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+
+  /** CUBE grouping sets (all four groupings at once). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact distinct aggregation per group. */
+  def eventsDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** R11 config-name split (main.py:330 `rsplit('_', 1)`): last-underscore
+    * split of `strategy_model` collection names.
+    */
+  def configSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = for (s <- graft.chunk.Chunkers.strategyNames;
+      m <- graft.embed.HashingEmbedder.models.map(_.name)) yield s + "_" + m
+    names.toDF("collection")
+      .select(col("collection"),
+        regexp_extract(col("collection"), "^(.*)_[^_]+$", 1).as("strategy"),
+        regexp_extract(col("collection"), "([^_]+)$", 1).as("model"))
+      .orderBy("collection")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> (q6Forecast _),
+    "cube_agg" -> (cubeAgg _),
+    "events_distinct" -> (eventsDistinct _),
+    "config_split" -> (configSplit _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -189,7 +233,31 @@ object Relational {
   private val duckRevenue =
     "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
+  private val configSplitOracle: String = {
+    val names = for (s <- graft.chunk.Chunkers.strategyNames;
+      m <- graft.embed.HashingEmbedder.models.map(_.name)) yield s"('${s}_$m')"
+    s"""SELECT collection,
+       |  regexp_extract(collection, '^(.*)_[^_]+$$', 1) AS strategy,
+       |  regexp_extract(collection, '([^_]+)$$', 1) AS model
+       |FROM (VALUES ${names.mkString(", ")}) AS t(collection)
+       |ORDER BY collection""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "events_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "config_split" -> configSplitOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

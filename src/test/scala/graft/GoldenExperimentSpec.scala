@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.rag.Pipeline
+import graft.sources.{DocumentLoader, Sinks}
+
+/** The reference's `python main.py` shape, end to end (SURVEY §3.1,
+  * FIXTURES A): generate sample docs into an empty folder → multi-format
+  * scan → load the query set from JSON → run the full 5×5 experiment →
+  * write CSV/JSON reports → console best-of. A miniature of the
+  * reference's golden evaluation corpus with our own fixture text.
+  */
+class GoldenExperimentSpec extends SparkSpec {
+
+  test("full experiment: load → chunk → embed → retrieve → evaluate → report") {
+    val work = java.nio.file.Files.createTempDirectory("golden").toString
+
+    // stage 1: corpus folder empty → sample docs generated (S8)
+    DocumentLoader.writeSampleDocuments(s"$work/projects")
+    val docs = DocumentLoader.loadDocuments(spark, s"$work/projects")
+    assert(docs.count() == 3)
+
+    // stage 2: query set from JSON (S7) — queries quote the docs
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/queries.json"),
+      """[
+        |  {"query_id": "q1", "query": "Snowpack receded by twelve percent",
+        |   "expected_keywords": ["snowpack", "erosion"],
+        |   "expected_source_patterns": ["alpine"]},
+        |  {"query_id": "q2", "query": "Yield improved after thinning",
+        |   "expected_keywords": ["yield", "brix"],
+        |   "expected_source_patterns": ["harvest"]},
+        |  {"query_id": "q3", "query": "Output held at ninety-two percent",
+        |   "expected_keywords": ["coolant", "valve"],
+        |   "expected_source_patterns": ["reactor"]}
+        |]""".stripMargin)
+    val queries = DocumentLoader.loadQueries(spark, s"$work/queries.json")
+    assert(queries.count() == 3)
+
+    // stages 3–8 as one DAG
+    val ranked = Pipeline.run(spark, docs, queries)
+    val rows = ranked.collect()
+    assert(rows.length == 25) // 5 strategies × 5 models
+    // queries quote their documents verbatim → every config retrieves the
+    // right source in its top-3 (the reference's "accuracy ≥ 0.5" check)
+    val best = rows.head
+    assert(best.getAs[Double]("top_3_accuracy") >= 2.0 / 3.0)
+    assert(rows.forall(_.getAs[Double]("combined_score") >= 0.0))
+
+    // report sinks (K1–K3)
+    Sinks.writeCsvReport(ranked, s"$work/results_csv")
+    Sinks.writeJsonReport(ranked, s"$work/results_json")
+    assert(spark.read.option("header", "true").csv(s"$work/results_csv").count() == 25)
+    val console = Sinks.consoleReport(ranked)
+    assert(console.contains("best combined_score:"))
+  }
+}
