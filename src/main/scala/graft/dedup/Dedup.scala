@@ -61,6 +61,11 @@ object Dedup {
     * |shingles| × numHashes rows; this shuffles |docs| rows once.
     */
   def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
+    // One hash-aggregate with numHashes min() expressions: the min()s
+    // partial-combine map-side, so the shuffle moves |docs| × numHashes
+    // values regardless of corpus size. (Measured alternative — hashing
+    // each distinct shingle once and joining — costs more than the saved
+    // md5 calls at realistic vocab/incidence ratios.)
     val mins = (0 until numHashes).map(j =>
       min(md5(concat(lit(j.toString), lit("|"), col("s")))).as(s"mh_$j"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
