@@ -44,6 +44,34 @@ class PlanSpec extends SparkSpec {
       s"graft_dot not inside a codegen stage:\n$plan")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
+    Tables.lineitem(spark, dir)
+      .write.mode("overwrite").option("path", s"$wh/li")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").option("path", s"$wh/o")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    joined.collect()
+    val plan = planOf(joined)
+    // the join itself must not introduce an Exchange on either side —
+    // bucketing pre-partitioned both tables on the join key
+    val joinSection = plan.substring(0, plan.indexOf("== Initial Plan ==").max(plan.length - 1))
+    val joinIdx = joinSection.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+    val afterJoin = joinSection.substring(joinIdx)
+    assert(!afterJoin.contains("Exchange hashpartitioning(l_orderkey")
+      && !afterJoin.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join should not shuffle its inputs:\n$plan")
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
