@@ -152,9 +152,10 @@ object Rag {
     * (model, query, doc) triple — the SQL restatement of
     * HashingEmbedder.embed + Vec.dot, bit-exact.
     */
-  private val ragSimsCtes: String = {
+  private def ragSimsCtes(models: Seq[graft.embed.HashingEmbedder.Model]): String = {
+    val vals = models.map(m => s"('${m.name}', ${m.dim}, ${m.seed})").mkString(", ")
     val bucket = "CAST(('0x' || substr(md5(CAST(m.seed AS VARCHAR) || '|' || t.tok), 1, 8)) AS BIGINT) % m.dim"
-    s"""WITH models(model, dim, seed) AS (VALUES ('hash-64', 64, 1), ('hash-128', 128, 2)),
+    s"""WITH models(model, dim, seed) AS (VALUES $vals),
        |docs AS (
        |  SELECT $src AS sf, trim(text) AS content FROM documents),
        |dtoks AS (
@@ -196,8 +197,10 @@ object Rag {
        |    ON a.model = s.model AND a.query_id = s.query_id AND a.sf = s.sf)""".stripMargin
   }
 
+  private def twoModels = graft.embed.HashingEmbedder.models.take(2)
+
   private val ragRetrievalOracle: String =
-    s"""$ragSimsCtes,
+    s"""${ragSimsCtes(twoModels)},
        |ranked AS (
        |  SELECT model, query_id, sf || '_fixed_size_0' AS chunk_id,
        |    row_number() OVER (PARTITION BY model, query_id
@@ -207,7 +210,7 @@ object Rag {
        |ORDER BY model, query_id, rank""".stripMargin
 
   private val ragMetricsOracle: String =
-    s"""$ragSimsCtes,
+    s"""${ragSimsCtes(twoModels)},
        |ranked AS (
        |  SELECT model, query_id, sf, sim,
        |    row_number() OVER (PARTITION BY model, query_id
@@ -247,7 +250,63 @@ object Rag {
        |  count(*) AS num_queries
        |FROM perq GROUP BY model ORDER BY model""".stripMargin
 
+  /** Full-experiment oracle: at fixture scale every strategy emits the
+    * identical single chunk per document, so per-model metrics are
+    * computed once and cross-joined with the five strategy names. The
+    * rank tie-break (chunk_id asc) reduces to source-file order because
+    * no source path is a prefix of another.
+    */
+  private val ragEvalOracle: String =
+    s"""${ragSimsCtes(graft.embed.HashingEmbedder.models)},
+       |strategies(strategy) AS (VALUES ('fixed_size'), ('recursive'),
+       |  ('structure_aware'), ('hybrid'), ('table_aware')),
+       |ranked AS (
+       |  SELECT model, query_id, sf, sim,
+       |    row_number() OVER (PARTITION BY model, query_id
+       |                       ORDER BY sim DESC, sf ASC) AS rank
+       |  FROM sims),
+       |hits AS (SELECT * FROM ranked WHERE rank <= 10),
+       |qmeta AS (
+       |  SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+       |    list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 5) AS kw,
+       |    '/doc' || CAST(doc_id AS VARCHAR) || '.md' AS pat
+       |  FROM documents WHERE doc_id < 12),
+       |expected AS (
+       |  SELECT q.query_id, min(d.sf) AS expected_source
+       |  FROM qmeta q JOIN docs d ON contains(lower(d.sf), lower(q.pat))
+       |  GROUP BY 1),
+       |rel AS (
+       |  SELECT h.model, h.query_id, h.rank, h.sim,
+       |    (contains(h.sf, e.expected_source)
+       |     AND len(list_filter(q.kw, k -> contains(lower(d.content), lower(k)))) > 0)
+       |      AS relevant
+       |  FROM hits h
+       |  JOIN qmeta q ON h.query_id = q.query_id
+       |  JOIN expected e ON h.query_id = e.query_id
+       |  JOIN docs d ON h.sf = d.sf),
+       |perq AS (
+       |  SELECT model, query_id,
+       |    max(CASE WHEN relevant AND rank <= 1 THEN 1.0 ELSE 0.0 END) AS top_1,
+       |    max(CASE WHEN relevant AND rank <= 3 THEN 1.0 ELSE 0.0 END) AS top_3,
+       |    coalesce(1.0 / min(CASE WHEN relevant THEN rank END), 0.0) AS mrr,
+       |    coalesce(avg(CASE WHEN relevant AND rank <= 5 THEN sim END), 0.0) AS avg_similarity
+       |  FROM rel GROUP BY 1, 2),
+       |permodel AS (
+       |  SELECT model,
+       |    round(avg(top_1), 4) AS top_1_accuracy,
+       |    round(avg(top_3), 4) AS top_3_accuracy,
+       |    round(avg(mrr), 4) AS mrr,
+       |    round(avg(avg_similarity), 4) AS avg_similarity,
+       |    count(*) AS num_queries,
+       |    round(avg(top_3) + avg(mrr), 4) AS combined_score
+       |  FROM perq GROUP BY model)
+       |SELECT s.strategy, p.model, p.top_1_accuracy, p.top_3_accuracy,
+       |       p.mrr, p.avg_similarity, p.num_queries, p.combined_score
+       |FROM permodel p CROSS JOIN strategies s
+       |ORDER BY s.strategy, p.model""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "rag_eval" -> ragEvalOracle,
     "rag_retrieval" -> ragRetrievalOracle,
     "rag_metrics" -> ragMetricsOracle,
     "chunk_fixed_size" -> chunkOracle("fixed_size", "trim(text)", "trim(text)",
