@@ -27,24 +27,28 @@ object Chunkers {
   val FixedOverlap = 100
   val MinSectionSize = 100
 
+  // precompiled — String.split(regex) recompiles the pattern per call,
+  // which dominates chunking cost on large corpora
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+  private val SentencePat = java.util.regex.Pattern.compile("(?<=[.!?])\\s+")
+  private val ParaPat = java.util.regex.Pattern.compile("\n\n", java.util.regex.Pattern.LITERAL)
+
   /** Python `str.split()`: split on whitespace runs, drop empties. */
   private def pySplit(text: String): Array[String] =
-    text.split("\\s+").filter(_.nonEmpty)
+    WsPat.split(text).filter(_.nonEmpty)
 
   /** reference: src/utils.py:30-35 `get_token_count`. */
   def tokenCount(text: String): Int = pySplit(text).length + text.length / 4
 
-  private val SentenceRe = "(?<=[.!?])\\s+"
-
   /** reference: src/chunking.py:102-106 — split, strip, drop blanks. */
   def splitSentences(text: String): Seq[String] =
-    text.split(SentenceRe).iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    SentencePat.split(text).iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Raw sentence split (no strip/filter) — the large-content paths at
     * chunking.py:250 and :423 use `re.split` directly.
     */
   private def splitSentencesRaw(text: String): Seq[String] =
-    text.split(SentenceRe, -1).toSeq // -1: keep trailing empties like re.split
+    SentencePat.split(text, -1).toSeq // -1: keep trailing empties like re.split
 
   private def mkChunk(source: String, strategy: String, index: Int,
       content: String, meta: ChunkMeta): Chunk =
@@ -100,7 +104,7 @@ object Chunkers {
   private def recursiveNamed(text: String, source: String, strategy: String): Seq[Chunk] = {
     val out = ArrayBuffer.empty[Chunk]
     var index = 0
-    for (para <- text.split("\n\n", -1) if para.trim.nonEmpty) {
+    for (para <- ParaPat.split(text, -1) if para.trim.nonEmpty) {
       val paraTokens = tokenCount(para) // unstripped (py :128)
       if (paraTokens <= ChunkSize) {
         out += mkChunk(source, strategy, index, para.trim,

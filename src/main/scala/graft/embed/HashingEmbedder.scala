@@ -54,13 +54,20 @@ object HashingEmbedder {
     h
   }
 
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** E1: text → L2-normalized float vector. Tokens are hashed (seeded)
     * into `dim` buckets; the vector is the normalized bucket-count
     * histogram. Zero-token text → zero vector.
     */
   def embed(text: String, model: Model): Array[Float] = {
+    val toks = WsPattern.split(text)
+    embedTokens(toks, model)
+  }
+
+  private def embedTokens(toks: Array[String], model: Model): Array[Float] = {
     val v = new Array[Double](model.dim)
-    for (tok <- text.split("\\s+") if tok.nonEmpty) {
+    for (tok <- toks if tok.nonEmpty) {
       val b = (md5PrefixCached(s"${model.seed}|$tok") % model.dim).toInt
       v(b) += 1.0
     }
@@ -71,6 +78,15 @@ object HashingEmbedder {
     val out = new Array[Float](model.dim)
     if (n > 0) { i = 0; while (i < model.dim) { out(i) = (v(i) / n).toFloat; i += 1 } }
     out
+  }
+
+  /** All models at once — tokenize once, hash per (seed, token) with the
+    * memo cache. The per-chunk tokenization cost is paid once instead of
+    * once per model.
+    */
+  def embedAll(text: String, models: Seq[Model]): Seq[Array[Float]] = {
+    val toks = WsPattern.split(text)
+    models.map(m => embedTokens(toks, m))
   }
 
   /** E6: cosine of two normalized vectors = dot product

@@ -91,7 +91,16 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Pivot: event types to columns, daily value totals (DECIMAL-routed). */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .orderBy("day")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pivot" -> (eventsPivot _),
     "events_hourly" -> (eventsHourly _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
@@ -99,6 +108,14 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")
+        .mkString(",\n|  ")
+      s"""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+    },
     "events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n,

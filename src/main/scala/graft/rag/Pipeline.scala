@@ -38,12 +38,14 @@ object Pipeline {
     */
   def embedChunks(chunks: DataFrame,
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models): DataFrame = {
-    val byName = HashingEmbedder.modelsByName
-    val embedUdf = udf((text: String, model: String) =>
-      HashingEmbedder.embed(text, byName(model)))
+    val ms = models // serializable capture
+    val embedAllUdf = udf((text: String) => HashingEmbedder.embedAll(text, ms))
+    val names = typedLit(models.map(_.name))
     chunks
-      .withColumn("model", explode(typedLit(models.map(_.name))))
-      .withColumn("embedding", embedUdf(col("content"), col("model")))
+      .withColumn("_embs", embedAllUdf(col("content")))
+      .select(col("*"), posexplode(col("_embs")).as(Seq("_mi", "embedding")))
+      .withColumn("model", element_at(names, col("_mi") + 1))
+      .drop("_embs", "_mi")
   }
 
   /** Stage 6a: query vectors per model (main.py:292). */
