@@ -73,15 +73,18 @@ object TextAnalysis {
   /** Document fingerprints: md5 of normalized text + min-shingle hash
     * (a 1-permutation minhash), portable across engines.
     */
-  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      // bind tokens first — see Dedup.shingleSet on HOF subtree splicing
-      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("t"))
-      .select(
-        col("doc_id"),
-        md5(TextFns.normalized(col("text"))).as("fingerprint"),
-        array_min(transform(TextFns.shingles3(col("t")), s => md5(s))).as("min_shingle_md5"))
-      .orderBy("doc_id")
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"),
+      md5(TextFns.normalized(col("text"))).as("fingerprint"))
+    // explode + min aggregate instead of building the md5 array per row:
+    // partial-combines map-side and skips the nested array materialization
+    val minsh = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(TextFns.shingles3(col("t"))).as("s"))
+      .groupBy("doc_id").agg(min(md5(col("s"))).as("min_shingle_md5"))
+    base.join(minsh, Seq("doc_id"), "left").orderBy("doc_id")
+  }
 
   /** Corpus-level term stats: global top-25 terms (TakeOrdered — no full
     * sort at scale).
