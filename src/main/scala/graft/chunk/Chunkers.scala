@@ -27,10 +27,14 @@ object Chunkers {
   val FixedOverlap = 100
   val MinSectionSize = 100
 
-  // precompiled — String.split(regex) recompiles the pattern per call,
-  // which dominates chunking cost on large corpora
-  private val WsPat = java.util.regex.Pattern.compile("\\s+")
-  private val SentencePat = java.util.regex.Pattern.compile("(?<=[.!?])\\s+")
+  // Precompiled — String.split(regex) recompiles the pattern per call,
+  // which dominates chunking cost on large corpora.
+  // UNICODE_CHARACTER_CLASS: Python's str.split()/\s are Unicode-aware
+  // (NBSP etc.); Java's \s is ASCII-only without the flag. Likewise
+  // String.strip() below mirrors Python strip() where trim() would not.
+  private val UFlag = java.util.regex.Pattern.UNICODE_CHARACTER_CLASS
+  private val WsPat = java.util.regex.Pattern.compile("\\s+", UFlag)
+  private val SentencePat = java.util.regex.Pattern.compile("(?<=[.!?])\\s+", UFlag)
   private val ParaPat = java.util.regex.Pattern.compile("\n\n", java.util.regex.Pattern.LITERAL)
 
   /** Python `str.split()`: split on whitespace runs, drop empties. */
@@ -42,7 +46,7 @@ object Chunkers {
 
   /** reference: src/chunking.py:102-106 — split, strip, drop blanks. */
   def splitSentences(text: String): Seq[String] =
-    SentencePat.split(text).iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    SentencePat.split(text).iterator.map(_.strip()).filter(_.nonEmpty).toSeq
 
   /** Raw sentence split (no strip/filter) — the large-content paths at
     * chunking.py:250 and :423 use `re.split` directly.
@@ -104,10 +108,10 @@ object Chunkers {
   private def recursiveNamed(text: String, source: String, strategy: String): Seq[Chunk] = {
     val out = ArrayBuffer.empty[Chunk]
     var index = 0
-    for (para <- ParaPat.split(text, -1) if para.trim.nonEmpty) {
+    for (para <- ParaPat.split(text, -1) if para.strip().nonEmpty) {
       val paraTokens = tokenCount(para) // unstripped (py :128)
       if (paraTokens <= ChunkSize) {
-        out += mkChunk(source, strategy, index, para.trim,
+        out += mkChunk(source, strategy, index, para.strip(),
           ChunkMeta(chunk_size = Some(paraTokens), level = Some("paragraph")))
         index += 1
       } else {
@@ -138,7 +142,7 @@ object Chunkers {
   // -------------------------------------------------------------------
   // C3 structure_aware (reference: src/chunking.py:225-344)
   // -------------------------------------------------------------------
-  private val HeadingRe = "^(#{1,3})\\s+(.+)$".r
+  private val HeadingRe = "(?U)^(#{1,3})\\s+(.+)$".r // (?U) = UNICODE_CHARACTER_CLASS
 
   /** (heading | null, content, level); preamble has level 0 (py :317-344). */
   private[chunk] def extractSections(text: String): Seq[(String, String, Int)] = {
@@ -168,7 +172,7 @@ object Chunkers {
     val strategy = "structure_aware"
     val out = ArrayBuffer.empty[Chunk]
     var index = 0
-    for ((heading, content, level) <- extractSections(text) if content.trim.nonEmpty) {
+    for ((heading, content, level) <- extractSections(text) if content.strip().nonEmpty) {
       val contentTokens = tokenCount(content)
       val headingStr = if (heading.nonEmpty) s"${"#" * level} $heading" else ""
       // merge small sections into the previous chunk (py :239-246)
@@ -189,7 +193,7 @@ object Chunkers {
           if (headingStr.nonEmpty) current += headingStr
           var currentTokens = tokenCount(current.mkString("\n"))
           def flush(): Unit = if (current.nonEmpty) {
-            val chunkText = current.mkString("\n").trim
+            val chunkText = current.mkString("\n").strip()
             out += mkChunk(source, strategy, index, chunkText,
               ChunkMeta(chunk_size = Some(tokenCount(chunkText)),
                 heading = if (heading.isEmpty) None else Some(heading),
@@ -206,7 +210,7 @@ object Chunkers {
           }
           flush()
         } else {
-          val chunkText = s"$headingStr\n$content".trim
+          val chunkText = s"$headingStr\n$content".strip()
           out += mkChunk(source, strategy, index, chunkText,
             ChunkMeta(chunk_size = Some(contentTokens), // content tokens, not chunk (py :306)
               heading = if (heading.isEmpty) None else Some(heading),
@@ -257,7 +261,7 @@ object Chunkers {
     val strategy = "table_aware"
     val out = ArrayBuffer.empty[Chunk]
     var index = 0
-    for ((isTable, content) <- splitByTables(text) if content.trim.nonEmpty) {
+    for ((isTable, content) <- splitByTables(text) if content.strip().nonEmpty) {
       val contentTokens = tokenCount(content)
       if (isTable || contentTokens <= ChunkSize) {
         out += mkChunk(source, strategy, index, content,

@@ -123,8 +123,8 @@ object Events {
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(props->>'k' AS INTEGER)) AS sum_k,
-        |  sum(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 ELSE 0 END) AS n_high
+        |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |  CAST(sum(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_sessionize" ->
       """WITH t AS (
@@ -134,7 +134,7 @@ object Events {
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC))
-        |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_asof" ->
       """SELECT e.event_id, e.user_id, p.event_id AS purchase_id,

@@ -57,7 +57,7 @@ object MultimodalQueries {
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
         |  md5(text) AS payload_md5,
-        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  n_chars * 10 AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
   )

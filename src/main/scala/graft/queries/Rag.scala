@@ -203,8 +203,8 @@ object Rag {
     s"""${ragSimsCtes(twoModels)},
        |ranked AS (
        |  SELECT model, query_id, sf || '_fixed_size_0' AS chunk_id,
-       |    row_number() OVER (PARTITION BY model, query_id
-       |                       ORDER BY sim DESC, sf || '_fixed_size_0' ASC) AS rank
+       |    CAST(row_number() OVER (PARTITION BY model, query_id
+       |                       ORDER BY sim DESC, sf || '_fixed_size_0' ASC) AS INTEGER) AS rank
        |  FROM sims)
        |SELECT model, query_id, rank, chunk_id FROM ranked WHERE rank <= 10
        |ORDER BY model, query_id, rank""".stripMargin

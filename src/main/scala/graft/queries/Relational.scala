@@ -312,7 +312,7 @@ object Relational {
     "window_running" ->
       """WITH t AS (
         |  SELECT l_suppkey,
-        |    row_number() OVER w AS rn,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
         |    l_orderkey, l_linenumber,
         |    sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |  FROM lineitem

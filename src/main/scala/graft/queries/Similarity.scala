@@ -94,8 +94,8 @@ object Similarity {
          |  FROM embeddings e CROSS JOIN q),
          |ranked AS (
          |  SELECT query_id, vec_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY sim DESC, vec_id ASC) AS rank
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM sims)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
@@ -130,8 +130,8 @@ object Similarity {
          |  FROM assign a JOIN probes p ON a.cent_id = p.cent_id),
          |ranked AS (
          |  SELECT query_id, vec_id,
-         |    row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, vec_id ASC) AS rank
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM cands)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,

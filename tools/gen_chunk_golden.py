@@ -44,6 +44,15 @@ Telemetry arrives in frames. Frames carry packets. Packets carry parameters.
     "fixture/tables.md": "intro line before tables\n"
         + "\n".join(f"| row{i} | val{i} | extra{i} |" for i in range(40))
         + "\nclosing remarks after the table. final sentence here.",
+    # edge cases: trailing whitespace after punctuation (re.split keeps a
+    # trailing empty), consecutive headings (section with no content is
+    # dropped), empty paragraphs, tabs, unicode, heading-only doc
+    "fixture/edge_trailing.md": "First sentence ends here. Second one too! ",
+    "fixture/edge_headings.md": "# A\n## B\n### C\nonly the last heading has content.\n# D\n\ntail after D.",
+    "fixture/edge_blank_paras.md": "para one.\n\n\n\npara two after empty paragraphs.\n\n   \n\npara three.",
+    "fixture/edge_tabs.md": "col1\tcol2\tcol3\nvalue\twith\ttabs. and a sentence? plus unicode—dashes café.",
+    "fixture/edge_long_single.md": "word " * 3000,  # one 3000-word "sentence" > chunk_size
+    "fixture/edge_mixed_table.md": "| a | b |\ntext between. more text!\n| c | d |\n| e | f |",
 }
 
 rows = []
