@@ -142,7 +142,10 @@ object Chunkers {
   // -------------------------------------------------------------------
   // C3 structure_aware (reference: src/chunking.py:225-344)
   // -------------------------------------------------------------------
-  private val HeadingRe = "(?U)^(#{1,3})\\s+(.+)$".r // (?U) = UNICODE_CHARACTER_CLASS
+  // (?U) = UNICODE_CHARACTER_CLASS (Python \s parity); (?s) = DOTALL so
+  // '.' matches \r like Python's (which only excludes \n) — a CRLF line
+  // keeps its \r inside the captured heading, exactly as re.match does
+  private val HeadingRe = "(?Us)^(#{1,3})\\s+(.+)$".r
 
   /** (heading | null, content, level); preamble has level 0 (py :317-344). */
   private[chunk] def extractSections(text: String): Seq[(String, String, Int)] = {

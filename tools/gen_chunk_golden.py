@@ -53,6 +53,7 @@ Telemetry arrives in frames. Frames carry packets. Packets carry parameters.
     "fixture/edge_tabs.md": "col1\tcol2\tcol3\nvalue\twith\ttabs. and a sentence? plus unicode—dashes café.",
     "fixture/edge_long_single.md": "word " * 3000,  # one 3000-word "sentence" > chunk_size
     "fixture/edge_mixed_table.md": "| a | b |\ntext between. more text!\n| c | d |\n| e | f |",
+    "fixture/edge_crlf.md": "# Title\r\n\r\nFirst line.\r\nSecond line!\r\n\r\n## Sub\r\ncontent here.\r\n",
 }
 
 rows = []
