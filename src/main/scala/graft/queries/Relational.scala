@@ -213,7 +213,45 @@ object Relational {
       .orderBy("collection")
   }
 
+  /** Exact interpolated percentiles of an integral-valued measure —
+    * linear interpolation on exact values is deterministic in both
+    * engines (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_quantity, 0.99)").as("p99_qty"))
+      .orderBy("l_returnflag")
+
+  /** Mean/variance/stddev computed from EXACT integer power sums rather
+    * than the engines' (order-dependent, mutually different) streaming
+    * moment kernels — bit-identical cross-engine by construction.
+    */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum(x * x).as("sxx"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantiles" -> (quantiles _),
+    "agg_moments" -> (aggMoments _),
     "q6_forecast" -> (q6Forecast _),
     "cube_agg" -> (cubeAgg _),
     "events_distinct" -> (eventsDistinct _),
@@ -244,6 +282,22 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_quantity, 0.99) AS p99_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(l_quantity) AS sx, sum(l_quantity * l_quantity) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
