@@ -249,7 +249,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Window-function family: lag/lead/dense_rank/ntile/first over the
+    * same deterministic per-supplier order as windowRunning.
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+      .withColumn("dr", dense_rank().over(
+        Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity").asc)))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("first_order", first(col("l_orderkey")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rn") <= 30)
+      .select(col("l_suppkey"), col("rn"), col("prev_qty"), col("next_qty"),
+        col("dr"), col("quartile"), col("first_order"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Correlated aggregate predicate: orders priced above their customer's
+    * (exact, DECIMAL-routed) average order price.
+    */
+  def ordersAboveCustAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val custAvg = ord.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+    ord.join(custAvg, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_funcs" -> (windowFuncs _),
+    "orders_above_cust_avg" -> (ordersAboveCustAvg _),
     "quantiles" -> (quantiles _),
     "agg_moments" -> (aggMoments _),
     "q6_forecast" -> (q6Forecast _),
@@ -282,6 +321,29 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "window_funcs" ->
+      """WITH t AS (
+        |  SELECT l_suppkey,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
+        |    lag(l_quantity, 1) OVER w AS prev_qty,
+        |    lead(l_quantity, 1) OVER w AS next_qty,
+        |    CAST(dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity ASC) AS INTEGER) AS dr,
+        |    CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |    first_value(l_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC))
+        |SELECT l_suppkey, rn, prev_qty, next_qty, dr, quartile, first_order
+        |FROM t WHERE rn <= 30 ORDER BY l_suppkey, rn""".stripMargin,
+    "orders_above_cust_avg" ->
+      """WITH ca AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey
+        |FROM orders JOIN ca ON o_custkey = ck
+        |WHERE o_totalprice > avg_price
+        |ORDER BY o_orderkey""".stripMargin,
     "quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
