@@ -68,12 +68,18 @@ object Knn {
       heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, id) => (q, id, s) } }
     }.toDF("query_id", "vec_id", "sim")
 
-    // Final exact top-k over ≤ partitions×queries×k survivors — tiny.
-    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
-    partial
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"vec_id", $"rank", $"sim")
+    // Final exact top-k over ≤ partitions×queries×k survivors, merged by
+    // the typed bounded-buffer aggregate (no sort exchange; see
+    // TopKAggregator — proven equal to the window formulation incl. ties).
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    partial.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(topk.name("topk"))
+      .flatMap { case (q, top) =>
+        top.zipWithIndex.map { case ((s, id), i) => (q, id, i + 1, s) }
+      }
+      .toDF("query_id", "vec_id", "rank", "sim")
   }
 
   /** Generic windowed top-k (for small/medium candidate sets where the
