@@ -115,7 +115,37 @@ object TextAnalysis {
       .orderBy("doc_id", "bucket")
   }
 
+  /** C0 sentence split as a standalone SQL operator: regex split with
+    * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
+    * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
+    * marker-substitution split — same output by construction.
+    */
+  def sentenceSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(filter(
+          transform(split(col("text"), "(?<=[.!?])\\s+"), s => trim(s)),
+          s => s =!= "")).as(Seq("sentence_index", "sentence")))
+      .select(col("doc_id"), col("sentence_index"), md5(col("sentence")).as("sentence_md5"))
+      .orderBy("doc_id", "sentence_index")
+
+  /** MAP-typed column functions: parse `props` into MAP<STRING,INT>,
+    * inspect keys/values (SURVEY §2.6 array/map functions).
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k_value"))
+      .orderBy("event_id")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sentence_split" -> (sentenceSplit _),
+    "map_funcs" -> (mapFuncs _),
     "token_count" -> (tokenCount _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
@@ -138,6 +168,27 @@ object TextAnalysis {
        |  ELSE [] END""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "sentence_split" ->
+      // lookbehind emulation: mark post-punctuation whitespace, split on
+      // the marker; documents contain no \x01
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(
+        |        regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+        |      x -> trim(x)), x -> x <> '') AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(sents))) - 1 AS INTEGER) AS sentence_index,
+        |  md5(unnest(sents)) AS sentence_md5
+        |FROM s
+        |ORDER BY doc_id, sentence_index""".stripMargin,
+    "map_funcs" ->
+      """SELECT event_id,
+        |  CAST(1 AS INTEGER) AS n_keys,
+        |  'k' AS keys,
+        |  CAST(props->>'k' AS INTEGER) AS k_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0
