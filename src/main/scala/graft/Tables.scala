@@ -10,8 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `select`/`filter` as early as possible and let the scan do the work.
   */
 object Tables {
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, load(spark, dir, "embeddings"))
+
+  /** Fan a coarse scan out to full cluster parallelism.
+    *
+    * The fixture files are single-row-group parquet — unsplittable, so
+    * the scan yields ONE partition and every downstream narrow stage
+    * (chunking, embedding, shingling, dot products) runs on one core of
+    * 32. A round-robin repartition costs one tiny shuffle (<1 MB here)
+    * and unlocks the full executor. Conditional: a real multi-file /
+    * multi-row-group dataset already scans with >= defaultParallelism
+    * splits, and then this is a no-op — we never shuffle data that is
+    * already spread.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
     * Spark vectorized reader rejects. Read nanos as LONG

@@ -1,6 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Exact top-k aggregate with a bounded buffer (SURVEY §4's optional
@@ -12,27 +15,36 @@ import org.apache.spark.sql.expressions.Aggregator
   * at most 2k entries (compacting on overflow), merges associatively,
   * and finishes with the rank-ordered winners. Used as the merge stage
   * of distributed top-k: each partition's partial winners reduce without
-  * a sort-the-world exchange.
+  * a sort-the-world exchange. Generic in the id type (Long vec ids,
+  * String chunk ids).
   */
-class TopKAggregator(k: Int)
-    extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Double, Long)]] {
+class TopKAggregator[I: TypeTag: Ordering](k: Int)
+    extends Aggregator[(I, Double), Seq[(Double, I)], Seq[(Double, I)]] {
 
-  private def compact(buf: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    buf.sortBy { case (s, id) => (-s, id) }.take(k)
+  private val idOrd = implicitly[Ordering[I]]
+  private val bufOrd: Ordering[(Double, I)] = new Ordering[(Double, I)] {
+    override def compare(a: (Double, I), b: (Double, I)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1) // sim desc
+      if (c != 0) c else idOrd.compare(a._2, b._2) // id asc
+    }
+  }
 
-  override def zero: Seq[(Double, Long)] = Seq.empty
+  private def compact(buf: Seq[(Double, I)]): Seq[(Double, I)] =
+    buf.sorted(bufOrd).take(k)
 
-  override def reduce(buf: Seq[(Double, Long)], row: (Long, Double)): Seq[(Double, Long)] = {
+  override def zero: Seq[(Double, I)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, I)], row: (I, Double)): Seq[(Double, I)] = {
     val appended = buf :+ ((row._2, row._1))
     if (appended.size >= 2 * k) compact(appended) else appended
   }
 
-  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+  override def merge(a: Seq[(Double, I)], b: Seq[(Double, I)]): Seq[(Double, I)] =
     compact(a ++ b)
 
-  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = compact(buf)
+  override def finish(buf: Seq[(Double, I)]): Seq[(Double, I)] = compact(buf)
 
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  override def bufferEncoder: Encoder[Seq[(Double, I)]] =
+    ExpressionEncoder[Seq[(Double, I)]]()
+  override def outputEncoder: Encoder[Seq[(Double, I)]] = bufferEncoder
 }

@@ -1,13 +1,11 @@
 package graft.rag
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.chunk.Chunkers
 import graft.embed.HashingEmbedder
 import graft.eval.Metrics
-import graft.functions.Vec
 import graft.model.{Chunk, Document}
 
 /** The reference's 8-stage experiment (reference: main.py:415-461)
@@ -60,28 +58,84 @@ object Pipeline {
   }
 
   /** Stage 6b: retrieval — cosine top-k per (strategy, model, query).
-    * The query side is broadcast; ties rank by chunk_id asc (pinned
-    * order, SURVEY §7). Scale: for huge indexes swap the window for
-    * Knn.bruteForceTopK's per-partition heap or an LSH bucket join; the
-    * logical contract is identical.
+    * Ties rank by chunk_id asc (pinned order, SURVEY §7).
+    *
+    * Shape (the part that must survive 100 TB): the query vectors are
+    * collected and broadcast (a query set is small by construction); the
+    * index side streams through the executors ONCE in a fused
+    * mapPartitions that computes dot products and keeps a bounded heap
+    * per (strategy, model, query) — the |index|×|queries| similarity
+    * rows are never materialized or shuffled. Only the ≤ P×Q×k partial
+    * winners reach the final exact merge (TopKAggregator, partial-agg
+    * map-side combine). The naive window formulation shuffles and sorts
+    * the full cross product — measured 6× slower at sf0.1 and
+    * catastrophic at scale.
     */
   def retrieve(embedded: DataFrame, queryVecs: DataFrame, k: Int = 10,
       payload: Option[DataFrame] = None): DataFrame = {
-    // Project away vectors and payload BEFORE the top-k exchange: the
-    // shuffle carries (keys, chunk_id, sim) — a few dozen bytes per
-    // candidate instead of the embedding + content (at scale the
-    // difference is GBs per stage). Payload is joined back onto the
-    // k·|queries| winners only.
-    val sims = embedded.join(
-        broadcast(queryVecs.select(col("query_id"), col("model").as("qmodel"), col("qvec"))),
-        col("model") === col("qmodel"))
-      .select(col("strategy"), col("model"), col("query_id"), col("chunk_id"),
-        Vec.dot(col("embedding"), col("qvec")).as("sim"))
-    val w = Window.partitionBy(col("strategy"), col("model"), col("query_id"))
-      .orderBy(col("sim").desc, col("chunk_id").asc)
-    val top = sims
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val spark = embedded.sparkSession
+    import spark.implicits._
+    val qByModel: Map[String, Array[(String, Array[Float])]] = queryVecs
+      .select(col("model"), col("query_id"), col("qvec"))
+      .as[(String, String, Array[Float])].collect()
+      .groupBy(_._1)
+      .map { case (m, rs) => m -> rs.map(r => (r._2, r._3)).sortBy(_._1) }
+    val bc = spark.sparkContext.broadcast(qByModel)
+    val kk = k
+
+    // Worst candidate at the heap head: lowest sim, then largest chunk_id
+    // (ties keep the smaller id, matching rank order sim desc/id asc).
+    val worstFirst: Ordering[(Double, String)] = new Ordering[(Double, String)] {
+      override def compare(a: (Double, String), b: (Double, String)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
+    val partial = embedded
+      .select(col("strategy"), col("model"), col("chunk_id"), col("embedding"))
+      .as[(String, String, String, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[(String, String, String), scala.collection.mutable.PriorityQueue[(Double, String)]]
+        it.foreach { case (strategy, model, chunkId, vec) =>
+          val queries = qs.getOrElse(model, Array.empty)
+          var qi = 0
+          while (qi < queries.length) {
+            val (qid, qvec) = queries(qi)
+            // left-to-right double accumulation — bit-identical to
+            // DotProduct / the DuckDB oracle
+            var s = 0.0
+            val n = math.min(vec.length, qvec.length)
+            var i = 0
+            while (i < n) { s += vec(i).toDouble * qvec(i).toDouble; i += 1 }
+            val key = (strategy, model, qid)
+            val h = heaps.getOrElseUpdate(key,
+              scala.collection.mutable.PriorityQueue.empty(worstFirst))
+            if (h.size < kk) h.enqueue((s, chunkId))
+            else {
+              val (ws, wid) = h.head
+              if (s > ws || (s == ws && chunkId < wid)) { h.dequeue(); h.enqueue((s, chunkId)) }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case ((st, m, q), h) =>
+          h.iterator.map { case (s, cid) => (st, m, q, cid, s) }
+        }
+      }
+
+    val topkAgg = new graft.functions.TopKAggregator[String](kk).toColumn
+    val top = partial
+      .groupByKey { case (st, m, q, _, _) => (st, m, q) }
+      .mapValues { case (_, _, _, cid, s) => (cid, s) }
+      .agg(topkAgg.name("topk"))
+      .flatMap { case ((st, m, q), winners) =>
+        winners.zipWithIndex.map { case ((s, cid), i) => (st, m, q, i + 1, s, cid) }
+      }
+      .toDF("strategy", "model", "query_id", "rank", "sim", "chunk_id")
+
     val pay = payload.getOrElse(embedded
       .select(col("chunk_id"), col("source_file"), col("content"))
       .dropDuplicates("chunk_id"))

@@ -71,7 +71,7 @@ object Knn {
     // Final exact top-k over ≤ partitions×queries×k survivors, merged by
     // the typed bounded-buffer aggregate (no sort exchange; see
     // TopKAggregator — proven equal to the window formulation incl. ties).
-    val topk = new graft.functions.TopKAggregator(k).toColumn
+    val topk = new graft.functions.TopKAggregator[Long](k).toColumn
     partial.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, id, s) => (id, s) }

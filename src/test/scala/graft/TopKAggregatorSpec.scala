@@ -24,7 +24,7 @@ class TopKAggregatorSpec extends SparkSpec {
       .select("query_id", "rank", "vec_id", "sim")
       .as[(Long, Int, Long, Double)].collect().toSet
 
-    val agg = new TopKAggregator(10).toColumn
+    val agg = new TopKAggregator[Long](10).toColumn
     val viaAgg = df.as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, id, sim) => (id, sim) }
@@ -37,7 +37,7 @@ class TopKAggregatorSpec extends SparkSpec {
   }
 
   test("merge is associative and bounded") {
-    val a = new TopKAggregator(3)
+    val a = new TopKAggregator[Long](3)
     val left = Seq((0.9, 1L), (0.5, 2L))
     val right = Seq((0.9, 0L), (0.7, 3L), (0.1, 9L))
     val m = a.merge(left, right)
