@@ -26,7 +26,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that materialize shared subplans (rag, minhash) cache
+      // them; without cleanup those blocks accumulate across the 50+
+      // queries and later ones pay eviction + GC churn (measured 2-3×
+      // slowdowns late in the run). Dropping the cache OUTSIDE the timed
+      // window keeps each query's number honest and independent.
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

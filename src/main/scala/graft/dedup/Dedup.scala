@@ -55,20 +55,33 @@ object Dedup {
           .as("jac"))
   }
 
+  /** Modulus / multipliers of the affine minhash permutations
+    * mh_j = (a_j·h + b_j) mod P over the 32-bit shingle hash h.
+    * P is the smallest prime > 2^32; a_j < 2^31 keeps a_j·h < 2^63
+    * (no BIGINT overflow, in Spark or DuckDB). Shared with the oracle
+    * via [[permValuesSql]] — single source of truth.
+    */
+  val MinhashP: Long = 4294967311L
+  def permA(j: Int): Long = ((2L * j + 1L) * 2654435761L) % 2147483647L
+  def permB(j: Int): Long = (j.toLong * 1013904223L) % MinhashP
+
+  /** DuckDB `(VALUES ...)` rows `(j, a, b)` for the first n permutations. */
+  def permValuesSql(n: Int): String =
+    (0 until n).map(j => s"(${j}, ${permA(j)}, ${permB(j)})").mkString(", ")
+
   /** MinHash signatures, wide form: ONE hash-aggregate with `numHashes`
     * min() expressions — (id, mh_0..mh_{n-1}). The naive shape
     * (crossJoin with a seed table, then groupBy (id, seed)) shuffles
     * |shingles| × numHashes rows; this shuffles |docs| rows once.
+    * Each shingle is md5-hashed ONCE; the per-permutation values are
+    * affine transforms of that hash (universal hashing) — numHashes
+    * md5 calls per shingle would dominate the whole operator.
     */
   def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
-    // One hash-aggregate with numHashes min() expressions: the min()s
-    // partial-combine map-side, so the shuffle moves |docs| × numHashes
-    // values regardless of corpus size. (Measured alternative — hashing
-    // each distinct shingle once and joining — costs more than the saved
-    // md5 calls at realistic vocab/incidence ratios.)
+    val withH = sh.select(col("id"), TextFns.md5Int(col("s")).as("h"))
     val mins = (0 until numHashes).map(j =>
-      min(md5(concat(lit(j.toString), lit("|"), col("s")))).as(s"mh_$j"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(MinhashP)).as(s"mh_$j"))
+    withH.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH band keys from wide minhash signatures: (id, band, bkey). */
@@ -76,7 +89,7 @@ object Dedup {
     val numHashes = mh.columns.count(_.startsWith("mh_"))
     val bandKeys = (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh_$j"))
-      md5(concat(cols: _*))
+      md5(concat_ws("|", cols: _*))
     }
     mh.select(col("id"),
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))

@@ -115,12 +115,15 @@ object DedupQueries {
          |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckPairJaccard,
+         |perms(j, a, b) AS (VALUES ${Dedup.permValuesSql(16)}),
          |mh AS (
-         |  SELECT id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS mh
-         |  FROM sh, range(16) t(j) GROUP BY id, j),
+         |  SELECT hs.id, p.j, min((p.a * hs.h + p.b) % ${Dedup.MinhashP}) AS mh
+         |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+         |        FROM sh) hs CROSS JOIN perms p
+         |  GROUP BY 1, 2),
          |bands AS (
          |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
-         |         md5(string_agg(mh, '' ORDER BY j)) AS bkey
+         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
          |  FROM mh GROUP BY 1, 2),
          |cands AS (
          |  SELECT DISTINCT p.id AS a, q.id AS b
