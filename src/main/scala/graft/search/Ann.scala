@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vec
@@ -26,34 +25,68 @@ import graft.functions.Vec
 object Ann {
 
   /** IVF: `centroids` = (cent_id LONG, cvec ARRAY) — typically a sample
-    * or k-means result; here any deterministic pick works. Assignment
-    * ties break toward the lowest cent_id.
+    * or k-means result; small by construction (it is the codebook), so
+    * it is collected and broadcast. Assignment ties break toward the
+    * lowest cent_id.
+    *
+    * Scale shape: cell assignment is a per-row argmax over the
+    * broadcast codebook — a narrow map, NO shuffle of the index (the
+    * window formulation shuffles the entire index into |index|
+    * single-row partitions — catastrophic at 100 TB). The only
+    * exchange in the whole plan is the final top-k merge over
+    * per-partition heap survivors.
     */
   def ivfTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = index.crossJoin(broadcast(centroids))
-      .withColumn("csim", Vec.dot(col("embedding"), col("cvec")))
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val spark = index.sparkSession
+    import spark.implicits._
 
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", Vec.dot(col("qvec"), col("cvec")))
-      .withColumn("crank", row_number().over(probeW))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cent_id"))
+    // codebook: cent_id ascending so the argmax tie-break (lowest id
+    // wins on equal sims) falls out of strict > comparison in order
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
 
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; val n = math.min(a.length, b.length); var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+
+    // nearest cell per index vector: narrow map over the broadcast codebook
+    val assigned = index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v) =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val s = dot(v, cs(ci)._2)
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          (id, v, cs(best)._1)
+        }
+      }.toDF("vec_id", "embedding", "cent_id")
+
+    // nprobe nearest cells per query: same narrow map, emitting nprobe rows
+    val probes = queries.select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (qid, qv) =>
+          cs.map { case (cid, cv) => (cid, dot(qv, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(nprobe)
+            .map { case (cid, _) => (qid, qv, cid) }
+        }
+      }.toDF("query_id", "qvec", "cent_id")
+
+    // probe join (queries×nprobe rows — broadcast) + fused heap top-k
     val cands = assigned.join(broadcast(probes), "cent_id")
-      .withColumn("sim", Vec.dot(col("embedding"), col("qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), col("sim"))
+    heapTopK(cands, k)
   }
 
   /** Seeded ±1 hyperplane for (table, bit) — deterministic across runs. */
@@ -76,24 +109,73 @@ object Ann {
     * tables; exact re-rank within candidates. Scan fraction ≈ bucket
     * collision rate; recall depends on neighbor similarity (high-sim
     * neighbors agree on sign bits with prob 1 − θ/π per bit).
+    *
+    * The dedup (a pair may collide in several tables) runs over bare
+    * (query_id, vec_id) ids — the vectors are joined back onto the
+    * small surviving candidate set, so the distinct exchange never
+    * carries embedding payload.
     */
   def lshTopK(index: DataFrame, queries: DataFrame, k: Int, dim: Int,
       numTables: Int = 8, bits: Int = 8): DataFrame = {
     def sigs(df: DataFrame, v: String, id: String) =
-      df.select(col(id), col(v),
+      df.select(col(id),
           posexplode(array((0 until numTables).map(t =>
             signature(col(v), t, bits, dim)): _*)).as(Seq("table", "sig")))
 
     val iSigs = sigs(index, "embedding", "vec_id")
     val qSigs = sigs(queries, "qvec", "query_id")
-    val cands = iSigs.join(broadcast(qSigs), Seq("table", "sig"))
-      .select(col("query_id"), col("qvec"), col("vec_id"), col("embedding"))
+    val candIds = iSigs.join(broadcast(qSigs), Seq("table", "sig"))
+      .select(col("query_id"), col("vec_id"))
       .distinct()
-      .withColumn("sim", Vec.dot(col("embedding"), col("qvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"), col("sim"))
+    val cands = candIds
+      .join(index.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    heapTopK(cands, k)
+  }
+
+  /** Fused dot-product + per-partition heap top-k per query over
+    * candidate rows (query_id, vec_id, embedding, qvec) — no exchange
+    * of the candidate set, only of the ≤ P×Q×k partial winners.
+    * Ordering: sim desc, vec_id asc (pinned ties, SURVEY §7).
+    */
+  private[search] def heapTopK(cands: DataFrame, k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val kk = k
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partial = cands
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("embedding"), col("qvec"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (qid, id, v, qv) =>
+          var s = 0.0; val n = math.min(v.length, qv.length); var i = 0
+          while (i < n) { s += v(i).toDouble * qv(i).toDouble; i += 1 }
+          val h = heaps.getOrElseUpdate(qid,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < kk) h.enqueue((s, id))
+          else {
+            val (ws, wid) = h.head
+            if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) => h.iterator.map { case (s, id) => (q, id, s) } }
+      }
+    val topk = new graft.functions.TopKAggregator[Long](kk).toColumn
+    partial
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(topk.name("topk"))
+      .flatMap { case (q, winners) =>
+        winners.zipWithIndex.map { case ((s, id), i) => (q, id, i + 1, s) }
+      }
+      .toDF("query_id", "vec_id", "rank", "sim")
   }
 }
