@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 50+ distinct queries × whole-stage codegen overflow the default
+  // 240m code cache; once full the JIT silently stops compiling and
+  // hot typed lambdas run interpreted (measured 3-5x slowdowns late
+  // in a bench run)
+  "-XX:ReservedCodeCacheSize=1g",
 )

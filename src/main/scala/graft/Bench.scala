@@ -10,17 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/file-index initialization otherwise
-    // lands entirely on whichever query runs first
-    try {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      li.groupBy("l_returnflag").count().count()
-      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
-      e.crossJoin(e.selectExpr("embedding AS q").limit(1))
-        .select(graft.functions.Vec.dot(
-          org.apache.spark.sql.functions.col("embedding"),
-          org.apache.spark.sql.functions.col("q"))).count()
-    } catch { case _: Throwable => () }
+    // untimed warmup: the FIRST execution of each query's code path pays
+    // Janino codegen + encoder compilation + JVM JIT (measured 3-8s on
+    // the heavier pipelines, ~0 data cost). Run every query once on the
+    // smallest fixture so the timed numbers measure data processing,
+    // not compiler startup — standard steady-state bench methodology.
+    val warmDir = {
+      val d = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (d.isDirectory) d.getPath else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      spark.sharedState.cacheManager.clearCache()
+    }
     // sorted: deterministic execution order (cache warm-up attribution
     // stays comparable across rounds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

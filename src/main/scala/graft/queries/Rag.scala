@@ -85,8 +85,9 @@ object Rag {
   def ragRetrieval(spark: SparkSession, dir: String): DataFrame = {
     import graft.embed.HashingEmbedder
     val models = HashingEmbedder.models.take(2) // hash-64, hash-128
-    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF().cache()
-    val embedded = Pipeline.embedChunks(chunks, models)
+    val embedded = Pipeline.chunkEmbed(toDocuments(spark, dir), Seq("fixed_size"), models).cache()
+    embedded.count()
+    val chunks = embedded.filter(col("model") === models.head.name)
     val qv = Pipeline.embedQueries(syntheticQueries(spark, dir), models)
     Pipeline.retrieve(embedded, qv, 10,
       payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
@@ -104,8 +105,9 @@ object Rag {
     import graft.eval.Metrics
     val models = HashingEmbedder.models.take(2)
     val queries = syntheticQueries(spark, dir)
-    val chunks = Pipeline.chunkDocuments(toDocuments(spark, dir), Seq("fixed_size")).toDF().cache()
-    val embedded = Pipeline.embedChunks(chunks, models)
+    val embedded = Pipeline.chunkEmbed(toDocuments(spark, dir), Seq("fixed_size"), models).cache()
+    embedded.count()
+    val chunks = embedded.filter(col("model") === models.head.name)
     val hits = Pipeline.retrieve(embedded, Pipeline.embedQueries(queries, models), 10,
       payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
     val expected = Metrics.resolveExpectedSources(

@@ -46,6 +46,31 @@ object Pipeline {
       .drop("_embs", "_mi")
   }
 
+  /** Stages 3+4 fused: chunk ×strategies and embed ×models in ONE
+    * narrow pass over documents — one row per (chunk, model). Chunking
+    * and embedding are both per-document pure functions, so fusing them
+    * halves the number of full materializations (the separate
+    * chunk-then-embed shape pays an extra cache write + read of every
+    * chunk). Tokenization happens once per chunk across all models
+    * (HashingEmbedder.embedAll).
+    */
+  def chunkEmbed(docs: Dataset[Document],
+      strategies: Seq[String] = Chunkers.strategyNames,
+      models: Seq[HashingEmbedder.Model] = HashingEmbedder.models): DataFrame = {
+    import docs.sparkSession.implicits._
+    val strats = strategies
+    val ms = models
+    docs.flatMap { d =>
+      strats.flatMap(s => Chunkers.all(s)(d.content, d.source_file)).flatMap { c =>
+        val embs = HashingEmbedder.embedAll(c.content, ms)
+        ms.indices.map(i =>
+          (c.chunk_id, c.content, c.source_file, c.chunk_index, c.strategy,
+            ms(i).name, embs(i)))
+      }
+    }.toDF("chunk_id", "content", "source_file", "chunk_index", "strategy",
+      "model", "embedding")
+  }
+
   /** Stage 6a: query vectors per model (main.py:292). */
   def embedQueries(queries: DataFrame,
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models): DataFrame = {
@@ -155,17 +180,17 @@ object Pipeline {
   def run(spark: SparkSession, docs: Dataset[Document], queries: DataFrame,
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models,
       strategies: Seq[String] = Chunkers.strategyNames, k: Int = 10): DataFrame = {
-    // chunks feed three consumers (embedding, hit payload, source
-    // resolution) — materialize once, EAGERLY: a lazy cache races between
-    // parallel plan branches and each recomputes the upstream
-    val chunks = chunkDocuments(docs, strategies).toDF().cache()
-    chunks.count()
-    // Materialize the index: without a barrier Catalyst inlines the
-    // embedding UDF into the post-join projection and recomputes every
-    // chunk's vector once PER QUERY. This is also the reference's own
-    // shape — stage 5 persists the index before retrieval (main.py:224).
-    val embedded = embedChunks(chunks, models).cache()
+    // The fused chunk+embed index feeds three consumers (retrieval, hit
+    // payload, source resolution) — materialize once, EAGERLY: a lazy
+    // cache races between parallel plan branches and each recomputes
+    // the upstream. This is also the reference's own shape — stage 5
+    // persists the index before retrieval (main.py:224).
+    val embedded = chunkEmbed(docs, strategies, models).cache()
     embedded.count()
+    // chunk-grain view (payload, source resolution): one model's slice
+    // of the cache — a narrow filter, not a second materialization
+    val chunks = embedded.filter(col("model") === models.head.name)
+      .select(col("chunk_id"), col("strategy"), col("source_file"), col("content"))
     val hits = retrieve(embedded, embedQueries(queries, models), k,
       payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))
     evaluate(hits, queries, chunks)
