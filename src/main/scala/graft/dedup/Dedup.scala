@@ -28,7 +28,13 @@ import graft.text.TextFns
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per document: (id, s).
+  /** Distinct word-3-gram shingles per document, hashed: (id, s) with
+    * `s` the portable 32-bit shingle hash (TextFns.md5Int) — the
+    * standard at-scale representation: every downstream exchange
+    * (distinct, Jaccard self-join, minhash) moves and compares 8-byte
+    * longs instead of multi-word strings. Hash collisions (~2^-32) are
+    * shared deterministically with the DuckDB oracle, so results remain
+    * bit-identical.
     *
     * Tokens are bound to a column BEFORE the shingle lambda: splicing the
     * `split()` expression tree into the higher-order function would make
@@ -37,7 +43,8 @@ object Dedup {
     */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("t"))
-      .select(col("id"), explode(TextFns.shingles3(col("t"))).as("s"))
+      .select(col("id"), explode(TextFns.shingles3(col("t"))).as("sgl"))
+      .select(col("id"), TextFns.md5Int(col("sgl")).as("s"))
       .distinct()
 
   /** True Jaccard for every pair sharing ≥1 shingle: (a, b, jac). */
@@ -73,15 +80,15 @@ object Dedup {
     * min() expressions — (id, mh_0..mh_{n-1}). The naive shape
     * (crossJoin with a seed table, then groupBy (id, seed)) shuffles
     * |shingles| × numHashes rows; this shuffles |docs| rows once.
-    * Each shingle is md5-hashed ONCE; the per-permutation values are
-    * affine transforms of that hash (universal hashing) — numHashes
-    * md5 calls per shingle would dominate the whole operator.
+    * The per-permutation values are affine transforms of the 32-bit
+    * shingle hash `s` (universal hashing) — no per-permutation
+    * rehashing; numHashes md5 calls per shingle would dominate the
+    * whole operator.
     */
   def minhash(sh: DataFrame, numHashes: Int): DataFrame = {
-    val withH = sh.select(col("id"), TextFns.md5Int(col("s")).as("h"))
     val mins = (0 until numHashes).map(j =>
-      min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(MinhashP)).as(s"mh_$j"))
-    withH.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      min((lit(permA(j)) * col("s") + lit(permB(j))) % lit(MinhashP)).as(s"mh_$j"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH band keys from wide minhash signatures: (id, band, bkey). */

@@ -83,12 +83,13 @@ object DedupQueries {
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
   private val duckShingleSet =
-    s"""SELECT DISTINCT doc_id AS id, unnest(
+    s"""SELECT DISTINCT id, CAST(('0x' || substr(md5(sgl), 1, 8)) AS BIGINT) AS s
+       |  FROM (SELECT doc_id AS id, unnest(
        |    CASE WHEN len($duckToks) >= 3
        |      THEN list_transform(range(1, len($duckToks) - 1),
        |             i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
-       |      ELSE [] END) AS s
-       |  FROM documents""".stripMargin
+       |      ELSE [] END) AS sgl
+       |  FROM documents)""".stripMargin
   private val duckPairJaccard =
     s"""sh AS ($duckShingleSet),
        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -117,9 +118,8 @@ object DedupQueries {
       s"""WITH $duckPairJaccard,
          |perms(j, a, b) AS (VALUES ${Dedup.permValuesSql(16)}),
          |mh AS (
-         |  SELECT hs.id, p.j, min((p.a * hs.h + p.b) % ${Dedup.MinhashP}) AS mh
-         |  FROM (SELECT id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
-         |        FROM sh) hs CROSS JOIN perms p
+         |  SELECT sh.id, p.j, min((p.a * sh.s + p.b) % ${Dedup.MinhashP}) AS mh
+         |  FROM sh CROSS JOIN perms p
          |  GROUP BY 1, 2),
          |bands AS (
          |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
