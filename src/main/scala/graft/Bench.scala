@@ -27,7 +27,11 @@ object Bench {
     // stays comparable across rounds)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // keep the JSON contract but make the failure visible — a thrown
+        // query otherwise reads as a suspiciously fast success
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries that materialize shared subplans (rag, minhash) cache
       // them; without cleanup those blocks accumulate across the 50+

@@ -20,6 +20,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a previous run's output behind —
+        // stale parquet here once masked a real analysis error as a PASS
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.isDirectory) { d.listFiles.foreach(_.delete()); d.delete() }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
