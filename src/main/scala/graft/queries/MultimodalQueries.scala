@@ -26,8 +26,12 @@ object MultimodalQueries {
         col("meta.duration_ms").as("duration_ms"))
       .orderBy("media_id")
 
-  /** Batched stub-decode features + norm (rows-only: byte histograms are
-    * out of SQL's reach; covered by MultimodalSpec).
+  /** Batched stub-decode features + norm. The histogram content itself
+    * is out of SQL's reach (covered value-wise by MultimodalSpec), but
+    * the surface is still oracle-checked: ids, kinds, byte lengths, and
+    * the norm — exactly 1.0 after round(·,4) for any non-empty payload
+    * (64 float-rounded squares can drift at most ~1e-6 from 1), 0.0 for
+    * empty.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -37,7 +41,10 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  /** Frame sampling over video-kind rows (rows-only). */
+  /** Frame sampling over video-kind rows. The sampled frame bytes are
+    * the stub boundary, but the frame COUNTS and offsets are pure
+    * functions of the metadata — oracle-checked.
+    */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.sampleFrames(media(spark, dir)).toDF()
@@ -53,6 +60,19 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "media_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  CASE WHEN octet_length(CAST(text AS BLOB)) > 0 THEN 1.0 ELSE 0.0 END
+        |    AS feature_norm
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(least(greatest(1, n_chars * 10 // 1000), 32) AS BIGINT) AS n_frames,
+        |  CAST((least(greatest(1, n_chars * 10 // 1000), 32) - 1) * 1000 AS BIGINT)
+        |    AS max_offset_ms
+        |FROM documents WHERE doc_id % 3 + 1 = 3 ORDER BY media_id""".stripMargin,
     "media_meta" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,

@@ -57,9 +57,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Random-hyperplane LSH kNN (rows-only check: the candidate pruning
-    * is deterministic but bulky to restate in SQL; recall is covered by
-    * AnnSpec on clustered data).
+  /** Random-hyperplane LSH kNN — full oracle: the ±1 hyperplanes are
+    * md5-parity vectors, so DuckDB regenerates them, recomputes every
+    * sign-bit signature with the same left-to-right double dot product,
+    * and replicates the bucket-collision pruning exactly. Recall on
+    * clustered data is additionally covered by AnnSpec.
     */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.Ann
@@ -105,6 +107,46 @@ object Similarity {
          |FROM embeddings a CROSS JOIN embeddings b
          |WHERE a.vec_id < 20 AND b.vec_id < 20 AND a.vec_id < b.vec_id
          |ORDER BY a_id, b_id""".stripMargin,
+    // Hyperplane component i of (table t, bit j) is +1 iff the first
+    // byte of md5("t|j|i") is even — the LSB of a byte is the parity of
+    // its SECOND hex digit (Ann.hyperplane uses (d(0) & 1) == 0).
+    "knn_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN strpos('02468ace',
+         |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)
+         |                      || '|' || CAST(i.i AS VARCHAR)), 2, 1)) > 0
+         |         THEN 1.0 ELSE -1.0 END AS v
+         |  FROM range(8) t(t), range(8) j(j), range(64) i(i)),
+         |hpl AS (SELECT t, j, list(v ORDER BY i) AS hv FROM hp GROUP BY t, j),
+         |isig AS (
+         |  SELECT e.vec_id, h.t,
+         |    sum(CASE WHEN ${duckDot("e.embedding", "h.hv")} > 0
+         |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
+         |  FROM embeddings e CROSS JOIN hpl h GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |      WHERE vec_id < $NumQueries),
+         |qsig AS (
+         |  SELECT q.query_id, h.t,
+         |    sum(CASE WHEN ${duckDot("q.embedding", "h.hv")} > 0
+         |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
+         |  FROM q CROSS JOIN hpl h GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qs.query_id, s.vec_id
+         |  FROM isig s JOIN qsig qs ON s.t = qs.t AND s.sig = qs.sig),
+         |csims AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM csims)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cent_id, embedding AS cvec
