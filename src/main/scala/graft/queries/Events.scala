@@ -91,6 +91,36 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Banded range join: for each click, the number of views by the same
+    * user in the preceding 5 minutes.
+    *
+    * Spark-first formulation: a raw interval theta-join is O(clicks ×
+    * views) per user. Instead both sides bucket into 5-minute bins; a
+    * view lands in ONE bin, a click probes its own bin and the previous
+    * one (the window can only span two bins), so the join is an
+    * EQUI-join on (user_id, bin) with a residual timestamp filter —
+    * partition-prunable, shuffle-bounded, and each (click, view) pair
+    * is examined exactly once. This is the standard map of interval
+    * joins onto hash-partitioned engines.
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 300000000L // 5 minutes in microseconds
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("bin", explode(array(
+        expr(s"c_us div $binUs"), expr(s"c_us div $binUs") - 1)))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("bin", expr(s"v_us div $binUs"))
+    clicks.join(views, Seq("user_id", "bin"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(when(
+        col("v_us") > col("c_us") - binUs && col("v_us") <= col("c_us"),
+        lit(1))).as("n_views"))
+      .orderBy("event_id")
+  }
+
   /** Pivot: event types to columns, daily value totals (DECIMAL-routed). */
   def eventsPivot(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -105,9 +135,20 @@ object Events {
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
+    "events_range_join" -> (eventsRangeJoin _),
   )
 
   def oracles: Map[String, String] = Map(
+    // naive interval theta-join — the semantic ground truth the banded
+    // equi-join must reproduce exactly
+    "events_range_join" ->
+      """SELECT c.event_id, c.user_id, count(v.ts) AS n_views
+        |FROM events c LEFT JOIN events v
+        |  ON v.user_id = c.user_id AND v.event_type = 'view'
+        |  AND CAST(v.ts AS TIMESTAMP) > CAST(c.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+        |  AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |WHERE c.event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY c.event_id""".stripMargin,
     "events_pivot" -> {
       val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
         s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS $t")

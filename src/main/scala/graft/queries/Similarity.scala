@@ -73,6 +73,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Int8 embedding quantization — the 4× memory-reduction path for a
+    * 100 TB vector corpus (scaled symmetric quantization, the layout
+    * ANN indexes ship at scale). Emits per-vector reconstruction
+    * quality: the cosine between the original and the dequantized
+    * vector. floor(x·127 + 0.5) avoids engine-specific round() ties;
+    * all arithmetic is IEEE-deterministic on both sides.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vec
+    val emb = Tables.embeddings(spark, dir)
+    val q = transform(col("embedding"), x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x.cast("double") * 127.0 + 0.5))))
+    emb.select(col("vec_id"), col("embedding"), q.as("q"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0.0), (a, x) => a + abs(x)).cast("long").as("q_l1"),
+        round(Vec.dot(col("embedding"), col("q")) /
+          (Vec.l2Norm(col("embedding")) * Vec.l2Norm(col("q"))), 4).as("recon_cos"))
+      .orderBy("vec_id")
+  }
+
   // DuckDB-side dot product with identical double accumulation order.
   private def duckDot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), " +
@@ -83,9 +104,23 @@ object Similarity {
     "cosine_pairs" -> (cosinePairs _),
     "ann_ivf" -> (annIvf _),
     "knn_lsh" -> (knnLsh _),
+    "embed_quantize" -> (embedQuantize _),
   )
 
   def oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> greatest(-127.0,
+         |      least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5)))) AS q
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum') AS BIGINT)
+         |    AS q_l1,
+         |  round(${duckDot("embedding", "q")} /
+         |    (sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("q", "q")})), 4)
+         |    AS recon_cos
+         |FROM qv ORDER BY vec_id""".stripMargin,
     "knn_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv

@@ -115,6 +115,67 @@ object TextAnalysis {
       .orderBy("doc_id", "bucket")
   }
 
+  /** TF-IDF top-3 terms for the first 50 documents. Shape notes for
+    * scale: term TF filters to the target docs BEFORE scoring (the DF
+    * table must see the whole corpus, the TF side need not); DF
+    * partial-combines map-side; the per-doc rank runs over ≤ |vocab ∩
+    * doc| rows. ln() may differ from DuckDB by 1 ulp — round(·,4)
+    * absorbs it.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(dfTab, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Training-corpus curation filter — the flagship data-pipeline
+    * composition: length bounds, stopword density, digit density,
+    * language agreement, and exact-dup removal in ONE pass. Every
+    * signal is a narrow expression except the dup window and the
+    * (map-side-combined) fingerprint min — two cheap exchanges
+    * regardless of corpus size.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val nWords = size(t).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nStop = countIn(t, stopEn).cast("double")
+    val nDigit = (nChars - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    val scores = markers.map { case (l, ws) => l -> countIn(t, ws) }
+    val pred = scores.foldRight(lit("und"): Column) { case ((l, s), rest) =>
+      when(scores.map(_._2).map(o => s >= o).reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(TextFns.normalized(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("len_ok", (nWords >= 20 && nWords <= 1000).cast("int"))
+      .withColumn("stop_ok", (nStop / nWords >= 0.03).cast("int"))
+      .withColumn("digit_ok", (nDigit / nChars <= 0.3).cast("int"))
+      .withColumn("lang_ok", (pred === col("lang")).cast("int"))
+      .withColumn("uniq", (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
+      .withColumn("kept",
+        (col("len_ok") === 1 && col("stop_ok") === 1 && col("digit_ok") === 1 &&
+          col("lang_ok") === 1 && col("uniq") === 1).cast("int"))
+      .select(col("doc_id"), col("len_ok"), col("stop_ok"), col("digit_ok"),
+        col("lang_ok"), col("uniq"), col("kept"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -152,6 +213,8 @@ object TextAnalysis {
     "doc_fingerprint" -> (docFingerprint _),
     "top_terms" -> (topTerms _),
     "embed_hash" -> (embedHash _),
+    "tfidf_top" -> (tfidfTop _),
+    "corpus_filter" -> (corpusFilter _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -223,6 +286,46 @@ object TextAnalysis {
       s"""SELECT t AS term, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS t FROM documents)
          |GROUP BY t ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
+    "tfidf_top" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |         t.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+         |  FROM tf t JOIN df USING (term) CROSS JOIN n
+         |  WHERE t.doc_id < 50),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, round(score, 4) AS score
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "corpus_filter" -> {
+      val scores = markers.map { case (l, ws) => l -> duckCountIn(ws) }
+      val cases = scores.map { case (l, s) =>
+        val conds = scores.map { case (_, o) => s"$s >= $o" }.mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""WITH flags AS (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) BETWEEN 20 AND 1000 AS INTEGER) AS len_ok,
+         |    CAST(CAST(${duckCountIn(stopEn)} AS DOUBLE) / len($duckToks) >= 0.03
+         |         AS INTEGER) AS stop_ok,
+         |    CAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |              AS DOUBLE) / length(text) <= 0.3 AS INTEGER) AS digit_ok,
+         |    CAST((CASE $cases ELSE 'und' END) = lang AS INTEGER) AS lang_ok,
+         |    CAST(doc_id = min(doc_id) OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+         |      AS INTEGER) AS uniq
+         |  FROM documents)
+         |SELECT doc_id, len_ok, stop_ok, digit_ok, lang_ok, uniq,
+         |  CAST(len_ok = 1 AND stop_ok = 1 AND digit_ok = 1 AND lang_ok = 1
+         |       AND uniq = 1 AS INTEGER) AS kept
+         |FROM flags ORDER BY doc_id""".stripMargin
+    },
     "embed_hash" ->
       s"""WITH tf AS (
          |  SELECT doc_id,
