@@ -104,21 +104,29 @@ object Events {
     * joins onto hash-partitioned engines.
     */
   def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val binUs = 300000000L // 5 minutes in microseconds
     val ev = Tables.events(spark, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("c_us"))
-      .withColumn("bin", explode(array(
-        expr(s"c_us div $binUs"), expr(s"c_us div $binUs") - 1)))
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), unix_micros(col("ts")).as("v_us"))
-      .withColumn("bin", expr(s"v_us div $binUs"))
-    clicks.join(views, Seq("user_id", "bin"), "left")
+    rangeJoinBanded(clicks, views, 300000000L).orderBy("event_id")
+  }
+
+  /** Core of the banded interval join: count `views` (user_id, v_us)
+    * with v_us ∈ (c_us − binUs, c_us] for every click (event_id,
+    * user_id, c_us). Exposed for property tests (bin-boundary
+    * semantics) — see eventsRangeJoin for the shape rationale.
+    */
+  def rangeJoinBanded(clicks: DataFrame, views: DataFrame, binUs: Long): DataFrame = {
+    val c = clicks
+      .withColumn("bin", explode(array(
+        expr(s"c_us div $binUs"), expr(s"c_us div $binUs") - 1)))
+    val v = views.withColumn("bin", expr(s"v_us div $binUs"))
+    c.join(v, Seq("user_id", "bin"), "left")
       .groupBy(col("event_id"), col("user_id"))
       .agg(count(when(
         col("v_us") > col("c_us") - binUs && col("v_us") <= col("c_us"),
         lit(1))).as("n_views"))
-      .orderBy("event_id")
   }
 
   /** Pivot: event types to columns, daily value totals (DECIMAL-routed). */

@@ -80,12 +80,17 @@ object Similarity {
     * vector. floor(x·127 + 0.5) avoids engine-specific round() ties;
     * all arithmetic is IEEE-deterministic on both sides.
     */
+  /** Scaled symmetric int8 quantization of a float-array column —
+    * floor(x·127 + 0.5) clamped to [−127, 127] (exposed for specs). */
+  def quantize127(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, x =>
+      greatest(lit(-127.0), least(lit(127.0),
+        floor(x.cast("double") * 127.0 + 0.5))))
+
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vec
     val emb = Tables.embeddings(spark, dir)
-    val q = transform(col("embedding"), x =>
-      greatest(lit(-127.0), least(lit(127.0),
-        floor(x.cast("double") * 127.0 + 0.5))))
+    val q = quantize127(col("embedding"))
     emb.select(col("vec_id"), col("embedding"), q.as("q"))
       .select(col("vec_id"),
         aggregate(col("q"), lit(0.0), (a, x) => a + abs(x)).cast("long").as("q_l1"),

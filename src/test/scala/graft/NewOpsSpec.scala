@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Events, Similarity, TextAnalysis}
+
+/** Behavior specs for the round-2 operators: banded range join
+  * (bin-boundary semantics the fixture cannot hit), int8 quantization
+  * (clamping and rounding), and the curation-filter/tfidf surfaces.
+  */
+class NewOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("banded range join equals naive interval join, boundaries included") {
+    val bin = 1000L // 1ms bins for easy boundary construction
+    val rnd = new scala.util.Random(7)
+    // random mass + exact boundary cases: v at c-bin (excluded), c-bin+1
+    // (included), c (included), c+1 (excluded), and bin-edge-aligned c
+    val clicks = (0 until 60).map(i =>
+      (i.toLong, (i % 5).toLong,
+        if (i < 10) i * bin else rnd.nextInt(60000).toLong))
+    val views = (0 until 400).map { i =>
+      val u = (i % 5).toLong
+      val base = clicks(i % 60)._3
+      val v = (i % 8) match {
+        case 0 => base - bin     // just outside (exclusive lower)
+        case 1 => base - bin + 1 // inside edge
+        case 2 => base           // inside edge (inclusive upper)
+        case 3 => base + 1       // outside
+        case _ => rnd.nextInt(60000).toLong
+      }
+      (u, v)
+    }
+    val cdf = clicks.toDF("event_id", "user_id", "c_us")
+    val vdf = views.toDF("user_id", "v_us")
+
+    val banded = Events.rangeJoinBanded(cdf, vdf, bin)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val naive = clicks.map { case (id, u, c) =>
+      (id, u, views.count { case (vu, v) => vu == u && v > c - bin && v <= c }.toLong)
+    }.toSet
+    assert(banded == naive)
+  }
+
+  test("int8 quantization clamps and rounds half-up") {
+    val in = Seq((1L, Array(1.0f, -1.0f, 0.0f, 0.004f, -0.004f, 0.5f, 2.0f, -2.0f)))
+    val out = in.toDF("vec_id", "v")
+      .select(Similarity.quantize127(col("v")).as("q"))
+      .as[Array[Double]].head()
+    // floor(x*127 + 0.5) clamped — computed on the float-widened double
+    val expect = in.head._2.map(x =>
+      math.max(-127.0, math.min(127.0, math.floor(x.toDouble * 127.0 + 0.5))))
+    assert(out.toSeq == expect.toSeq)
+    assert(out(6) == 127.0 && out(7) == -127.0) // clamp
+    assert(out(0) == 127.0 && out(1) == -127.0)
+  }
+
+  test("corpus filter: kept is exactly the conjunction of its flags") {
+    val rows = TextAnalysis.corpusFilter(spark, dir)
+      .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, len, stop, digit, lang, uniq, kept) =>
+      assert(kept == (if (len + stop + digit + lang + uniq == 5) 1 else 0))
+    }
+  }
+
+  test("tfidf top terms: ranks 1..3, scores non-increasing within a doc") {
+    val rows = TextAnalysis.tfidfTop(spark, dir)
+      .as[(Long, Int, String, Double)].collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.values.foreach { terms =>
+      val sorted = terms.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+  }
+}
