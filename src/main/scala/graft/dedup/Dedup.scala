@@ -102,13 +102,30 @@ object Dedup {
         posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
-  /** Candidate pairs sharing ≥1 LSH band bucket: (a, b) distinct. */
-  def lshCandidates(bands: DataFrame): DataFrame =
-    bands.as("p").join(bands.as("q"),
-        col("p.band") === col("q.band") && col("p.bkey") === col("q.bkey"))
-      .filter(col("p.id") < col("q.id"))
-      .select(col("p.id").as("a"), col("q.id").as("b"))
+  /** Candidate pairs sharing ≥1 LSH band bucket: (a, b) distinct,
+    * a < b. One groupBy over the band table and in-bucket pair
+    * generation — the self-join formulation shuffles the band table
+    * twice and needs it materialized; this reads it once. Bucket
+    * contents fit in memory by construction (a degenerate bucket of
+    * identical documents is the pathological case — cap df upstream,
+    * SCALING.md "Skew").
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("id").cast("long")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.sorted
+        for {
+          i <- s.indices.iterator
+          j <- Iterator.range(i + 1, s.length)
+        } yield (s(i), s(j))
+      }
+      .toDF("a", "b")
       .distinct()
+  }
 
   /** True Jaccard restricted to given candidate pairs — the verify stage
     * of LSH dedup. Cost is |candidates| × shingles-per-doc, independent
