@@ -1,9 +1,8 @@
 package graft.search
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vec
 
 /** Approximate nearest-neighbor paths — the 100 TB story for V3.
   * Brute-force cosine top-k (Knn.bruteForceTopK) is exact and
@@ -98,12 +97,41 @@ object Ann {
     }
   }
 
-  /** Signature column: an int whose bit j is sign(v · h_{table,j}). */
-  private def signature(v: Column, table: Int, bits: Int, dim: Int): Column =
-    (0 until bits).map { j =>
-      val h = typedLit(hyperplane(table, j, dim))
-      when(Vec.dot(v, h) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** (id, table, sig) signature rows: sig's bit j is sign(v·h_{table,j}).
+    * One fused typed pass computes all numTables×bits dot products per
+    * row with primitive loops — the expression formulation (64 separate
+    * dot expressions + posexplode) pays per-expression evaluation
+    * overhead on every row. Accumulation is left-to-right double,
+    * bit-identical to DotProduct / the oracle.
+    */
+  private def signatures(df: DataFrame, vCol: String, idCol: String,
+      numTables: Int, bits: Int, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(numTables, bits)((t, j) => hyperplane(t, j, dim))
+    df.select(col(idCol).cast("long"), col(vCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, vec) =>
+          Iterator.tabulate(planes.length) { t =>
+            var sig = 0
+            var j = 0
+            while (j < planes(t).length) {
+              val h = planes(t)(j)
+              var s = 0.0
+              val n = math.min(vec.length, h.length)
+              var k = 0
+              while (k < n) { s += vec(k).toDouble * h(k); k += 1 }
+              if (s > 0) sig |= 1 << j
+              j += 1
+            }
+            (id, t, sig)
+          }
+        }
+      }
+      .toDF(idCol, "table", "sig")
+  }
 
   /** LSH top-k: candidates share a signature in ≥1 of `numTables`
     * tables; exact re-rank within candidates. Scan fraction ≈ bucket
@@ -117,13 +145,8 @@ object Ann {
     */
   def lshTopK(index: DataFrame, queries: DataFrame, k: Int, dim: Int,
       numTables: Int = 8, bits: Int = 8): DataFrame = {
-    def sigs(df: DataFrame, v: String, id: String) =
-      df.select(col(id),
-          posexplode(array((0 until numTables).map(t =>
-            signature(col(v), t, bits, dim)): _*)).as(Seq("table", "sig")))
-
-    val iSigs = sigs(index, "embedding", "vec_id")
-    val qSigs = sigs(queries, "qvec", "query_id")
+    val iSigs = signatures(index, "embedding", "vec_id", numTables, bits, dim)
+    val qSigs = signatures(queries, "qvec", "query_id", numTables, bits, dim)
     val candIds = iSigs.join(broadcast(qSigs), Seq("table", "sig"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
