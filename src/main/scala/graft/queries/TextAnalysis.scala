@@ -176,6 +176,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash-stratified sampling — the reproducible
+    * train/eval-split primitive: a document's fate depends only on its
+    * id (md5 bucket 0-99), never on partitioning, ordering, or RNG
+    * state, so the same corpus always yields the same sample on any
+    * cluster. Keeps ~20% per language stratum.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (TextFns.md5Int(concat(lit("smp|"), col("doc_id"))) % 100).as("bucket"))
+      .filter(col("bucket") < 20)
+      .orderBy("doc_id")
+
+  /** Bigram language-model quality score (perplexity proxy): corpus
+    * bigram counts with add-one smoothing, per-document mean log
+    * probability. Context counts derive from the bigram table itself
+    * (c1 = Σ_w2 c12), so one aggregation feeds both sides. Scale: the
+    * count tables shuffle on their natural keys and partial-combine;
+    * the per-doc score join is an equi-join on (w1, w2).
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bi = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 4)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -215,6 +258,8 @@ object TextAnalysis {
     "embed_hash" -> (embedHash _),
     "tfidf_top" -> (tfidfTop _),
     "corpus_filter" -> (corpusFilter _),
+    "sample_stratified" -> (sampleStratified _),
+    "bigram_lm" -> (bigramLm _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -286,6 +331,32 @@ object TextAnalysis {
       s"""SELECT t AS term, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS t FROM documents)
          |GROUP BY t ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin,
+    "bigram_lm" ->
+      s"""WITH bi AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, $duckToks AS t FROM documents),
+         |       unnest(range(1, len(t))) u(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (
+         |  SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest($duckToks) AS tok FROM documents))
+         |SELECT b.doc_id,
+         |  count(*) AS n_bigrams,
+         |  round(avg(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))), 4) AS avg_logp
+         |FROM bi b
+         |JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+         |JOIN c1 ON b.w1 = c1.w1
+         |CROSS JOIN v
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
