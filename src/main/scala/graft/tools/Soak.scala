@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Rag
+import graft.rag.Pipeline
+
+/** Scaling soak (dev tool): run the retrieval pipeline and minhash dedup
+  * over the sf0.1 corpus duplicated 1×/4×/16× (distinct doc ids), and
+  * report wall-clock vs corpus size. Linear growth here is the local
+  * evidence for the shuffle-inventory claims in SCALING.md — the
+  * operators whose exchanges are bounded by winners/signatures (not by
+  * corpus pairs) should scale ~proportionally with input rows.
+  */
+object Soak {
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def corpus(mult: Int): DataFrame =
+      graft.Tables.documents(spark, sfDir)
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          concat(col("source"), lit("-"), col("rep")).as("source"),
+          col("text"), col("lang"), col("n_chars"))
+
+    // warmup
+    Rag.ragEval(spark, sfDir).count()
+    spark.sharedState.cacheManager.clearCache()
+
+    Seq(1, 4, 16).foreach { m =>
+      val docs = corpus(m).select(
+          concat(col("source"), lit("/doc"), col("doc_id"), lit(".md")).as("source_file"),
+          col("text").as("content"))
+        .as[graft.model.Document]
+      val nDocs = docs.count()
+
+      val tRag = time {
+        val embedded = Pipeline.chunkEmbed(docs,
+          strategies = Seq("fixed_size"),
+          models = graft.embed.HashingEmbedder.models.take(2)).cache()
+        embedded.count()
+        val qv = Pipeline.embedQueries(Rag.syntheticQueries(spark, sfDir),
+          graft.embed.HashingEmbedder.models.take(2))
+        Pipeline.retrieve(embedded, qv, 10,
+          payload = Some(embedded.filter(col("model") === "hash-64")
+            .select(col("chunk_id"), col("source_file"), col("content")))).count()
+        spark.sharedState.cacheManager.clearCache()
+      }
+
+      val tDedup = time {
+        val sh = graft.dedup.Dedup.shingleSet(corpus(m), "doc_id", "text").cache()
+        sh.count()
+        val cands = graft.dedup.Dedup.lshCandidates(
+          graft.dedup.Dedup.lshBands(graft.dedup.Dedup.minhash(sh, 16), 4))
+        graft.dedup.Dedup.candidateJaccard(sh, cands)
+          .filter(col("jac") >= 0.7).count()
+        spark.sharedState.cacheManager.clearCache()
+      }
+
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s")
+    }
+    spark.stop()
+  }
+}
