@@ -219,6 +219,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Text normalization for training corpora: lowercase, collapse
+    * whitespace, mask digit runs as `<num>`. Patterns stay in the
+    * ASCII-safe regex subset where Java regex and RE2 agree exactly.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_num_runs"),
+        md5(regexp_replace(
+          regexp_replace(lower(trim(col("text"))), "[0-9]+", "<num>"),
+          "\\s+", " ")).as("norm_md5"))
+      .orderBy("doc_id")
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -260,6 +273,7 @@ object TextAnalysis {
     "corpus_filter" -> (corpusFilter _),
     "sample_stratified" -> (sampleStratified _),
     "bigram_lm" -> (bigramLm _),
+    "text_normalize" -> (textNormalize _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -331,6 +345,13 @@ object TextAnalysis {
       s"""SELECT t AS term, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS t FROM documents)
          |GROUP BY t ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_runs,
+        |  md5(regexp_replace(
+        |    regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))

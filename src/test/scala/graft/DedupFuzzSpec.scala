@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Brute-force cross-checks of the dedup operators on randomized
+  * corpora — the oracle fixture exercises one data shape; this drives
+  * near-dup clusters, disjoint docs, and shared-prefix families.
+  */
+class DedupFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: clusters of near-identical docs +
+  // unrelated noise docs
+  private val docs: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val clusters = (0 until 6).flatMap { c =>
+      val base = sentence(30)
+      (0 until 4).map { v =>
+        val mutated =
+          if (v == 0) base
+          else base.split(" ").updated(rnd.nextInt(25), s"mut${c}_$v").mkString(" ")
+        ((c * 4 + v).toLong, mutated)
+      }
+    }
+    val noise = (24 until 40).map(i => (i.toLong, sentence(25)))
+    clusters ++ noise
+  }
+
+  private def shingleSets: Map[Long, Set[Long]] = {
+    def md5Int(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    docs.map { case (id, text) =>
+      val t = text.trim.split("\\s+")
+      id -> t.sliding(3).filter(_.length == 3).map(w => md5Int(w.mkString(" "))).toSet
+    }.toMap
+  }
+
+  test("pairJaccard matches brute-force Jaccard on every co-shingled pair") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.pairJaccard(Dedup.shingleSet(df, "doc_id", "text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+
+    val sets = shingleSets
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size if inter > 0
+    } yield (a, b) -> inter.toDouble / (sets(a) ++ sets(b)).size).toMap
+
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, k) }
+  }
+
+  test("LSH candidates are a subset of co-shingled pairs and catch all exact dups") {
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text").cache()
+    sh.count()
+    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
+      .as[(Long, Long)].collect().toSet
+
+    val sets = shingleSets
+    // soundness: a candidate pair must share at least one shingle
+    cands.foreach { case (a, b) => assert((sets(a) & sets(b)).nonEmpty, (a, b)) }
+    // completeness on identical shingle sets: same signatures → same buckets
+    for (a <- sets.keys; b <- sets.keys if a < b && sets(a) == sets(b))
+      assert(cands.contains((a, b)), s"identical pair ($a,$b) missed")
+    sh.unpersist()
+  }
+
+  test("candidateJaccard equals pairJaccard on the candidate subset") {
+    val df = docs.toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(df, "doc_id", "text").cache()
+    sh.count()
+    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4)).cache()
+    val viaCand = Dedup.candidateJaccard(sh, cands)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val full = Dedup.pairJaccard(sh)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    viaCand.foreach { case (k, v) => assert(full(k) == v, k) }
+    sh.unpersist(); cands.unpersist()
+  }
+}
