@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.chunk.Chunkers
+import graft.embed.HashingEmbedder
+import graft.rag.Pipeline
+
+/** Degenerate-input hardening: empty documents, texts below the shingle
+  * window, zero vectors, and top-k with fewer candidates than k. These
+  * inputs exist in any real 100 TB corpus; none may throw or produce
+  * out-of-contract rows.
+  */
+class DegenerateInputsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkers emit nothing (or one tiny chunk) for empty/whitespace text") {
+    for (s <- Chunkers.strategyNames; text <- Seq("", "   ", "\n\n\t")) {
+      val chunks = Chunkers.all(s)(text, "empty.md")
+      assert(chunks.forall(_.content.nonEmpty), s"$s emitted empty content")
+    }
+  }
+
+  test("embedder: zero-token text gives a zero vector, never NaN") {
+    for (m <- HashingEmbedder.models) {
+      val v = HashingEmbedder.embed("", m)
+      assert(v.length == m.dim)
+      assert(v.forall(x => x == 0f && !x.isNaN))
+    }
+  }
+
+  test("shingles below the 3-gram window are empty, not partial") {
+    val out = Seq((1L, "one two"), (2L, "single"), (3L, ""))
+      .toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingleSet(out, "doc_id", "text")
+    assert(sh.count() == 0)
+  }
+
+  test("retrieve with fewer chunks than k yields ranks 1..n, no padding") {
+    val docs = Seq(
+      graft.model.Document("a.md", "alpha beta gamma delta"),
+      graft.model.Document("b.md", "epsilon zeta eta theta")).toDS()
+    val models = HashingEmbedder.models.take(1)
+    val embedded = Pipeline.chunkEmbed(docs, Seq("fixed_size"), models)
+    val queries = Seq(("q0", "alpha beta")).toDF("query_id", "query")
+    val hits = Pipeline.retrieve(embedded, Pipeline.embedQueries(queries, models), k = 10)
+      .select("query_id", "rank", "chunk_id").as[(String, Int, String)].collect()
+    assert(hits.map(_._2).sorted.toSeq == Seq(1, 2)) // 2 chunks only
+  }
+
+  test("ivf/lsh on an empty query set return no rows rather than failing") {
+    val emb = Seq((0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val noQ = Seq.empty[(Long, Array[Float])].toDF("query_id", "qvec")
+    assert(graft.search.Ann.lshTopK(emb, noQ, 5, dim = 8).count() == 0)
+    val cent = emb.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    assert(graft.search.Ann.ivfTopK(emb, noQ, cent, 5, 1).count() == 0)
+  }
+}
