@@ -86,7 +86,6 @@ object Rag {
     import graft.embed.HashingEmbedder
     val models = HashingEmbedder.models.take(2) // hash-64, hash-128
     val embedded = Pipeline.chunkEmbed(toDocuments(spark, dir), Seq("fixed_size"), models).cache()
-    embedded.count()
     val chunks = embedded.filter(col("model") === models.head.name)
     val qv = Pipeline.embedQueries(syntheticQueries(spark, dir), models)
     Pipeline.retrieve(embedded, qv, 10,
@@ -106,7 +105,6 @@ object Rag {
     val models = HashingEmbedder.models.take(2)
     val queries = syntheticQueries(spark, dir)
     val embedded = Pipeline.chunkEmbed(toDocuments(spark, dir), Seq("fixed_size"), models).cache()
-    embedded.count()
     val chunks = embedded.filter(col("model") === models.head.name)
     val hits = Pipeline.retrieve(embedded, Pipeline.embedQueries(queries, models), 10,
       payload = Some(chunks.select(col("chunk_id"), col("source_file"), col("content"))))

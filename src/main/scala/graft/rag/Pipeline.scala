@@ -181,12 +181,12 @@ object Pipeline {
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models,
       strategies: Seq[String] = Chunkers.strategyNames, k: Int = 10): DataFrame = {
     // The fused chunk+embed index feeds three consumers (retrieval, hit
-    // payload, source resolution) — materialize once, EAGERLY: a lazy
-    // cache races between parallel plan branches and each recomputes
-    // the upstream. This is also the reference's own shape — stage 5
-    // persists the index before retrieval (main.py:224).
+    // payload, source resolution) — cache it; partition-level cache
+    // locking computes each partition once even when broadcast branches
+    // race (verified — an eager count() barrier adds a full extra scan
+    // for no benefit). This mirrors the reference persisting the index
+    // before retrieval (main.py:224).
     val embedded = chunkEmbed(docs, strategies, models).cache()
-    embedded.count()
     // chunk-grain view (payload, source resolution): one model's slice
     // of the cache — a narrow filter, not a second materialization
     val chunks = embedded.filter(col("model") === models.head.name)
