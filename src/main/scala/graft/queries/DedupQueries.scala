@@ -36,13 +36,10 @@ object DedupQueries {
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // The shingle set feeds the signature build AND both sides of the
-    // verify self-join. Without eager materialization each branch
-    // recomputes the whole upstream (the lazy cache races between
-    // parallel subtrees — measured 4-5× recompute, 42s → 9s at sf0.1).
-    // The band table is consumed exactly once (in-bucket pair
-    // generation) — no cache needed.
+    // verify self-join — cache it (partition-level cache locking makes
+    // an eager barrier unnecessary). The band table is consumed exactly
+    // once (in-bucket pair generation) — no cache needed.
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
-    sh.count()
     val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
     Dedup.candidateJaccard(sh, cands)
       .filter(col("jac") >= 0.7)
