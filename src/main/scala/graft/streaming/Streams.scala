@@ -53,6 +53,18 @@ object Streams {
       .groupBy(window(col("ts"), windowDur), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: fingerprint + dropDuplicatesWithinWatermark.
+    * The dedup state is bounded by the watermark horizon — duplicates
+    * arriving within the horizon are dropped exactly; older state ages
+    * out, which is the only tractable contract for an unbounded stream
+    * (an exact-forever dedup needs unbounded state).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(graft.text.TextFns.normalized(col("content"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Keyed sessionization with explicit state: a session closes after
     * `gapSeconds` of silence; each batch emits the updated (or closed)
     * session per user.

@@ -170,6 +170,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 2))
     assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
   }
+
+  test("streaming dedup drops same-fingerprint docs within the watermark") {
+    val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
+    Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "alpha  beta"),
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "Alpha Beta"), // same normalized fp
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "gamma delta"),
+    ).toDF("ts", "content").write.mode("overwrite").parquet(in)
+    val docs = spark.readStream
+      .schema("ts TIMESTAMP, content STRING")
+      .parquet(in)
+    val q = Streams.dedupStream(docs)
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val fps = spark.table("dd").select("fingerprint").collect().map(_.getString(0))
+    assert(fps.length == 2)
+    assert(fps.distinct.length == 2)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
