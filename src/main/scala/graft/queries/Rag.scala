@@ -99,7 +99,9 @@ object Rag {
     * avg-similarity (R2–R5), expected-source resolution (R6) and
     * per-config aggregation (R7).
     */
-  def ragMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared metrics sub-pipeline for the 2-model oracle slice:
+    * per-(model) R1–R7 metrics, unrounded. */
+  private def perModelMetrics(spark: SparkSession, dir: String): DataFrame = {
     import graft.embed.HashingEmbedder
     import graft.eval.Metrics
     val models = HashingEmbedder.models.take(2)
@@ -111,6 +113,10 @@ object Rag {
     val expected = Metrics.resolveExpectedSources(
       chunks.select(col("strategy"), col("source_file")).distinct(), queries)
     Metrics.perConfig(Metrics.perQuery(hits, queries, expected))
+  }
+
+  def ragMetrics(spark: SparkSession, dir: String): DataFrame =
+    perModelMetrics(spark, dir)
       .select(col("model"),
         round(col("top_1_accuracy"), 4).as("top_1_accuracy"),
         round(col("top_3_accuracy"), 4).as("top_3_accuracy"),
@@ -118,6 +124,25 @@ object Rag {
         round(col("avg_similarity"), 4).as("avg_similarity"),
         col("num_queries"))
       .orderBy("model")
+
+  /** R8 argmax + R9 summary stats over the per-config metrics, as one
+    * row (best config pinned by combined-score desc, model asc).
+    */
+  def ragSummary(spark: SparkSession, dir: String): DataFrame = {
+    val pm = perModelMetrics(spark, dir)
+      .withColumn("combined_score", col("top_3_accuracy") + col("mrr"))
+    val summary = pm.agg(
+      round(avg(col("top_1_accuracy")), 4).as("mean_top_1"),
+      round(avg(col("top_3_accuracy")), 4).as("mean_top_3"),
+      round(avg(col("mrr")), 4).as("mean_mrr"),
+      round(avg(col("avg_similarity")), 4).as("mean_avg_similarity"),
+      round(max(col("combined_score")), 4).as("max_combined_score"),
+      count(lit(1)).as("num_configs"))
+    val best = pm
+      .orderBy(col("combined_score").desc, col("model").asc)
+      .limit(1)
+      .select(col("model").as("best_model"))
+    summary.crossJoin(best)
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -129,6 +154,7 @@ object Rag {
     "chunk_hybrid" -> chunkQuery("hybrid", Seq("level")) _,
     "chunk_table_aware" -> chunkQuery("table_aware", Seq("is_table", "chunk_type")) _,
     "rag_eval" -> (ragEval _),
+    "rag_summary" -> (ragSummary _),
   )
 
   // ---- fixture-degenerate DuckDB oracles (see scaladoc above) --------
@@ -209,7 +235,9 @@ object Rag {
        |SELECT model, query_id, rank, chunk_id FROM ranked WHERE rank <= 10
        |ORDER BY model, query_id, rank""".stripMargin
 
-  private val ragMetricsOracle: String =
+  /** CTE chain shared by the metrics-slice oracles: sims → ranked →
+    * hits → relevance → per-query metrics. */
+  private val ragPerqCtes: String =
     s"""${ragSimsCtes(twoModels)},
        |ranked AS (
        |  SELECT model, query_id, sf, sim,
@@ -241,7 +269,10 @@ object Rag {
        |    max(CASE WHEN relevant AND rank <= 3 THEN 1.0 ELSE 0.0 END) AS top_3,
        |    coalesce(1.0 / min(CASE WHEN relevant THEN rank END), 0.0) AS mrr,
        |    coalesce(avg(CASE WHEN relevant AND rank <= 5 THEN sim END), 0.0) AS avg_similarity
-       |  FROM rel GROUP BY 1, 2)
+       |  FROM rel GROUP BY 1, 2)""".stripMargin
+
+  private val ragMetricsOracle: String =
+    s"""$ragPerqCtes
        |SELECT model,
        |  round(avg(top_1), 4) AS top_1_accuracy,
        |  round(avg(top_3), 4) AS top_3_accuracy,
@@ -249,6 +280,27 @@ object Rag {
        |  round(avg(avg_similarity), 4) AS avg_similarity,
        |  count(*) AS num_queries
        |FROM perq GROUP BY model ORDER BY model""".stripMargin
+
+  private val ragSummaryOracle: String =
+    s"""$ragPerqCtes,
+       |permodel AS (
+       |  SELECT model,
+       |    avg(top_1) AS top_1_accuracy,
+       |    avg(top_3) AS top_3_accuracy,
+       |    avg(mrr) AS mrr,
+       |    avg(avg_similarity) AS avg_similarity,
+       |    avg(top_3) + avg(mrr) AS combined_score
+       |  FROM perq GROUP BY model)
+       |SELECT
+       |  round(avg(top_1_accuracy), 4) AS mean_top_1,
+       |  round(avg(top_3_accuracy), 4) AS mean_top_3,
+       |  round(avg(mrr), 4) AS mean_mrr,
+       |  round(avg(avg_similarity), 4) AS mean_avg_similarity,
+       |  round(max(combined_score), 4) AS max_combined_score,
+       |  count(*) AS num_configs,
+       |  (SELECT model FROM permodel
+       |   ORDER BY combined_score DESC, model ASC LIMIT 1) AS best_model
+       |FROM permodel""".stripMargin
 
   /** Full-experiment oracle: at fixture scale every strategy emits the
     * identical single chunk per document, so per-model metrics are
@@ -309,6 +361,7 @@ object Rag {
     "rag_eval" -> ragEvalOracle,
     "rag_retrieval" -> ragRetrievalOracle,
     "rag_metrics" -> ragMetricsOracle,
+    "rag_summary" -> ragSummaryOracle,
     "chunk_fixed_size" -> chunkOracle("fixed_size", "trim(text)", "trim(text)",
       "1 AS sentence_count"),
     "chunk_recursive" -> chunkOracle("recursive", "trim(text)", "text",
