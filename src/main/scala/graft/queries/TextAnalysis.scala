@@ -232,6 +232,28 @@ object TextAnalysis {
           "\\s+", " ")).as("norm_md5"))
       .orderBy("doc_id")
 
+  /** Training-sequence packing: documents are concatenated in
+    * deterministic shard order and cut at fixed token boundaries
+    * (GPT-style packing). Shards are hash buckets (doc_id % 32) — each
+    * shard's running offset is an independent window, so packing is
+    * data-parallel with NO global sort; a document's placement depends
+    * only on its bucket's id-ordered prefix.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val nb = 32
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % nb).as("bucket"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("bucket") * lit(1000000L) + expr(s"start_offset div $cap"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -274,6 +296,7 @@ object TextAnalysis {
     "sample_stratified" -> (sampleStratified _),
     "bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
+    "pack_sequences" -> (packSequences _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -345,6 +368,21 @@ object TextAnalysis {
       s"""SELECT t AS term, count(*) AS n
          |FROM (SELECT unnest($duckToks) AS t FROM documents)
          |GROUP BY t ORDER BY n DESC, term ASC LIMIT 25""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, doc_id % 32 AS bucket,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($duckToks) + CAST(length(text) // 4 AS INTEGER) END
+         |         AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  FROM toks)
+         |SELECT doc_id, bucket, n_tokens, start_offset,
+         |  bucket * 1000000 + start_offset // 2048 AS seq_id
+         |FROM offs ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_runs,
