@@ -47,6 +47,28 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** Train/eval decontamination: documents sharing ≥1 word-3-gram with
+    * any eval query are flagged with the overlap count. The eval set is
+    * small by construction — its shingles broadcast, so contamination
+    * screening is a map-side join over the corpus: no shuffle grows
+    * with corpus size (the output exchange is |contaminated| rows).
+    * Eval set here = the first 8 tokens of docs 0-11 (the synthetic
+    * query set used by the RAG surface).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSet = docs.filter(col("doc_id") < 12)
+      .select(concat(lit("q"), col("doc_id")).as("query_id"),
+        concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 8)).as("qtext"))
+    val qsh = Dedup.shingleSet(evalSet, "query_id", "qtext")
+      .select(col("id").as("query_id"), col("s"))
+    val dsh = Dedup.shingleSet(docs, "doc_id", "text")
+    dsh.join(broadcast(qsh), "s")
+      .groupBy(col("id").as("doc_id"), col("query_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id", "query_id")
+  }
+
   /** SimHash signatures + hamming-0 clustering. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
@@ -71,6 +93,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "decontaminate" -> (decontaminate _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
   )
@@ -97,7 +120,24 @@ object DedupQueries {
        |  SELECT a, b, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
        |  FROM shared JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id)""".stripMargin
 
+  private val duckQShingleSet =
+    s"""SELECT DISTINCT qid, CAST(('0x' || substr(md5(sgl), 1, 8)) AS BIGINT) AS s
+       |  FROM (SELECT qid, unnest(
+       |    CASE WHEN len(qt) >= 3
+       |      THEN list_transform(range(1, len(qt) - 1),
+       |             i -> qt[i] || ' ' || qt[i+1] || ' ' || qt[i+2])
+       |      ELSE [] END) AS sgl
+       |  FROM (SELECT 'q' || CAST(doc_id AS VARCHAR) AS qid,
+       |          list_slice($duckToks, 1, 8) AS qt
+       |        FROM documents WHERE doc_id < 12))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH dsh AS ($duckShingleSet),
+         |qsh AS ($duckQShingleSet)
+         |SELECT d.id AS doc_id, q.qid AS query_id, count(*) AS n_shared
+         |FROM dsh d JOIN qsh q ON d.s = q.s
+         |GROUP BY 1, 2 ORDER BY doc_id, query_id""".stripMargin,
     "dedup_exact" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
