@@ -25,6 +25,9 @@ object Verify {
         val d = new java.io.File(s"$outDir/$name")
         if (d.isDirectory) { d.listFiles.foreach(_.delete()); d.delete() }
       }
+      // queries that cache shared subplans would otherwise accumulate
+      // storage across the 60+ dumps
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
