@@ -171,6 +171,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
   }
 
+  test("windowed agg drops events older than the watermark across batches") {
+    val in = java.nio.file.Files.createTempDirectory("stream-late").toString
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$in/$name")
+    // two runs over the SAME checkpoint: run 1 advances the watermark to
+    // 01:30 (event time 02:00 − 30 min) and persists it; run 2's batch
+    // then filters the below-watermark 00:00 event while the fresh 03:00
+    // event finalizes the 02:00 window
+    def run(name: String): Seq[String] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = Streams.windowedEventCounts(spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(s"$in/data/*"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("window.start").collect().foreach(r => buf.add(r.get(0).toString))
+        }
+        .option("checkpointLocation", s"$in/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    write("data/b1", Seq((1L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "click", 1.0)))
+    run("late1")
+    write("data/b2", Seq(
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0), // late
+      (3L, Timestamp.valueOf("2024-01-01 03:00:00"), 1L, "click", 1.0)))
+    val wins = run("late2")
+    // the 02:00 window was finalized and emitted; the late 00:00 event
+    // never resurrected its window
+    assert(wins.exists(_.contains("02:00:00")))
+    assert(!wins.exists(_.contains("00:00:00")))
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
     Seq(
