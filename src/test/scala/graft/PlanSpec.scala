@@ -72,6 +72,28 @@ class PlanSpec extends SparkSpec {
       s"bucketed join should not shuffle its inputs:\n$plan")
   }
 
+  test("decontaminate broadcasts the eval-shingle side, never a shuffle join") {
+    val df = graft.queries.DedupQueries.decontaminate(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
+  }
+
+  test("pack_sequences runs one per-bucket window, no global sort before it") {
+    val df = graft.queries.TextAnalysis.packSequences(spark, dir)
+    df.collect()
+    val whole = planOf(df)
+    // adaptive plans print Final and Initial sections — inspect the final one
+    val plan = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    assert(plan.contains("Window"), plan)
+    // the only range/global exchange is the final presentation orderBy
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size <= 1, plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
