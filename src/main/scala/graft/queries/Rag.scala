@@ -129,8 +129,12 @@ object Rag {
     * row (best config pinned by combined-score desc, model asc).
     */
   def ragSummary(spark: SparkSession, dir: String): DataFrame = {
+    // both output branches (summary agg, argmax) consume pm — cache the
+    // per-config table (a handful of rows) so the metrics pipeline
+    // beneath it runs once
     val pm = perModelMetrics(spark, dir)
       .withColumn("combined_score", col("top_3_accuracy") + col("mrr"))
+      .cache()
     val summary = pm.agg(
       round(avg(col("top_1_accuracy")), 4).as("mean_top_1"),
       round(avg(col("top_3_accuracy")), 4).as("mean_top_3"),
