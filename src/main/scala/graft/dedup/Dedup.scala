@@ -47,10 +47,40 @@ object Dedup {
       .select(col("id"), TextFns.md5Int(col("sgl")).as("s"))
       .distinct()
 
-  /** True Jaccard for every pair sharing ≥1 shingle: (a, b, jac). */
-  def pairJaccard(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val shared = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s"))
+  /** Document-frequency cap for the Jaccard pair join: a shingle in more
+    * than this many documents is boilerplate (page headers, license
+    * blurbs) and is dropped from the representation. Σ df² over surviving
+    * shingles bounds the pair-join output, so one hot shingle can no
+    * longer make the self-join quadratic in corpus size. Never triggers
+    * on the fixtures (≤500 docs) — oracle results are unchanged at the
+    * default; the oracle SQL mirrors the same cap so results stay
+    * bit-exact even when it does trigger.
+    */
+  val DefaultMaxDf: Int = 1000
+
+  /** Degenerate-bucket cap for LSH candidate generation: a band bucket
+    * larger than this (a cluster of near-identical documents) would
+    * generate O(bucket²) pairs in one task. Oversized buckets are
+    * dropped — their members still pair up through their other bands
+    * unless the whole corpus chunk is one blob, the case a dedup pass
+    * should surface by other means anyway. Mirrored in the oracle SQL.
+    */
+  val DefaultMaxBucket: Int = 1000
+
+  /** True Jaccard for every pair sharing ≥1 kept shingle: (a, b, jac).
+    * Shingles with df > maxDf are removed from the representation
+    * entirely (sizes AND the pair join see the same filtered set), so
+    * `jac` remains a true set similarity over kept shingles. The df
+    * count is a window over the shingle key — one exchange, reused by
+    * both sides of the self-join.
+    */
+  def pairJaccard(sh: DataFrame, maxDf: Int = DefaultMaxDf): DataFrame = {
+    val dfW = Window.partitionBy(col("s"))
+    val kept = sh.withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") <= maxDf)
+      .select(col("id"), col("s"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = kept.as("x").join(kept.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("shared"))
@@ -105,16 +135,17 @@ object Dedup {
   /** Candidate pairs sharing ≥1 LSH band bucket: (a, b) distinct,
     * a < b. One groupBy over the band table and in-bucket pair
     * generation — the self-join formulation shuffles the band table
-    * twice and needs it materialized; this reads it once. Bucket
-    * contents fit in memory by construction (a degenerate bucket of
-    * identical documents is the pathological case — cap df upstream,
-    * SCALING.md "Skew").
+    * twice and needs it materialized; this reads it once. A degenerate
+    * bucket (near-identical document cluster) is dropped at `maxBucket`
+    * members: the id list itself is linear and survives the agg, but
+    * its O(bucket²) pair fan-out in one task would not.
     */
-  def lshCandidates(bands: DataFrame): DataFrame = {
+  def lshCandidates(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
     bands.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("id").cast("long")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
         val s = ids.sorted
@@ -146,27 +177,33 @@ object Dedup {
           .as("jac"))
   }
 
-  /** 32-bit SimHash over term frequencies, as a bit string: (id, simhash). */
+  /** 32-bit SimHash over term frequencies, as a bit string: (id, simhash).
+    *
+    * All 32 signed bit-sums are computed in ONE groupBy(id) aggregate
+    * (32 conditional sums over the token's md5 hex digits) — the bit
+    * crossJoin formulation shuffles 32× the TF table; this shuffles it
+    * once, map-side combined to 32 longs per id. Bit b of a token is the
+    * MSB of hex digit b of its md5 (hex chars are lowercase; '8' <= c
+    * compares identically in both engines).
+    */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
     val tf = docs
       .select(col(idCol).as("id"),
         explode(TextFns.tokens(col(textCol))).as("tok"))
       .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
-    val bits = spark.range(32).select(col("id").cast("int").as("b"))
-    tf.crossJoin(broadcast(bits))
-      // bit b of a token = MSB of hex digit b of its md5 (hex chars are
-      // lowercase; '8' <= c compares identically in both engines)
-      .withColumn("v",
-        when(substring(md5(col("tok")), col("b") + 1, lit(1)) >= "8", col("cnt"))
-          .otherwise(-col("cnt")))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(col("v")).as("s"))
-      .groupBy(col("id"))
-      .agg(concat_ws("", expr(
-        "transform(array_sort(collect_list(struct(b, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit)"))
-        .as("simhash"))
+      // bind the digest to a column so the 32 substrings share ONE md5
+      // evaluation per token (subexpression reuse across aggregate
+      // expressions is not guaranteed)
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s_$b"))
+    tf.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        concat((0 until 32).map(b =>
+          when(col(s"s_$b") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** Attach `dup_of` = min id within each group-key value. */

@@ -1,7 +1,6 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.search.Knn
@@ -25,14 +24,25 @@ class VectorStore(spark: SparkSession, basePath: String) {
     .option("basePath", basePath).parquet(s"$basePath/collection=*")
 
   /** V1+V2: (re)create a collection from rows carrying an `embedding`
-    * column plus payload columns; ids are assigned by `row_order` if
-    * present, else zipWithIndex-style via a window on the given order
-    * column (reference assigns enumerate() ids, vector_db.py:75-81).
+    * column plus payload columns; ids 0..n-1 follow `orderCol` order
+    * (reference assigns enumerate() ids, vector_db.py:75-81).
+    *
+    * Scale: a `Window.orderBy` with no partitionBy would funnel the whole
+    * collection through ONE task to number rows. Instead: range-partitioned
+    * sort, then RDD `zipWithIndex` — one small count job over partition
+    * sizes, then contiguous ids assigned per-partition in parallel. Same
+    * enumerate() semantics, no single-partition exchange.
     */
   def createCollection(name: String, rows: DataFrame, orderCol: String): Unit = {
-    val w = Window.orderBy(col(orderCol))
-    rows
-      .withColumn("id", row_number().over(w).cast("long") - 1)
+    val sorted = rows.orderBy(col(orderCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withId, schema)
       .write.mode("overwrite")
       .parquet(s"$basePath/collection=$name")
   }
@@ -65,9 +75,13 @@ class VectorStore(spark: SparkSession, basePath: String) {
       .sorted.toSeq
   }
 
-  /** V6: per-collection info: point count + dim (vector_db.py:138-150). */
+  /** V6: per-collection info: point count + dim + distance metric
+    * (vector_db.py:138-150; the store is cosine-only, as is the
+    * reference's collection config).
+    */
   def collectionInfo(): DataFrame =
     table.groupBy(col("collection"))
       .agg(count(lit(1)).as("points"), max(size(col("embedding"))).as("dim"))
+      .withColumn("distance", lit("cosine"))
       .orderBy("collection")
 }

@@ -89,6 +89,30 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Embedding near-dup, bucketed — the 100 TB path for
+    * [[dedupEmbeddingTopk]]'s contract: random-hyperplane LSH signatures
+    * (8 tables × 8 bits, the knn_lsh family) bucket the vectors; pairs
+    * are generated in-bucket (size-capped, ids only) and the small
+    * candidate set is exactly re-ranked by cosine. The n² crossJoin
+    * never happens: cost is Σ bucket² over 8×256 buckets plus
+    * |candidates| dot products. Recall vs brute force on clustered data
+    * is asserted in AnnSpec.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val e = Tables.embeddings(spark, dir)
+    val bands = Ann.signatures(e, "embedding", "vec_id",
+        numTables = 8, bits = 8, dim = 64)
+      .select(col("vec_id").as("id"), col("table").as("band"), col("sig").as("bkey"))
+    Dedup.lshCandidates(bands)
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .withColumn("sim", Vec.dot(col("va"), col("vb")))
+      .orderBy(col("sim").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -96,6 +120,7 @@ object DedupQueries {
     "decontaminate" -> (decontaminate _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -109,6 +134,26 @@ object DedupQueries {
        |             i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
        |      ELSE [] END) AS sgl
        |  FROM documents)""".stripMargin
+  // Jaccard over the df-capped shingle set — mirrors Dedup.pairJaccard's
+  // boilerplate-shingle drop (df > DefaultMaxDf removed from sizes AND
+  // the pair join). The cap never triggers on the ≤500-doc fixtures.
+  private val duckPairJaccardCapped =
+    s"""sh AS ($duckShingleSet),
+       |shf AS (
+       |  SELECT id, s FROM (
+       |    SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+       |  WHERE df <= ${Dedup.DefaultMaxDf}),
+       |sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+       |shared AS (
+       |  SELECT x.id AS a, y.id AS b, count(*) AS shared
+       |  FROM shf x JOIN shf y ON x.s = y.s AND x.id < y.id
+       |  GROUP BY 1, 2),
+       |jacs AS (
+       |  SELECT a, b, CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jac
+       |  FROM shared JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id)""".stripMargin
+
+  // Full (uncapped) Jaccard — the LSH verify stage checks candidates
+  // against true Jaccard over the complete shingle set.
   private val duckPairJaccard =
     s"""sh AS ($duckShingleSet),
        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -147,7 +192,7 @@ object DedupQueries {
         |  CAST(doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS INTEGER) AS is_dup
         |FROM fp ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH $duckPairJaccard
+      s"""WITH $duckPairJaccardCapped
          |SELECT a, b, round(jac, 4) AS jac FROM jacs
          |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -161,10 +206,14 @@ object DedupQueries {
          |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
          |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
          |  FROM mh GROUP BY 1, 2),
+         |bcnt AS (
+         |  SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
          |cands AS (
          |  SELECT DISTINCT p.id AS a, q.id AS b
          |  FROM bands p JOIN bands q
-         |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id)
+         |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id
+         |  JOIN bcnt c ON p.band = c.band AND p.bkey = c.bkey
+         |  WHERE c.n <= ${Dedup.DefaultMaxBucket})
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
@@ -185,6 +234,41 @@ object DedupQueries {
          |  min(id) OVER (PARTITION BY simhash) AS dup_of,
          |  CAST(id <> min(id) OVER (PARTITION BY simhash) AS INTEGER) AS is_dup
          |FROM sig ORDER BY doc_id""".stripMargin,
+    // Same hyperplane family as knn_lsh: component i of (table t, bit j)
+    // is +1 iff the first byte of md5("t|j|i") is even (second hex digit
+    // even — Ann.hyperplane uses (d(0) & 1) == 0).
+    "dedup_embedding_lsh" -> {
+      def dot(a: String, b: String): String =
+        s"list_aggregate(list_transform(list_zip($a, $b), " +
+          s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+      s"""WITH hp AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN strpos('02468ace',
+         |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)
+         |                      || '|' || CAST(i.i AS VARCHAR)), 2, 1)) > 0
+         |         THEN 1.0 ELSE -1.0 END AS v
+         |  FROM range(8) t(t), range(8) j(j), range(64) i(i)),
+         |hpl AS (SELECT t, j, list(v ORDER BY i) AS hv FROM hp GROUP BY t, j),
+         |isig AS (
+         |  SELECT e.vec_id, h.t,
+         |    sum(CASE WHEN ${dot("e.embedding", "h.hv")} > 0
+         |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
+         |  FROM embeddings e CROSS JOIN hpl h GROUP BY 1, 2),
+         |bcnt AS (SELECT t, sig, count(*) AS n FROM isig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM isig x JOIN isig y ON x.t = y.t AND x.sig = y.sig
+         |    AND x.vec_id < y.vec_id
+         |  JOIN bcnt c ON x.t = c.t AND x.sig = c.sig
+         |  WHERE c.n <= ${Dedup.DefaultMaxBucket}),
+         |sims AS (
+         |  SELECT c.a, c.b, ${dot("ea.embedding", "eb.embedding")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings ea ON c.a = ea.vec_id
+         |  JOIN embeddings eb ON c.b = eb.vec_id)
+         |SELECT a, b, round(sim, 4) AS sim FROM sims
+         |ORDER BY sim DESC, a ASC, b ASC LIMIT 20""".stripMargin
+    },
     "dedup_embedding_topk" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,
         |  round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),

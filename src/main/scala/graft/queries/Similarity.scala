@@ -42,14 +42,22 @@ object Similarity {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** IVF approximate kNN: 16 fixture vectors as centroids, probe 4 —
-    * deterministic, so exactly reproducible by the oracle.
+  /** IVF approximate kNN: 16 centroids by seeded deterministic sampling
+    * (smallest md5("ivf|"+vec_id) — an unbiased pseudo-random draw that
+    * any engine reproduces, unlike "first 16" which inherits whatever
+    * order the fixture was written in), probe 4. At scale this is the
+    * codebook-training stand-in: a hash-ordered sample is a TakeOrdered
+    * (16 survivors per partition), never a full sort or collect.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.Ann
     val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Ann.ivfTopK(emb, queries, centroids, K, nprobe = 4)
@@ -73,13 +81,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Int8 embedding quantization — the 4× memory-reduction path for a
-    * 100 TB vector corpus (scaled symmetric quantization, the layout
-    * ANN indexes ship at scale). Emits per-vector reconstruction
-    * quality: the cosine between the original and the dequantized
-    * vector. floor(x·127 + 0.5) avoids engine-specific round() ties;
-    * all arithmetic is IEEE-deterministic on both sides.
-    */
   /** Scaled symmetric int8 quantization of a float-array column —
     * floor(x·127 + 0.5) clamped to [−127, 127] (exposed for specs). */
   def quantize127(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -87,6 +88,13 @@ object Similarity {
       greatest(lit(-127.0), least(lit(127.0),
         floor(x.cast("double") * 127.0 + 0.5))))
 
+  /** Int8 embedding quantization — the 4× memory-reduction path for a
+    * 100 TB vector corpus (scaled symmetric quantization, the layout
+    * ANN indexes ship at scale). Emits per-vector reconstruction
+    * quality: the cosine between the original and the dequantized
+    * vector. floor(x·127 + 0.5) avoids engine-specific round() ties;
+    * all arithmetic is IEEE-deterministic on both sides.
+    */
   def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vec
     val emb = Tables.embeddings(spark, dir)
@@ -190,7 +198,8 @@ object Similarity {
     "ann_ivf" ->
       s"""WITH cent AS (
          |  SELECT vec_id AS cent_id, embedding AS cvec
-         |  FROM embeddings WHERE vec_id < 16),
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |q AS (
          |  SELECT vec_id AS query_id, embedding AS qv
          |  FROM embeddings WHERE vec_id < $NumQueries),

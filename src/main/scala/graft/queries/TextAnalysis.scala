@@ -164,8 +164,13 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .withColumn("len_ok", (nWords >= 20 && nWords <= 1000).cast("int"))
-      .withColumn("stop_ok", (nStop / nWords >= 0.03).cast("int"))
-      .withColumn("digit_ok", (nDigit / nChars <= 0.3).cast("int"))
+      // empty-text semantics pinned explicitly: Spark's non-ANSI 0/0 is
+      // NULL while DuckDB's float division is NaN — neither may leak
+      // into an int flag. Empty → no stopwords (0), no digits (1).
+      .withColumn("stop_ok",
+        when(nWords === 0, lit(0)).otherwise((nStop / nWords >= 0.03).cast("int")))
+      .withColumn("digit_ok",
+        when(nChars === 0, lit(1)).otherwise((nDigit / nChars <= 0.3).cast("int")))
       .withColumn("lang_ok", (pred === col("lang")).cast("int"))
       .withColumn("uniq", (col("doc_id") === min(col("doc_id")).over(w)).cast("int"))
       .withColumn("kept",
@@ -376,12 +381,14 @@ object TextAnalysis {
          |         AS BIGINT) AS n_tokens
          |  FROM documents),
          |offs AS (
+         |  -- sum(BIGINT) OVER is HUGEINT in DuckDB; cast back so the dump
+         |  -- serializes as int64 like Spark's BIGINT
          |  SELECT doc_id, bucket, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
          |  FROM toks)
          |SELECT doc_id, bucket, n_tokens, start_offset,
-         |  bucket * 1000000 + start_offset // 2048 AS seq_id
+         |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
          |FROM offs ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
@@ -442,10 +449,12 @@ object TextAnalysis {
       s"""WITH flags AS (
          |  SELECT doc_id,
          |    CAST(len($duckToks) BETWEEN 20 AND 1000 AS INTEGER) AS len_ok,
-         |    CAST(CAST(${duckCountIn(stopEn)} AS DOUBLE) / len($duckToks) >= 0.03
-         |         AS INTEGER) AS stop_ok,
-         |    CAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-         |              AS DOUBLE) / length(text) <= 0.3 AS INTEGER) AS digit_ok,
+         |    CASE WHEN len($duckToks) = 0 THEN 0
+         |         ELSE CAST(CAST(${duckCountIn(stopEn)} AS DOUBLE) / len($duckToks) >= 0.03
+         |              AS INTEGER) END AS stop_ok,
+         |    CASE WHEN length(text) = 0 THEN 1
+         |         ELSE CAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |              AS DOUBLE) / length(text) <= 0.3 AS INTEGER) END AS digit_ok,
          |    CAST((CASE $cases ELSE 'und' END) = lang AS INTEGER) AS lang_ok,
          |    CAST(doc_id = min(doc_id) OVER (
          |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))

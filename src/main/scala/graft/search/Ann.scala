@@ -104,7 +104,7 @@ object Ann {
     * overhead on every row. Accumulation is left-to-right double,
     * bit-identical to DotProduct / the oracle.
     */
-  private def signatures(df: DataFrame, vCol: String, idCol: String,
+  private[graft] def signatures(df: DataFrame, vCol: String, idCol: String,
       numTables: Int, bits: Int, dim: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -1,0 +1,316 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Inflater, ZipInputStream}
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+import org.w3c.dom.{Element, Node}
+
+/** Pure-JDK extractors for the reference's binary document formats
+  * (reference: src/document_loader.py:86-167). The container has no
+  * pdfbox/POI, but none are needed for the observable contract:
+  *
+  *  - DOCX/XLSX/PPTX are OOXML — ZIP archives (java.util.zip) of XML
+  *    parts (javax.xml DOM). Paragraph/table/sheet/slide traversal maps
+  *    1:1 onto the reference's python-docx/openpyxl/python-pptx loops.
+  *  - PDF text extraction covers the standard subset — uncompressed or
+  *    FlateDecode (java.util.zip.Inflater) content streams, literal/hex
+  *    strings, Tj/TJ show ops — enough for text-centric PDFs; exotic
+  *    encodings/filters are out of scope (a cluster deployment swaps in
+  *    pdfbox here, same signature).
+  *
+  * All extractors are total: malformed input yields "" (the reference
+  * logs and returns the empty accumulator, document_loader.py:95-101),
+  * so a corrupt file drops out of the corpus instead of failing the job.
+  */
+object Codecs {
+
+  // ---- shared: ZIP + XML --------------------------------------------
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Map.newBuilder[String, Array[Byte]]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  }
+
+  private def parseXml(bytes: Array[Byte]): Element = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    // no DTDs/external entities in OOXML parts; disable resolution
+    f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    f.setExpandEntityReferences(false)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes)).getDocumentElement
+  }
+
+  private def local(n: Node): String =
+    Option(n.getLocalName).getOrElse(n.getNodeName.split(':').last)
+
+  private def children(e: Element): Seq[Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).map(nl.item).collect { case el: Element => el }
+  }
+
+  private def descendants(e: Element, name: String): Seq[Element] = {
+    val nl = e.getElementsByTagNameNS("*", name)
+    val ns = (0 until nl.getLength).map(nl.item).collect { case el: Element => el }
+    if (ns.nonEmpty) ns
+    else { // non-namespaced fallback
+      val nl2 = e.getElementsByTagName(name)
+      (0 until nl2.getLength).map(nl2.item).collect { case el: Element => el }
+    }
+  }
+
+  /** Concatenated text of all descendant `t` elements (w:t / a:t / t). */
+  private def runText(e: Element): String =
+    descendants(e, "t").map(_.getTextContent).mkString
+
+  // ---- DOCX (document_loader.py:104-127) ----------------------------
+
+  /** Body paragraphs first (python-docx `doc.paragraphs` is body-level
+    * only), then every table flattened to pipe-joined rows.
+    */
+  def extractDocx(bytes: Array[Byte]): String = {
+    val parts = zipEntries(bytes)
+    val body = parts.get("word/document.xml") match {
+      case Some(xml) => descendants(parseXml(xml), "body").headOption
+      case None => None
+    }
+    body.fold("") { b =>
+      val out = mutable.Buffer.empty[String]
+      val kids = children(b)
+      for (p <- kids if local(p) == "p") {
+        val t = runText(p)
+        if (t.trim.nonEmpty) out += t
+      }
+      for (tbl <- kids if local(tbl) == "tbl"; tr <- descendants(tbl, "tr")) {
+        val cells = children(tr).filter(c => local(c) == "tc")
+          .map(tc => descendants(tc, "p").map(runText).mkString("\n").trim)
+        val row = cells.mkString(" | ")
+        if (row.trim.nonEmpty) out += row
+      }
+      out.mkString("\n")
+    }
+  }
+
+  // ---- XLSX (document_loader.py:129-149) ----------------------------
+
+  /** Sheets in workbook order via the rels part; cell values resolve
+    * shared/inline strings; `--- Sheet: name ---` markers + pipe-joined
+    * non-empty cells per row, as openpyxl's values_only iteration.
+    */
+  def extractXlsx(bytes: Array[Byte]): String = {
+    val parts = zipEntries(bytes)
+    val wbXml = parts.getOrElse("xl/workbook.xml", return "")
+    val rels: Map[String, String] =
+      parts.get("xl/_rels/workbook.xml.rels").fold(Map.empty[String, String]) { rx =>
+        descendants(parseXml(rx), "Relationship")
+          .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap
+      }
+    val shared: IndexedSeq[String] =
+      parts.get("xl/sharedStrings.xml").fold(IndexedSeq.empty[String]) { sx =>
+        descendants(parseXml(sx), "si").map(runText).toIndexedSeq
+      }
+    def cellValue(c: Element): Option[String] = {
+      val v = descendants(c, "v").headOption.map(_.getTextContent)
+      c.getAttribute("t") match {
+        case "s" => v.flatMap(i => shared.lift(i.trim.toInt))
+        case "inlineStr" => Some(runText(c)).filter(_.nonEmpty)
+        case "b" => v.map(x => if (x.trim == "1") "True" else "False")
+        case _ => v
+      }
+    }
+    val out = mutable.Buffer.empty[String]
+    for (sheet <- descendants(parseXml(wbXml), "sheet")) {
+      val rid = (0 until sheet.getAttributes.getLength).map(sheet.getAttributes.item)
+        .find(a => local(a) == "id").map(_.getNodeValue).getOrElse("")
+      val target = rels.get(rid).map(t =>
+        if (t.startsWith("/")) t.drop(1) else s"xl/$t")
+      out += s"--- Sheet: ${sheet.getAttribute("name")} ---"
+      for (wsXml <- target.flatMap(parts.get); row <- descendants(parseXml(wsXml), "row")) {
+        val cells = children(row).filter(c => local(c) == "c").flatMap(cellValue)
+        val rowText = cells.map(_.trim).mkString(" | ")
+        if (rowText.trim.nonEmpty) out += rowText
+      }
+    }
+    out.mkString("\n")
+  }
+
+  // ---- PPTX (document_loader.py:151-167) ----------------------------
+
+  /** Slides in numeric order; every text body's paragraphs joined by
+    * newline (python-pptx `shape.text`), under `--- Slide N ---`.
+    */
+  def extractPptx(bytes: Array[Byte]): String = {
+    val parts = zipEntries(bytes)
+    val slideRe: Regex = """ppt/slides/slide(\d+)\.xml""".r
+    val slides = parts.keys.collect { case n @ slideRe(i) => (i.toInt, n) }.toSeq.sorted
+    val out = mutable.Buffer.empty[String]
+    for (((_, name), idx) <- slides.zipWithIndex) {
+      out += s"--- Slide ${idx + 1} ---"
+      for (tx <- descendants(parseXml(parts(name)), "txBody")) {
+        val text = descendants(tx, "p").map(runText).mkString("\n")
+        if (text.trim.nonEmpty) out += text
+      }
+    }
+    out.mkString("\n")
+  }
+
+  // ---- PDF (document_loader.py:86-102) ------------------------------
+
+  private val Latin1 = StandardCharsets.ISO_8859_1 // byte-faithful round-trip
+
+  /** Per-page text under `--- Page N ---` markers; empty pages dropped
+    * (PyPDF2 loop, document_loader.py:93-99).
+    */
+  def extractPdf(bytes: Array[Byte]): String = {
+    val s = new String(bytes, Latin1)
+    val objRe = """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
+    // obj number -> (dict text, raw stream bytes)
+    val objs = mutable.LinkedHashMap.empty[Int, (String, Option[Array[Byte]])]
+    for (m <- objRe.findAllMatchIn(s)) {
+      val body = m.group(2)
+      val si = body.indexOf("stream")
+      if (si < 0) objs(m.group(1).toInt) = (body, None)
+      else {
+        val dict = body.substring(0, si)
+        var start = si + "stream".length
+        if (start < body.length && body.charAt(start) == '\r') start += 1
+        if (start < body.length && body.charAt(start) == '\n') start += 1
+        val end = body.lastIndexOf("endstream")
+        val raw = body.substring(start, math.max(start, end))
+          .stripSuffix("\n").stripSuffix("\r").getBytes(Latin1)
+        val data =
+          if (dict.contains("/FlateDecode")) inflate(raw) else raw
+        objs(m.group(1).toInt) = (dict, Some(data))
+      }
+    }
+    val refRe = """(\d+)\s+0\s+R""".r
+    val pageOrder: Seq[Int] = {
+      val kids = objs.values.collectFirst {
+        case (d, _) if d.contains("/Kids") && """/Type\s*/Pages\b""".r.findFirstIn(d).isDefined =>
+          val ks = d.substring(d.indexOf("/Kids"))
+          val close = ks.indexOf(']')
+          refRe.findAllMatchIn(if (close >= 0) ks.substring(0, close + 1) else ks)
+            .map(_.group(1).toInt).toSeq
+      }
+      kids.filter(_.nonEmpty).getOrElse(objs.collect {
+        case (n, (d, _)) if """/Type\s*/Page(?![a-zA-Z])""".r.findFirstIn(d).isDefined => n
+      }.toSeq)
+    }
+    val pages = pageOrder.flatMap(objs.get).collect {
+      case (d, _) if """/Type\s*/Page(?![a-zA-Z])""".r.findFirstIn(d).isDefined =>
+        // /Contents is one ref or an array of refs; stop at the array's
+        // close bracket (or the first ref) so later dict refs
+        // (/Parent, /Annots) aren't misread as content streams
+        val ci = d.indexOf("/Contents")
+        val contentRefs: Seq[Int] =
+          if (ci < 0) Seq.empty
+          else {
+            val rest = d.substring(ci + "/Contents".length)
+            val trimmed = rest.dropWhile(_.isWhitespace)
+            if (trimmed.startsWith("[")) {
+              val close = trimmed.indexOf(']')
+              refRe.findAllMatchIn(if (close >= 0) trimmed.substring(1, close) else trimmed)
+                .map(_.group(1).toInt).toSeq
+            } else refRe.findFirstMatchIn(trimmed).map(_.group(1).toInt).toSeq
+          }
+        contentRefs
+          .flatMap(n => objs.get(n).flatMap(_._2))
+          .map(b => streamText(new String(b, Latin1)))
+          .mkString("\n")
+    }
+    pages.zipWithIndex.collect {
+      case (t, i) if t.trim.nonEmpty => s"--- Page ${i + 1} ---\n$t"
+    }.mkString("\n")
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    } catch { case _: Exception => Array.emptyByteArray }
+
+  /** Text-show extraction from one content stream: literal `(..)` and
+    * hex `<..>` strings accumulate into the current line; the
+    * line-positioning ops (Td, TD, T-star, ET) flush a line — the same
+    * ops PyPDF2 keys newlines off. Numbers, names and other operators
+    * are skipped.
+    */
+  private def streamText(content: String): String = {
+    val lines = mutable.Buffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = if (cur.nonEmpty) { lines += cur.result(); cur.clear() }
+    var i = 0
+    val n = content.length
+    while (i < n) {
+      content.charAt(i) match {
+        case '(' =>
+          var depth = 1; i += 1
+          while (i < n && depth > 0) {
+            content.charAt(i) match {
+              case '\\' if i + 1 < n =>
+                content.charAt(i + 1) match {
+                  case 'n' => cur += '\n'; i += 2
+                  case 'r' => cur += '\r'; i += 2
+                  case 't' => cur += '\t'; i += 2
+                  case 'b' => cur += '\b'; i += 2
+                  case 'f' => cur += '\f'; i += 2
+                  case c @ ('(' | ')' | '\\') => cur += c; i += 2
+                  case c if c.isDigit => // octal, 1-3 digits
+                    val end = math.min(i + 4, n)
+                    var j = i + 1
+                    while (j < end && content.charAt(j).isDigit && j - i <= 3) j += 1
+                    cur += Integer.parseInt(content.substring(i + 1, j), 8).toChar
+                    i = j
+                  case '\n' => i += 2 // line continuation
+                  case c => cur += c; i += 2
+                }
+              case '(' => depth += 1; cur += '('; i += 1
+              case ')' =>
+                depth -= 1
+                if (depth > 0) cur += ')'
+                i += 1
+              case c => cur += c; i += 1
+            }
+          }
+        case '<' if i + 1 < n && content.charAt(i + 1) != '<' =>
+          val end = content.indexOf('>', i)
+          if (end < 0) i = n
+          else {
+            val hex = content.substring(i + 1, end).filterNot(_.isWhitespace)
+            val padded = if (hex.length % 2 == 1) hex + "0" else hex
+            padded.grouped(2).foreach(h =>
+              cur += Integer.parseInt(h, 16).toChar)
+            i = end + 1
+          }
+        case c if c.isLetter || c == '*' =>
+          val start = i
+          while (i < n && (content.charAt(i).isLetter || content.charAt(i) == '*')) i += 1
+          content.substring(start, i) match {
+            case "Td" | "TD" | "T*" | "ET" => flush()
+            case _ => ()
+          }
+        case _ => i += 1
+      }
+    }
+    flush()
+    lines.mkString("\n")
+  }
+}

@@ -1,0 +1,211 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Codecs
+
+/** Real-format fixtures built from the specs the formats are defined by
+  * (OOXML = ZIP of XML parts; PDF = object graph + content streams) —
+  * no codec library on either side, so these verify the extractors
+  * against ground truth, not against themselves.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  // ---- fixture builders ---------------------------------------------
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Minimal well-formed PDF: catalog → pages → per-page content
+    * stream, one `(line) Tj` per line with Td line moves. No xref table
+    * (the extractor scans the object graph, as lenient readers do).
+    */
+  def minimalPdf(pages: Seq[String], compress: Boolean = false): Array[Byte] = {
+    val latin1 = StandardCharsets.ISO_8859_1
+    val out = new ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    val pageRefs = pages.indices.map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w(s"2 0 obj << /Type /Pages /Kids [$pageRefs] /Count ${pages.length} >> endobj\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageNum = 3 + 2 * i
+      val contentNum = pageNum + 1
+      val stream = "BT /F1 12 Tf 72 720 Td " +
+        text.split("\n").map(l => s"($l) Tj").mkString(" 0 -14 Td ") + " ET"
+      val data =
+        if (compress) deflate(stream.getBytes(latin1)) else stream.getBytes(latin1)
+      w(s"$pageNum 0 obj << /Type /Page /Parent 2 0 R /Contents $contentNum 0 R >> endobj\n")
+      w(s"$contentNum 0 obj << /Length ${data.length}" +
+        (if (compress) " /Filter /FlateDecode" else "") + " >> stream\n")
+      out.write(data)
+      w("\nendstream endobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
+  def minimalDocx(): Array[Byte] = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "word/document.xml" ->
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+        |<w:body>
+        |<w:p><w:r><w:t>Survey findings for the north ridge.</w:t></w:r></w:p>
+        |<w:p><w:r><w:t> </w:t></w:r></w:p>
+        |<w:p><w:r><w:t>Second </w:t></w:r><w:r><w:t>paragraph.</w:t></w:r></w:p>
+        |<w:tbl>
+        |<w:tr><w:tc><w:p><w:r><w:t>sensor</w:t></w:r></w:p></w:tc>
+        |<w:tc><w:p><w:r><w:t>status</w:t></w:r></w:p></w:tc></w:tr>
+        |<w:tr><w:tc><w:p><w:r><w:t>s-01</w:t></w:r></w:p></w:tc>
+        |<w:tc><w:p><w:r><w:t>ok</w:t></w:r></w:p></w:tc></w:tr>
+        |</w:tbl>
+        |</w:body></w:document>""".stripMargin,
+  )
+
+  def minimalXlsx(): Array[Byte] = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "xl/workbook.xml" ->
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        | xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |<sheet name="Data" sheetId="1" r:id="rId1"/>
+        |<sheet name="Notes" sheetId="2" r:id="rId2"/>
+        |</sheets></workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="ws" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="ws" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin,
+    "xl/sharedStrings.xml" ->
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<si><t>station</t></si><si><t>kander</t></si>
+        |</sst>""".stripMargin,
+    "xl/worksheets/sheet1.xml" ->
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>3.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin,
+    "xl/worksheets/sheet2.xml" ->
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>remark</t></is></c></row>
+        |<row r="2"/>
+        |</sheetData></worksheet>""".stripMargin,
+  )
+
+  def minimalPptx(): Array[Byte] = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "ppt/slides/slide1.xml" ->
+      """<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+        | xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+        |<p:cSld><p:spTree>
+        |<p:sp><p:txBody><a:p><a:r><a:t>Quarterly review</a:t></a:r></a:p></p:txBody></p:sp>
+        |<p:sp><p:txBody><a:p><a:r><a:t>Yield </a:t></a:r><a:r><a:t>up</a:t></a:r></a:p>
+        |<a:p><a:r><a:t>Costs flat</a:t></a:r></a:p></p:txBody></p:sp>
+        |</p:spTree></p:cSld></p:sld>""".stripMargin,
+    "ppt/slides/slide2.xml" ->
+      """<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+        | xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+        |<p:cSld><p:spTree>
+        |<p:sp><p:txBody><a:p><a:r><a:t>Outlook</a:t></a:r></a:p></p:txBody></p:sp>
+        |</p:spTree></p:cSld></p:sld>""".stripMargin,
+  )
+
+  // ---- PDF ----------------------------------------------------------
+
+  test("PDF: per-page markers, multi-line text, page order from /Kids") {
+    val pdf = minimalPdf(Seq("Snow receded twelve percent.\nTrail erosion accelerated.",
+      "Second page body."))
+    val text = Codecs.extractPdf(pdf)
+    assert(text ==
+      """--- Page 1 ---
+        |Snow receded twelve percent.
+        |Trail erosion accelerated.
+        |--- Page 2 ---
+        |Second page body.""".stripMargin)
+  }
+
+  test("PDF: FlateDecode content streams inflate via the JDK") {
+    val pdf = minimalPdf(Seq("Compressed body line."), compress = true)
+    assert(Codecs.extractPdf(pdf) == "--- Page 1 ---\nCompressed body line.")
+  }
+
+  test("PDF: escapes, hex strings and TJ arrays") {
+    val stream =
+      """BT (Paren \(pair\) and backslash \\ end) Tj 0 -14 Td [(Kerned ) -120 (pair)] TJ ET"""
+    val data = stream.getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${data.length} >> stream\n" + stream + "\nendstream endobj\n" +
+      "%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    assert(Codecs.extractPdf(pdf) ==
+      "--- Page 1 ---\nParen (pair) and backslash \\ end\nKerned pair")
+  }
+
+  test("PDF: garbage bytes extract to empty (document dropped, not failed)") {
+    assert(Codecs.extractPdf(Array.fill[Byte](2048)(7)) == "")
+    assert(Codecs.extractPdf(Array.emptyByteArray) == "")
+  }
+
+  // ---- OOXML --------------------------------------------------------
+
+  test("DOCX: body paragraphs then pipe-joined table rows") {
+    assert(Codecs.extractDocx(minimalDocx()) ==
+      """Survey findings for the north ridge.
+        |Second paragraph.
+        |sensor | status
+        |s-01 | ok""".stripMargin)
+  }
+
+  test("XLSX: sheet markers in workbook order, shared+numeric+inline cells") {
+    assert(Codecs.extractXlsx(minimalXlsx()) ==
+      """--- Sheet: Data ---
+        |station | 42
+        |kander | 3.5
+        |--- Sheet: Notes ---
+        |remark""".stripMargin)
+  }
+
+  test("PPTX: slide markers, shape paragraphs joined by newline") {
+    assert(Codecs.extractPptx(minimalPptx()) ==
+      """--- Slide 1 ---
+        |Quarterly review
+        |Yield up
+        |Costs flat
+        |--- Slide 2 ---
+        |Outlook""".stripMargin)
+  }
+
+  test("OOXML: non-zip bytes extract to empty via the loader guard") {
+    import graft.sources.DocumentLoader
+    assert(DocumentLoader.extractDocx("not a zip".getBytes) == "")
+    assert(DocumentLoader.extractXlsx("not a zip".getBytes) == "")
+    assert(DocumentLoader.extractPptx("not a zip".getBytes) == "")
+  }
+}

@@ -74,6 +74,31 @@ class DedupFuzzSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("maxDf drops boilerplate shingles: hot-shingle corpus yields no quadratic pair join") {
+    // adversarial shape: every doc shares a 10-token boilerplate header
+    // (df = corpus size) followed by a unique tail — uncapped, the pair
+    // join is all-pairs; capped, the hot shingles leave the
+    // representation and only genuine overlap pairs remain (here: none)
+    val boiler = "annual compliance header issued by the records office today"
+    val hot = (0 until 30).map(i =>
+      (i.toLong, s"$boiler uniq${i}a uniq${i}b uniq${i}c uniq${i}d"))
+    val sh = Dedup.shingleSet(hot.toDF("doc_id", "text"), "doc_id", "text").cache()
+    sh.count()
+    assert(Dedup.pairJaccard(sh, maxDf = Int.MaxValue).count() == 30L * 29 / 2)
+    assert(Dedup.pairJaccard(sh, maxDf = 29).count() == 0)
+    // the default cap (1000) never triggers at fixture scale
+    assert(Dedup.pairJaccard(sh).count() == 30L * 29 / 2)
+    sh.unpersist()
+  }
+
+  test("maxBucket drops degenerate LSH buckets but keeps normal ones") {
+    val bands = ((0 until 100).map(i => (i.toLong, 0, "hot")) ++
+      Seq((200L, 0, "cold"), (201L, 0, "cold"))).toDF("id", "band", "bkey")
+    assert(Dedup.lshCandidates(bands, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet == Set((200L, 201L)))
+    assert(Dedup.lshCandidates(bands).count() == 100L * 99 / 2 + 1)
+  }
+
   test("candidateJaccard equals pairJaccard on the candidate subset") {
     val df = docs.toDF("doc_id", "text")
     val sh = Dedup.shingleSet(df, "doc_id", "text").cache()

@@ -16,16 +16,24 @@ class DocumentLoaderSpec extends SparkSpec {
   test("recursive multi-format scan extracts per format and drops empties") {
     val dir = java.nio.file.Files.createTempDirectory("docs").toString
     DocumentLoader.writeSampleDocuments(s"$dir/sub")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.pdf"),
-      Array.fill[Byte](2048)(7))
+    val stream = "BT /F1 12 Tf 72 720 Td (Glacier melt summary.) Tj ET"
+    val realPdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${stream.length} >> stream\n" + stream + "\nendstream endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/x.pdf"), realPdf)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/corrupt.pdf"),
+      Array.fill[Byte](2048)(7)) // extracts empty -> dropped
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/empty.md"),
       Array.emptyByteArray)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/skip.txt"), "no")
 
     val docs = DocumentLoader.loadDocuments(spark, dir).collect()
-    assert(docs.length == 4) // 3 samples + pdf; empty + txt dropped
-    val pdf = docs.find(_.source_file.endsWith(".pdf")).get
-    assert(pdf.content.contains("--- Page 1 ---"))
+    assert(docs.length == 4) // 3 samples + real pdf; corrupt + empty + txt dropped
+    val pdf = docs.find(_.source_file.endsWith("x.pdf")).get
+    assert(pdf.content == "--- Page 1 ---\nGlacier melt summary.")
     val md = docs.find(_.source_file.endsWith("alpine_survey.md")).get
     assert(md.content.contains("# Alpine Survey 2031"))
   }
@@ -99,6 +107,24 @@ class AnnSpec extends SparkSpec {
     assert(self.forall { case (q, v) => q == v })
   }
 
+  test("LSH-bucketed near-dup pairs recover the brute-force top pairs") {
+    val sigs = Ann.signatures(clustered, "embedding", "vec_id",
+      numTables = 8, bits = 8, dim = 32)
+    val bands = sigs.select($"vec_id".as("id"), $"table".as("band"), $"sig".as("bkey"))
+    def topPairs(cands: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      cands.join(clustered.select($"vec_id".as("a"), $"embedding".as("va")), "a")
+        .join(clustered.select($"vec_id".as("b"), $"embedding".as("vb")), "b")
+        .withColumn("sim", graft.functions.Vec.dot($"va", $"vb"))
+        .orderBy($"sim".desc, $"a", $"b").limit(20)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = topPairs(graft.dedup.Dedup.lshCandidates(bands))
+    val brute = topPairs(
+      clustered.select($"vec_id".as("a")).crossJoin(clustered.select($"vec_id".as("b")))
+        .filter($"a" < $"b"))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"near-dup pair recall too low: $recall")
+  }
+
   test("IVF with all clusters probed equals brute force") {
     val queries = clustered.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
@@ -109,6 +135,22 @@ class AnnSpec extends SparkSpec {
     val ivfAll = Ann.ivfTopK(clustered, queries, centroids, 5, nprobe = 8)
       .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
     assert(ivfAll == exact)
+  }
+
+  test("IVF at nprobe=4 with hash-sampled centroids keeps useful recall") {
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // same seeded deterministic sampling as the ann_ivf query
+    val centroids = clustered
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"),
+        md5(concat(lit("ivf|"), $"vec_id")).as("r"))
+      .orderBy($"r", $"cent_id").limit(16).select("cent_id", "cvec")
+    val exact = Knn.bruteForceTopK(clustered, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(clustered, queries, centroids, 10, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF nprobe=4 recall too low: $recall")
   }
 }
 

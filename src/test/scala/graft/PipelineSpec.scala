@@ -61,6 +61,27 @@ class VectorStoreSpec extends SparkSpec {
     store.deleteCollection("fixed_size_hash-64")
     assert(store.collectionNames().isEmpty)
   }
+
+  test("id assignment is distributed: range sort + zipWithIndex, never a single-partition window") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-ids").toString
+    val store = new VectorStore(spark, base)
+    val n = 5000
+    val rows = new scala.util.Random(3).shuffle((0 until n).toList)
+      .map(i => (i.toLong, s"doc $i", Array.fill(4)(i.toFloat)))
+      .toDF("row_order", "content", "embedding")
+      .repartition(8)
+    // the id-assignment prefix sorts by range partitioning — the
+    // Window.orderBy formulation would show SinglePartition here
+    val plan = rows.orderBy(col("row_order")).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+    store.createCollection("big", rows, "row_order")
+    val got = store.read("big").select("id", "row_order")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until n).toSeq) // contiguous enumerate() ids
+    assert(got.forall { case (id, ro) => id == ro }) // in orderCol order
+    store.deleteCollection("big")
+  }
 }
 
 class PipelineSpec extends SparkSpec {
