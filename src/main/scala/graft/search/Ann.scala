@@ -88,6 +88,96 @@ object Ann {
     heapTopK(cands, k)
   }
 
+  private def dotFF(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; val n = math.min(a.length, b.length); var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Element-wise mean of float vectors — the k-means update step as a
+    * typed Aggregator, so the per-cell reduction partial-combines
+    * map-side (one shuffle of k partial sums per partition, never the
+    * raw vectors of a cell into one task).
+    */
+  private class VecMeanAggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Float], (Array[Double], Long), Array[Float]] {
+    override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+    override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+      val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      var i = 0
+      while (i < v.length && i < acc.length) { acc(i) += v(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    override def finish(b: (Array[Double], Long)): Array[Float] =
+      if (b._2 == 0) Array.emptyFloatArray else b._1.map(x => (x / b._2).toFloat)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+  }
+
+  /** IVF codebook training: seeded hash-sample init (smallest
+    * md5(seed|vec_id) — unbiased, reproducible), then `iters` Lloyd
+    * iterations. Each iteration is one narrow pass (argmax over the
+    * broadcast codebook, exactly the ivfTopK assignment map) plus one
+    * map-side-combined mean aggregate — the index never shuffles, and
+    * only k partial sums per partition move. Empty cells keep their
+    * previous centroid.
+    *
+    * Returns (cent_id, cvec) ready for [[ivfTopK]]. Deterministic for a
+    * fixed data layout; float mean accumulation order varies with
+    * partitioning, so the oracle-facing `ann_ivf` query keeps the
+    * sampled (iteration-free) codebook, whose arithmetic IS bit-pinned.
+    */
+  def trainCentroids(index: DataFrame, k: Int, iters: Int,
+      seed: String = "ivf"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Float]] = index
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .withColumn("r", md5(concat(lit(s"$seed|"), col("vec_id"))))
+      .orderBy(col("r"), col("vec_id"))
+      .limit(k)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val typed = index.select(col("embedding")).as[Array[Float]]
+    val meanAgg = new VecMeanAggregator().toColumn
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val updated = typed
+        .map { v =>
+          val cs = bc.value
+          var best = 0; var bestSim = Double.NegativeInfinity; var ci = 0
+          while (ci < cs.length) {
+            val s = dotFF(v, cs(ci))
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          (best.toLong, v)
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(meanAgg.name("mean"))
+        .collect()
+      val next = cents.clone()
+      updated.foreach { case (cell, mean) =>
+        if (mean.nonEmpty) next(cell.toInt) = mean
+      }
+      cents = next
+      bc.unpersist()
+    }
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cent_id", "cvec")
+  }
+
   /** Seeded ±1 hyperplane for (table, bit) — deterministic across runs. */
   private def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")

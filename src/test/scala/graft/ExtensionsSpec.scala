@@ -152,6 +152,28 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF nprobe=4 recall too low: $recall")
   }
+
+  test("k-means codebook training is reproducible and at least matches sampled init") {
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = Knn.bruteForceTopK(clustered, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Ann.ivfTopK(clustered, queries, cents, 10, nprobe = 4)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val sampled = clustered
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"),
+        md5(concat(lit("ivf|"), $"vec_id")).as("r"))
+      .orderBy($"r", $"cent_id").limit(16).select("cent_id", "cvec")
+    val trained = Ann.trainCentroids(clustered, 16, iters = 3)
+    val trained2 = Ann.trainCentroids(clustered, 16, iters = 3)
+    assert(trained.collect().map(_.toString).toSeq
+      == trained2.collect().map(_.toString).toSeq) // fixed layout -> reproducible
+    assert(recall(trained) >= recall(sampled) - 0.05,
+      s"training degraded recall: ${recall(trained)} < ${recall(sampled)}")
+  }
 }
 
 class StreamingSpec extends SparkSpec {
