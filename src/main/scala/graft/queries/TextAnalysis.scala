@@ -259,6 +259,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition quality signals (the Gopher-rule family): duplicate-word
+    * fraction and top-bigram fraction per document — the standard
+    * template/boilerplate detectors a curation pipeline runs alongside
+    * [[textQuality]]. Two explode+combine aggregations on natural keys;
+    * no join grows beyond |docs| rows. round goes through
+    * floor(x·10⁴+0.5) on both engines: the ratios are small-integer
+    * rationals, so exact half-way ties (e.g. 7/32) are reachable and
+    * engine round() tie rules differ.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val wordStats = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_uniq"))
+    val biStats = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_bi"), max(col("c")).as("max_bi"))
+    wordStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        r4(lit(1) - col("n_uniq").cast("double") / col("n_tokens")).as("dup_word_frac"),
+        r4(coalesce(col("max_bi").cast("double") / col("n_bi"), lit(0.0)))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -302,6 +332,7 @@ object TextAnalysis {
     "bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
     "pack_sequences" -> (packSequences _),
+    "text_repetition" -> (textRepetition _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -390,6 +421,24 @@ object TextAnalysis {
          |SELECT doc_id, bucket, n_tokens, start_offset,
          |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
          |FROM offs ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |ws AS (
+         |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_uniq
+         |  FROM toks GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS b
+         |  FROM (SELECT doc_id, $duckToks AS t FROM documents),
+         |       unnest(range(1, len(t))) u(i)),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS max_bi FROM bc GROUP BY 1)
+         |SELECT ws.doc_id AS doc_id, n_tokens,
+         |  floor((1 - CAST(n_uniq AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000
+         |    AS dup_word_frac,
+         |  floor(coalesce(CAST(max_bi AS DOUBLE) / n_bi, 0) * 10000 + 0.5) / 10000
+         |    AS top_bigram_frac
+         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_num_runs,

@@ -94,6 +94,22 @@ class PlanSpec extends SparkSpec {
     assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size <= 1, plan)
   }
 
+  test("bucketed embedding near-dup never goes cartesian") {
+    val df = graft.queries.DedupQueries.dedupEmbeddingLsh(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("capped Jaccard pair join stays an equi-join on the hashed shingle") {
+    val df = graft.queries.DedupQueries.dedupNgramJaccard(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
