@@ -56,4 +56,21 @@ class DegenerateInputsSpec extends SparkSpec {
     val cent = emb.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     assert(graft.search.Ann.ivfTopK(emb, noQ, cent, 5, 1).count() == 0)
   }
+
+  test("corpus_filter pins empty-text flags: no NULL leaks into int columns") {
+    // an empty document divides 0/0 in the stopword and digit ratios —
+    // semantics are pinned (stop_ok 0, digit_ok 1), never engine-NULL/NaN
+    val dir = java.nio.file.Files.createTempDirectory("degdocs").toString
+    Seq(
+      (0L, "", "en", "s0", 0),
+      (1L, "the and is on in of to a the and is on in of to a the and is on in", "en", "s1", 68),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.TextAnalysis.corpusFilter(spark, dir)
+      .orderBy("doc_id").collect()
+    val empty = rows(0)
+    assert(!rows.exists(r => (1 until r.length).exists(r.isNullAt)))
+    assert(empty.getAs[Int]("stop_ok") == 0 && empty.getAs[Int]("digit_ok") == 1)
+    assert(empty.getAs[Int]("kept") == 0)
+  }
 }
