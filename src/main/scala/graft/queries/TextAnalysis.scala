@@ -194,6 +194,39 @@ object TextAnalysis {
       .filter(col("bucket") < 20)
       .orderBy("doc_id")
 
+  /** Temperature-reweighted corpus mixing (α = 0.5): per-language keep
+    * fractions ∝ n_l^α (upsampling low-resource strata relative to
+    * their natural share — the standard LLM mixture step), applied as a
+    * deterministic md5-bucket filter so the same corpus always yields
+    * the same mixture on any cluster. Target size = 20% of the corpus.
+    *
+    * Scale: one 5-row map-side-combined count, a 1-row total, broadcast
+    * back onto a narrow per-doc filter — nothing grows with the corpus.
+    * FP discipline: the normalizer Σ√n_l sums value-sorted doubles
+    * left-to-right (aggregation order is otherwise nondeterministic),
+    * sqrt/× are single correctly-rounded IEEE ops, and the bucket cut
+    * goes through floor(x+0.5) — bit-identical in DuckDB.
+    */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(col("n")).as("n_total"),
+      expr("aggregate(array_sort(collect_list(sqrt(cast(n AS double)))), 0D, (a, x) -> a + x)")
+        .as("z"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("share", sqrt(col("n").cast("double")) / col("z"))
+      .withColumn("keep_frac",
+        least(lit(1.0), (floor(col("n_total") * 0.2) * col("share")) / col("n")))
+      .withColumn("cut", floor(col("keep_frac") * 1000000 + 0.5).cast("long"))
+    docs
+      .join(broadcast(scored.select(col("lang"), col("cut"), col("keep_frac"))), "lang")
+      .filter(TextFns.md5Int(concat(lit("mix|"), col("doc_id"))) % 1000000 < col("cut"))
+      .select(col("doc_id"), col("lang"),
+        (floor(col("keep_frac") * 10000 + 0.5) / 10000).as("keep_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model quality score (perplexity proxy): corpus
     * bigram counts with add-one smoothing, per-document mean log
     * probability. Context counts derive from the bigram table itself
@@ -333,6 +366,7 @@ object TextAnalysis {
     "text_normalize" -> (textNormalize _),
     "pack_sequences" -> (packSequences _),
     "text_repetition" -> (textRepetition _),
+    "sample_mixture" -> (sampleMixture _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -421,6 +455,24 @@ object TextAnalysis {
          |SELECT doc_id, bucket, n_tokens, start_offset,
          |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
          |FROM offs ORDER BY doc_id""".stripMargin,
+    "sample_mixture" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT sum(n) AS n_total,
+        |    list_aggregate(list_sort(list(sqrt(CAST(n AS DOUBLE)))), 'sum') AS z
+        |  FROM counts),
+        |scored AS (
+        |  SELECT lang,
+        |    least(1.0, (floor(n_total * 0.2) * (sqrt(CAST(n AS DOUBLE)) / z)) / n)
+        |      AS keep_frac
+        |  FROM counts CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang,
+        |  floor(s.keep_frac * 10000 + 0.5) / 10000 AS keep_frac
+        |FROM documents d JOIN scored s USING (lang)
+        |WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 1000000
+        |      < CAST(floor(s.keep_frac * 1000000 + 0.5) AS BIGINT)
+        |ORDER BY d.doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
          |ws AS (
