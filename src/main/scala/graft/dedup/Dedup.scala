@@ -70,14 +70,17 @@ object Dedup {
   /** True Jaccard for every pair sharing ≥1 kept shingle: (a, b, jac).
     * Shingles with df > maxDf are removed from the representation
     * entirely (sizes AND the pair join see the same filtered set), so
-    * `jac` remains a true set similarity over kept shingles. The df
-    * count is a window over the shingle key — one exchange, reused by
-    * both sides of the self-join.
+    * `jac` remains a true set similarity over kept shingles. The HOT
+    * set is what gets materialized, not the df of every shingle: one
+    * map-side-combined count filtered to df > maxDf (≤ |shingles|/maxDf
+    * rows by pigeonhole — broadcastable by construction), then a
+    * broadcast anti-join, so the shingle table itself is never
+    * reshuffled or window-sorted just to learn its frequencies.
     */
   def pairJaccard(sh: DataFrame, maxDf: Int = DefaultMaxDf): DataFrame = {
-    val dfW = Window.partitionBy(col("s"))
-    val kept = sh.withColumn("df", count(lit(1)).over(dfW))
-      .filter(col("df") <= maxDf)
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
       .select(col("id"), col("s"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shared = kept.as("x").join(kept.as("y"), col("x.s") === col("y.s"))
