@@ -65,6 +65,83 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  case class NearDupCandidate(a: Long, b: Long, band: Int)
+
+  /** MinHash band keys of one document — the row-local (no aggregation)
+    * restatement of the batch `Dedup.shingleSet → minhash → lshBands`
+    * chain, sharing the SAME permutation constants and 32-bit md5
+    * shingle hash, so a streaming bucket key equals the batch bucket
+    * key for identical text.
+    */
+  private[graft] def bandKeys(content: String, numHashes: Int,
+      rowsPerBand: Int): Seq[String] = {
+    val toks = content.trim.split("\\s+")
+    if (toks.length < 3) Seq.empty
+    else {
+      val shingles = toks.sliding(3)
+        .map(w => graft.text.TextFns.md5IntJvm(w.mkString(" "))).toSet
+      val mh = Array.tabulate(numHashes) { j =>
+        var m = Long.MaxValue
+        shingles.foreach { s =>
+          val v = (graft.dedup.Dedup.permA(j) * s + graft.dedup.Dedup.permB(j)) %
+            graft.dedup.Dedup.MinhashP
+          if (v < m) m = v
+        }
+        m
+      }
+      (0 until numHashes / rowsPerBand).map { b =>
+        s"$b:" + (b * rowsPerBand until (b + 1) * rowsPerBand).map(mh).mkString("|")
+      }
+    }
+  }
+
+  /** Streaming near-dup detection: each document fans out to its MinHash
+    * band buckets; per-bucket keyed state holds member ids within the
+    * watermark horizon and every arrival emits candidate pairs against
+    * the bucket's members (a < b; a pair colliding in several bands
+    * re-emits per band — downstream consumers dedup, exactly as the
+    * batch `lshCandidates` does id-distinct). State is bounded two ways:
+    * event-time timeout ages buckets out one horizon after their last
+    * arrival, and a degenerate bucket stops emitting at `maxBucket`
+    * members (the streaming mirror of `Dedup.DefaultMaxBucket`).
+    */
+  def nearDupStream(docs: DataFrame, watermark: String = "1 hour",
+      numHashes: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val nh = numHashes; val rpb = rowsPerBand; val cap = maxBucket
+    val bucketUdf = udf((content: String) => bandKeys(content, nh, rpb))
+    docs
+      .withColumn("bucket", explode(bucketUdf(col("content"))))
+      .withWatermark("ts", watermark)
+      .select(col("bucket"), col("ts"), col("doc_id").cast("long"))
+      .as[(String, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Long)],
+            state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = key.takeWhile(_ != ':').toInt
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var members = state.getOption.getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupCandidate]
+            for ((_, _, id) <- sorted) {
+              if (!members.contains(id) && members.size < cap) {
+                members.foreach(m =>
+                  out += NearDupCandidate(math.min(m, id), math.max(m, id), band))
+                members = members :+ id
+              }
+            }
+            state.update(members)
+            sorted.lastOption.foreach(r =>
+              state.setTimeoutTimestamp(r._2.getTime, watermark))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Keyed sessionization with explicit state: a session closes after
     * `gapSeconds` of silence; each batch emits the updated (or closed)
     * session per user.

@@ -42,4 +42,14 @@ object TextFns {
     */
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** JVM-side [[md5Int]] — the same first-4-bytes-of-md5 value for code
+    * that runs outside Catalyst (streaming state functions, specs).
+    */
+  def md5IntJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 }

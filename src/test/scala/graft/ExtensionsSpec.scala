@@ -271,6 +271,48 @@ class StreamingSpec extends SparkSpec {
     assert(!wins.exists(_.contains("00:00:00")))
   }
 
+  test("streaming near-dup emits candidate pairs for colliding docs only") {
+    val in = java.nio.file.Files.createTempDirectory("stream-nd").toString
+    Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L,
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      (Timestamp.valueOf("2024-01-01 00:01:00"), 2L,
+        "alpha beta gamma delta epsilon zeta eta theta"),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), 3L,
+        "orbital mechanics primer station keeping burns decay altitude"),
+    ).toDF("ts", "doc_id", "content").write.mode("overwrite").parquet(in)
+    val docs = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, content STRING").parquet(in)
+    val q = Streams.nearDupStream(docs)
+      .writeStream.format("memory").queryName("nd")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val pairs = spark.table("nd").select("a", "b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // identical docs collide, disjoint doc never
+    // identical docs collide in EVERY band (4 bands of 4 rows)
+    assert(spark.table("nd").count() == 4)
+  }
+
+  test("streaming band keys agree with the batch lshBands partition function") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val batch = graft.dedup.Dedup.lshBands(
+        graft.dedup.Dedup.minhash(
+          graft.dedup.Dedup.shingleSet(df, "doc_id", "text"), 16), 4)
+      .select("band", "bkey").as[(Int, String)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val streaming = Streams.bandKeys(text, 16, 4)
+    assert(streaming.size == 4)
+    streaming.foreach { k =>
+      val Array(band, key) = k.split(":", 2)
+      // the batch key is md5 of the same pipe-joined signature slice
+      assert(batch(band.toInt) == md5hex(key), s"band $band diverged")
+    }
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
     Seq(
