@@ -60,59 +60,19 @@ object DedupQueries {
     * generation, since keep/drop decisions are per CLUSTER, not per
     * pair (A≈B, B≈C must collapse to one survivor even when A≉C).
     *
-    * Scale shape: min-label propagation restricted to nodes that occur
-    * in a near-dup pair (a sliver of the corpus; singletons rejoin at
-    * the end). The loop runs on RDDs with one fixed HashPartitioner —
-    * the GraphX pattern: edge and label tables are co-partitioned once,
-    * every round's join/reduceByKey is then shuffle-local, and there is
-    * no per-round Catalyst re-planning (measured 10× over the
-    * DataFrame-loop formulation, whose per-round optimize/compile cost
-    * dominates). Each round relaxes labels over edges, then
-    * pointer-doubles (lab := lab(lab), valid because lab(x) ≤ x is
-    * invariant) so rounds = O(log diameter). Labels only decrease, so
-    * the sum-of-labels is a monotone convergence witness costing the
-    * round's single action. The fixpoint (min reachable id) is unique,
-    * so the result is deterministic regardless of partitioning or
-    * iteration order — which is what makes a recursive-CTE oracle
-    * valid.
+    * Scale shape: [[Dedup.connectedComponents]] propagates min labels
+    * only over nodes that occur in a near-dup pair (a sliver of the
+    * corpus) as a co-partitioned RDD loop with pointer doubling —
+    * O(log diameter) rounds, no per-round query planning; singletons
+    * rejoin with their own id at the end. The fixpoint (min reachable
+    * id) is unique, so the result is deterministic regardless of
+    * partitioning or iteration order — which is what makes a
+    * recursive-CTE oracle valid.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val pairs = verifiedNearDupPairs(spark, dir)
-      .select(col("a").cast("long"), col("b").cast("long"))
-      .as[(Long, Long)].rdd
-    val part = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
-    // keyed by peer: (peer, node) — relax pulls the peer's label to node
-    val edges = pairs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.keys.distinct(part.numPartitions)
-      .map(n => (n, n)).partitionBy(part).persist()
-    var prevSum = labels.map(_._2).fold(0L)(_ + _)
-    var converged = labels.isEmpty()
-    var iter = 0
-    while (!converged && iter < 50) {
-      val relaxed = edges.join(labels) // (peer, (node, plab))
-        .map { case (_, (node, plab)) => (node, plab) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        .rightOuterJoin(labels)
-        .mapValues { case (nmin, lab) => math.min(nmin.getOrElse(lab), lab) }
-      // pointer doubling: lab(lab) ≤ lab, so one hop IS the new label
-      val updated = relaxed.map { case (n, lb) => (lb, n) }
-        .join(relaxed)
-        .map { case (_, (n, lb2)) => (n, lb2) }
-        .partitionBy(part)
-        .persist()
-      val s = updated.map(_._2).fold(0L)(_ + _)
-      labels.unpersist(blocking = false)
-      labels = updated
-      converged = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    val labelDf = labels.toDF("doc_id", "lab")
-    edges.unpersist(blocking = false)
+    val labelDf = Dedup
+      .connectedComponents(verifiedNearDupPairs(spark, dir).select(col("a"), col("b")))
+      .toDF("doc_id", "lab")
     val withSingletons = Tables.documents(spark, dir).select(col("doc_id"))
       .join(labelDf, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))

@@ -59,17 +59,28 @@ object Soak {
         spark.sharedState.cacheManager.clearCache()
       }
 
+      var pairs: DataFrame = null
       val tDedup = time {
         val sh = graft.dedup.Dedup.shingleSet(corpus(m), "doc_id", "text").cache()
         sh.count()
         val cands = graft.dedup.Dedup.lshCandidates(
           graft.dedup.Dedup.lshBands(graft.dedup.Dedup.minhash(sh, 16), 4))
-        graft.dedup.Dedup.candidateJaccard(sh, cands)
-          .filter(col("jac") >= 0.7).count()
+        pairs = graft.dedup.Dedup.candidateJaccard(sh, cands)
+          .filter(col("jac") >= 0.7).select(col("a"), col("b")).cache()
+        pairs.count()
         spark.sharedState.cacheManager.clearCache()
       }
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s")
+      // components over the verified pairs alone (pair gen timed above):
+      // the m×-duplicated corpus turns every doc into an m-clique, so
+      // this is the degenerate-cluster stress for the label loop
+      pairs.cache().count()
+      val tCc = time {
+        graft.dedup.Dedup.connectedComponents(pairs).count()
+      }
+      pairs.unpersist()
+
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s")
     }
     spark.stop()
   }
