@@ -21,6 +21,7 @@ object SparkEntry {
     (Events.defs, Events.oracles),
     (TextAnalysis.defs, TextAnalysis.oracles),
     (DedupQueries.defs, DedupQueries.oracles),
+    (Bm25.defs, Bm25.oracles),
     (Rag.defs, Rag.oracles),
     (MultimodalQueries.defs, MultimodalQueries.oracles),
   )

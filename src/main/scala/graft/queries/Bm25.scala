@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFns
+
+/** BM25 ranked retrieval over `documents` — the lexical complement to
+  * the embedding retrieval surface (a reference user running semantic
+  * search almost always runs keyword search beside it). Okapi BM25 with
+  * k1 = 1.2, b = 0.75 over whitespace terms; the query set is the same
+  * synthetic eval set the decontamination screen uses (first 8 tokens
+  * of docs 0-11).
+  *
+  * Scale shape: TF and DF are map-side-combined aggregations on natural
+  * keys; corpus stats are a 1-row broadcast; the query-term table is
+  * tiny and broadcasts into the postings join, so the only exchange
+  * that grows with the corpus is the per-(query, doc) score combine.
+  *
+  * FP discipline: per-term contributions are summed value-sorted
+  * left-to-right (aggregation order is otherwise nondeterministic);
+  * `ln` differs ≤1 ulp between engines, which round(·,4) absorbs (same
+  * contract as tfidf_top / bigram_lm, verified at sf0.01 and sf0.1).
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+  val K = 10
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avg_dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = docs.filter(col("doc_id") < 12)
+      .select(concat(lit("q"), col("doc_id")).as("query_id"),
+        explode(array_distinct(slice(TextFns.tokens(col("text")), 1, 8))).as("term"))
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(dfT, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        col("idf") * (col("tf") * lit(K1 + 1.0)) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avg_dl"))))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
+    * top-10 and the hashing-embedding cosine top-10 for the same query
+    * set — the standard lexical+semantic combination. Ranks are
+    * integers, the fused score is a two-term sum of reciprocals in
+    * pinned order, so the fusion itself is exactly deterministic; the
+    * rank inputs inherit the BM25/embed_hash determinism contracts.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bm = bm25TopK(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
+
+    // hashing-TF embeddings (the embed_hash construction) for docs and
+    // the 8-token query texts; cosine over shared buckets
+    def tfVec(src: DataFrame, idCol: Column, tokens: Column): DataFrame = {
+      val tf = src
+        .select(idCol.as("id"), explode(tokens).as("t"))
+        .select(col("id"), (TextFns.md5Int(col("t")) % 64).as("bucket"))
+        .groupBy(col("id"), col("bucket"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val nrm = tf.groupBy(col("id")).agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+      tf.join(nrm, "id").select(col("id"), col("bucket"), (col("cnt") / col("nrm")).as("w"))
+    }
+    val dvec = tfVec(docs, col("doc_id"), TextFns.tokens(col("text")))
+    val qvec = tfVec(docs.filter(col("doc_id") < 12),
+      concat(lit("q"), col("doc_id")), slice(TextFns.tokens(col("text")), 1, 8))
+    val cos = dvec.withColumnRenamed("id", "doc_id").withColumnRenamed("w", "dw")
+      .join(broadcast(qvec.select(col("id").as("query_id"), col("bucket"), col("w").as("qw"))),
+        "bucket")
+      .withColumn("p", col("dw") * col("qw"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(expr("aggregate(array_sort(collect_list(p)), 0D, (a, x) -> a + x)").as("cos"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id").asc)
+    val cosTop = cos.withColumn("r_cos", row_number().over(wCos))
+      .filter(col("r_cos") <= K)
+      .select(col("query_id"), col("doc_id"), col("r_cos"))
+
+    val fused = bm.join(cosTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // BM25 CTE chain ending in ranked(query_id, doc_id, score, rank) —
+  // shared by the bm25_topk and hybrid_rrf oracles.
+  private val duckBm25Ranked =
+    s"""toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl
+       |  FROM dl),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qterms AS (
+       |  SELECT DISTINCT 'q' || CAST(doc_id AS VARCHAR) AS query_id, unnest(qt) AS term
+       |  FROM (SELECT doc_id, list_slice($duckToks, 1, 8) AS qt
+       |        FROM documents WHERE doc_id < 12)),
+       |contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (tf.tf * (${K1} + 1.0))
+       |      / (tf.tf + ${K1} * (1.0 - ${B} + ${B} * dl.dl / s.avg_dl)) AS c
+       |  FROM tf
+       |  JOIN qterms q USING (term)
+       |  JOIN dft d USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats s),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    list_aggregate(list_sort(list(c)), 'sum') AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM scored)""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25TopK _),
+    "hybrid_rrf" -> (hybridRrf _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH $duckBm25Ranked
+         |SELECT query_id, rank, doc_id, round(score, 4) AS score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "hybrid_rrf" ->
+      s"""WITH $duckBm25Ranked,
+         |dtf AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |         CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM toks GROUP BY 1, 2),
+         |dnrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM dtf GROUP BY 1),
+         |qtf AS (
+         |  SELECT query_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+         |         CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM (SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+         |          unnest(list_slice($duckToks, 1, 8)) AS t
+         |        FROM documents WHERE doc_id < 12)
+         |  GROUP BY 1, 2),
+         |qnrm AS (SELECT query_id, sqrt(sum(cnt * cnt)) AS nrm FROM qtf GROUP BY 1),
+         |cosv AS (
+         |  SELECT q.query_id, d.doc_id,
+         |    list_aggregate(list_sort(list((d.cnt / dn.nrm) * (q.cnt / qn.nrm))), 'sum')
+         |      AS cos
+         |  FROM dtf d
+         |  JOIN qtf q USING (bucket)
+         |  JOIN dnrm dn ON d.doc_id = dn.doc_id
+         |  JOIN qnrm qn ON q.query_id = qn.query_id
+         |  GROUP BY 1, 2),
+         |cranked AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS r_cos
+         |  FROM cosv),
+         |fused AS (
+         |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+         |         coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |         coalesce(1.0 / (60 + b.rank), 0) + coalesce(1.0 / (60 + c.r_cos), 0)
+         |           AS rrf
+         |  FROM (SELECT * FROM ranked WHERE rank <= $K) b
+         |  FULL OUTER JOIN (SELECT * FROM cranked WHERE r_cos <= $K) c
+         |    ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+         |rranked AS (
+         |  SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf
+         |FROM rranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+  )
+}
