@@ -39,7 +39,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType, nullable = false))
-    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(withId, schema)

@@ -24,7 +24,7 @@ object Sinks {
     */
   def writeJsonReport(ranked: DataFrame, path: String): Unit = {
     val configs = ranked.agg(
-      collect_list(struct(ranked.columns.map(col): _*)).as("configurations"))
+      collect_list(struct(ranked.columns.toIndexedSeq.map(col): _*)).as("configurations"))
     val summary = Metrics.summaryStats(ranked)
       .select(struct(col("*")).as("summary_stats"))
     configs.crossJoin(summary)
