@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,9 +29,24 @@ object Bm25 {
   val B = 0.75
   val K = 10
 
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+  /** The exploded (doc_id, term) table feeds TF, document length AND
+    * (in [[hybridRrf]]) the embedding buckets — cache it so the corpus
+    * is tokenized once per query run.
+    */
+  private def toksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term")).cache()
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Ranked(Tables.documents(spark, dir), toksOf(Tables.documents(spark, dir)))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
+
+  /** BM25 scores+ranks for every (query, matched doc): the CTE chain the
+    * two public queries share.
+    */
+  private def bm25Ranked(docs: DataFrame, toks: DataFrame): DataFrame = {
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -54,12 +69,7 @@ object Bm25 {
       .agg(expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"))
-      .orderBy("query_id", "rank")
+    scored.withColumn("rank", row_number().over(w))
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the BM25
@@ -71,23 +81,25 @@ object Bm25 {
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bm = bm25TopK(spark, dir)
+    val toks = toksOf(docs) // one tokenize pass feeds BM25 AND the doc vectors
+    val bm = bm25Ranked(docs, toks)
+      .filter(col("rank") <= K)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
 
     // hashing-TF embeddings (the embed_hash construction) for docs and
     // the 8-token query texts; cosine over shared buckets
-    def tfVec(src: DataFrame, idCol: Column, tokens: Column): DataFrame = {
-      val tf = src
-        .select(idCol.as("id"), explode(tokens).as("t"))
+    def tfVec(terms: DataFrame): DataFrame = {
+      val tf = terms
         .select(col("id"), (TextFns.md5Int(col("t")) % 64).as("bucket"))
         .groupBy(col("id"), col("bucket"))
         .agg(count(lit(1)).cast("double").as("cnt"))
       val nrm = tf.groupBy(col("id")).agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
       tf.join(nrm, "id").select(col("id"), col("bucket"), (col("cnt") / col("nrm")).as("w"))
     }
-    val dvec = tfVec(docs, col("doc_id"), TextFns.tokens(col("text")))
-    val qvec = tfVec(docs.filter(col("doc_id") < 12),
-      concat(lit("q"), col("doc_id")), slice(TextFns.tokens(col("text")), 1, 8))
+    val dvec = tfVec(toks.select(col("doc_id").as("id"), col("term").as("t")))
+    val qvec = tfVec(docs.filter(col("doc_id") < 12)
+      .select(concat(lit("q"), col("doc_id")).as("id"),
+        explode(slice(TextFns.tokens(col("text")), 1, 8)).as("t")))
     val cos = dvec.withColumnRenamed("id", "doc_id").withColumnRenamed("w", "dw")
       .join(broadcast(qvec.select(col("id").as("query_id"), col("bucket"), col("w").as("qw"))),
         "bucket")
