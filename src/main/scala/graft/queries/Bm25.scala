@@ -29,36 +29,62 @@ object Bm25 {
   val B = 0.75
   val K = 10
 
-  /** The exploded (doc_id, term) table feeds TF, document length AND
-    * (in [[hybridRrf]]) the embedding buckets — cache it so the corpus
-    * is tokenized once per query run.
+  /** The exploded (doc_id, term) table: feeds the query-term postings
+    * and (in [[hybridRrf]]) the embedding buckets. Deliberately NOT
+    * cached — each consumer is a single codegen'd scan+explode pass over
+    * the (cached, spread) documents table, cheaper than materializing
+    * ~|corpus tokens| rows to memory.
     */
   private def toksOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term")).cache()
+    docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("dl"),
+      explode(TextFns.tokens(col("text"))).as("term"))
 
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25Ranked(Tables.documents(spark, dir), toksOf(Tables.documents(spark, dir)))
+  /** The fixture parquet is one unsplittable row group, and this query
+    * tree re-reads `documents` from half a dozen branches — cache the
+    * few-MB spread table once so each branch starts from 32 in-memory
+    * partitions instead of a serial scan (Bench/Verify clear caches
+    * between queries).
+    */
+  private def docsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).cache()
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsOf(spark, dir)
+    bm25Ranked(docs, toksOf(docs))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("score"))
       .orderBy("query_id", "rank")
+  }
 
   /** BM25 scores+ranks for every (query, matched doc): the CTE chain the
     * two public queries share.
     */
   private def bm25Ranked(docs: DataFrame, toks: DataFrame): DataFrame = {
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avg_dl"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Corpus stats in ONE narrow agg over docs: document length is
+    // size(tokens) — no explode, no shuffle (the oracle uses the
+    // identical len() formulation; the sum is over exact longs).
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(TextFns.tokens(col("text"))).cast("long")).cast("double")
+        / count(lit(1))).as("avg_dl"))
     val qterms = docs.filter(col("doc_id") < 12)
       .select(concat(lit("q"), col("doc_id")).as("query_id"),
         explode(array_distinct(slice(TextFns.tokens(col("text")), 1, 8))).as("term"))
+    // Restrict postings to query terms BEFORE any per-term aggregation:
+    // tf/df rows for non-query terms would be dropped by the qterms join
+    // anyway, and df(term) is unaffected by other terms' rows — so tf
+    // and df aggregate ~|matching tokens| rows, not the corpus. dl rides
+    // along from the tokenize select (functionally dependent on doc_id),
+    // and df is a window count over the postings already in flight —
+    // no length join, no df aggregate+join round trip.
+    val qtoks = toks.join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val tf = qtoks.groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
     val contrib = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
       .join(broadcast(qterms), "term")
-      .join(dfT, "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
@@ -80,21 +106,25 @@ object Bm25 {
     * rank inputs inherit the BM25/embed_hash determinism contracts.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val toks = toksOf(docs) // one tokenize pass feeds BM25 AND the doc vectors
+    val docs = docsOf(spark, dir)
+    val toks = toksOf(docs) // tokenize runs off the cached docs partitions
     val bm = bm25Ranked(docs, toks)
       .filter(col("rank") <= K)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
 
     // hashing-TF embeddings (the embed_hash construction) for docs and
     // the 8-token query texts; cosine over shared buckets
+    // The L2 norm is a window sum over the per-id bucket counts already
+    // grouped in flight — no aggregate+join round trip. cnt² values are
+    // integer-valued doubles, so the window sum is order-independent.
     def tfVec(terms: DataFrame): DataFrame = {
       val tf = terms
         .select(col("id"), (TextFns.md5Int(col("t")) % 64).as("bucket"))
         .groupBy(col("id"), col("bucket"))
         .agg(count(lit(1)).cast("double").as("cnt"))
-      val nrm = tf.groupBy(col("id")).agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
-      tf.join(nrm, "id").select(col("id"), col("bucket"), (col("cnt") / col("nrm")).as("w"))
+      tf.withColumn("nrm", sqrt(sum(col("cnt") * col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id")))))
+        .select(col("id"), col("bucket"), (col("cnt") / col("nrm")).as("w"))
     }
     val dvec = tfVec(toks.select(col("doc_id").as("id"), col("term").as("t")))
     val qvec = tfVec(docs.filter(col("doc_id") < 12)
@@ -132,7 +162,7 @@ object Bm25 {
   private val duckBm25Ranked =
     s"""toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       |dl AS (SELECT doc_id, len($duckToks) AS dl FROM documents),
        |stats AS (
        |  SELECT count(*) AS n_docs,
        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avg_dl
