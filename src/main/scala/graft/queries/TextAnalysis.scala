@@ -322,6 +322,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing ([[graft.text.Redact]]): redact emails, IPv4s and
+    * phone-like digit runs, count each category. Counts are taken
+    * stepwise on the progressively redacted text so they agree with the
+    * masking order when categories overlap. The fixture corpus contains
+    * no PII (all counts 0, md5 = md5(text)) — the behavior on text that
+    * DOES contain PII is pinned by RedactSpec; this query pins the
+    * operator's plan + oracle contract. Narrow per-row map, no shuffle.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Redact
+    val t1 = regexp_replace(col("text"), Redact.EmailRe, "<email>")
+    val t2 = regexp_replace(t1, Redact.Ipv4Re, "<ip>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Redact.nEmails(col("text")).as("n_email"),
+        Redact.nIpv4(t1).as("n_ip"),
+        Redact.nPhones(t2).as("n_phone"),
+        md5(Redact.redact(col("text"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document boilerplate: the fraction of a document's DISTINCT
+    * 3-token shingles that also occur in at least one other document —
+    * the corpus-level repetition signal (C4/RefinedWeb line-dedup
+    * analog at shingle granularity; [[textRepetition]] is the
+    * within-document counterpart). Shingles travel as 8-byte md5Int
+    * keys; the df table and the join both shuffle on that key with
+    * map-side combines, so nothing is broadcast or quadratic at scale.
+    * Documents with fewer than 3 tokens have no shingles and are absent
+    * (same on both engines by construction).
+    */
+  def boilerplateFrac(spark: SparkSession, dir: String): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shingles3(TextFns.tokens(col("text"))))).as("s"))
+      .select(col("doc_id"), TextFns.md5Int(col("s")).as("h"))
+    // sh is distinct per (doc, shingle), so count(*) per h = #docs containing it
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        r4(col("n_shared").cast("double") / col("n_shingles")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -367,6 +415,8 @@ object TextAnalysis {
     "pack_sequences" -> (packSequences _),
     "text_repetition" -> (textRepetition _),
     "sample_mixture" -> (sampleMixture _),
+    "pii_redact" -> (piiRedact _),
+    "boilerplate_frac" -> (boilerplateFrac _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -498,6 +548,36 @@ object TextAnalysis {
         |    regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
         |    '\s+', ' ', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pii_redact" -> {
+      import graft.text.Redact
+      s"""WITH r1 AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${Redact.EmailRe}', '<email>', 'g') AS t1
+         |  FROM documents),
+         |r2 AS (
+         |  SELECT doc_id, text, t1,
+         |    regexp_replace(t1, '${Redact.Ipv4Re}', '<ip>', 'g') AS t2
+         |  FROM r1)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${Redact.EmailRe}')) AS n_email,
+         |  len(regexp_extract_all(t1, '${Redact.Ipv4Re}')) AS n_ip,
+         |  len(regexp_extract_all(t2, '${Redact.PhoneRe}')) AS n_phone,
+         |  md5(regexp_replace(t2, '${Redact.PhoneRe}', '<phone>', 'g')) AS redacted_md5
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    },
+    "boilerplate_frac" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct($duckShingles)) AS s
+         |        FROM documents)),
+         |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT sh.doc_id AS doc_id,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  floor((CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*)) * 10000 + 0.5) / 10000 AS shared_frac
+         |FROM sh JOIN df USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))
