@@ -80,8 +80,11 @@ object Dedup {
   def pairJaccard(sh: DataFrame, maxDf: Int = DefaultMaxDf): DataFrame = {
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
+    // kept feeds three consumers (sizes + both sides of the self-join);
+    // cache it so the shingle build + anti-join run once, not per branch
+    // (partition-level cache locking makes an eager barrier unnecessary).
     val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
-      .select(col("id"), col("s"))
+      .select(col("id"), col("s")).cache()
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val shared = kept.as("x").join(kept.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.id") < col("y.id"))

@@ -22,9 +22,12 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** n-gram Jaccard near-dup pairs (threshold 0.8). */
+  /** n-gram Jaccard near-dup pairs (threshold 0.8). The shingle set
+    * feeds the hot-shingle count AND the capped pair join — cache it,
+    * as the minhash path does.
+    */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
     Dedup.pairJaccard(sh)
       .filter(col("jac") >= 0.8)
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
