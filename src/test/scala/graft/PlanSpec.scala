@@ -110,6 +110,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bm25 postings only ever broadcast-join — no sort-merge anywhere") {
+    val df = graft.queries.Bm25.bm25TopK(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // query terms, df and corpus stats all reach the postings via
+    // broadcast; a SortMergeJoin would mean the corpus-scale token
+    // table got shuffled for a join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pii_redact is a narrow per-row map — no hash exchange at all") {
+    val df = graft.queries.TextAnalysis.piiRedact(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.toLowerCase.contains("hashpartitioning"), plan)
+  }
+
+  test("boilerplate_frac joins on the hashed shingle key, never cartesian") {
+    val df = graft.queries.TextAnalysis.boilerplateFrac(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
