@@ -359,9 +359,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shingles3(TextFns.tokens(col("text"))))).as("s"))
       .select(col("doc_id"), TextFns.md5Int(col("s")).as("h"))
-    // sh is distinct per (doc, shingle), so count(*) per h = #docs containing it
-    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh.join(df, "h")
+    // sh is distinct per (doc, shingle), so a window count per h =
+    // #docs containing the shingle — one exchange on the hash key, no
+    // second shingle build and no join back
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
