@@ -49,14 +49,18 @@ object Bm25 {
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).cache()
 
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsOf(spark, dir)
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(docsOf(spark, dir))
+
+  /** BM25 top-k over any documents table (doc_id, text) — the operator
+    * behind [[bm25TopK]]; also driven by the Soak scaling harness.
+    */
+  def bm25TopKOf(docs: DataFrame): DataFrame =
     bm25Ranked(docs, toksOf(docs))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("doc_id"),
         round(col("score"), 4).as("score"))
       .orderBy("query_id", "rank")
-  }
 
   /** BM25 scores+ranks for every (query, matched doc): the CTE chain the
     * two public queries share.

@@ -353,9 +353,15 @@ object TextAnalysis {
     * Documents with fewer than 3 tokens have no shingles and are absent
     * (same on both engines by construction).
     */
-  def boilerplateFrac(spark: SparkSession, dir: String): DataFrame = {
+  def boilerplateFrac(spark: SparkSession, dir: String): DataFrame =
+    boilerplateFracOf(Tables.documents(spark, dir))
+
+  /** [[boilerplateFrac]] over any documents table (doc_id, text) — also
+    * driven by the Soak scaling harness.
+    */
+  def boilerplateFracOf(docs: DataFrame): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
-    val sh = Tables.documents(spark, dir)
+    val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shingles3(TextFns.tokens(col("text"))))).as("s"))
       .select(col("doc_id"), TextFns.md5Int(col("s")).as("h"))

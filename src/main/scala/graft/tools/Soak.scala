@@ -80,7 +80,18 @@ object Soak {
       }
       pairs.unpersist()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s")
+      // BM25: the postings filter means only the matched-token combine
+      // grows; boilerplate_frac: the duplicated corpus makes EVERY
+      // shingle shared (df = m × base), stressing the window count
+      val tBm25 = time {
+        graft.queries.Bm25.bm25TopKOf(corpus(m).cache()).count()
+        spark.sharedState.cacheManager.clearCache()
+      }
+      val tBoiler = time {
+        graft.queries.TextAnalysis.boilerplateFracOf(corpus(m)).count()
+      }
+
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s")
     }
     spark.stop()
   }
