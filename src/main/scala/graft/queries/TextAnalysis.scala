@@ -378,6 +378,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Char-level substring duplication (the Lee-et-al "Deduplicating
+    * Training Data" signal): the fraction of a document's sampled
+    * 16-char grams that occur in at least one other document. Where
+    * [[boilerplateFrac]] works on token shingles (set overlap),
+    * char-grams catch PARTIAL span duplication — licence blurbs,
+    * templated headers — that tokenized Jaccard dilutes. Full suffix
+    * arrays don't distribute; the standard scalable stand-in is
+    * position sampling: keep a gram iff md5Int(gram) % 8 == 0 (a
+    * deterministic ~1/8 sample — any duplicated span ≥ ~2·8+16 chars is
+    * expected to contribute a sampled gram on both sides). One narrow
+    * explode+hash pass, a distinct and a window count on the 8-byte
+    * key: scales with input chars, never pairs. Documents shorter than
+    * 16 chars (or with no sampled gram) are absent on both engines.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables.documents(spark, dir))
+
+  def substringDedupOf(docs: DataFrame): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val k = 16
+    val grams = docs
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN length(text) >= $k
+           |  THEN transform(sequence(1, length(text) - ${k - 1}),
+           |         i -> substring(text, i, $k))
+           |  ELSE array() END""".stripMargin)).as("g"))
+      .select(col("doc_id"), TextFns.md5Int(col("g")).as("h"))
+      .filter(col("h") % 8 === 0)
+      .distinct()
+    grams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        r4(col("n_shared").cast("double") / col("n_grams")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -425,6 +465,7 @@ object TextAnalysis {
     "sample_mixture" -> (sampleMixture _),
     "pii_redact" -> (piiRedact _),
     "boilerplate_frac" -> (boilerplateFrac _),
+    "substring_dedup" -> (substringDedup _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -573,6 +614,19 @@ object TextAnalysis {
          |  md5(regexp_replace(t2, '${Redact.PhoneRe}', '<phone>', 'g')) AS redacted_md5
          |FROM r2 ORDER BY doc_id""".stripMargin
     },
+    "substring_dedup" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id,
+        |      CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 8)) AS BIGINT) AS h
+        |    FROM documents, unnest(range(1, len(text) - 14)) u(i))
+        |  WHERE h % 8 = 0),
+        |d AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  floor((CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*)) * 10000 + 0.5) / 10000 AS shared_frac
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "boilerplate_frac" ->
       s"""WITH sh AS (
          |  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h

@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
   }
 
+  test("substring_dedup samples grams before the distinct — no pair join") {
+    val df = graft.queries.TextAnalysis.substringDedup(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the mod-8 sample must run in the same narrow stage as the explode,
+    // before any exchange (partial agg of the distinct sees sampled rows)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
