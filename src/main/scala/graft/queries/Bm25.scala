@@ -49,6 +49,16 @@ object Bm25 {
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).cache()
 
+  /** Keyed repartition to the session's configured shuffle parallelism.
+    * Passing the count explicitly matters: AQE never coalesces a
+    * user-specified partition count, so CPU-heavy-but-byte-light
+    * aggregations downstream keep full parallelism instead of being
+    * funneled into one task by byte-based coalescing.
+    */
+  private def pinned(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      cols: _*)
+
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     bm25TopKOf(docsOf(spark, dir))
 
@@ -95,7 +105,12 @@ object Bm25 {
       .withColumn("c",
         col("idf") * (col("tf") * lit(K1 + 1.0)) /
           (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avg_dl"))))
-    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+    // The collect_list+sort combine is CPU-heavy per row but tiny in
+    // bytes, so AQE's byte-based coalescing would funnel it into one
+    // task; an explicit keyed repartition pins full parallelism (AQE
+    // never coalesces a user-specified partition count).
+    val scored = pinned(contrib, col("query_id"), col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(expr("aggregate(array_sort(collect_list(c)), 0D, (a, x) -> a + x)").as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
@@ -134,10 +149,11 @@ object Bm25 {
     val qvec = tfVec(docs.filter(col("doc_id") < 12)
       .select(concat(lit("q"), col("doc_id")).as("id"),
         explode(slice(TextFns.tokens(col("text")), 1, 8)).as("t")))
-    val cos = dvec.withColumnRenamed("id", "doc_id").withColumnRenamed("w", "dw")
+    val prod = dvec.withColumnRenamed("id", "doc_id").withColumnRenamed("w", "dw")
       .join(broadcast(qvec.select(col("id").as("query_id"), col("bucket"), col("w").as("qw"))),
         "bucket")
       .withColumn("p", col("dw") * col("qw"))
+    val cos = pinned(prod, col("query_id"), col("doc_id")) // see bm25Ranked note
       .groupBy(col("query_id"), col("doc_id"))
       .agg(expr("aggregate(array_sort(collect_list(p)), 0D, (a, x) -> a + x)").as("cos"))
     val wCos = org.apache.spark.sql.expressions.Window
