@@ -242,13 +242,17 @@ object TextAnalysis {
         "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // c1 = Σ_w2 c12 as a window sum over the bigram-count table already
+    // in flight (exact long arithmetic): one broadcast join carries both
+    // counts, instead of a second aggregate + join that would rebuild
+    // the bigram explode chain per consumer
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      .withColumn("c1", sum(col("c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
     val v = docs
       .select(explode(TextFns.tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     bi.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
