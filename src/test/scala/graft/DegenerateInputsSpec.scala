@@ -57,6 +57,25 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(graft.search.Ann.ivfTopK(emb, noQ, cent, 5, 1).count() == 0)
   }
 
+  test("dup-span queries skip sub-window docs; BM25 survives an empty corpus") {
+    val docs = Seq(
+      (0L, "shared words here and more shared words here"),
+      (1L, "shared words here and more shared words here"),
+      (2L, "ab"), // below both the 3-token shingle and 16-char gram windows
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    val boiler = graft.queries.TextAnalysis.boilerplateFracOf(docs)
+      .orderBy("doc_id").collect()
+    assert(boiler.map(_.getLong(0)).toSeq == Seq(0L, 1L), "docs 2,3 have no shingles")
+    assert(boiler.forall(_.getDouble(3) == 1.0), "identical docs share every shingle")
+    val sub = graft.queries.TextAnalysis.substringDedupOf(docs)
+    assert(sub.filter(col("doc_id") >= 2).count() == 0)
+    assert(sub.filter(col("shared_frac") =!= 1.0).count() == 0)
+
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.queries.Bm25.bm25TopKOf(noDocs).count() == 0)
+  }
+
   test("corpus_filter pins empty-text flags: no NULL leaks into int columns") {
     // an empty document divides 0/0 in the stopword and digit ratios —
     // semantics are pinned (stop_ok 0, digit_ok 1), never engine-NULL/NaN
