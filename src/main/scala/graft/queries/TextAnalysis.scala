@@ -26,13 +26,30 @@ object TextAnalysis {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, w => w.isin(words: _*)))
 
-  /** Reference token-count heuristic per document (utils.py:30-35). */
+  /** GPT-2-style pre-tokenizer pattern, restricted to the RE2-safe
+    * subset (no lookahead — the only divergence from the original is
+    * trailing-whitespace splitting, irrelevant for counting): English
+    * contraction suffixes, letter runs, digit runs, punctuation runs
+    * (each with an optional leading space), then whitespace runs.
+    * Identical semantics in Java regex and DuckDB RE2, so the count is
+    * oracle-checkable.
+    */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Reference token-count heuristic per document (utils.py:30-35),
+    * plus the BPE-ish regex pre-token count a real pipeline budgets
+    * with (whitespace words alone undercount code/punctuation-heavy
+    * text). Narrow per-row map.
+    */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tokens"),
         size(TextFns.tokens(col("text"))).as("n_words"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
+          .as("n_bpe_pretokens"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
 
@@ -512,6 +529,8 @@ object TextAnalysis {
          |  CASE WHEN length(trim(text)) = 0 THEN 0
          |       ELSE len($duckToks) + CAST(length(text) // 4 AS INTEGER) END AS n_tokens,
          |  len($duckToks) AS n_words,
+         |  len(regexp_extract_all(text,
+         |    '${BpeTokenRe.replace("'", "''")}')) AS n_bpe_pretokens,
          |  length(text) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->

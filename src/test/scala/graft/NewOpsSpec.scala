@@ -45,6 +45,17 @@ class NewOpsSpec extends SparkSpec {
     assert(banded == naive)
   }
 
+  test("BPE-ish pre-tokenizer counts contractions and punctuation runs") {
+    // "I'll go, won't you? x2" →
+    //   [I]['ll][ go][,][ won]['t][ you][?][ x][2] = 10 pre-tokens
+    // (the word-salad fixture never exercises these branches)
+    val n = Seq("I'll go, won't you? x2").toDF("text")
+      .select(size(regexp_extract_all(col("text"),
+        lit(TextAnalysis.BpeTokenRe), lit(0))).as("n"))
+      .head().getInt(0)
+    assert(n == 10)
+  }
+
   test("int8 quantization clamps and rounds half-up") {
     val in = Seq((1L, Array(1.0f, -1.0f, 0.0f, 0.004f, -0.004f, 0.5f, 2.0f, -2.0f)))
     val out = in.toDF("vec_id", "v")
