@@ -114,6 +114,45 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(25)
 
+  /** Count-min sketch over corpus term frequencies — the fixed-memory
+    * frequency structure for a corpus too large to hold exact counts
+    * (d=4 hash rows × w=1024 counters ≈ 32 KB regardless of corpus
+    * size). Unlike order-dependent sketches (Misra-Gries), CMS is a pure
+    * sum per (row, bucket) — commutative, so the distributed aggregate
+    * is deterministic and oracle-checkable. The query reports the exact
+    * top-25 terms beside their CMS estimate (estimate ≥ truth always;
+    * overestimate = hash-collision mass, bounded by 2N/w per row w.h.p.).
+    *
+    * Scale: the counter build is one map-side-combined aggregate whose
+    * output is ≤ d·w rows no matter the corpus; the estimate join
+    * broadcasts the 25 probe terms. The exact side exists only to
+    * verify the sketch on the fixture — at 100 TB you'd keep the
+    * sketch and drop the exact pass.
+    */
+  def cmsTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 1024
+    val toks = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("term"))
+    def bucket(row: Int, term: Column): Column =
+      TextFns.md5Int(concat(lit(s"cms$row|"), term)) % w
+    val counters = toks
+      .select(explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("term")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("term").asc).limit(25)
+    val probes = top.select(col("term"), col("n_exact"),
+      explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("term")).as("b"))): _*)).as("rb"))
+      .select(col("term"), col("n_exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+    counters.join(broadcast(probes), Seq("r", "b"))
+      .groupBy(col("term"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("term").asc)
+  }
+
   /** Hashing-TF embedder output (reference E1 restated as a deterministic
     * seeded hashing embedder — SURVEY §2.3): token → md5 bucket (mod 64),
     * per-doc L2-normalized weights. Emitted as (doc_id, bucket, w) rows
@@ -487,6 +526,7 @@ object TextAnalysis {
     "pii_redact" -> (piiRedact _),
     "boilerplate_frac" -> (boilerplateFrac _),
     "substring_dedup" -> (substringDedup _),
+    "cms_top_terms" -> (cmsTopTerms _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -637,6 +677,27 @@ object TextAnalysis {
          |  md5(regexp_replace(t2, '${Redact.PhoneRe}', '<phone>', 'g')) AS redacted_md5
          |FROM r2 ORDER BY doc_id""".stripMargin
     },
+    "cms_top_terms" ->
+      s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents),
+         |counters AS (
+         |  SELECT r,
+         |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || term), 1, 8))
+         |      AS BIGINT) % 1024 AS b,
+         |    count(*) AS c
+         |  FROM toks, unnest([0, 1, 2, 3]) u(r)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT term, count(*) AS n_exact FROM toks
+         |  GROUP BY 1 ORDER BY n_exact DESC, term ASC LIMIT 25),
+         |probes AS (
+         |  SELECT term, n_exact, r,
+         |    CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || term), 1, 8))
+         |      AS BIGINT) % 1024 AS b
+         |  FROM top, unnest([0, 1, 2, 3]) u(r))
+         |SELECT p.term, p.n_exact, CAST(min(c.c) AS BIGINT) AS n_cms
+         |FROM probes p JOIN counters c ON p.r = c.r AND p.b = c.b
+         |GROUP BY 1, 2
+         |ORDER BY n_exact DESC, term ASC""".stripMargin,
     "substring_dedup" ->
       """WITH g AS (
         |  SELECT DISTINCT doc_id, h FROM (

@@ -56,6 +56,17 @@ class NewOpsSpec extends SparkSpec {
     assert(n == 10)
   }
 
+  test("count-min estimates never undercount and match exact sans collisions") {
+    val rows = TextAnalysis.cmsTopTerms(spark, dir)
+      .select("term", "n_exact", "n_cms").as[(String, Long, Long)].collect()
+    assert(rows.length == 25)
+    assert(rows.forall { case (_, exact, cms) => cms >= exact },
+      "CMS must never underestimate")
+    // the fixture vocabulary (~30 terms) cannot collide in 1024 buckets
+    // across all 4 rows, so the min-of-rows estimate is exact here
+    assert(rows.forall { case (_, exact, cms) => cms == exact })
+  }
+
   test("int8 quantization clamps and rounds half-up") {
     val in = Seq((1L, Array(1.0f, -1.0f, 0.0f, 0.004f, -0.004f, 0.5f, 2.0f, -2.0f)))
     val out = in.toDF("vec_id", "v")
