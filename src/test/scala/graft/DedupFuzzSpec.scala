@@ -42,6 +42,20 @@ class DedupFuzzSpec extends SparkSpec {
     }.toMap
   }
 
+  test("dup-span fractions are partitioning-invariant (the 100 TB property)") {
+    // the same corpus under 1-partition and 13-partition layouts must
+    // produce byte-identical results — no operator may depend on row
+    // order or partition boundaries
+    def run(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      (graft.queries.TextAnalysis.boilerplateFracOf(df).collect().toSeq,
+        graft.queries.TextAnalysis.substringDedupOf(df).collect().toSeq) match {
+        case (b, s) => b ++ s
+      }
+    }
+    assert(run(1) == run(13))
+  }
+
   test("pairJaccard matches brute-force Jaccard on every co-shingled pair") {
     val df = docs.toDF("doc_id", "text")
     val got = Dedup.pairJaccard(Dedup.shingleSet(df, "doc_id", "text"))
