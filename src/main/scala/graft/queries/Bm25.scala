@@ -13,10 +13,12 @@ import graft.text.TextFns
   * synthetic eval set the decontamination screen uses (first 8 tokens
   * of docs 0-11).
   *
-  * Scale shape: TF and DF are map-side-combined aggregations on natural
-  * keys; corpus stats are a 1-row broadcast; the query-term table is
-  * tiny and broadcasts into the postings join, so the only exchange
-  * that grows with the corpus is the per-(query, doc) score combine.
+  * Scale shape: the token table is filtered to broadcast query terms
+  * BEFORE any per-term aggregation, so TF aggregates matched postings
+  * only; DF is a window count over that table and document length rides
+  * the tokenize select (no side-aggregate joins); corpus stats are a
+  * 1-row broadcast. The only corpus-scale exchange is the matched-
+  * postings combine.
   *
   * FP discipline: per-term contributions are summed value-sorted
   * left-to-right (aggregation order is otherwise nondeterministic);
