@@ -317,6 +317,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Quality-gated sampling (the CCNet pattern): documents are bucketed
+    * by their bigram-LM score against the corpus mean and sampled at
+    * per-bucket rates (head = above-mean quality kept at 100%, tail at
+    * 25%) through the same deterministic md5-bucket gate the other
+    * samplers use. Determinism: the rounded LM scores are bit-identical
+    * cross-engine (bigram_lm's contract), scaling by 10⁴ via
+    * floor(x+0.5) makes them exact longs, and the mean is an exact
+    * integer sum over n — so the bucket comparison is integer-vs-one-
+    * division, never an ulp race. Scale: one 1-row broadcast; no global
+    * sort (rank-based terciles would need one — mean-threshold
+    * bucketing is the scale-safe CCNet variant).
+    */
+  def sampleQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scaled = bigramLm(spark, dir)
+      .select(col("doc_id"),
+        floor(col("avg_logp") * 10000 + 0.5).cast("long").as("s"))
+    val m = scaled.agg((sum(col("s")).cast("double") / count(lit(1))).as("mean_s"))
+    scaled.crossJoin(broadcast(m))
+      .withColumn("bucket",
+        when(col("s") > col("mean_s"), lit("head")).otherwise(lit("tail")))
+      .filter(TextFns.md5Int(concat(lit("ql|"), col("doc_id"))) % 100 <
+        when(col("bucket") === "head", lit(100L)).otherwise(lit(25L)))
+      .select(col("doc_id"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse
     * whitespace, mask digit runs as `<num>`. Patterns stay in the
     * ASCII-safe regex subset where Java regex and RE2 agree exactly.
@@ -527,6 +553,7 @@ object TextAnalysis {
     "boilerplate_frac" -> (boilerplateFrac _),
     "substring_dedup" -> (substringDedup _),
     "cms_top_terms" -> (cmsTopTerms _),
+    "sample_quality" -> (sampleQuality _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -535,6 +562,28 @@ object TextAnalysis {
 
   private def duckCountIn(words: Seq[String]): String =
     s"len(list_filter($duckToks, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  // bigram-LM CTE chain ending in lmscore(doc_id, n_bigrams, avg_logp) —
+  // shared by the bigram_lm and sample_quality oracles
+  private lazy val duckLmScore =
+    s"""bi AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, $duckToks AS t FROM documents),
+       |       unnest(range(1, len(t))) u(i)),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |v AS (
+       |  SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest($duckToks) AS tok FROM documents)),
+       |lmscore AS (
+       |  SELECT b.doc_id,
+       |    count(*) AS n_bigrams,
+       |    round(avg(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))), 4) AS avg_logp
+       |  FROM bi b
+       |  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+       |  JOIN c1 ON b.w1 = c1.w1
+       |  CROSS JOIN v
+       |  GROUP BY b.doc_id)""".stripMargin
 
   private val duckShingles =
     s"""CASE WHEN len($duckToks) >= 3
@@ -733,23 +782,24 @@ object TextAnalysis {
         |       AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
     "bigram_lm" ->
-      s"""WITH bi AS (
-         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-         |  FROM (SELECT doc_id, $duckToks AS t FROM documents),
-         |       unnest(range(1, len(t))) u(i)),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
-         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-         |v AS (
-         |  SELECT count(DISTINCT tok) AS v
-         |  FROM (SELECT unnest($duckToks) AS tok FROM documents))
-         |SELECT b.doc_id,
-         |  count(*) AS n_bigrams,
-         |  round(avg(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))), 4) AS avg_logp
-         |FROM bi b
-         |JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-         |JOIN c1 ON b.w1 = c1.w1
-         |CROSS JOIN v
-         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+      s"""WITH $duckLmScore
+         |SELECT doc_id, n_bigrams, avg_logp
+         |FROM lmscore ORDER BY doc_id""".stripMargin,
+    "sample_quality" ->
+      s"""WITH $duckLmScore,
+         |scaled AS (
+         |  SELECT doc_id,
+         |    CAST(floor(avg_logp * 10000 + 0.5) AS BIGINT) AS s
+         |  FROM lmscore),
+         |m AS (
+         |  SELECT CAST(sum(s) AS DOUBLE) / count(*) AS mean_s FROM scaled)
+         |SELECT doc_id,
+         |  CASE WHEN s > mean_s THEN 'head' ELSE 'tail' END AS bucket
+         |FROM scaled CROSS JOIN m
+         |WHERE CAST(('0x' || substr(md5('ql|' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |        AS BIGINT) % 100
+         |      < CASE WHEN s > mean_s THEN 100 ELSE 25 END
+         |ORDER BY doc_id""".stripMargin,
     "tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
