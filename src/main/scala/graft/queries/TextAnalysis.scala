@@ -330,6 +330,9 @@ object TextAnalysis {
     * bucketing is the scale-safe CCNet variant).
     */
   def sampleQuality(spark: SparkSession, dir: String): DataFrame = {
+    // scaled feeds the mean AND the gate; deliberately NOT cached —
+    // both branches sit in one plan, so ReusedExchange already dedups
+    // the LM chain (measured: caching is net-slower)
     val scaled = bigramLm(spark, dir)
       .select(col("doc_id"),
         floor(col("avg_logp") * 10000 + 0.5).cast("long").as("s"))
