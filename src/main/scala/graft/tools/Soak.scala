@@ -39,7 +39,7 @@ object Soak {
     Rag.ragEval(spark, sfDir).count()
     spark.sharedState.cacheManager.clearCache()
 
-    Seq(1, 4, 16).foreach { m =>
+    Seq(1, 4, 16, 64).foreach { m =>
       val docs = corpus(m).select(
           concat(col("source"), lit("/doc"), col("doc_id"), lit(".md")).as("source_file"),
           col("text").as("content"))
