@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hot typed lambdas run interpreted (measured 3-5x slowdowns late
   // in a bench run)
   "-XX:ReservedCodeCacheSize=1g",
+  // Spark's generated-class cache (StaticSQLConf CODEGEN_CACHE_MAX_ENTRIES)
+  // defaults to 100 entries; a 70+-query bench generates several hundred
+  // distinct codegen sources, so consecutive passes evict freshly JIT'd
+  // classes and recompile them — codegen-heavy queries then run partly
+  // interpreted (the round-3 "unchanged code got 2x slower" regression).
+  // Static conf: must be set before the first SparkSession, hence here.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
 )

@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf; belt-and-braces with build.sbt's -D flag (see there)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: the FIRST execution of each query's code path pays
@@ -45,13 +47,43 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         name -> dt
       }.toMap
-    val (pass1, pass2) = (timedPass(), timedPass())
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compileCount(): Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    val (c0, g0) = (compileCount(), gcMs())
+    val pass1 = timedPass()
+    val (c1, g1) = (compileCount(), gcMs())
+    val pass2 = timedPass()
+    val (c2, g2) = (compileCount(), gcMs())
+    // Telemetry on stderr (stdout is reserved for the JSON contract):
+    // if pass2 recompiles ~as many codegen sources as pass1, the static
+    // codegen cache is thrashing and the timings measure Janino+JIT, not
+    // data processing. With the 4096-entry cache pass2 should be ~0.
+    System.err.println(
+      f"[bench] codegen compiles pass1=${c1 - c0} pass2=${c2 - c1} " +
+        f"gcMs pass1=${g1 - g0} pass2=${g2 - g1}")
     val results = pass1.keys.toSeq.sorted.map(k =>
       k -> math.min(pass1(k), pass2.getOrElse(k, pass1(k))))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two JSON lines, full record each. The driver keeps only a bounded
+    // TAIL of stdout (round 3: last 2000 chars, minus sbt's trailing
+    // "[success]" line) — the round-3 single full-precision line was
+    // ~2.1 KB and lost its head, so BENCH_r03 parsed as null. Line 1 is
+    // the full-precision record for humans/debug; the LAST line is the
+    // same record with per-query seconds rounded to 3 decimals (~1.7 KB
+    // at 72 queries), so the bounded tail always ends with a parseable
+    // total.
+    def record(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    println(record(v => v.toString))
+    println(record(v => f"$v%.3f"))
     spark.stop()
   }
 }
