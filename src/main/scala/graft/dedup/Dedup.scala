@@ -145,20 +145,39 @@ object Dedup {
     * bucket (near-identical document cluster) is dropped at `maxBucket`
     * members: the id list itself is linear and survives the agg, but
     * its O(bucket²) pair fan-out in one task would not.
+    *
+    * Dropped buckets are NOT silent: each drop increments the
+    * `droppedBuckets` accumulator (pass your own to read the count
+    * after an action; a named one is registered otherwise so the drop
+    * shows up in the Spark UI / event log) and logs the bucket size at
+    * WARN executor-side. At 100 TB, silent truncation would read as
+    * "covered everything" — the counter is the audit trail. Accumulator
+    * caveat: task retries/speculation can over-count; it is telemetry,
+    * not an exact-once metric (the RESULT is exact either way).
     */
-  def lshCandidates(bands: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  def lshCandidates(bands: DataFrame, maxBucket: Int = DefaultMaxBucket,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = bands.sparkSession
     import spark.implicits._
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets"))
     bands.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("id").cast("long")).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
-        val s = ids.sorted
-        for {
-          i <- s.indices.iterator
-          j <- Iterator.range(i + 1, s.length)
-        } yield (s(i), s(j))
+        if (ids.length > maxBucket) {
+          dropAcc.add(1L)
+          org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+            s"LSH bucket of ${ids.length} members dropped at maxBucket=$maxBucket " +
+              "(members still pair via their other bands)")
+          Iterator.empty
+        } else {
+          val s = ids.sorted
+          for {
+            i <- s.indices.iterator
+            j <- Iterator.range(i + 1, s.length)
+          } yield (s(i), s(j))
+        }
       }
       .toDF("a", "b")
       .distinct()

@@ -45,8 +45,15 @@ object Bm25 {
   /** The fixture parquet is one unsplittable row group, and this query
     * tree re-reads `documents` from half a dozen branches — cache the
     * few-MB spread table once so each branch starts from 32 in-memory
-    * partitions instead of a serial scan (Bench/Verify clear caches
-    * between queries).
+    * partitions instead of a serial scan.
+    *
+    * Cache lifecycle contract: the entry is keyed by the LOGICAL PLAN,
+    * so repeated calls for the same `dir` reuse ONE entry — a library
+    * caller looping over queries does not grow the cache (asserted by
+    * CacheLifecycleSpec). The entry does outlive the call; the caller
+    * owns eviction (`spark.catalog.clearCache()` or
+    * `spark.sharedState.cacheManager.clearCache()`, as Bench/Verify do
+    * between queries) when the documents table should be released.
     */
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).cache()

@@ -24,7 +24,9 @@ object DedupQueries {
 
   /** n-gram Jaccard near-dup pairs (threshold 0.8). The shingle set
     * feeds the hot-shingle count AND the capped pair join — cache it,
-    * as the minhash path does.
+    * as the minhash path does. Cache lifecycle: plan-keyed, so repeated
+    * calls reuse one entry (no growth — CacheLifecycleSpec); eviction is
+    * the caller's, via `spark.catalog.clearCache()` when done.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
@@ -40,7 +42,9 @@ object DedupQueries {
     * signature build AND both sides of the verify self-join — cache it
     * (partition-level cache locking makes an eager barrier
     * unnecessary). The band table is consumed exactly once (in-bucket
-    * pair generation) — no cache needed.
+    * pair generation) — no cache needed. Cache lifecycle: plan-keyed,
+    * one entry across repeated calls (CacheLifecycleSpec); the caller
+    * evicts via `spark.catalog.clearCache()` when done.
     */
   private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()

@@ -1,0 +1,41 @@
+package graft
+
+/** Library-caller cache contract: the operators that internally cache a
+  * shared subplan ([[graft.queries.Bm25]] documents,
+  * [[graft.queries.DedupQueries]] shingle sets) key the entry by
+  * LOGICAL PLAN — so a caller looping over queries reuses one entry per
+  * distinct input instead of leaking a new cached table per call. The
+  * entry itself outlives the call by design (that is what makes the
+  * second call cheap); eviction belongs to the caller
+  * (`spark.catalog.clearCache()`), exactly as Bench/Verify do between
+  * queries.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cachedRddCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("repeated library calls do not grow the cache (soak loop)") {
+    spark.catalog.clearCache()
+    assert(cachedRddCount == 0)
+
+    graft.queries.Bm25.bm25TopK(spark, dir).count()
+    graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
+    graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
+    val afterFirst = cachedRddCount
+    assert(afterFirst > 0, "the shared subplans should be cached at all")
+
+    for (_ <- 1 to 4) {
+      graft.queries.Bm25.bm25TopK(spark, dir).count()
+      graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
+      graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
+    }
+    assert(cachedRddCount == afterFirst,
+      s"cache grew across repeated calls: $afterFirst -> $cachedRddCount")
+
+    // caller-side eviction releases everything
+    spark.catalog.clearCache()
+    assert(cachedRddCount == 0)
+  }
+}

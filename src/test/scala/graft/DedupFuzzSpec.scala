@@ -108,9 +108,15 @@ class DedupFuzzSpec extends SparkSpec {
   test("maxBucket drops degenerate LSH buckets but keeps normal ones") {
     val bands = ((0 until 100).map(i => (i.toLong, 0, "hot")) ++
       Seq((200L, 0, "cold"), (201L, 0, "cold"))).toDF("id", "band", "bkey")
-    assert(Dedup.lshCandidates(bands, maxBucket = 10)
+    // the drop is observable: the accumulator counts the dropped bucket
+    val dropped = spark.sparkContext.longAccumulator("test.lsh.dropped")
+    assert(Dedup.lshCandidates(bands, maxBucket = 10, Some(dropped))
       .as[(Long, Long)].collect().toSet == Set((200L, 201L)))
-    assert(Dedup.lshCandidates(bands).count() == 100L * 99 / 2 + 1)
+    assert(dropped.value == 1L, "dropped-bucket count must surface")
+    val noDrops = spark.sparkContext.longAccumulator("test.lsh.nodrops")
+    assert(Dedup.lshCandidates(bands, droppedBuckets = Some(noDrops)).count()
+      == 100L * 99 / 2 + 1)
+    assert(noDrops.value == 0L)
   }
 
   test("candidateJaccard equals pairJaccard on the candidate subset") {
