@@ -1,0 +1,197 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import javax.sound.sampled.AudioSystem
+
+/** Pure-JDK media decoding for the multimodal column pipeline — the
+  * same zero-new-jars approach as `graft.sources.Codecs` (reference
+  * analog: `src/document_loader.py:86-167` per-format dispatch).
+  *
+  * Images (PNG/JPEG/BMP/GIF) decode through `javax.imageio.ImageIO`;
+  * WAV audio through `javax.sound.sampled.AudioSystem`. Both ship in
+  * every JDK and run headless on executors. Formats the JDK cannot
+  * decode (or payloads that merely LOOK like a known format) fall back
+  * to the caller's byte-level feature, so a corrupt payload degrades
+  * instead of failing the partition — the same drop-not-fail contract
+  * as the document codecs.
+  *
+  * All decode paths are deterministic: fixed luminance weights, fixed
+  * stride subsampling, no wall-clock or RNG — required for the oracle
+  * contract (same input → same feature, any partitioning).
+  */
+object MediaCodecs {
+
+  // ImageIO's default disk cache would create temp files per decode on
+  // every executor; in-memory streams are both faster and hermetic.
+  ImageIO.setUseCache(false)
+
+  /** Container sniff by magic bytes. Returns one of
+    * png|jpeg|gif|bmp|wav|unknown. A sniff match is a HINT, not proof —
+    * decoders still fall back on failure.
+    */
+  def detectFormat(bytes: Array[Byte]): String = {
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (bytes.length >= 8 && b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) "png"
+    else if (bytes.length >= 3 && b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "jpeg"
+    else if (bytes.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') "gif"
+    else if (bytes.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else "unknown"
+  }
+
+  /** Decode an image payload; None on any failure (unknown format,
+    * truncated stream, sniff false-positive).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Decoded PCM audio: samples normalized to [-1, 1]. */
+  final case class DecodedAudio(samples: Array[Float], sampleRate: Int,
+      durationMs: Long)
+
+  /** Decode a WAV payload via AudioSystem; 8/16-bit PCM, any channel
+    * count (channels are interleaved in `samples`). None on failure.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 8 && bits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val n = raw.length / (bits / 8)
+          val samples = new Array[Float](n)
+          var i = 0
+          if (bits == 8) {
+            // WAV 8-bit is unsigned
+            while (i < n) { samples(i) = ((raw(i) & 0xff) - 128) / 128f; i += 1 }
+          } else {
+            val le = !fmt.isBigEndian
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1) & 0xff
+              val s = if (le) (hi << 8) | lo else (lo << 8) | hi
+              samples(i) = s.toShort / 32768f
+              i += 1
+            }
+          }
+          val frames = n / math.max(1, fmt.getChannels)
+          val durMs = (frames * 1000L) / math.max(1, fmt.getSampleRate.toLong)
+          Some(DecodedAudio(samples, fmt.getSampleRate.toInt, durMs))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Luminance histogram over decoded pixels, L2-normalized. Integer
+    * weights (299/587/114 per mille) keep binning exact across JVMs.
+    * Images larger than ~64k pixels are stride-subsampled — feature cost
+    * is O(min(pixels, 65536)) regardless of resolution, which is what
+    * keeps the batch loop bounded when payloads are 4k video stills.
+    */
+  def imageHistogram(img: BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stride = math.max(1, math.sqrt((w.toLong * h) / 65536.0).ceil.toInt)
+    val counts = new Array[Double](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        counts((lum * dim) >> 8) += 1.0
+        x += stride
+      }
+      y += stride
+    }
+    l2(counts)
+  }
+
+  /** Amplitude histogram over normalized samples, L2-normalized. Bin =
+    * floor((s+1)/2 · dim), clamped — s = +1.0 maps into the top bin.
+    */
+  def audioHistogram(samples: Array[Float], dim: Int): Array[Float] = {
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < samples.length) {
+      val bin = math.min(dim - 1, (((samples(i) + 1f) / 2f) * dim).toInt)
+      counts(math.max(0, bin)) += 1.0
+      i += 1
+    }
+    l2(counts)
+  }
+
+  /** MJPEG-style frame container: a video payload is a byte-concatenated
+    * sequence of PNG or JPEG stills. Returns [start, end) segments, one
+    * per frame signature found; empty when the payload is no such
+    * container. Scan is a single linear pass.
+    */
+  def splitFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
+    def b(i: Int): Int = bytes(i) & 0xff
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < bytes.length - 2) {
+      val isPng = i + 8 <= bytes.length && b(i) == 0x89 && b(i + 1) == 'P' &&
+        b(i + 2) == 'N' && b(i + 3) == 'G'
+      val isJpeg = b(i) == 0xff && b(i + 1) == 0xd8 && b(i + 2) == 0xff
+      if (isPng || isJpeg) { starts += i; i += 3 } else i += 1
+    }
+    starts.toIndexedSeq.zipWithIndex.map { case (s, k) =>
+      (s, if (k + 1 < starts.length) starts(k + 1) else bytes.length)
+    }
+  }
+
+  /** Grayscale pixel bytes of a decoded frame, stride-downsampled to at
+    * most maxSide×maxSide, row-major — bounded output size per frame no
+    * matter the source resolution.
+    */
+  def grayPixels(img: BufferedImage, maxSide: Int = 64): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stride = math.max(1, math.max(w, h) / maxSide + (if (math.max(w, h) % maxSide == 0) 0 else 1))
+    val out = new ByteArrayOutputStreamLite((h / stride + 1) * (w / stride + 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+        out.write(lum.toByte)
+        x += stride
+      }
+      y += stride
+    }
+    out.toByteArray
+  }
+
+  private def l2(counts: Array[Double]): Array[Float] = {
+    var ss = 0.0
+    var i = 0
+    while (i < counts.length) { ss += counts(i) * counts(i); i += 1 }
+    val n = math.sqrt(ss)
+    counts.map(x => if (n == 0) 0f else (x / n).toFloat)
+  }
+
+  /** Tiny growable byte sink (avoids java.io stream sync overhead in the
+    * per-pixel loop).
+    */
+  private final class ByteArrayOutputStreamLite(hint: Int) {
+    private var buf = new Array[Byte](math.max(16, hint))
+    private var len = 0
+    def write(b: Byte): Unit = {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(len) = b; len += 1
+    }
+    def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+}

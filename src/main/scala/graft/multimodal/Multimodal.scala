@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * audio / video carried as opaque BINARY columns with typed metadata,
   * processed by batched per-partition functions.
   *
-  * The decode step is a clearly-marked STUB — this container has no
-  * image/audio codecs. Everything AROUND the stub is real and tested:
-  * the schema (binary payload + typed meta struct), the partition-batch
+  * Decode is real and pure-JDK (see [[MediaCodecs]]): PNG/JPEG/BMP/GIF
+  * through `javax.imageio.ImageIO`, WAV through
+  * `javax.sound.sampled.AudioSystem`. Payloads in no decodable format
+  * fall back to a deterministic byte-histogram feature, so the pipeline
+  * degrades per-row instead of failing the partition — the same
+  * drop-not-fail contract as `sources.Codecs`. The partition-batch
   * processing shape (the Scala analog of `mapInPandas` — one function
-  * call per batch of rows, vectorizable), frame sampling, and the
-  * feature-vector plumbing into the similarity/dedup operators (a
-  * feature is just an `ARRAY<FLOAT>` — Knn/Ann/Dedup work on it as-is).
+  * call per batch of rows), frame sampling, and the feature-vector
+  * plumbing into the similarity/dedup operators (a feature is just an
+  * `ARRAY<FLOAT>` — Knn/Ann/Dedup work on it as-is) are unchanged.
   */
 object Multimodal {
 
@@ -26,12 +29,11 @@ object Multimodal {
   case class Frame(media_id: Long, frame_index: Int, offset_ms: Long,
       frame_bytes: Array[Byte])
 
-  /** STUB decode: a real implementation decodes the image/audio payload
-    * here (e.g. JavaCV/TwelveMonkeys in this batch loop, or a Pandas UDF
-    * in PySpark). The stub derives a deterministic byte-histogram
-    * feature so the downstream plumbing is fully exercisable.
+  /** Byte-histogram fallback for payloads no JDK codec decodes —
+    * deterministic, L2-normalized, still a usable near-dup signal
+    * (byte distribution survives container-level corruption).
     */
-  private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[multimodal] def byteHistogram(bytes: Array[Byte], dim: Int): Array[Float] = {
     val h = new Array[Double](dim)
     var i = 0
     while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1.0; i += 1 }
@@ -39,33 +41,78 @@ object Multimodal {
     h.map(x => if (n == 0) 0f else (x / n).toFloat)
   }
 
+  /** Decode one payload to a feature vector: luminance histogram for
+    * images, amplitude histogram for WAV audio, byte histogram
+    * otherwise. Every path yields an L2-normalized `Array[Float]` of
+    * length `dim`, so downstream cosine/kNN/dedup never branch on kind.
+    */
+  private[multimodal] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    MediaCodecs.detectFormat(bytes) match {
+      case "png" | "jpeg" | "gif" | "bmp" =>
+        MediaCodecs.decodeImage(bytes)
+          .map(MediaCodecs.imageHistogram(_, dim))
+          .getOrElse(byteHistogram(bytes, dim))
+      case "wav" =>
+        MediaCodecs.decodeWav(bytes)
+          .map(a => MediaCodecs.audioHistogram(a.samples, dim))
+          .getOrElse(byteHistogram(bytes, dim))
+      case _ => byteHistogram(bytes, dim)
+    }
+
+  /** Decode-probed metadata: width/height for images, sample rate and
+    * duration for WAV. None when the payload decodes as neither — the
+    * caller keeps its declared metadata.
+    */
+  def probeMeta(bytes: Array[Byte]): Option[MediaMeta] =
+    MediaCodecs.detectFormat(bytes) match {
+      case f @ ("png" | "jpeg" | "gif" | "bmp") =>
+        MediaCodecs.decodeImage(bytes).map(img =>
+          MediaMeta(f, img.getWidth, img.getHeight, 0L, 0))
+      case "wav" =>
+        MediaCodecs.decodeWav(bytes).map(a =>
+          MediaMeta("wav", 0, 0, a.durationMs, a.sampleRate))
+      case _ => None
+    }
+
   /** Batched feature extraction — the mapInPandas shape: the work runs
-    * once per partition over an iterator of rows, so a vectorized codec
-    * amortizes setup per batch, not per row.
+    * once per partition over an iterator of rows, so codec setup (class
+    * loading, ImageIO plugin registry) amortizes per batch, not per row.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      // per-batch setup would open the codec once here
       batch.map(m =>
-        MediaFeatures(m.media_id, m.kind, m.bytes.length, decodeStub(m.bytes, dim)))
+        MediaFeatures(m.media_id, m.kind, m.bytes.length, decodeFeatures(m.bytes, dim)))
     }
   }
 
   /** Frame sampling for video-kind rows: one output row per sampled
-    * frame offset (derived from meta.duration_ms; the frame decode is
-    * the same stub boundary).
+    * frame offset (derived from meta.duration_ms). When the payload is
+    * an MJPEG-style container (byte-concatenated PNG/JPEG stills, see
+    * [[MediaCodecs.splitFrames]]), the keyframe nearest each offset is
+    * decoded via ImageIO and the row carries its grayscale pixel bytes
+    * (stride-bounded to ≤64×64 so output size is capped per frame).
+    * Non-container payloads fall back to a deterministic byte slice.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val n = math.max(1, (m.meta.duration_ms / everyMs).toInt)
+      val segs = MediaCodecs.splitFrames(m.bytes)
       (0 until math.min(n, 32)).map { i =>
         val off = i * everyMs
-        // STUB: a real impl seeks+decodes the frame at `off`
-        val slice = m.bytes.slice((off % math.max(1, m.bytes.length)).toInt,
-          math.min(m.bytes.length, (off % math.max(1, m.bytes.length)).toInt + 16))
-        Frame(m.media_id, i, off, slice)
+        val px =
+          if (segs.nonEmpty) {
+            val k = math.min(segs.length - 1, (i.toLong * segs.length / math.min(n, 32)).toInt)
+            val (s, e) = segs(k)
+            MediaCodecs.decodeImage(java.util.Arrays.copyOfRange(m.bytes, s, e))
+              .map(MediaCodecs.grayPixels(_))
+              .getOrElse(java.util.Arrays.copyOfRange(m.bytes, s, math.min(e, s + 16)))
+          } else {
+            val s = (off % math.max(1, m.bytes.length)).toInt
+            m.bytes.slice(s, math.min(m.bytes.length, s + 16))
+          }
+        Frame(m.media_id, i, off, px)
       }
     }
   }

@@ -362,4 +362,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.media_id == 1L))
     assert(frames.length == 5) // 5000ms / 1000ms
   }
+
+  test("real PNG decodes to a luminance-histogram feature") {
+    // 2×2 truecolor PNG, gray values 0/64/128/255 → bins 0,16,32,63
+    val rows = Seq(Multimodal.MediaRow(7L, "image",
+      MediaFixtures.png(2, 2, (0, 0, 0), (64, 64, 64), (128, 128, 128), (255, 255, 255)),
+      Multimodal.MediaMeta("png", 2, 2, 0L, 0))).toDS()
+    val f = Multimodal.extractFeatures(rows).collect().head
+    Seq(0, 16, 32, 63).foreach(b => assert(math.abs(f.features(b) - 0.5f) < 1e-6))
+    // exactly those four bins — a byte histogram of the encoded PNG
+    // payload would spread mass over many more
+    assert(f.features.count(_ != 0f) == 4)
+  }
+
+  test("real WAV decodes to an amplitude-histogram feature") {
+    val rows = Seq(Multimodal.MediaRow(8L, "audio",
+      MediaFixtures.wav(8000, 0, 16384, -16384, 32767),
+      Multimodal.MediaMeta("wav", 0, 0, 0L, 8000))).toDS()
+    val f = Multimodal.extractFeatures(rows).collect().head
+    Seq(32, 48, 16, 63).foreach(b => assert(math.abs(f.features(b) - 0.5f) < 1e-6))
+  }
+
+  test("image and audio probeMeta read real dimensions / rate") {
+    val img = Multimodal.probeMeta(MediaFixtures.grayPng(3, 2, 9)).get
+    assert(img.format == "png" && img.width == 3 && img.height == 2)
+    val aud = Multimodal.probeMeta(
+      MediaFixtures.wav(8000, Seq.fill(1600)(5.toShort): _*)).get
+    assert(aud.format == "wav" && aud.sample_rate == 8000 && aud.duration_ms == 200)
+    assert(Multimodal.probeMeta("just text".getBytes).isEmpty)
+  }
+
+  test("MJPEG-style video payload yields decoded keyframe pixels per offset") {
+    val payload = MediaFixtures.grayPng(2, 2, 10) ++
+      MediaFixtures.grayPng(2, 2, 100) ++ MediaFixtures.grayPng(2, 2, 200)
+    val rows = Seq(Multimodal.MediaRow(9L, "video", payload,
+      Multimodal.MediaMeta("mjpeg", 2, 2, 3000L, 0))).toDS()
+    val frames = Multimodal.sampleFrames(rows).collect().sortBy(_.frame_index)
+    assert(frames.length == 3)
+    // frame i decodes still i: all four pixels carry that still's gray level
+    assert(frames(0).frame_bytes.toSeq == Seq.fill(4)(10.toByte))
+    assert(frames(1).frame_bytes.toSeq == Seq.fill(4)(100.toByte))
+    assert(frames(2).frame_bytes.toSeq == Seq.fill(4)(200.toByte))
+  }
 }
