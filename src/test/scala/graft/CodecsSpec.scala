@@ -8,16 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.Codecs
 
-/** Real-format fixtures built from the specs the formats are defined by
-  * (OOXML = ZIP of XML parts; PDF = object graph + content streams) —
-  * no codec library on either side, so these verify the extractors
-  * against ground truth, not against themselves.
+/** Real-format fixture builders from the specs the formats are defined
+  * by (OOXML = ZIP of XML parts; PDF = object graph + content streams)
+  * — no codec library on either side, so specs verify the extractors
+  * against ground truth, not against themselves. Shared by CodecsSpec
+  * and the multi-format GoldenExperimentSpec.
   */
-class CodecsSpec extends AnyFunSuite {
+object CodecFixtures {
 
-  // ---- fixture builders ---------------------------------------------
-
-  private def zip(entries: (String, String)*): Array[Byte] = {
+  def zip(entries: (String, String)*): Array[Byte] = {
     val bos = new ByteArrayOutputStream
     val z = new ZipOutputStream(bos)
     entries.foreach { case (name, content) =>
@@ -29,7 +28,7 @@ class CodecsSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
+  def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
     d.setInput(data); d.finish()
     val out = new ByteArrayOutputStream
@@ -134,6 +133,31 @@ class CodecsSpec extends AnyFunSuite {
         |<p:sp><p:txBody><a:p><a:r><a:t>Outlook</a:t></a:r></a:p></p:txBody></p:sp>
         |</p:spTree></p:cSld></p:sld>""".stripMargin,
   )
+
+  /** DOCX with caller-supplied body paragraphs (XML-safe text only). */
+  def docx(paragraphs: Seq[String]): Array[Byte] = zip(
+    "[Content_Types].xml" -> "<Types/>",
+    "word/document.xml" ->
+      ("""<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        paragraphs.map(p => s"<w:p><w:r><w:t>$p</w:t></w:r></w:p>").mkString +
+        "</w:body></w:document>"),
+  )
+
+  /** PPTX with caller-supplied slides of paragraphs (XML-safe text). */
+  def pptx(slides: Seq[Seq[String]]): Array[Byte] = zip(
+    Seq("[Content_Types].xml" -> "<Types/>") ++
+      slides.zipWithIndex.map { case (paras, i) =>
+        s"ppt/slides/slide${i + 1}.xml" ->
+          ("""<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"""" +
+            """ xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">""" +
+            "<p:cSld><p:spTree><p:sp><p:txBody>" +
+            paras.map(p => s"<a:p><a:r><a:t>$p</a:t></a:r></a:p>").mkString +
+            "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+      }: _*)
+}
+
+class CodecsSpec extends AnyFunSuite {
+  import CodecFixtures._
 
   // ---- PDF ----------------------------------------------------------
 

@@ -54,4 +54,59 @@ class GoldenExperimentSpec extends SparkSpec {
     val console = Sinks.consoleReport(ranked)
     assert(console.contains("best combined_score:"))
   }
+
+  test("multi-format experiment: PDF+DOCX+XLSX+PPTX+MD folder end to end") {
+    // The reference's flagship path is a folder of real binaries →
+    // chunks → index → search (main.py:415-461, projects/ is ~40 PDFs).
+    // Fixture binaries are built from the format specs (CodecFixtures).
+    val work = java.nio.file.Files.createTempDirectory("golden-multi").toString
+    val dir = new java.io.File(s"$work/projects")
+    dir.mkdirs()
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("alpine_survey.pdf", CodecFixtures.minimalPdf(Seq(
+      "Snowpack receded by twelve percent across nine valleys.",
+      "Trail erosion accelerated near the tree line."), compress = true))
+    put("harvest_notes.docx", CodecFixtures.docx(Seq(
+      "Yield improved after thinning the orchard block.",
+      "Brix readings averaged fourteen through autumn.")))
+    put("reactor_log.pptx", CodecFixtures.pptx(Seq(
+      Seq("Reactor cycle seven report", "Output held at ninety-two percent."),
+      Seq("Coolant margins stayed nominal.", "One valve actuator was swapped."))))
+    put("sensor_table.xlsx", CodecFixtures.minimalXlsx())
+    put("field_notes.md", "# Field Notes\n\nRidge transects were re-walked in June.\n".getBytes)
+
+    val docs = DocumentLoader.loadDocuments(spark, dir.getPath)
+    val byFile = docs.collect()
+      .map(d => d.source_file.split('/').last -> d.content).toMap
+    assert(byFile.size == 5) // every format extracted non-empty text
+    assert(byFile("alpine_survey.pdf").startsWith("--- Page 1 ---"))
+    assert(byFile("alpine_survey.pdf").contains("Snowpack receded"))
+    assert(byFile("harvest_notes.docx").contains("Yield improved"))
+    assert(byFile("reactor_log.pptx").contains("--- Slide 2 ---"))
+    assert(byFile("sensor_table.xlsx").contains("--- Sheet: Data ---"))
+    assert(byFile("field_notes.md").contains("Ridge transects"))
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/queries.json"),
+      """[
+        |  {"query_id": "q1", "query": "Snowpack receded by twelve percent",
+        |   "expected_keywords": ["snowpack", "erosion"],
+        |   "expected_source_patterns": ["alpine"]},
+        |  {"query_id": "q2", "query": "Yield improved after thinning",
+        |   "expected_keywords": ["yield", "brix"],
+        |   "expected_source_patterns": ["harvest"]},
+        |  {"query_id": "q3", "query": "Coolant margins stayed nominal",
+        |   "expected_keywords": ["coolant", "valve"],
+        |   "expected_source_patterns": ["reactor"]}
+        |]""".stripMargin)
+    val queries = DocumentLoader.loadQueries(spark, s"$work/queries.json")
+
+    val ranked = Pipeline.run(spark, docs, queries)
+    val rows = ranked.collect()
+    assert(rows.length == 25) // 5 strategies × 5 models over the mixed corpus
+    // queries quote their documents verbatim → the best config finds the
+    // right binary-extracted source in its top-3
+    assert(rows.head.getAs[Double]("top_3_accuracy") >= 2.0 / 3.0)
+    assert(rows.forall(_.getAs[Double]("combined_score") >= 0.0))
+  }
 }
