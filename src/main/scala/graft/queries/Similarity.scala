@@ -65,6 +65,25 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF over a TRAINED codebook: hash-sample init (8 cells) + 2 Lloyd
+    * iterations, then the same probe-join search. Rank-only output (no
+    * sims) per SURVEY §7's float rule: DuckDB replays the identical
+    * init and Lloyd updates — its mean summation order differs from the
+    * aggregator's partial-merge order at the 1e-16 level, and both
+    * sides round the cell mean to float32, so ranks (tie-broken by
+    * vec_id) are stable while raw sims are not hash-comparable.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Ann.trainCentroids(emb, k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfTopK(emb, queries, trained, K, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH kNN — full oracle: the ±1 hyperplanes are
     * md5-parity vectors, so DuckDB regenerates them, recomputes every
     * sign-bit signature with the same left-to-right double dot product,
@@ -112,10 +131,35 @@ object Similarity {
     s"list_aggregate(list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
 
+  /** One Lloyd iteration as DuckDB CTEs: assign every vector to its
+    * argmax-dot cell (ties to the lowest cent_id, mirroring the strict
+    * `>` scan in Ann.trainCentroids), average each cell componentwise,
+    * round the mean to float32 exactly as the aggregator's
+    * `(sum / count).toFloat`, and keep the previous centroid for empty
+    * cells. `prev`/`next` name the codebook CTEs being chained.
+    */
+  private def lloydIter(prev: String, next: String): String =
+    s"""a_$next AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
+       |m_$next AS (
+       |  SELECT a.cent_id, i.i AS idx,
+       |    CAST(avg(CAST(a.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)) AS FLOAT) AS m
+       |  FROM a_$next a, range(1, 65) i(i) GROUP BY a.cent_id, i.i),
+       |$next AS (
+       |  SELECT c.cent_id, coalesce(mm.cv, c.cvec) AS cvec
+       |  FROM $prev c LEFT JOIN (
+       |    SELECT cent_id, list(m ORDER BY idx) AS cv FROM m_$next GROUP BY cent_id) mm
+       |    ON c.cent_id = mm.cent_id)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk" -> (knnTopK _),
     "cosine_pairs" -> (cosinePairs _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_trained" -> (annIvfTrained _),
     "knn_lsh" -> (knnLsh _),
     "embed_quantize" -> (embedQuantize _),
   )
@@ -193,6 +237,42 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM csims)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_trained" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |    SELECT q.query_id, q.qv, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+         |cands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.embedding", "p.qv")} AS sim
+         |  FROM assign a JOIN probes p ON a.cent_id = p.cent_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM cands)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "ann_ivf" ->
