@@ -16,11 +16,14 @@ import org.w3c.dom.{Element, Node}
   *  - DOCX/XLSX/PPTX are OOXML — ZIP archives (java.util.zip) of XML
   *    parts (javax.xml DOM). Paragraph/table/sheet/slide traversal maps
   *    1:1 onto the reference's python-docx/openpyxl/python-pptx loops.
-  *  - PDF text extraction covers the standard subset — uncompressed or
-  *    FlateDecode (java.util.zip.Inflater) content streams, literal/hex
-  *    strings, Tj/TJ show ops — enough for text-centric PDFs; exotic
-  *    encodings/filters are out of scope (a cluster deployment swaps in
-  *    pdfbox here, same signature).
+  *  - PDF text extraction covers the text-bearing filters — none,
+  *    FlateDecode (java.util.zip.Inflater), LZWDecode (TIFF-variant
+  *    early-change LZW, implemented below), RunLengthDecode,
+  *    ASCIIHexDecode and ASCII85Decode — plus literal/hex strings and
+  *    Tj/TJ show ops. Image-only filters (DCTDecode/JPXDecode/
+  *    CCITTFaxDecode/JBIG2Decode) are detected and yield NO text rather
+  *    than garbled bytes. Exotic encodings remain out of scope (a
+  *    cluster deployment swaps in pdfbox here, same signature).
   *
   * All extractors are total: malformed input yields "" (the reference
   * logs and returns the empty accumulator, document_loader.py:95-101),
@@ -188,9 +191,7 @@ object Codecs {
         val end = body.lastIndexOf("endstream")
         val raw = body.substring(start, math.max(start, end))
           .stripSuffix("\n").stripSuffix("\r").getBytes(Latin1)
-        val data =
-          if (dict.contains("/FlateDecode")) inflate(raw) else raw
-        objs(m.group(1).toInt) = (dict, Some(data))
+        objs(m.group(1).toInt) = (dict, Some(decodeStream(dict, raw)))
       }
     }
     val refRe = """(\d+)\s+0\s+R""".r
@@ -232,6 +233,146 @@ object Codecs {
       case (t, i) if t.trim.nonEmpty => s"--- Page ${i + 1} ---\n$t"
     }.mkString("\n")
   }
+
+  /** Filters that encode raster/image data — a stream carrying one has
+    * no text to show, so it decodes to empty rather than garbage
+    * reaching the Tj scanner (PyPDF2 likewise skips image XObjects).
+    */
+  private val ImageFilters =
+    Seq("/DCTDecode", "/JPXDecode", "/CCITTFaxDecode", "/JBIG2Decode")
+
+  /** Apply the stream's /Filter pipeline for the text-bearing filters.
+    * ASCII transport filters are applied before the compression filter —
+    * the order real chains use ([/ASCII85Decode /FlateDecode] etc.,
+    * since the ASCII layer exists to wrap the binary one for 7-bit
+    * transport).
+    */
+  private def decodeStream(dict: String, raw: Array[Byte]): Array[Byte] =
+    if (ImageFilters.exists(dict.contains)) Array.emptyByteArray
+    else {
+      var data = raw
+      if (dict.contains("/ASCIIHexDecode")) data = asciiHexDecode(data)
+      if (dict.contains("/ASCII85Decode")) data = ascii85Decode(data)
+      if (dict.contains("/FlateDecode")) data = inflate(data)
+      if (dict.contains("/LZWDecode")) data = lzwDecode(data)
+      if (dict.contains("/RunLengthDecode")) data = runLengthDecode(data)
+      data
+    }
+
+  /** PDF LZW (ISO 32000-1 §7.4.4): TIFF-variant LZW — 9→12-bit codes
+    * MSB-first, 256 = clear-table, 257 = EOD, default EarlyChange=1
+    * (the code width grows one code earlier than the table size alone
+    * would demand, because the decoder's table lags the encoder's by
+    * one entry). Corrupt input decodes to empty, never throws.
+    */
+  private[graft] def lzwDecode(data: Array[Byte]): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val table = new mutable.ArrayBuffer[Array[Byte]](4096)
+      def reset(): Unit = {
+        table.clear()
+        var i = 0
+        while (i < 256) { table += Array(i.toByte); i += 1 }
+        table += Array.emptyByteArray // 256: clear marker (never emitted)
+        table += Array.emptyByteArray // 257: EOD marker
+      }
+      reset()
+      var width = 9
+      var prev: Array[Byte] = null
+      var acc = 0L; var nbits = 0; var i = 0; var done = false
+      while (i < data.length && !done) {
+        acc = (acc << 8) | (data(i) & 0xffL); nbits += 8; i += 1
+        while (nbits >= width && !done) {
+          val code = ((acc >>> (nbits - width)) & ((1L << width) - 1)).toInt
+          nbits -= width
+          if (code == 256) { reset(); width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry =
+              if (code < table.length) table(code)
+              else if (prev != null && code == table.length) prev :+ prev(0)
+              else throw new IllegalArgumentException(s"bad LZW code $code")
+            out.write(entry)
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            // EarlyChange=1: bump when the NEXT add would hit 2^width - 1
+            if (width < 12 && table.length + 1 >= (1 << width) - 1) width += 1
+            prev = entry
+          }
+        }
+      }
+      out.toByteArray
+    } catch { case _: Exception => Array.emptyByteArray }
+
+  /** RunLengthDecode (ISO 32000-1 §7.4.5): length byte n — n<128 copies
+    * the next n+1 literals, n>128 repeats the next byte 257−n times,
+    * 128 is EOD.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val n = data(i) & 0xff; i += 1
+      if (n == 128) done = true
+      else if (n < 128) {
+        val take = math.min(n + 1, data.length - i)
+        out.write(data, i, take); i += take
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var r = 257 - n
+        while (r > 0) { out.write(b); r -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` ends
+    * the stream, odd trailing digit padded with 0.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] =
+    try {
+      val s = new String(data, Latin1)
+      val end = s.indexOf('>')
+      val hex = (if (end >= 0) s.substring(0, end) else s).filterNot(_.isWhitespace)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    } catch { case _: Exception => Array.emptyByteArray }
+
+  /** ASCII85Decode (§7.4.3): 5 chars '!'..'u' → 4 bytes base-85, 'z' =
+    * four zero bytes, `~>` terminates; a trailing group of n chars
+    * yields n−1 bytes.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+      val group = new Array[Int](5)
+      var gi = 0
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val c = (data(i) & 0xff).toChar; i += 1
+        if (c == '~') done = true
+        else if (c == 'z' && gi == 0) out.write(Array[Byte](0, 0, 0, 0))
+        else if (c >= '!' && c <= 'u') {
+          group(gi) = c - '!'; gi += 1
+          if (gi == 5) {
+            var v = 0L
+            group.foreach(g => v = v * 85 + g)
+            out.write(Array((v >>> 24).toByte, (v >>> 16).toByte,
+              (v >>> 8).toByte, v.toByte))
+            gi = 0
+          }
+        } // whitespace and anything else: skipped
+      }
+      if (gi > 0) { // partial group: pad with 'u', emit gi-1 bytes
+        var v = 0L
+        var j = 0
+        while (j < 5) { v = v * 85 + (if (j < gi) group(j) else 84); j += 1 }
+        val full = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        out.write(full, 0, gi - 1)
+      }
+      out.toByteArray
+    } catch { case _: Exception => Array.emptyByteArray }
 
   private def inflate(data: Array[Byte]): Array[Byte] =
     try {

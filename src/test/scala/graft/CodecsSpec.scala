@@ -134,6 +134,60 @@ object CodecFixtures {
         |</p:spTree></p:cSld></p:sld>""".stripMargin,
   )
 
+  /** Single-page PDF whose content stream is caller-supplied raw bytes
+    * with an explicit /Filter entry — for exercising stream filters the
+    * text-based minimalPdf can't express.
+    */
+  def singleStreamPdf(streamBytes: Array[Byte], filter: String): Array[Byte] = {
+    val latin1 = StandardCharsets.ISO_8859_1
+    val out = new ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${streamBytes.length}$filter >> stream\n")
+    out.write(streamBytes)
+    w("\nendstream endobj\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PDF/TIFF-variant LZW encoder (9→12-bit MSB-first codes, clear=256,
+    * EOD=257, EarlyChange=1) — built from ISO 32000-1 §7.4.4, so the
+    * decoder is tested against the spec, not against itself.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    var acc = 0L; var nbits = 0; var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) { out.write(((acc >>> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Vector[Byte], Int]
+    def reset(): Unit = {
+      dict.clear(); (0 until 256).foreach(i => dict(Vector(i.toByte)) = i)
+    }
+    reset()
+    var next = 258
+    put(256)
+    var w = Vector.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        put(dict(w))
+        if (next < 4096) { dict(wb) = next; next += 1 }
+        // EarlyChange=1: widen one code before the table demands it
+        if (width < 12 && next >= (1 << width) - 1) width += 1
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** DOCX with caller-supplied body paragraphs (XML-safe text only). */
   def docx(paragraphs: Seq[String]): Array[Byte] = zip(
     "[Content_Types].xml" -> "<Types/>",
@@ -195,6 +249,75 @@ class CodecsSpec extends AnyFunSuite {
   test("PDF: garbage bytes extract to empty (document dropped, not failed)") {
     assert(Codecs.extractPdf(Array.fill[Byte](2048)(7)) == "")
     assert(Codecs.extractPdf(Array.emptyByteArray) == "")
+  }
+
+  // ---- PDF stream filters -------------------------------------------
+
+  test("LZW: hand-assembled 9-bit code stream decodes (spec ground truth)") {
+    // 'AAAA' encodes as codes [256, 65, 258, 65, 257]; packed MSB-first
+    // at 9 bits each that is exactly these six bytes (worked by hand
+    // from ISO 32000-1 §7.4.4 / the TIFF 6.0 LZW section)
+    val bytes = Array(0x80, 0x10, 0x60, 0x44, 0x18, 0x08).map(_.toByte)
+    assert(new String(Codecs.lzwDecode(bytes), StandardCharsets.ISO_8859_1) == "AAAA")
+  }
+
+  test("LZW: encoder/decoder round-trip over repetitive text") {
+    val text = ("the quick brown fox jumps over the lazy dog. " * 40).getBytes
+    assert(Codecs.lzwDecode(lzwEncode(text)).toSeq == text.toSeq)
+    assert(Codecs.lzwDecode("not lzw at all".getBytes).length == 0 ||
+      Codecs.lzwDecode("not lzw at all".getBytes) != null) // never throws
+  }
+
+  test("PDF: LZWDecode content streams decode via the pure-JDK LZW") {
+    val stream = "BT (LZW compressed body.) Tj ET"
+    val pdf = singleStreamPdf(lzwEncode(stream.getBytes(StandardCharsets.ISO_8859_1)),
+      " /Filter /LZWDecode")
+    assert(Codecs.extractPdf(pdf) == "--- Page 1 ---\nLZW compressed body.")
+  }
+
+  test("PDF: DCT/JPX image streams yield no text, not garbage") {
+    // jpeg-ish bytes that happen to contain a '(garbage) Tj' lookalike
+    val fake = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "(garbage) Tj".getBytes ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+    assert(Codecs.extractPdf(singleStreamPdf(fake, " /Filter /DCTDecode")) == "")
+    assert(Codecs.extractPdf(singleStreamPdf(fake, " /Filter /JPXDecode")) == "")
+  }
+
+  test("RunLengthDecode: literal runs, repeat runs, EOD") {
+    val data = Array[Byte](2, 'a', 'b', 'c', 0xfb.toByte, 'x', 0x80.toByte, 'Z')
+    assert(new String(Codecs.runLengthDecode(data)) == "abcxxxxxx")
+  }
+
+  test("ASCIIHexDecode: pairs, whitespace, > terminator, odd padding") {
+    assert(new String(Codecs.asciiHexDecode("48 65 6C 6C 6F >".getBytes)) == "Hello")
+    assert(Codecs.asciiHexDecode("414>".getBytes).toSeq ==
+      Seq(0x41.toByte, 0x40.toByte))
+  }
+
+  test("ASCII85Decode: known vector, z shortcut, partial group") {
+    assert(new String(Codecs.ascii85Decode("9jqo^~>".getBytes)) == "Man ")
+    assert(Codecs.ascii85Decode("z~>".getBytes).toSeq == Seq[Byte](0, 0, 0, 0))
+    // 'Man' alone: 4-char partial group → 3 bytes
+    assert(new String(Codecs.ascii85Decode("9jqo~>".getBytes)) == "Man")
+  }
+
+  test("PDF: ASCII85 + Flate filter chain decodes in transport order") {
+    val stream = "BT (Chained filters body.) Tj ET"
+    val flated = deflate(stream.getBytes(StandardCharsets.ISO_8859_1))
+    // base-85 encode (test-side, from the spec): 4 bytes → 5 chars
+    val sb = new StringBuilder
+    flated.grouped(4).foreach { g =>
+      val padded = g.padTo(4, 0.toByte)
+      var v = 0L
+      padded.foreach(b => v = (v << 8) | (b & 0xffL))
+      val digits = new Array[Char](5)
+      (4 to 0 by -1).foreach { i => digits(i) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+      sb.appendAll(digits, 0, if (g.length == 4) 5 else g.length + 1)
+    }
+    sb.append("~>")
+    val pdf = singleStreamPdf(sb.toString.getBytes(StandardCharsets.ISO_8859_1),
+      " /Filter [/ASCII85Decode /FlateDecode]")
+    assert(Codecs.extractPdf(pdf) == "--- Page 1 ---\nChained filters body.")
   }
 
   // ---- OOXML --------------------------------------------------------
