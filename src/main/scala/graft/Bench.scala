@@ -66,6 +66,12 @@ object Bench {
     System.err.println(
       f"[bench] codegen compiles pass1=${c1 - c0} pass2=${c2 - c1} " +
         f"gcMs pass1=${g1 - g0} pass2=${g2 - g1}")
+    // LSH dedup audit trail: buckets dropped at maxBucket across the
+    // whole run (warmup + both passes). Non-zero on a degenerate corpus
+    // is expected and CORRECT (members still pair via other bands) —
+    // what must never happen is the count existing only in the Spark UI.
+    System.err.println(
+      s"[bench] dropped_buckets=${graft.queries.DedupQueries.droppedBucketsAcc(spark).value}")
     val results = pass1.keys.toSeq.sorted.map(k =>
       k -> math.min(pass1(k), pass2.getOrElse(k, pass1(k))))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -164,20 +164,35 @@ object Dedup {
     bands.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("id").cast("long")).as("ids"))
       .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        if (ids.length > maxBucket) {
-          dropAcc.add(1L)
-          org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
-            s"LSH bucket of ${ids.length} members dropped at maxBucket=$maxBucket " +
-              "(members still pair via their other bands)")
-          Iterator.empty
-        } else {
-          val s = ids.sorted
-          for {
-            i <- s.indices.iterator
-            j <- Iterator.range(i + 1, s.length)
-          } yield (s(i), s(j))
+      .mapPartitions { it =>
+        // drops are WARNed once per task with a count, not once per
+        // bucket — a degenerate corpus can drop thousands of buckets
+        // per task and per-bucket lines would swamp the executor logs
+        var dropped = 0L
+        var largest = 0
+        val pairs = it.flatMap { ids =>
+          if (ids.length > maxBucket) {
+            dropAcc.add(1L)
+            dropped += 1
+            if (ids.length > largest) largest = ids.length
+            Iterator.empty
+          } else {
+            val s = ids.sorted
+            for {
+              i <- s.indices.iterator
+              j <- Iterator.range(i + 1, s.length)
+            } yield (s(i), s(j))
+          }
         }
+        def logTail: Iterator[(Long, Long)] = {
+          if (dropped > 0)
+            org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+              s"$dropped LSH buckets (largest: $largest members) dropped at " +
+                s"maxBucket=$maxBucket in this task (members still pair via " +
+                "their other bands)")
+          Iterator.empty
+        }
+        pairs ++ logTail
       }
       .toDF("a", "b")
       .distinct()

@@ -13,6 +13,24 @@ import graft.text.TextFns
   */
 object DedupQueries {
 
+  /** One dropped-bucket accumulator per session, shared by every
+    * LSH-candidate path in this module so Bench/Soak can read ONE
+    * number after a run ([[Dedup.lshCandidates]] documents the drop
+    * semantics). Keyed weakly per session — a stopped session's entry
+    * is not retained.
+    */
+  private val dropAccs =
+    new java.util.WeakHashMap[SparkSession, org.apache.spark.util.LongAccumulator]
+  def droppedBucketsAcc(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    dropAccs.synchronized {
+      var acc = dropAccs.get(spark)
+      if (acc == null) {
+        acc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+        dropAccs.put(spark, acc)
+      }
+      acc
+    }
+
   /** Exact dedup: md5 of normalized text; dup_of = min doc_id per group. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
@@ -48,7 +66,8 @@ object DedupQueries {
     */
   private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
-    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4))
+    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4),
+      droppedBuckets = Some(droppedBucketsAcc(spark)))
     Dedup.candidateJaccard(sh, cands).filter(col("jac") >= 0.7)
   }
 
@@ -148,7 +167,7 @@ object DedupQueries {
     val bands = Ann.signatures(e, "embedding", "vec_id",
         numTables = 8, bits = 8, dim = 64)
       .select(col("vec_id").as("id"), col("table").as("band"), col("sig").as("bkey"))
-    Dedup.lshCandidates(bands)
+    Dedup.lshCandidates(bands, droppedBuckets = Some(droppedBucketsAcc(spark)))
       .join(e.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
       .join(e.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
       .withColumn("sim", Vec.dot(col("va"), col("vb")))

@@ -35,6 +35,15 @@ object Soak {
           concat(col("source"), lit("-"), col("rep")).as("source"),
           col("text"), col("lang"), col("n_chars"))
 
+    // duplicated vectors are the kNN stress analog of the duplicated
+    // corpus: every LSH bucket inflates mult×, and exact ties force the
+    // heap's vec_id tie-break on every duplicate group
+    def vectors(mult: Int): DataFrame =
+      graft.Tables.embeddings(spark, sfDir)
+        .crossJoin(spark.range(mult).select(col("id").as("rep")))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"),
+          col("embedding"))
+
     // warmup
     Rag.ragEval(spark, sfDir).count()
     spark.sharedState.cacheManager.clearCache()
@@ -60,11 +69,14 @@ object Soak {
       }
 
       var pairs: DataFrame = null
+      val dropAcc = graft.queries.DedupQueries.droppedBucketsAcc(spark)
+      val dropBefore = dropAcc.value
       val tDedup = time {
         val sh = graft.dedup.Dedup.shingleSet(corpus(m), "doc_id", "text").cache()
         sh.count()
         val cands = graft.dedup.Dedup.lshCandidates(
-          graft.dedup.Dedup.lshBands(graft.dedup.Dedup.minhash(sh, 16), 4))
+          graft.dedup.Dedup.lshBands(graft.dedup.Dedup.minhash(sh, 16), 4),
+          droppedBuckets = Some(dropAcc))
         pairs = graft.dedup.Dedup.candidateJaccard(sh, cands)
           .filter(col("jac") >= 0.7).select(col("a"), col("b")).cache()
         pairs.count()
@@ -91,7 +103,19 @@ object Soak {
         graft.queries.TextAnalysis.boilerplateFracOf(corpus(m)).count()
       }
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s")
+      // kNN at mult× vectors: the index never shuffles in either path —
+      // brute force is broadcast queries + partition heaps, LSH is the
+      // signature pass + bucket join + exact re-rank
+      val emb = vectors(m).cache()
+      val nVecs = emb.count()
+      val qs = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val tKnn = time { graft.search.Knn.bruteForceTopK(emb, qs, 10).count() }
+      val tLsh = time { graft.search.Ann.lshTopK(emb, qs, 10, dim = 64).count() }
+      emb.unpersist()
+      spark.sharedState.cacheManager.clearCache()
+
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -64,6 +64,31 @@ object MediaFixtures {
   def grayPng(width: Int, height: Int, v: Int): Array[Byte] =
     png(width, height, Seq.fill(width * height)((v, v, v)): _*)
 
+  /** 24-bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up rows padded
+    * to 4 bytes) — a second image container built from its spec.
+    */
+  def bmp(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
+    require(rgb.length == width * height)
+    val rowLen = (width * 3 + 3) / 4 * 4
+    val dataLen = rowLen * height
+    val out = new ByteArrayOutputStream
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    out.write('B'); out.write('M')
+    le32(54 + dataLen); le32(0); le32(54)
+    le32(40); le32(width); le32(height); le16(1); le16(24)
+    le32(0); le32(dataLen); le32(2835); le32(2835); le32(0); le32(0)
+    ((height - 1) to 0 by -1).foreach { y => // bottom-up
+      (0 until width).foreach { x =>
+        val (r, g, b) = rgb(y * width + x)
+        out.write(b); out.write(g); out.write(r)
+      }
+      (width * 3 until rowLen).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
   /** Mono 16-bit little-endian PCM WAV. */
   def wav(sampleRate: Int, samples: Short*): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -111,6 +136,29 @@ class MediaCodecsSpec extends AnyFunSuite {
     val expected = Array(0, 16, 32, 63)
     expected.foreach(b => assert(math.abs(h(b) - 0.5f) < 1e-6, s"bin $b"))
     assert(h.zipWithIndex.filterNot(p => expected.contains(p._2)).forall(_._1 == 0f))
+  }
+
+  test("BMP decodes via ImageIO with exact pixel round-trip") {
+    val img = MediaCodecs.decodeImage(
+      bmp(2, 2, (255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128))).get
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    assert((img.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((img.getRGB(1, 0) & 0xffffff) == 0x00ff00)
+    assert((img.getRGB(0, 1) & 0xffffff) == 0x0000ff)
+    assert((img.getRGB(1, 1) & 0xffffff) == 0x808080)
+  }
+
+  test("decoded features are container-independent: same pixels, same histogram") {
+    // the SAME image encoded as PNG and BMP must produce the SAME
+    // luminance feature — that is what makes the feature a content
+    // signal rather than a byte-level artifact (a byte histogram of the
+    // two encodings differs wildly)
+    val px = Seq((10, 10, 10), (10, 10, 10), (200, 200, 200), (200, 200, 200))
+    val viaPng = MediaCodecs.imageHistogram(
+      MediaCodecs.decodeImage(png(2, 2, px: _*)).get, 64)
+    val viaBmp = MediaCodecs.imageHistogram(
+      MediaCodecs.decodeImage(bmp(2, 2, px: _*)).get, 64)
+    assert(viaPng.toSeq == viaBmp.toSeq)
   }
 
   test("WAV decodes via AudioSystem: samples, rate, duration") {
