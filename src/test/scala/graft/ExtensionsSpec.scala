@@ -392,6 +392,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeMeta("just text".getBytes).isEmpty)
   }
 
+  test("decoded image features feed Knn: near-duplicate images rank first") {
+    // a feature is just an ARRAY<FLOAT> — the whole similarity stack
+    // works on decoded media unchanged. Two near-identical images (one
+    // pixel differs slightly), one very different image: each near-dup's
+    // top non-self neighbor must be its twin.
+    val a = MediaFixtures.png(2, 2, (10, 10, 10), (10, 10, 10), (200, 200, 200), (200, 200, 200))
+    val b = MediaFixtures.png(2, 2, (12, 12, 12), (10, 10, 10), (200, 200, 200), (200, 200, 200))
+    val c = MediaFixtures.png(2, 2, (90, 90, 90), (130, 130, 130), (60, 60, 60), (250, 250, 250))
+    val rows = Seq(a, b, c).zipWithIndex.map { case (bytes, i) =>
+      Multimodal.MediaRow(i.toLong, "image", bytes, Multimodal.MediaMeta("png", 2, 2, 0L, 0))
+    }.toDS()
+    val feats = Multimodal.extractFeatures(rows).toDF()
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    val queries = feats.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = graft.search.Knn.bruteForceTopK(feats, queries, k = 2)
+      .filter(col("query_id") =!= col("vec_id")) // drop self-match
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(top(0L) == 1L)
+    assert(top(1L) == 0L)
+  }
+
   test("MJPEG-style video payload yields decoded keyframe pixels per offset") {
     val payload = MediaFixtures.grayPng(2, 2, 10) ++
       MediaFixtures.grayPng(2, 2, 100) ++ MediaFixtures.grayPng(2, 2, 200)
