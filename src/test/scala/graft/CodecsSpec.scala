@@ -268,6 +268,18 @@ class CodecsSpec extends AnyFunSuite {
       Codecs.lzwDecode("not lzw at all".getBytes) != null) // never throws
   }
 
+  test("LZW: width transitions survive 9/10/11/12-bit growth and a full table") {
+    // pseudorandom bytes are near-incompressible: the dictionary grows
+    // ~1 entry per emitted code, crossing every early-change width
+    // boundary (511/1023/2047) and saturating at 4096 where both sides
+    // must stop adding. A width-timing bug desyncs here immediately.
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill(20000)(rnd.nextInt(256).toByte)
+    assert(Codecs.lzwDecode(lzwEncode(big)).toSeq == big.toSeq)
+    val small = Array.fill(600)(rnd.nextInt(256).toByte) // crosses 511 only
+    assert(Codecs.lzwDecode(lzwEncode(small)).toSeq == small.toSeq)
+  }
+
   test("PDF: LZWDecode content streams decode via the pure-JDK LZW") {
     val stream = "BT (LZW compressed body.) Tj ET"
     val pdf = singleStreamPdf(lzwEncode(stream.getBytes(StandardCharsets.ISO_8859_1)),
