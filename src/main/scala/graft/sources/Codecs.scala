@@ -22,8 +22,11 @@ import org.w3c.dom.{Element, Node}
   *    ASCIIHexDecode and ASCII85Decode — plus literal/hex strings and
   *    Tj/TJ show ops. Image-only filters (DCTDecode/JPXDecode/
   *    CCITTFaxDecode/JBIG2Decode) are detected and yield NO text rather
-  *    than garbled bytes. Exotic encodings remain out of scope (a
-  *    cluster deployment swaps in pdfbox here, same signature).
+  *    than garbled bytes. PDF 1.5+ object streams (/ObjStm — the
+  *    compressed container modern writers pack catalog/page dicts into)
+  *    are unpacked. Encrypted PDFs and exotic text encodings remain out
+  *    of scope (a cluster deployment swaps in pdfbox here, same
+  *    signature).
   *
   * All extractors are total: malformed input yields "" (the reference
   * logs and returns the empty accumulator, document_loader.py:95-101),
@@ -192,6 +195,36 @@ object Codecs {
         val raw = body.substring(start, math.max(start, end))
           .stripSuffix("\n").stripSuffix("\r").getBytes(Latin1)
         objs(m.group(1).toInt) = (dict, Some(decodeStream(dict, raw)))
+      }
+    }
+    // PDF 1.5+ object streams: dict-only objects (catalog/pages/page)
+    // packed inside a compressed /ObjStm container — the layout modern
+    // writers emit. Unpack them into the object map: the decompressed
+    // payload is `N` (objnum, offset) int pairs, then the object bodies
+    // starting at /First. Content streams cannot live inside an ObjStm
+    // (ISO 32000-1 §7.5.7), so (dict, None) entries suffice.
+    for ((_, (dict, Some(data))) <- objs.toSeq
+         if """/Type\s*/ObjStm""".r.findFirstIn(dict).isDefined) {
+      val txt = new String(data, Latin1)
+      val nObjs = """/N\s+(\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(0)
+      val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(0)
+      if (nObjs > 0 && first > 0 && first <= txt.length) {
+        val header = txt.substring(0, first).trim
+          .split("""\s+""").filter(_.nonEmpty)
+        val entries = header.grouped(2).take(nObjs).collect {
+          case Array(num, off) if num.forall(_.isDigit) && off.forall(_.isDigit) =>
+            (num.toInt, off.toInt)
+        }.toSeq
+        entries.zipWithIndex.foreach { case ((num, off), i) =>
+          val start = math.min(first + off, txt.length)
+          val end =
+            if (i + 1 < entries.length) math.min(first + entries(i + 1)._2, txt.length)
+            else txt.length
+          if (start < end && !objs.contains(num))
+            objs(num) = (txt.substring(start, end), None)
+        }
       }
     }
     val refRe = """(\d+)\s+0\s+R""".r

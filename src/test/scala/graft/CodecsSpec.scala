@@ -188,6 +188,40 @@ object CodecFixtures {
     out.toByteArray
   }
 
+  /** PDF 1.5-style layout: catalog, pages and page dicts packed inside
+    * a Flate-compressed /ObjStm object stream (the shape modern writers
+    * emit); only the per-page content streams are top-level objects.
+    */
+  def objStmPdf(pages: Seq[String]): Array[Byte] = {
+    val latin1 = StandardCharsets.ISO_8859_1
+    val pageRefs = pages.indices.map(i => s"${3 + i} 0 R").mkString(" ")
+    val dicts: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [$pageRefs] /Count ${pages.length} >>") ++
+        pages.indices.map(i =>
+          (3 + i) -> s"<< /Type /Page /Parent 2 0 R /Contents ${100 + i} 0 R >>")
+    val bodies = dicts.map(_._2)
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = dicts.map(_._1).zip(offsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + " "
+    val payload = header + bodies.mkString(" ")
+    val packed = deflate(payload.getBytes(latin1))
+    val out = new ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.5\n")
+    w(s"50 0 obj << /Type /ObjStm /N ${dicts.length} /First ${header.length}" +
+      s" /Filter /FlateDecode /Length ${packed.length} >> stream\n")
+    out.write(packed)
+    w("\nendstream endobj\n")
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val stream = "BT /F1 12 Tf 72 720 Td " +
+        text.split("\n").map(l => s"($l) Tj").mkString(" 0 -14 Td ") + " ET"
+      w(s"${100 + i} 0 obj << /Length ${stream.length} >> stream\n$stream\nendstream endobj\n")
+    }
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   /** DOCX with caller-supplied body paragraphs (XML-safe text only). */
   def docx(paragraphs: Seq[String]): Array[Byte] = zip(
     "[Content_Types].xml" -> "<Types/>",
@@ -249,6 +283,16 @@ class CodecsSpec extends AnyFunSuite {
   test("PDF: garbage bytes extract to empty (document dropped, not failed)") {
     assert(Codecs.extractPdf(Array.fill[Byte](2048)(7)) == "")
     assert(Codecs.extractPdf(Array.emptyByteArray) == "")
+  }
+
+  test("PDF 1.5: page dicts inside a compressed object stream extract") {
+    val pdf = objStmPdf(Seq("Body from an ObjStm-packed page.",
+      "Second packed page."))
+    assert(Codecs.extractPdf(pdf) ==
+      """--- Page 1 ---
+        |Body from an ObjStm-packed page.
+        |--- Page 2 ---
+        |Second packed page.""".stripMargin)
   }
 
   // ---- PDF stream filters -------------------------------------------
