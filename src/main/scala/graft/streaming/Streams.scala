@@ -45,6 +45,37 @@ object Streams {
       .withColumn("embedding", embedUdf(col("content")))
   }
 
+  /** Streaming media ingest: a folder of binary media payloads →
+    * per-batch decode ([[graft.multimodal.Multimodal.extractFeatures]]:
+    * real ImageIO/AudioSystem decode, byte-histogram fallback) →
+    * streaming feature rows. Decode is a stateless narrow map, so it
+    * lifts to streaming exactly like chunk+embed — codec setup
+    * amortizes per micro-batch partition, and the output feeds the same
+    * downstream sinks/joins as the batch path.
+    */
+  def mediaFeaturesStream(spark: SparkSession, inputDir: String,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val media = spark.readStream
+      .format("binaryFile")
+      // the binaryFile source's fixed schema, required explicitly when streaming
+      .schema(new StructType()
+        .add("path", "string").add("modificationTime", "timestamp")
+        .add("length", "long").add("content", "binary"))
+      .option("recursiveFileLookup", "true")
+      .load(inputDir)
+      .select(
+        // stable per-file id: path hash (driver ids don't exist in a stream)
+        abs(xxhash64(col("path"))).as("media_id"),
+        lit("image").as("kind"),
+        col("content").as("bytes"),
+        struct(lit("auto").as("format"), lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("duration_ms"), lit(0).as("sample_rate")).as("meta"))
+      .as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(media, dim).toDF()
+  }
+
   /** Tumbling-window event counts with a watermark for late data. */
   def windowedEventCounts(events: DataFrame, windowDur: String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame =

@@ -333,6 +333,42 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+class StreamingMediaSpec extends SparkSpec {
+
+  test("media decode runs inside a streaming micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("media-stream").toString
+    val pngBytes = MediaFixtures.png(2, 2,
+      (0, 0, 0), (64, 64, 64), (128, 128, 128), (255, 255, 255))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.png"), pngBytes)
+    val wavBytes = MediaFixtures.wav(8000, 0, 16384, -16384, 32767)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.wav"), wavBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.bin"),
+      "no codec for this".getBytes)
+
+    val q = Streams.mediaFeaturesStream(spark, dir)
+      .writeStream.format("memory").queryName("media_feats")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("media_feats")
+      .select(col("n_bytes"), col("features")).collect()
+      .map(r => r.getAs[Int]("n_bytes") -> r.getSeq[Float](1)).toMap
+    assert(rows.size == 3)
+    // every path L2-normalizes
+    rows.values.foreach { f =>
+      assert(math.abs(math.sqrt(f.map(x => x.toDouble * x.toDouble).sum) - 1.0) < 1e-5)
+    }
+    // the PNG row decoded to pixels: exactly bins {0,16,32,63} at 0.5
+    val png = rows(pngBytes.length)
+    Seq(0, 16, 32, 63).foreach(b => assert(math.abs(png(b) - 0.5f) < 1e-6))
+    assert(png.count(_ != 0f) == 4)
+    // the WAV row decoded to samples: bins {16,32,48,63} at 0.5
+    val wav = rows(wavBytes.length)
+    Seq(16, 32, 48, 63).foreach(b => assert(math.abs(wav(b) - 0.5f) < 1e-6))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
