@@ -127,7 +127,7 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("bytes"),
       struct(
-        lit("stub").as("format"),
+        lit("raw").as("format"),
         (col("doc_id") % 640).cast("int").as("width"),
         (col("doc_id") % 480).cast("int").as("height"),
         (col("n_chars") * 10).as("duration_ms"),

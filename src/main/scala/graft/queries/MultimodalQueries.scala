@@ -46,8 +46,9 @@ object MultimodalQueries {
   }
 
   /** Frame sampling over video-kind rows. The sampled frame bytes are
-    * the stub boundary, but the frame COUNTS and offsets are pure
-    * functions of the metadata — oracle-checked.
+    * pixel data for MJPEG-style payloads and a byte slice otherwise
+    * (out of SQL's reach either way); the frame COUNTS and offsets are
+    * pure functions of the metadata — oracle-checked.
     */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -374,9 +374,9 @@ class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Seq(
     Multimodal.MediaRow(0L, "image", "img-bytes-payload".getBytes,
-      Multimodal.MediaMeta("stub", 64, 48, 0L, 0)),
+      Multimodal.MediaMeta("raw", 64, 48, 0L, 0)),
     Multimodal.MediaRow(1L, "video", "video-bytes".getBytes,
-      Multimodal.MediaMeta("stub", 64, 48, 5000L, 0)),
+      Multimodal.MediaMeta("raw", 64, 48, 5000L, 0)),
   ).toDS()
 
   test("batched feature extraction produces normalized vectors") {
