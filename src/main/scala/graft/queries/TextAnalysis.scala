@@ -250,6 +250,27 @@ object TextAnalysis {
       .filter(col("bucket") < 20)
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split assignment (80/10/10): a
+    * document's split is a pure function of its id — the same md5-gate
+    * family as [[sampleStratified]], so assignment reproduces on any
+    * cluster and disjointness + full coverage are structural (every
+    * bucket maps to exactly one split). Emits the per-(split, lang)
+    * audit report a pipeline records alongside the materialized splits.
+    * Scale: one narrow map + one map-side-combined groupBy; nothing
+    * grows with the corpus but the 15-row report.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        TextFns.md5Int(concat(lit("split|"), col("doc_id"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("split", "lang")
+
   /** Temperature-reweighted corpus mixing (α = 0.5): per-language keep
     * fractions ∝ n_l^α (upsampling low-resource strata relative to
     * their natural share — the standard LLM mixture step), applied as a
@@ -547,6 +568,7 @@ object TextAnalysis {
     "tfidf_top" -> (tfidfTop _),
     "corpus_filter" -> (corpusFilter _),
     "sample_stratified" -> (sampleStratified _),
+    "split_assign" -> (splitAssign _),
     "bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
     "pack_sequences" -> (packSequences _),
@@ -784,6 +806,16 @@ object TextAnalysis {
         |WHERE CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))
         |       AS BIGINT) % 100 < 20
         |ORDER BY doc_id""".stripMargin,
+    "split_assign" ->
+      """SELECT
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "bigram_lm" ->
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
