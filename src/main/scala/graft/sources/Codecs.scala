@@ -274,23 +274,37 @@ object Codecs {
   private val ImageFilters =
     Seq("/DCTDecode", "/JPXDecode", "/CCITTFaxDecode", "/JBIG2Decode")
 
-  /** Apply the stream's /Filter pipeline for the text-bearing filters.
-    * ASCII transport filters are applied before the compression filter —
-    * the order real chains use ([/ASCII85Decode /FlateDecode] etc.,
-    * since the ASCII layer exists to wrap the binary one for 7-bit
-    * transport).
+  /** The /Filter entry: a single name or an array of names applied in
+    * listed order (ISO 32000-1 §7.3.8.2 — first name decodes the raw
+    * stream bytes, each next name decodes the previous output).
     */
-  private def decodeStream(dict: String, raw: Array[Byte]): Array[Byte] =
-    if (ImageFilters.exists(dict.contains)) Array.emptyByteArray
-    else {
-      var data = raw
-      if (dict.contains("/ASCIIHexDecode")) data = asciiHexDecode(data)
-      if (dict.contains("/ASCII85Decode")) data = ascii85Decode(data)
-      if (dict.contains("/FlateDecode")) data = inflate(data)
-      if (dict.contains("/LZWDecode")) data = lzwDecode(data)
-      if (dict.contains("/RunLengthDecode")) data = runLengthDecode(data)
-      data
+  private val FilterRe: Regex = """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val NameRe: Regex = """/[A-Za-z0-9]+""".r
+
+  private def filterNames(dict: String): Seq[String] =
+    FilterRe.findFirstMatchIn(dict)
+      .map(m => NameRe.findAllIn(m.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Apply the stream's /Filter pipeline in array order for the
+    * text-bearing filters; unknown names pass through unchanged (their
+    * output never parses as Tj text, so they degrade to empty pages,
+    * not garbage).
+    */
+  private def decodeStream(dict: String, raw: Array[Byte]): Array[Byte] = {
+    val filters = filterNames(dict)
+    if (filters.exists(ImageFilters.contains)) Array.emptyByteArray
+    else filters.foldLeft(raw) { (data, f) =>
+      f match {
+        case "/ASCIIHexDecode" => asciiHexDecode(data)
+        case "/ASCII85Decode" => ascii85Decode(data)
+        case "/FlateDecode" => inflate(data)
+        case "/LZWDecode" => lzwDecode(data)
+        case "/RunLengthDecode" => runLengthDecode(data)
+        case _ => data
+      }
     }
+  }
 
   /** PDF LZW (ISO 32000-1 §7.4.4): TIFF-variant LZW — 9→12-bit codes
     * MSB-first, 256 = clear-table, 257 = EOD, default EarlyChange=1
@@ -327,8 +341,10 @@ object Codecs {
               else throw new IllegalArgumentException(s"bad LZW code $code")
             out.write(entry)
             if (prev != null && table.length < 4096) table += (prev :+ entry(0))
-            // EarlyChange=1: bump when the NEXT add would hit 2^width - 1
-            if (width < 12 && table.length + 1 >= (1 << width) - 1) width += 1
+            // EarlyChange=1 (xpdf: nextCode+early==512; PDFBox:
+            // tabSize >= 512-earlyChange): widen once the table reaches
+            // 2^width - 1 entries, one earlier than the width alone demands
+            if (width < 12 && table.length >= (1 << width) - 1) width += 1
             prev = entry
           }
         }

@@ -177,8 +177,9 @@ object CodecFixtures {
       else {
         put(dict(w))
         if (next < 4096) { dict(wb) = next; next += 1 }
-        // EarlyChange=1: widen one code before the table demands it
-        if (width < 12 && next >= (1 << width) - 1) width += 1
+        // EarlyChange=1: the decoder's table lags the encoder's `next`
+        // by one, so its 2^width-1 rule lands here at next == 2^width
+        if (width < 12 && next >= (1 << width)) width += 1
         w = Vector(b)
       }
     }
@@ -324,6 +325,70 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.lzwDecode(lzwEncode(small)).toSeq == small.toSeq)
   }
 
+  test("LZW: JDK ImageIO TIFF strip (independent encoder) decodes byte-exact") {
+    // Ground truth from an encoder we didn't write: the JDK TIFF writer
+    // emits the same EarlyChange=1 LZW variant PDF uses (TIFF 6.0 §13).
+    // Pseudorandom pixels are near-incompressible, so the code table
+    // crosses the 9→10 and 10→11 bit boundaries — the exact seam the
+    // early-change rule governs. A width off-by-one fails here with
+    // 'bad LZW code' (empty output), not a subtle diff.
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val rnd = new scala.util.Random(7)
+    val (iw, ih) = (96, 96)
+    val pixels = Array.fill(iw * ih)(rnd.nextInt(256).toByte)
+    val img = new BufferedImage(iw, ih, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, iw, ih, pixels)
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new ByteArrayOutputStream
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val b = bos.toByteArray
+    // minimal TIFF IFD walk (TIFF 6.0 §2): header endianness, first IFD
+    val le = b(0) == 'I'
+    def u16(o: Int): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (0 until 4).map(j => (b(o + j) & 0xffL) << (8 * j)).sum
+      else (0 until 4).map(j => (b(o + j) & 0xffL) << (8 * (3 - j))).sum
+    val ifd = u32(4).toInt
+    val tags: Map[Int, IndexedSeq[Long]] = (0 until u16(ifd)).map { i =>
+      val e = ifd + 2 + 12 * i
+      val (tag, typ, cnt) = (u16(e), u16(e + 2), u32(e + 4).toInt)
+      val sz = typ match { case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case _ => 4 }
+      val off = if (sz.toLong * cnt <= 4) e + 8 else u32(e + 8).toInt
+      tag -> (0 until cnt).map { j =>
+        sz match {
+          case 1 => (b(off + j) & 0xff).toLong
+          case 2 => u16(off + 2 * j).toLong
+          case _ => u32(off + 4 * j)
+        }
+      }
+    }.toMap
+    assert(tags(259) == IndexedSeq(5L), "writer produced LZW compression")
+    val decoded = tags(273).zip(tags(279)).flatMap { case (off, len) =>
+      val strip = java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+      val d = Codecs.lzwDecode(strip)
+      assert(d.nonEmpty, "strip decoded (width desync yields empty)")
+      d
+    }.toArray
+    // Predictor 2 = horizontal differencing: undo with a per-row
+    // cumulative sum; predictor 1 (or absent) is pass-through.
+    val predictor = tags.getOrElse(317, IndexedSeq(1L)).head
+    val restored =
+      if (predictor != 2) decoded
+      else decoded.grouped(iw).flatMap(_.scanLeft(0.toByte) {
+        (acc, d) => (acc + d).toByte
+      }.tail).toArray
+    assert(restored.toSeq == pixels.toSeq)
+  }
+
   test("PDF: LZWDecode content streams decode via the pure-JDK LZW") {
     val stream = "BT (LZW compressed body.) Tj ET"
     val pdf = singleStreamPdf(lzwEncode(stream.getBytes(StandardCharsets.ISO_8859_1)),
@@ -374,6 +439,20 @@ class CodecsSpec extends AnyFunSuite {
     val pdf = singleStreamPdf(sb.toString.getBytes(StandardCharsets.ISO_8859_1),
       " /Filter [/ASCII85Decode /FlateDecode]")
     assert(Codecs.extractPdf(pdf) == "--- Page 1 ---\nChained filters body.")
+  }
+
+  test("PDF: non-canonical [/RunLengthDecode /FlateDecode] chain follows array order") {
+    // RLE wraps the Flate layer here — the reverse of the usual
+    // transport nesting, decodable only by honoring the array order.
+    val stream = "BT (Array-ordered filters.) Tj ET"
+    val flated = deflate(stream.getBytes(StandardCharsets.ISO_8859_1))
+    // literal-run RLE encode (test-side, §7.4.5): ≤128-byte copies + EOD
+    val rle = new ByteArrayOutputStream
+    flated.grouped(128).foreach { g => rle.write(g.length - 1); rle.write(g) }
+    rle.write(128)
+    val pdf = singleStreamPdf(rle.toByteArray,
+      " /Filter [/RunLengthDecode /FlateDecode]")
+    assert(Codecs.extractPdf(pdf) == "--- Page 1 ---\nArray-ordered filters.")
   }
 
   // ---- OOXML --------------------------------------------------------
