@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** Real-format media payload builders, written from the specs the
+  * formats are defined by (PNG = chunked zlib-compressed scanlines per
+  * RFC 2083; BMP = BITMAPINFOHEADER; WAV = RIFF header + PCM frames).
+  * The encoders are ~40 lines of spec each, not a codec library, so the
+  * JDK decode path ([[MediaCodecs]]) is verified against ground truth,
+  * not against itself — the same fixture philosophy as the document
+  * codecs (reference analog: real binary payloads parsed by PyPDF2/
+  * openpyxl, src/document_loader.py:86-149).
+  *
+  * Lives in main (not test) because [[realMedia]] feeds the
+  * oracle-checked `media_decode` query: payload dimensions derive
+  * arithmetically from `doc_id`, so a DuckDB oracle can compute the
+  * expected decode output without seeing the blobs.
+  */
+object MediaFixtures {
+
+  /** Truecolor (color type 2) PNG, one RGB triple per pixel. Truecolor
+    * rather than grayscale so `getRGB` round-trips component values
+    * exactly (the AWT gray→sRGB conversion is gamma-corrected, not
+    * identity).
+    */
+  def png(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
+    require(rgb.length == width * height)
+    val out = new ByteArrayOutputStream
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val typed = typ.getBytes("US-ASCII") ++ data
+      out.write(typed)
+      val crc = new CRC32
+      crc.update(typed)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", Array((width >>> 24).toByte, (width >>> 16).toByte,
+      (width >>> 8).toByte, width.toByte, (height >>> 24).toByte,
+      (height >>> 16).toByte, (height >>> 8).toByte, height.toByte,
+      8.toByte, 2.toByte, 0.toByte, 0.toByte, 0.toByte))
+    val scanlines = new ByteArrayOutputStream
+    (0 until height).foreach { y =>
+      scanlines.write(0) // filter: None
+      (0 until width).foreach { x =>
+        val (r, g, b) = rgb(y * width + x)
+        scanlines.write(r); scanlines.write(g); scanlines.write(b)
+      }
+    }
+    val d = new Deflater()
+    d.setInput(scanlines.toByteArray); d.finish()
+    val zbuf = new ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zbuf.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Uniform-gray PNG: every pixel (v, v, v), so luminance == v exactly
+    * under the integer per-mille weights.
+    */
+  def grayPng(width: Int, height: Int, v: Int): Array[Byte] =
+    png(width, height, Seq.fill(width * height)((v, v, v)): _*)
+
+  /** 24-bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up rows padded
+    * to 4 bytes) — a second image container built from its spec.
+    */
+  def bmp(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
+    require(rgb.length == width * height)
+    val rowLen = (width * 3 + 3) / 4 * 4
+    val dataLen = rowLen * height
+    val out = new ByteArrayOutputStream
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    out.write('B'); out.write('M')
+    le32(54 + dataLen); le32(0); le32(54)
+    le32(40); le32(width); le32(height); le16(1); le16(24)
+    le32(0); le32(dataLen); le32(2835); le32(2835); le32(0); le32(0)
+    ((height - 1) to 0 by -1).foreach { y => // bottom-up
+      (0 until width).foreach { x =>
+        val (r, g, b) = rgb(y * width + x)
+        out.write(b); out.write(g); out.write(r)
+      }
+      (width * 3 until rowLen).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  /** Mono 16-bit little-endian PCM WAV. */
+  def wav(sampleRate: Int, samples: Short*): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(sampleRate)
+    le32(sampleRate * 2); le16(2); le16(16)
+    ascii("data"); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    out.toByteArray
+  }
+
+  /** Media table of REAL encoded payloads, derived deterministically
+    * from `documents.doc_id`: even ids carry an RGB PNG whose
+    * dimensions are (id%29+4, id%17+3) and whose pixels follow a fixed
+    * arithmetic pattern; odd ids carry an 8 kHz mono PCM WAV of
+    * (id%5+1)·80 frames. Every parameter a decoder can report is thus a
+    * pure function of `doc_id` — which is what lets a SQL oracle verify
+    * the ImageIO/AudioSystem decode output without parsing blobs.
+    *
+    * Payload construction is a narrow per-partition map (no shuffle);
+    * payloads are bounded (≤ 32×19 px, ≤ 400 frames) so the build cost
+    * per row is O(1) at any scale.
+    */
+  def realMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        if (id % 2 == 0) {
+          val w = (id % 29 + 4).toInt
+          val h = (id % 17 + 3).toInt
+          val pix = Seq.tabulate(w * h) { i =>
+            val v = ((i * 7 + id) % 256).toInt
+            (v, v, v)
+          }
+          Multimodal.MediaRow(id, "image", png(w, h, pix: _*),
+            Multimodal.MediaMeta("png", w, h, 0L, 0))
+        } else {
+          val rate = 8000
+          val frames = ((id % 5 + 1) * 80).toInt
+          val samples = Array.tabulate(frames)(i =>
+            (((i * 131 + id * 17) % 65536) - 32768).toShort)
+          Multimodal.MediaRow(id, "audio", wav(rate, samples.toIndexedSeq: _*),
+            Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / rate, rate))
+        }
+      }
+    }
+  }
+}

@@ -74,6 +74,29 @@ object Multimodal {
       case _ => None
     }
 
+  /** Decode-probe report over a media table: every payload runs through
+    * the REAL decode path ([[probeMeta]] → ImageIO / AudioSystem) inside
+    * a distributed plan, and `decode_differs` proves the decoded-feature
+    * branch (not the byte-histogram fallback) produced the feature —
+    * false whenever decode failed and the fallback ran. Undecodable
+    * payloads surface as a 'none'/-1 sentinel row, so a broken codec is
+    * an oracle hash mismatch, not a silent fallback. Narrow
+    * per-partition map, no shuffle.
+    */
+  def probeDecode(media: Dataset[MediaRow], dim: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val meta = probeMeta(m.bytes).getOrElse(MediaMeta("none", -1, -1, -1L, -1))
+        val differs = !java.util.Arrays.equals(
+          decodeFeatures(m.bytes, dim), byteHistogram(m.bytes, dim))
+        (m.media_id, meta.format, meta.width, meta.height,
+          meta.sample_rate, meta.duration_ms, differs)
+      }
+    }.toDF("media_id", "format", "width", "height",
+      "sample_rate", "duration_ms", "decode_differs")
+  }
+
   /** Batched feature extraction — the mapInPandas shape: the work runs
     * once per partition over an iterator of rows, so codec setup (class
     * loading, ImageIO plugin registry) amortizes per batch, not per row.

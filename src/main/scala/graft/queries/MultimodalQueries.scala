@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaFixtures, Multimodal}
 
 /** Multimodal query surface over the documents-derived media fixture. */
 object MultimodalQueries {
@@ -58,13 +58,40 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Real decode, oracle-proven: payloads are REAL spec-built PNG/WAV
+    * blobs ([[MediaFixtures.realMedia]]) whose dimensions / sample rate
+    * / duration are pure functions of doc_id, and the Spark side reports
+    * what ImageIO/AudioSystem actually decoded
+    * ([[Multimodal.probeDecode]]). The oracle recomputes the expected
+    * values arithmetically — if either JDK decode path breaks (or the
+    * feature pipeline silently falls back to the byte histogram, see
+    * `decode_differs`), the row set hash-mismatches.
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.probeDecode(MediaFixtures.realMedia(Tables.documents(spark, dir)))
+      .orderBy("media_id")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
+    "media_decode" -> (mediaDecode _),
   )
 
   def oracles: Map[String, String] = Map(
+    "media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 29 + 4 ELSE 0 END
+        |    AS INTEGER) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 17 + 3 ELSE 0 END
+        |    AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 ELSE 0 END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 5 + 1) * 10 ELSE 0 END
+        |    AS BIGINT) AS duration_ms,
+        |  TRUE AS decode_differs
+        |FROM documents ORDER BY media_id""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.embed.HashingEmbedder
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaFixtures, Multimodal}
 import graft.search.{Ann, Knn}
 import graft.sources.{DocumentLoader, Sinks}
 import graft.streaming.Streams
@@ -426,6 +426,30 @@ class MultimodalSpec extends SparkSpec {
       MediaFixtures.wav(8000, Seq.fill(1600)(5.toShort): _*)).get
     assert(aud.format == "wav" && aud.sample_rate == 8000 && aud.duration_ms == 200)
     assert(Multimodal.probeMeta("just text".getBytes).isEmpty)
+  }
+
+  test("probeDecode reports decoded metadata; decode_differs separates real decode from fallback") {
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", MediaFixtures.grayPng(5, 4, 9),
+        Multimodal.MediaMeta("png", 5, 4, 0L, 0)),
+      Multimodal.MediaRow(1L, "audio",
+        MediaFixtures.wav(8000, Seq.fill(800)(3.toShort): _*),
+        Multimodal.MediaMeta("wav", 0, 0, 100L, 8000)),
+      Multimodal.MediaRow(2L, "image", "not media at all".getBytes,
+        Multimodal.MediaMeta("raw", 0, 0, 0L, 0)),
+    ).toDS()
+    val out = Multimodal.probeDecode(rows).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out(0L).getAs[String]("format") == "png")
+    assert(out(0L).getAs[Int]("width") == 5 && out(0L).getAs[Int]("height") == 4)
+    assert(out(0L).getAs[Boolean]("decode_differs"))
+    assert(out(1L).getAs[String]("format") == "wav")
+    assert(out(1L).getAs[Int]("sample_rate") == 8000)
+    assert(out(1L).getAs[Long]("duration_ms") == 100L)
+    assert(out(1L).getAs[Boolean]("decode_differs"))
+    // undecodable payload: sentinel meta, byte-histogram fallback ran
+    assert(out(2L).getAs[String]("format") == "none")
+    assert(!out(2L).getAs[Boolean]("decode_differs"))
   }
 
   test("decoded image features feed Knn: near-duplicate images rank first") {

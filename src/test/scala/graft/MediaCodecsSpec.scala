@@ -1,110 +1,8 @@
 package graft
 
-import java.io.ByteArrayOutputStream
-import java.util.zip.{CRC32, Deflater}
-
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.MediaCodecs
-
-/** Real-format media fixtures built from the specs the formats are
-  * defined by (PNG = chunked zlib-compressed scanlines per RFC 2083;
-  * WAV = RIFF header + PCM frames) — the encoder here is ~40 lines of
-  * spec, not a codec library, so these verify the JDK decode path
-  * against ground truth, not against itself. Same fixture philosophy as
-  * `CodecsSpec.minimalPdf`.
-  */
-object MediaFixtures {
-
-  /** Truecolor (color type 2) PNG, one RGB triple per pixel. Truecolor
-    * rather than grayscale so `getRGB` round-trips component values
-    * exactly (the AWT gray→sRGB conversion is gamma-corrected, not
-    * identity).
-    */
-  def png(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
-    require(rgb.length == width * height)
-    val out = new ByteArrayOutputStream
-    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
-    def chunk(typ: String, data: Array[Byte]): Unit = {
-      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
-        (v >>> 8).toByte, v.toByte)
-      out.write(be32(data.length))
-      val typed = typ.getBytes("US-ASCII") ++ data
-      out.write(typed)
-      val crc = new CRC32
-      crc.update(typed)
-      out.write(be32(crc.getValue.toInt))
-    }
-    chunk("IHDR", Array((width >>> 24).toByte, (width >>> 16).toByte,
-      (width >>> 8).toByte, width.toByte, (height >>> 24).toByte,
-      (height >>> 16).toByte, (height >>> 8).toByte, height.toByte,
-      8.toByte, 2.toByte, 0.toByte, 0.toByte, 0.toByte))
-    val scanlines = new ByteArrayOutputStream
-    (0 until height).foreach { y =>
-      scanlines.write(0) // filter: None
-      (0 until width).foreach { x =>
-        val (r, g, b) = rgb(y * width + x)
-        scanlines.write(r); scanlines.write(g); scanlines.write(b)
-      }
-    }
-    val d = new Deflater()
-    d.setInput(scanlines.toByteArray); d.finish()
-    val zbuf = new ByteArrayOutputStream
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) zbuf.write(buf, 0, d.deflate(buf))
-    d.end()
-    chunk("IDAT", zbuf.toByteArray)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
-  }
-
-  /** Uniform-gray PNG: every pixel (v, v, v), so luminance == v exactly
-    * under the integer per-mille weights.
-    */
-  def grayPng(width: Int, height: Int, v: Int): Array[Byte] =
-    png(width, height, Seq.fill(width * height)((v, v, v)): _*)
-
-  /** 24-bpp uncompressed BMP (BITMAPINFOHEADER, bottom-up rows padded
-    * to 4 bytes) — a second image container built from its spec.
-    */
-  def bmp(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
-    require(rgb.length == width * height)
-    val rowLen = (width * 3 + 3) / 4 * 4
-    val dataLen = rowLen * height
-    val out = new ByteArrayOutputStream
-    def le32(v: Int): Unit =
-      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
-    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
-    out.write('B'); out.write('M')
-    le32(54 + dataLen); le32(0); le32(54)
-    le32(40); le32(width); le32(height); le16(1); le16(24)
-    le32(0); le32(dataLen); le32(2835); le32(2835); le32(0); le32(0)
-    ((height - 1) to 0 by -1).foreach { y => // bottom-up
-      (0 until width).foreach { x =>
-        val (r, g, b) = rgb(y * width + x)
-        out.write(b); out.write(g); out.write(r)
-      }
-      (width * 3 until rowLen).foreach(_ => out.write(0))
-    }
-    out.toByteArray
-  }
-
-  /** Mono 16-bit little-endian PCM WAV. */
-  def wav(sampleRate: Int, samples: Short*): Array[Byte] = {
-    val dataLen = samples.length * 2
-    val out = new ByteArrayOutputStream
-    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-    def le32(v: Int): Unit =
-      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
-    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
-    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
-    ascii("fmt "); le32(16); le16(1); le16(1); le32(sampleRate)
-    le32(sampleRate * 2); le16(2); le16(16)
-    ascii("data"); le32(dataLen)
-    samples.foreach(s => le16(s & 0xffff))
-    out.toByteArray
-  }
-}
+import graft.multimodal.{MediaCodecs, MediaFixtures}
 
 class MediaCodecsSpec extends AnyFunSuite {
   import MediaFixtures._
