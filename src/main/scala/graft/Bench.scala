@@ -72,6 +72,11 @@ object Bench {
     // what must never happen is the count existing only in the Spark UI.
     System.err.println(
       s"[bench] dropped_buckets=${graft.queries.DedupQueries.droppedBucketsAcc(spark).value}")
+    // Encrypted-PDF audit trail: same contract — losses are measured,
+    // never silent (zero unless a query ran the document loader).
+    val (pdfDec, pdfUnsup) = graft.sources.DocumentLoader.pdfEncryptionAccs(spark)
+    System.err.println(
+      s"[bench] pdf_decrypted=${pdfDec.value} pdf_encrypted_unsupported=${pdfUnsup.value}")
     val results = pass1.keys.toSeq.sorted.map(k =>
       k -> math.min(pass1(k), pass2.getOrElse(k, pass1(k))))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -24,9 +24,12 @@ import org.w3c.dom.{Element, Node}
   *    CCITTFaxDecode/JBIG2Decode) are detected and yield NO text rather
   *    than garbled bytes. PDF 1.5+ object streams (/ObjStm — the
   *    compressed container modern writers pack catalog/page dicts into)
-  *    are unpacked. Encrypted PDFs and exotic text encodings remain out
-  *    of scope (a cluster deployment swaps in pdfbox here, same
-  *    signature).
+  *    are unpacked. Standard-security (RC4, empty user password) PDFs
+  *    decrypt in place — the same class PyPDF2 opens; AES and
+  *    password-protected documents extract as "" and are COUNTED via
+  *    the loader's audit accumulators, so the loss is measured, never
+  *    silent. Exotic text encodings remain out of scope (a cluster
+  *    deployment swaps in pdfbox here, same signature).
   *
   * All extractors are total: malformed input yields "" (the reference
   * logs and returns the empty accumulator, document_loader.py:95-101),
@@ -174,18 +177,36 @@ object Codecs {
 
   private val Latin1 = StandardCharsets.ISO_8859_1 // byte-faithful round-trip
 
+  /** Outcome of the per-document encryption check, reported to the
+    * loader's audit accumulators so encrypted losses are measured, not
+    * silent (reference analog: PyPDF2 opens standard-security PDFs with
+    * an empty user password, document_loader.py:86-102).
+    */
+  sealed trait PdfEncryption
+  case object PdfNotEncrypted extends PdfEncryption
+  /** RC4 standard security, empty user password — decrypted in place. */
+  case object PdfDecrypted extends PdfEncryption
+  /** AES (V≥4), a set user password, or a malformed /Encrypt dict —
+    * extracts as "" under the drop-not-fail contract.
+    */
+  case object PdfEncryptedUnsupported extends PdfEncryption
+
   /** Per-page text under `--- Page N ---` markers; empty pages dropped
     * (PyPDF2 loop, document_loader.py:93-99).
     */
-  def extractPdf(bytes: Array[Byte]): String = {
+  def extractPdf(bytes: Array[Byte]): String = extractPdf(bytes, _ => ())
+
+  def extractPdf(bytes: Array[Byte], onEncryption: PdfEncryption => Unit): String = {
     val s = new String(bytes, Latin1)
-    val objRe = """(?s)(\d+)\s+\d+\s+obj\b(.*?)endobj""".r
-    // obj number -> (dict text, raw stream bytes)
-    val objs = mutable.LinkedHashMap.empty[Int, (String, Option[Array[Byte]])]
+    val objRe = """(?s)(\d+)\s+(\d+)\s+obj\b(.*?)endobj""".r
+    // pass 1 — obj number -> (gen, dict text, raw stream bytes, still
+    // encrypted/encoded): decryption must run BEFORE the filter chain,
+    // and whether to decrypt is known only after the whole graph is read
+    val rawObjs = mutable.LinkedHashMap.empty[Int, (Int, String, Option[Array[Byte]])]
     for (m <- objRe.findAllMatchIn(s)) {
-      val body = m.group(2)
+      val body = m.group(3)
       val si = body.indexOf("stream")
-      if (si < 0) objs(m.group(1).toInt) = (body, None)
+      if (si < 0) rawObjs(m.group(1).toInt) = (m.group(2).toInt, body, None)
       else {
         val dict = body.substring(0, si)
         var start = si + "stream".length
@@ -194,9 +215,19 @@ object Codecs {
         val end = body.lastIndexOf("endstream")
         val raw = body.substring(start, math.max(start, end))
           .stripSuffix("\n").stripSuffix("\r").getBytes(Latin1)
-        objs(m.group(1).toInt) = (dict, Some(decodeStream(dict, raw)))
+        rawObjs(m.group(1).toInt) = (m.group(2).toInt, dict, Some(raw))
       }
     }
+    val decrypt: (Int, Int, Array[Byte]) => Array[Byte] =
+      emptyPasswordDecryptor(s, rawObjs) match {
+        case Some(None) => onEncryption(PdfNotEncrypted); (_, _, d) => d
+        case Some(Some(fn)) => onEncryption(PdfDecrypted); fn
+        case None => onEncryption(PdfEncryptedUnsupported); return ""
+      }
+    // pass 2: decrypt (when applicable) then apply the /Filter chain
+    val objs = mutable.LinkedHashMap.empty[Int, (String, Option[Array[Byte]])]
+    for ((num, (gen, dict, rawOpt)) <- rawObjs)
+      objs(num) = (dict, rawOpt.map(raw => decodeStream(dict, decrypt(num, gen, raw))))
     // PDF 1.5+ object streams: dict-only objects (catalog/pages/page)
     // packed inside a compressed /ObjStm container — the layout modern
     // writers emit. Unpack them into the object map: the decompressed
@@ -265,6 +296,174 @@ object Codecs {
     pages.zipWithIndex.collect {
       case (t, i) if t.trim.nonEmpty => s"--- Page ${i + 1} ---\n$t"
     }.mkString("\n")
+  }
+
+  // ---- PDF standard security handler (ISO 32000-1 §7.6.3) -----------
+
+  /** The 32-byte password pad of Algorithm 2 — an empty user password
+    * IS this pad.
+    */
+  private val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 — the legacy PDF stream cipher, needed to READ standard-
+    * security documents; ~15 lines from the published key-schedule +
+    * PRGA description.
+    */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val st = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + st(i) + key(i % key.length)) & 0xff
+      val t = st(i); st(i) = st(j); st(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var x = 0
+    while (x < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + st(i)) & 0xff
+      val t = st(i); st(i) = st(j); st(j) = t
+      out(x) = (data(x) ^ st((st(i) + st(j)) & 0xff)).toByte
+      x += 1
+    }
+    out
+  }
+
+  /** Integer value of `/Key n` in a dict (name-boundary guarded). */
+  private def intVal(dict: String, key: String): Option[Int] =
+    ("""/""" + key + """(?![A-Za-z0-9])\s*(-?\d+)""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** PDF string (literal with escapes, or hex) starting at or after
+    * `pos` in `text` — used for the /O and /U entries and the file ID.
+    */
+  private def pdfStringAt(text: String, pos: Int): Option[Array[Byte]] = {
+    var i = pos
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length) None
+    else if (text.charAt(i) == '(') {
+      val out = new java.io.ByteArrayOutputStream
+      var depth = 1
+      i += 1
+      while (i < text.length && depth > 0) {
+        text.charAt(i) match {
+          case '\\' if i + 1 < text.length =>
+            text.charAt(i + 1) match {
+              case 'n' => out.write('\n'); i += 2
+              case 'r' => out.write('\r'); i += 2
+              case 't' => out.write('\t'); i += 2
+              case 'b' => out.write('\b'); i += 2
+              case 'f' => out.write('\f'); i += 2
+              case c @ ('(' | ')' | '\\') => out.write(c); i += 2
+              case c if c.isDigit =>
+                val end = math.min(i + 4, text.length)
+                var j = i + 1
+                while (j < end && text.charAt(j).isDigit && j - i <= 3) j += 1
+                out.write(Integer.parseInt(text.substring(i + 1, j), 8))
+                i = j
+              case '\n' => i += 2
+              case c => out.write(c); i += 2
+            }
+          case '(' => depth += 1; out.write('('); i += 1
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+            i += 1
+          case c => out.write(c); i += 1
+        }
+      }
+      Some(out.toByteArray)
+    } else if (text.charAt(i) == '<') {
+      val end = text.indexOf('>', i)
+      if (end < 0) None
+      else {
+        val hex = text.substring(i + 1, end).filterNot(_.isWhitespace)
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        Some(padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      }
+    } else None
+  }
+
+  private def pdfString(dict: String, key: String): Option[Array[Byte]] = {
+    var ki = dict.indexOf(key)
+    while (ki >= 0 && ki + key.length < dict.length &&
+      dict.charAt(ki + key.length).isLetterOrDigit)
+      ki = dict.indexOf(key, ki + 1)
+    if (ki < 0) None else pdfStringAt(dict, ki + key.length)
+  }
+
+  /** First element of the trailer /ID array (part of the key salt). */
+  private def docId(s: String): Option[Array[Byte]] =
+    """(?s)/ID\s*\[""".r.findFirstMatchIn(s).flatMap(m => pdfStringAt(s, m.end))
+
+  /** Algorithm 2: the file encryption key for the (padded) empty user
+    * password; `n` = key length in bytes.
+    */
+  private def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
+      n: Int): Array[Byte] = {
+    val pB = Array(p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    var h = md5(PasswordPad, o.padTo(32, 0.toByte).take(32), pB, id0)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+    h.take(n)
+  }
+
+  /** Algorithms 4/5 (check side of 6): does the /U entry match the
+    * empty user password under `key`?
+    */
+  private def emptyPasswordMatches(key: Array[Byte], u: Array[Byte],
+      id0: Array[Byte], r: Int): Boolean =
+    if (r == 2) java.util.Arrays.equals(rc4(key, PasswordPad), u.take(32))
+    else {
+      var x = rc4(key, md5(PasswordPad, id0))
+      for (i <- 1 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
+      java.util.Arrays.equals(x, u.take(16))
+    }
+
+  /** Encryption probe + decryptor builder. None = encrypted but out of
+    * scope (AES, set password, malformed); Some(None) = not encrypted;
+    * Some(Some(fn)) = RC4 per-object decryptor for the empty user
+    * password.
+    */
+  private def emptyPasswordDecryptor(s: String,
+      objs: mutable.LinkedHashMap[Int, (Int, String, Option[Array[Byte]])])
+      : Option[Option[(Int, Int, Array[Byte]) => Array[Byte]]] = {
+    val encNum = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+    encNum match {
+      case None => Some(None)
+      case Some(num) =>
+        val supported = for {
+          (_, dict, _) <- objs.get(num)
+          if """/Filter\s*/Standard""".r.findFirstIn(dict).isDefined
+          v = intVal(dict, "V").getOrElse(0)
+          r <- intVal(dict, "R")
+          if (v == 1 || v == 2) && (r == 2 || r == 3)
+          o <- pdfString(dict, "/O")
+          u <- pdfString(dict, "/U")
+          p <- intVal(dict, "P")
+          n = if (r == 2) 5 else intVal(dict, "Length").getOrElse(40) / 8
+          key = fileKey(o, p, docId(s).getOrElse(Array.emptyByteArray), r, n)
+          if emptyPasswordMatches(key, u, docId(s).getOrElse(Array.emptyByteArray), r)
+        } yield (objNum: Int, gen: Int, data: Array[Byte]) => {
+          // Algorithm 1: per-object key = MD5(file key + low obj/gen bytes)
+          val objKey = md5(key, Array(objNum.toByte, (objNum >> 8).toByte,
+            (objNum >> 16).toByte, gen.toByte, (gen >> 8).toByte))
+            .take(math.min(n + 5, 16))
+          rc4(objKey, data)
+        }
+        supported.map(fn => Some(fn))
+    }
   }
 
   /** Filters that encode raster/image data — a stream carrying one has

@@ -22,6 +22,26 @@ object DocumentLoader {
   /** Extension → extractor dispatch (document_loader.py:69-84). */
   val SupportedTypes: Set[String] = Set(".pdf", ".docx", ".xlsx", ".pptx", ".md")
 
+  /** Per-session audit counters for encrypted PDFs: (decrypted via the
+    * empty-user-password RC4 handler, unsupported → dropped). Surfaced
+    * on Bench/Soak stderr like the LSH dropped-bucket count, so an
+    * encrypted corpus is a measured loss, not a silent one. Task-retry
+    * over-count caveat as for dropped_buckets: telemetry, not data.
+    */
+  private val pdfEncAccs = new java.util.WeakHashMap[
+    SparkSession, (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)]
+  def pdfEncryptionAccs(spark: SparkSession)
+      : (org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) =
+    pdfEncAccs.synchronized {
+      var accs = pdfEncAccs.get(spark)
+      if (accs == null) {
+        accs = (spark.sparkContext.longAccumulator("graft.pdf.decrypted"),
+          spark.sparkContext.longAccumulator("graft.pdf.encrypted_unsupported"))
+        pdfEncAccs.put(spark, accs)
+      }
+      accs
+    }
+
   /** S1: recursive scan of a folder for all supported types. Returns
     * (source_file, content), dropping empty documents
     * (document_loader.py:60-61).
@@ -29,7 +49,13 @@ object DocumentLoader {
   def loadDocuments(spark: SparkSession, folder: String): Dataset[Document] = {
     import spark.implicits._
     val glob = "*.{pdf,docx,xlsx,pptx,md}"
-    val extract = udf((path: String, bytes: Array[Byte]) => extractText(path, bytes))
+    val (decAcc, unsupAcc) = pdfEncryptionAccs(spark)
+    // asNondeterministic pins ONE evaluation per row: a deterministic
+    // UDF gets duplicated into both the projection and the pushed
+    // non-empty filter, running the (expensive) binary extraction twice
+    // per document and double-counting the audit accumulators
+    val extract = udf((path: String, bytes: Array[Byte]) =>
+      extractTextAudited(path, bytes, decAcc, unsupAcc)).asNondeterministic()
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
@@ -90,6 +116,21 @@ object DocumentLoader {
       case _ => ""
     }
   }
+
+  /** [[extractText]] plus the encrypted-PDF audit trail: executors tick
+    * the session accumulators whenever a PDF was decrypted (empty-
+    * password RC4) or dropped as encrypted-unsupported.
+    */
+  def extractTextAudited(path: String, bytes: Array[Byte],
+      decrypted: org.apache.spark.util.LongAccumulator,
+      unsupported: org.apache.spark.util.LongAccumulator): String =
+    if (path.toLowerCase.endsWith(".pdf"))
+      safely(Codecs.extractPdf(bytes, {
+        case Codecs.PdfDecrypted => decrypted.add(1)
+        case Codecs.PdfEncryptedUnsupported => unsupported.add(1)
+        case Codecs.PdfNotEncrypted => ()
+      }))
+    else extractText(path, bytes)
 
   /** S7: query-set JSON source (utils.py:46-51, main.py:163-172). */
   def loadQueries(spark: SparkSession, path: String): DataFrame =

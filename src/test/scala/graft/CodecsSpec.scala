@@ -223,6 +223,95 @@ object CodecFixtures {
     out.toByteArray
   }
 
+  /** RC4 transcribed independently for the fixture side (key schedule +
+    * PRGA from the published description) — deliberately NOT reusing
+    * the decoder's rc4, so a transcription error in either
+    * implementation breaks the round-trip instead of cancelling out.
+    */
+  def rc4Fixture(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = (0 until 256).toArray
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    var i = 0; j = 0
+    data.map { b =>
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      (b ^ s((s(i) + s(j)) & 0xff)).toByte
+    }
+  }
+
+  private def md5f(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** §7.6.3 Table 21 password pad, transcribed from the spec. */
+  private val padF: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def hexF(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+
+  /** Standard-security encrypted single-page PDF with empty user+owner
+    * passwords — Algorithms 2/3/4/5 of ISO 32000-1 §7.6.3 transcribed
+    * here, independently of the reader under test. `r` = 2 (40-bit) or
+    * 3 (128-bit); `userPw` non-empty simulates a password-protected doc
+    * the empty-password handler must refuse. Content stream is
+    * Flate-compressed then RC4-encrypted (encryption wraps the encoded
+    * data as stored in the file).
+    */
+  def encryptedPdf(text: String, r: Int, userPw: Array[Byte] = Array.emptyByteArray)
+      : Array[Byte] = {
+    val latin1 = StandardCharsets.ISO_8859_1
+    val n = if (r == 2) 5 else 16
+    val p = -44
+    val id0 = Array.tabulate(16)(i => (i * 7 + 3).toByte)
+    def padded(pw: Array[Byte]): Array[Byte] = (pw ++ padF).take(32)
+    // Algorithm 3: O entry (owner password empty → the pad itself)
+    var oh = md5f(padF)
+    if (r >= 3) for (_ <- 0 until 50) oh = md5f(oh) // full output each round
+    val oKey = oh.take(n)
+    var o = rc4Fixture(oKey, padded(userPw))
+    if (r >= 3) for (i <- 1 to 19) o = rc4Fixture(oKey.map(b => (b ^ i).toByte), o)
+    // Algorithm 2: file key (first-n-bytes truncation in the 50-round loop)
+    val pB = Array(p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    var fk = md5f(padded(userPw), o, pB, id0)
+    if (r >= 3) for (_ <- 0 until 50) fk = md5f(fk.take(n))
+    val key = fk.take(n)
+    // Algorithm 4 (r2) / 5 (r3): U entry
+    val u =
+      if (r == 2) rc4Fixture(key, padF)
+      else {
+        var x = rc4Fixture(key, md5f(padF, id0))
+        for (i <- 1 to 19) x = rc4Fixture(key.map(b => (b ^ i).toByte), x)
+        x ++ new Array[Byte](16)
+      }
+    // Algorithm 1: per-object key for the content stream (obj 4 gen 0)
+    val objKey = md5f(key, Array[Byte](4, 0, 0, 0, 0)).take(math.min(n + 5, 16))
+    val stream = s"BT /F1 12 Tf 72 720 Td ($text) Tj ET"
+    val enc = rc4Fixture(objKey, deflate(stream.getBytes(latin1)))
+    val out = new ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode >> stream\n")
+    out.write(enc)
+    w("\nendstream endobj\n")
+    val vr = if (r == 2) "/V 1 /R 2" else "/V 2 /R 3 /Length 128"
+    w(s"5 0 obj << /Filter /Standard $vr /O <${hexF(o)}> /U <${hexF(u)}> /P $p >> endobj\n")
+    w(s"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<${hexF(id0)}> <${hexF(id0)}>] >>\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   /** DOCX with caller-supplied body paragraphs (XML-safe text only). */
   def docx(paragraphs: Seq[String]): Array[Byte] = zip(
     "[Content_Types].xml" -> "<Types/>",
@@ -453,6 +542,47 @@ class CodecsSpec extends AnyFunSuite {
     val pdf = singleStreamPdf(rle.toByteArray,
       " /Filter [/RunLengthDecode /FlateDecode]")
     assert(Codecs.extractPdf(pdf) == "--- Page 1 ---\nArray-ordered filters.")
+  }
+
+  // ---- PDF encryption -----------------------------------------------
+
+  test("PDF: RC4 128-bit (R3) empty-password document decrypts and extracts") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(encryptedPdf("Standard security body.", r = 3),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nStandard security body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: RC4 40-bit (R2) empty-password document decrypts and extracts") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(encryptedPdf("Forty bit body.", r = 2),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nForty bit body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: user-password-protected document is counted unsupported, extracts empty") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val pdf = encryptedPdf("Secret body.", r = 3, userPw = "hunter2".getBytes)
+    assert(Codecs.extractPdf(pdf, s => status = Some(s)) == "")
+    assert(status.contains(Codecs.PdfEncryptedUnsupported))
+  }
+
+  test("PDF: AES (V4) encryption is out of scope — counted, not garbled") {
+    // take a valid R3 doc and rewrite its encrypt dict to V4/R4
+    val pdf = new String(encryptedPdf("AES body.", r = 3),
+      StandardCharsets.ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 4 /R 4").getBytes(StandardCharsets.ISO_8859_1)
+    var status: Option[Codecs.PdfEncryption] = None
+    assert(Codecs.extractPdf(pdf, s => status = Some(s)) == "")
+    assert(status.contains(Codecs.PdfEncryptedUnsupported))
+  }
+
+  test("PDF: unencrypted documents report NotEncrypted") {
+    var status: Option[Codecs.PdfEncryption] = None
+    Codecs.extractPdf(minimalPdf(Seq("Plain body.")), s => status = Some(s))
+    assert(status.contains(Codecs.PdfNotEncrypted))
   }
 
   // ---- OOXML --------------------------------------------------------

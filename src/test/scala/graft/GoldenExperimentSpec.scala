@@ -109,4 +109,28 @@ class GoldenExperimentSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("top_3_accuracy") >= 2.0 / 3.0)
     assert(rows.forall(_.getAs[Double]("combined_score") >= 0.0))
   }
+
+  test("encrypted PDFs through the loader: empty-password decrypts, protected is audited") {
+    val work = java.nio.file.Files.createTempDirectory("golden-enc").toString
+    val dir = new java.io.File(s"$work/projects")
+    dir.mkdirs()
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("ledger.pdf", CodecFixtures.encryptedPdf("Encrypted ledger body.", r = 3))
+    put("locked.pdf", CodecFixtures.encryptedPdf("Hidden.", r = 3,
+      userPw = "hunter2".getBytes))
+    put("notes.md", "# Notes\n\nPlain companion document.\n".getBytes)
+
+    val (dec, unsup) = DocumentLoader.pdfEncryptionAccs(spark)
+    val (d0, u0) = (dec.value, unsup.value)
+    val byFile = DocumentLoader.loadDocuments(spark, dir.getPath).collect()
+      .map(d => d.source_file.split('/').last -> d.content).toMap
+    // the empty-password doc reads like any other; the protected one
+    // drops out of the corpus (empty content filter) but is counted
+    assert(byFile("ledger.pdf").contains("Encrypted ledger body."))
+    assert(!byFile.contains("locked.pdf"))
+    assert(byFile.contains("notes.md"))
+    assert(dec.value - d0 == 1)
+    assert(unsup.value - u0 == 1)
+  }
 }
