@@ -132,23 +132,87 @@ object MediaCodecs {
 
   /** MJPEG-style frame container: a video payload is a byte-concatenated
     * sequence of PNG or JPEG stills. Returns [start, end) segments, one
-    * per frame signature found; empty when the payload is no such
-    * container. Scan is a single linear pass.
+    * per frame found; empty when the payload is no such container.
+    *
+    * Structure-aware, not signature-to-signature: a PNG frame ends
+    * after its IEND chunk (walking the length-prefixed chunk list) and
+    * a JPEG frame at its EOI marker — so signature lookalikes INSIDE a
+    * frame's compressed body (PNG bodies are not FF-stuffed, so
+    * `FF D8 FF` can occur in IDAT zlib data) never split a valid
+    * frame. A truncated/malformed frame falls back to extending to the
+    * next signature (or EOF), preserving drop-not-fail downstream.
     */
   def splitFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int)] = {
     def b(i: Int): Int = bytes(i) & 0xff
-    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def isPngAt(i: Int): Boolean = i + 8 <= bytes.length && b(i) == 0x89 &&
+      b(i + 1) == 'P' && b(i + 2) == 'N' && b(i + 3) == 'G'
+    def isJpegAt(i: Int): Boolean = i + 3 <= bytes.length && b(i) == 0xff &&
+      b(i + 1) == 0xd8 && b(i + 2) == 0xff
+    def nextSig(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && !isPngAt(i) && !isJpegAt(i)) i += 1
+      i
+    }
+    // end of the PNG starting at `start`: after the IEND chunk's CRC
+    def pngEnd(start: Int): Option[Int] = {
+      var p = start + 8
+      while (p + 8 <= bytes.length) {
+        val len = (b(p) << 24) | (b(p + 1) << 16) | (b(p + 2) << 8) | b(p + 3)
+        if (len < 0 || p + 12L + len > bytes.length) return None
+        val isEnd = b(p + 4) == 'I' && b(p + 5) == 'E' && b(p + 6) == 'N' &&
+          b(p + 7) == 'D'
+        p += 12 + len
+        if (isEnd) return Some(p)
+      }
+      None
+    }
+    // end of the JPEG starting at `start`: after the EOI marker (FFD9 is
+    // escaped inside entropy-coded data, so the first occurrence ends
+    // the frame — an embedded EXIF thumbnail's EOI is rarer than a raw
+    // byte collision and still yields a decodable prefix)
+    def jpegEnd(start: Int): Option[Int] = {
+      var p = start + 2
+      while (p + 1 < bytes.length) {
+        if (b(p) == 0xff && b(p + 1) == 0xd9) return Some(p + 2)
+        p += 1
+      }
+      None
+    }
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
     while (i < bytes.length - 2) {
-      val isPng = i + 8 <= bytes.length && b(i) == 0x89 && b(i + 1) == 'P' &&
-        b(i + 2) == 'N' && b(i + 3) == 'G'
-      val isJpeg = b(i) == 0xff && b(i + 1) == 0xd8 && b(i + 2) == 0xff
-      if (isPng || isJpeg) { starts += i; i += 3 } else i += 1
+      if (isPngAt(i) || isJpegAt(i)) {
+        val end = (if (isPngAt(i)) pngEnd(i) else jpegEnd(i))
+          .getOrElse(math.max(nextSig(i + 3), i + 3)) // malformed: old rule
+        segs += ((i, math.min(end, bytes.length)))
+        i = math.max(end, i + 3)
+      } else i += 1
     }
-    starts.toIndexedSeq.zipWithIndex.map { case (s, k) =>
-      (s, if (k + 1 < starts.length) starts(k + 1) else bytes.length)
-    }
+    segs.toIndexedSeq
   }
+
+  /** Per-frame decode of an animated GIF — the one real multi-frame
+    * container the JDK reads natively (ImageReader's indexed-image
+    * API). Returns the decoded frames in order, capped at `maxFrames`;
+    * empty for non-GIF payloads, single-frame GIFs yield one frame.
+    * Frames are raw rasters (a frame may be a patch smaller than the
+    * logical screen under GIF disposal) — deterministic either way.
+    */
+  def gifFrames(bytes: Array[Byte], maxFrames: Int = 32): IndexedSeq[BufferedImage] =
+    if (detectFormat(bytes) != "gif") IndexedSeq.empty
+    else try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); IndexedSeq.empty }
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = math.min(r.getNumImages(true), maxFrames)
+          (0 until n).map(r.read)
+        } finally { r.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => IndexedSeq.empty }
 
   /** Grayscale pixel bytes of a decoded frame, stride-downsampled to at
     * most maxSide×maxSide, row-major — bounded output size per frame no

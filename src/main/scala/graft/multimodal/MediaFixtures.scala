@@ -27,7 +27,18 @@ object MediaFixtures {
     * exactly (the AWT gray→sRGB conversion is gamma-corrected, not
     * identity).
     */
-  def png(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
+  def png(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] =
+    pngWith(Deflater.DEFAULT_COMPRESSION, width, height, rgb)
+
+  /** PNG with a stored (level-0) IDAT: the scanline bytes appear
+    * literally in the zlib stream — used to plant signature lookalikes
+    * (e.g. `FF D8 FF`) inside a valid frame body.
+    */
+  def pngStored(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] =
+    pngWith(Deflater.NO_COMPRESSION, width, height, rgb)
+
+  private def pngWith(level: Int, width: Int, height: Int,
+      rgb: Seq[(Int, Int, Int)]): Array[Byte] = {
     require(rgb.length == width * height)
     val out = new ByteArrayOutputStream
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
@@ -53,7 +64,7 @@ object MediaFixtures {
         scanlines.write(r); scanlines.write(g); scanlines.write(b)
       }
     }
-    val d = new Deflater()
+    val d = new Deflater(level)
     d.setInput(scanlines.toByteArray); d.finish()
     val zbuf = new ByteArrayOutputStream
     val buf = new Array[Byte](8192)

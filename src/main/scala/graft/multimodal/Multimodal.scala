@@ -110,23 +110,30 @@ object Multimodal {
   }
 
   /** Frame sampling for video-kind rows: one output row per sampled
-    * frame offset (derived from meta.duration_ms). When the payload is
-    * an MJPEG-style container (byte-concatenated PNG/JPEG stills, see
-    * [[MediaCodecs.splitFrames]]), the keyframe nearest each offset is
-    * decoded via ImageIO and the row carries its grayscale pixel bytes
-    * (stride-bounded to ≤64×64 so output size is capped per frame).
-    * Non-container payloads fall back to a deterministic byte slice.
+    * frame offset (derived from meta.duration_ms). Animated GIFs decode
+    * per-frame through ImageIO's ImageReader
+    * ([[MediaCodecs.gifFrames]]); MJPEG-style containers
+    * (byte-concatenated PNG/JPEG stills, [[MediaCodecs.splitFrames]])
+    * decode the keyframe nearest each offset. Either way the row
+    * carries grayscale pixel bytes stride-bounded to ≤64×64, so output
+    * size is capped per frame. Non-container payloads fall back to a
+    * deterministic byte slice.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val n = math.max(1, (m.meta.duration_ms / everyMs).toInt)
-      val segs = MediaCodecs.splitFrames(m.bytes)
-      (0 until math.min(n, 32)).map { i =>
+      val nOut = math.min(n, 32)
+      val gif = MediaCodecs.gifFrames(m.bytes)
+      val segs = if (gif.nonEmpty) IndexedSeq.empty else MediaCodecs.splitFrames(m.bytes)
+      (0 until nOut).map { i =>
         val off = i * everyMs
         val px =
-          if (segs.nonEmpty) {
-            val k = math.min(segs.length - 1, (i.toLong * segs.length / math.min(n, 32)).toInt)
+          if (gif.nonEmpty) {
+            val k = math.min(gif.length - 1, (i.toLong * gif.length / nOut).toInt)
+            MediaCodecs.grayPixels(gif(k))
+          } else if (segs.nonEmpty) {
+            val k = math.min(segs.length - 1, (i.toLong * segs.length / nOut).toInt)
             val (s, e) = segs(k)
             MediaCodecs.decodeImage(java.util.Arrays.copyOfRange(m.bytes, s, e))
               .map(MediaCodecs.grayPixels(_))

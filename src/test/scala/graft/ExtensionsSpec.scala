@@ -474,6 +474,17 @@ class MultimodalSpec extends SparkSpec {
     assert(top(1L) == 0L)
   }
 
+  test("animated GIF video rows sample real per-frame rasters") {
+    val gif = MediaTestGifs.animatedGif(4, 10, 100, 200)
+    val rows = Seq(Multimodal.MediaRow(11L, "video", gif,
+      Multimodal.MediaMeta("gif", 4, 4, 3000L, 0))).toDS()
+    val frames = Multimodal.sampleFrames(rows).collect().sortBy(_.frame_index)
+    assert(frames.length == 3)
+    assert(frames(0).frame_bytes.toSeq == Seq.fill(16)(10.toByte))
+    assert(frames(1).frame_bytes.toSeq == Seq.fill(16)(100.toByte))
+    assert(frames(2).frame_bytes.toSeq == Seq.fill(16)(200.toByte))
+  }
+
   test("MJPEG-style video payload yields decoded keyframe pixels per offset") {
     val payload = MediaFixtures.grayPng(2, 2, 10) ++
       MediaFixtures.grayPng(2, 2, 100) ++ MediaFixtures.grayPng(2, 2, 200)

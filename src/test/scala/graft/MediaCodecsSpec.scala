@@ -4,6 +4,32 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.{MediaCodecs, MediaFixtures}
 
+/** Animated GIFs from an encoder we didn't write: the JDK's own GIF
+  * writer sequence API. Uniform-gray frames keep the palette exact, so
+  * decoded pixels round-trip the shade values.
+  */
+object MediaTestGifs {
+  def animatedGif(side: Int, shades: Int*): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    shades.foreach { v =>
+      val img = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+      (0 until side).foreach(y => (0 until side).foreach(x =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      writer.writeToSequence(new IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+}
+
 class MediaCodecsSpec extends AnyFunSuite {
   import MediaFixtures._
 
@@ -91,6 +117,61 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(segs(0) == ((0, f1.length)))
     assert(segs(1) == ((f1.length, f1.length + f2.length)))
     assert(MediaCodecs.splitFrames("no frames here".getBytes).isEmpty)
+  }
+
+  test("splitFrames survives a JPEG signature planted inside PNG IDAT data") {
+    // stored (level-0) IDAT: pixels (255,216,255) put FF D8 FF literally
+    // into the first frame's compressed body — a signature-to-signature
+    // scanner splits here and loses both frames
+    val trap = pngStored(2, 2,
+      (255, 216, 255), (255, 216, 255), (255, 216, 255), (255, 216, 255))
+    assert(trap.sliding(3).exists(w =>
+      (w(0) & 0xff) == 0xff && (w(1) & 0xff) == 0xd8 && (w(2) & 0xff) == 0xff),
+      "fixture must contain the JPEG magic inside the PNG")
+    val f2 = grayPng(2, 2, 9)
+    val segs = MediaCodecs.splitFrames(trap ++ f2)
+    assert(segs.length == 2)
+    assert(segs(0) == ((0, trap.length)))
+    assert(segs(1) == ((trap.length, trap.length + f2.length)))
+    // both frames decode — the old scanner degraded both to byte slices
+    val payload = trap ++ f2
+    segs.foreach { case (s, e) =>
+      assert(MediaCodecs.decodeImage(
+        java.util.Arrays.copyOfRange(payload, s, e)).isDefined)
+    }
+  }
+
+  test("splitFrames splits concatenated real JPEGs at their EOI markers") {
+    // JPEGs from an encoder we didn't write (ImageIO's JPEG plugin)
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x =>
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)))
+      val bos = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (j1, j2) = (jpeg(30), jpeg(220))
+    val segs = MediaCodecs.splitFrames(j1 ++ j2)
+    assert(segs.length == 2)
+    assert(segs(0) == ((0, j1.length)))
+    assert(segs(1) == ((j1.length, j1.length + j2.length)))
+    segs.foreach { case (s, e) =>
+      assert(MediaCodecs.decodeImage(
+        java.util.Arrays.copyOfRange(j1 ++ j2, s, e)).isDefined)
+    }
+  }
+
+  test("animated GIF decodes per frame via ImageIO's indexed reads") {
+    val gif = MediaTestGifs.animatedGif(4, 10, 100, 200)
+    assert(MediaCodecs.detectFormat(gif) == "gif")
+    val frames = MediaCodecs.gifFrames(gif)
+    assert(frames.length == 3)
+    assert(frames.map(f => f.getRGB(0, 0) & 0xff) == Seq(10, 100, 200))
+    // non-GIF payloads and caps
+    assert(MediaCodecs.gifFrames(grayPng(2, 2, 5)).isEmpty)
+    assert(MediaCodecs.gifFrames(gif, maxFrames = 2).length == 2)
   }
 
   test("grayPixels bounds output size by stride downsampling") {
