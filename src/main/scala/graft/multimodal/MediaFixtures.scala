@@ -134,6 +134,31 @@ object MediaFixtures {
     * payloads are bounded (≤ 32×19 px, ≤ 400 frames) so the build cost
     * per row is O(1) at any scale.
     */
+  /** Video table of REAL MJPEG-style containers: doc_id's payload is
+    * (doc_id%4+2) byte-concatenated stored-IDAT PNGs whose first pixel
+    * is the arithmetic gray (doc_id·31 + k·17) % 256 and whose second
+    * pixel is (255,216,255) — planting the JPEG magic `FF D8 FF`
+    * literally inside every frame's zlib body. A frame splitter that
+    * scans signature-to-signature shreds every one of these payloads;
+    * only the structure-aware walk recovers the frames, so the oracle
+    * check on frame counts AND decoded pixel values pins that behavior
+    * inside a distributed plan.
+    */
+  def realVideos(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nF = (id % 4 + 2).toInt
+        val payload = (0 until nF).toArray.flatMap { k =>
+          val v = ((id * 31 + k * 17) % 256).toInt
+          pngStored(2, 2, (v, v, v), (255, 216, 255), (v, v, v), (v, v, v))
+        }
+        Multimodal.MediaRow(id, "video", payload,
+          Multimodal.MediaMeta("mjpeg", 2, 2, nF * 1000L, 0))
+      }
+    }
+  }
+
   def realMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>

@@ -71,14 +71,40 @@ object MultimodalQueries {
     Multimodal.probeDecode(MediaFixtures.realMedia(Tables.documents(spark, dir)))
       .orderBy("media_id")
 
+  /** Frame decode over real MJPEG-style payloads, oracle-proven: each
+    * video is a concatenation of stored-IDAT PNGs that carry the JPEG
+    * magic inside their compressed bodies ([[MediaFixtures.realVideos]]).
+    * The output exposes each decoded frame's first pixel (an arithmetic
+    * gray) and the trap pixel's fixed luminance (232), both recomputed
+    * by the oracle — so the row set pins frame COUNT (structure-aware
+    * splitting survived the planted signatures) and frame CONTENT (real
+    * ImageIO decode ran per frame).
+    */
+  def mediaVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.sampleFrames(MediaFixtures.realVideos(Tables.documents(spark, dir)))
+      .map(f => (f.media_id, f.frame_index,
+        f.frame_bytes(0) & 0xff, f.frame_bytes(1) & 0xff))
+      .toDF("media_id", "frame_index", "first_px", "trap_px")
+      .orderBy("media_id", "frame_index")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_decode" -> (mediaDecode _),
+    "media_video_frames" -> (mediaVideoFrames _),
   )
 
   def oracles: Map[String, String] = Map(
+    "media_video_frames" ->
+      """SELECT d.doc_id AS media_id,
+        |  CAST(u.k AS INTEGER) AS frame_index,
+        |  CAST((d.doc_id * 31 + u.k * 17) % 256 AS INTEGER) AS first_px,
+        |  232 AS trap_px
+        |FROM documents d, UNNEST(range(d.doc_id % 4 + 2)) u(k)
+        |ORDER BY media_id, frame_index""".stripMargin,
     "media_decode" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,

@@ -112,10 +112,19 @@ object Soak {
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val tKnn = time { graft.search.Knn.bruteForceTopK(emb, qs, 10).count() }
       val tLsh = time { graft.search.Ann.lshTopK(emb, qs, 10, dim = 64).count() }
+      // IVF probe join at mult× vectors: the codebook stays 32 rows
+      // (broadcast), assignment is a narrow map — flatness here is the
+      // measured evidence that the probe join's exchange is bounded by
+      // queries×nprobe, not by the index
+      val tIvf = time {
+        val cents = emb.filter(col("vec_id") % 31 === 0).limit(32)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        graft.search.Ann.ivfTopK(emb, qs, cents, 10, nprobe = 4).count()
+      }
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -110,6 +110,52 @@ class GoldenExperimentSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("combined_score") >= 0.0))
   }
 
+  test("golden media folder: streaming decode feeds the similarity stack end to end") {
+    // the media analog of the multi-format case: a folder of real
+    // binary payloads → streaming decode (mediaFeaturesStream) → the
+    // batch kNN stack, proving decoded features are first-class
+    // embeddings. Two near-identical PNGs and one WAV: each PNG's top
+    // non-self neighbor must be its twin, never the audio row.
+    import graft.multimodal.MediaFixtures
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("golden-media").toString
+    val dir = new java.io.File(s"$work/media")
+    dir.mkdirs()
+    def put(name: String, bytes: Array[Byte]): Array[Byte] = {
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+      bytes
+    }
+    val pngA = put("shot_a.png", MediaFixtures.png(2, 2,
+      (10, 10, 10), (10, 10, 10), (200, 200, 200), (200, 200, 200)))
+    val pngB = put("shot_b.png", MediaFixtures.png(2, 2,
+      (12, 12, 12), (10, 10, 10), (200, 200, 200), (200, 200, 200)))
+    val wav = put("note.wav", MediaFixtures.wav(8000, 0, 16384, -16384, 32767))
+    assert(Set(pngA.length, pngB.length, wav.length).size == 3,
+      "fixture byte lengths identify the rows")
+
+    val q = graft.streaming.Streams.mediaFeaturesStream(spark, dir.getPath)
+      .writeStream.format("memory").queryName("golden_media")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val feats = spark.table("golden_media")
+      .select(col("media_id").as("vec_id"), col("n_bytes"),
+        col("features").as("embedding"))
+    assert(feats.count() == 3)
+    val idOf = feats.collect()
+      .map(r => r.getAs[Int]("n_bytes") -> r.getAs[Long]("vec_id")).toMap
+    val queries = feats
+      .filter(col("n_bytes").isin(pngA.length, pngB.length))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val top = graft.search.Knn
+      .bruteForceTopK(feats.select(col("vec_id"), col("embedding")), queries, k = 2)
+      .filter(col("query_id") =!= col("vec_id"))
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    assert(top(idOf(pngA.length)) == idOf(pngB.length))
+    assert(top(idOf(pngB.length)) == idOf(pngA.length))
+  }
+
   test("encrypted PDFs through the loader: empty-password decrypts, protected is audited") {
     val work = java.nio.file.Files.createTempDirectory("golden-enc").toString
     val dir = new java.io.File(s"$work/projects")
