@@ -106,6 +106,24 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Single-frame GIF via the JDK's own GIF writer (no spec-built
+    * encoder needed: the oracle checks decoded dimensions against
+    * doc_id arithmetic, so a writer that mis-stamped its logical screen
+    * would still mismatch).
+    */
+  def gif(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
+    require(rgb.length == width * height)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until height).foreach(y => (0 until width).foreach { x =>
+      val (r, g, b) = rgb(y * width + x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    })
+    val bos = new ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    bos.toByteArray
+  }
+
   /** Mono 16-bit little-endian PCM WAV. */
   def wav(sampleRate: Int, samples: Short*): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -122,18 +140,6 @@ object MediaFixtures {
     out.toByteArray
   }
 
-  /** Media table of REAL encoded payloads, derived deterministically
-    * from `documents.doc_id`: even ids carry an RGB PNG whose
-    * dimensions are (id%29+4, id%17+3) and whose pixels follow a fixed
-    * arithmetic pattern; odd ids carry an 8 kHz mono PCM WAV of
-    * (id%5+1)·80 frames. Every parameter a decoder can report is thus a
-    * pure function of `doc_id` — which is what lets a SQL oracle verify
-    * the ImageIO/AudioSystem decode output without parsing blobs.
-    *
-    * Payload construction is a narrow per-partition map (no shuffle);
-    * payloads are bounded (≤ 32×19 px, ≤ 400 frames) so the build cost
-    * per row is O(1) at any scale.
-    */
   /** Video table of REAL MJPEG-style containers: doc_id's payload is
     * (doc_id%4+2) byte-concatenated stored-IDAT PNGs whose first pixel
     * is the arithmetic gray (doc_id·31 + k·17) % 256 and whose second
@@ -159,26 +165,51 @@ object MediaFixtures {
     }
   }
 
+  /** Media table of REAL encoded payloads, derived deterministically
+    * from `documents.doc_id` — one JDK decode branch per id%4 residue:
+    * PNG (id%29+4 × id%17+3), 8 kHz mono PCM WAV of (id%5+1)·80 frames,
+    * BMP (id%21+3 × id%13+2), GIF (id%11+2 × id%7+2). Pixels/samples
+    * follow fixed arithmetic patterns, so every parameter a decoder can
+    * report is a pure function of `doc_id` — which is what lets a SQL
+    * oracle verify the ImageIO/AudioSystem decode output without
+    * parsing blobs.
+    *
+    * Payload construction is a narrow per-partition map (no shuffle);
+    * payloads are bounded (≤ 32×19 px, ≤ 400 frames) so the build cost
+    * per row is O(1) at any scale.
+    */
   def realMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        if (id % 2 == 0) {
-          val w = (id % 29 + 4).toInt
-          val h = (id % 17 + 3).toInt
-          val pix = Seq.tabulate(w * h) { i =>
+        def grays(w: Int, h: Int): Seq[(Int, Int, Int)] =
+          Seq.tabulate(w * h) { i =>
             val v = ((i * 7 + id) % 256).toInt
             (v, v, v)
           }
-          Multimodal.MediaRow(id, "image", png(w, h, pix: _*),
-            Multimodal.MediaMeta("png", w, h, 0L, 0))
-        } else {
-          val rate = 8000
-          val frames = ((id % 5 + 1) * 80).toInt
-          val samples = Array.tabulate(frames)(i =>
-            (((i * 131 + id * 17) % 65536) - 32768).toShort)
-          Multimodal.MediaRow(id, "audio", wav(rate, samples.toIndexedSeq: _*),
-            Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / rate, rate))
+        (id % 4).toInt match {
+          case 0 =>
+            val w = (id % 29 + 4).toInt
+            val h = (id % 17 + 3).toInt
+            Multimodal.MediaRow(id, "image", png(w, h, grays(w, h): _*),
+              Multimodal.MediaMeta("png", w, h, 0L, 0))
+          case 1 =>
+            val rate = 8000
+            val frames = ((id % 5 + 1) * 80).toInt
+            val samples = Array.tabulate(frames)(i =>
+              (((i * 131 + id * 17) % 65536) - 32768).toShort)
+            Multimodal.MediaRow(id, "audio", wav(rate, samples.toIndexedSeq: _*),
+              Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / rate, rate))
+          case 2 =>
+            val w = (id % 21 + 3).toInt
+            val h = (id % 13 + 2).toInt
+            Multimodal.MediaRow(id, "image", bmp(w, h, grays(w, h): _*),
+              Multimodal.MediaMeta("bmp", w, h, 0L, 0))
+          case _ =>
+            val w = (id % 11 + 2).toInt
+            val h = (id % 7 + 2).toInt
+            Multimodal.MediaRow(id, "image", gif(w, h, grays(w, h): _*),
+              Multimodal.MediaMeta("gif", w, h, 0L, 0))
         }
       }
     }

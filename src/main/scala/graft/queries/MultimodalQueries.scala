@@ -58,9 +58,10 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  /** Real decode, oracle-proven: payloads are REAL spec-built PNG/WAV
-    * blobs ([[MediaFixtures.realMedia]]) whose dimensions / sample rate
-    * / duration are pure functions of doc_id, and the Spark side reports
+  /** Real decode, oracle-proven: payloads are REAL encoded PNG/WAV/BMP/
+    * GIF blobs ([[MediaFixtures.realMedia]], one JDK decode branch per
+    * id%4 residue) whose dimensions / sample rate / duration are pure
+    * functions of doc_id, and the Spark side reports
     * what ImageIO/AudioSystem actually decoded
     * ([[Multimodal.probeDecode]]). The oracle recomputes the expected
     * values arithmetically — if either JDK decode path breaks (or the
@@ -107,14 +108,17 @@ object MultimodalQueries {
         |ORDER BY media_id, frame_index""".stripMargin,
     "media_decode" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 29 + 4 ELSE 0 END
-        |    AS INTEGER) AS width,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 17 + 3 ELSE 0 END
-        |    AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 ELSE 0 END AS INTEGER)
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'bmp' ELSE 'gif' END AS format,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN doc_id % 29 + 4
+        |    WHEN 2 THEN doc_id % 21 + 3 WHEN 3 THEN doc_id % 11 + 2
+        |    ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN doc_id % 17 + 3
+        |    WHEN 2 THEN doc_id % 13 + 2 WHEN 3 THEN doc_id % 7 + 2
+        |    ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 ELSE 0 END AS INTEGER)
         |    AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id % 5 + 1) * 10 ELSE 0 END
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id % 5 + 1) * 10 ELSE 0 END
         |    AS BIGINT) AS duration_ms,
         |  TRUE AS decode_differs
         |FROM documents ORDER BY media_id""".stripMargin,
