@@ -140,6 +140,37 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** 8-bit UNSIGNED mono PCM WAV (sample values 0..255, 128 = zero). */
+  def wav8(sampleRate: Int, samples: Int*): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    ascii("RIFF"); le32(36 + samples.length); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(sampleRate)
+    le32(sampleRate); le16(1); le16(8)
+    ascii("data"); le32(samples.length)
+    samples.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Stereo 16-bit little-endian PCM WAV, one (left, right) per frame. */
+  def wavStereo(sampleRate: Int, frames: (Short, Short)*): Array[Byte] = {
+    val dataLen = frames.length * 4
+    val out = new ByteArrayOutputStream
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      out.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = out.write(Array(v.toByte, (v >>> 8).toByte))
+    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(2); le32(sampleRate)
+    le32(sampleRate * 4); le16(4); le16(16)
+    ascii("data"); le32(dataLen)
+    frames.foreach { case (l, r) => le16(l & 0xffff); le16(r & 0xffff) }
+    out.toByteArray
+  }
+
   /** Video table of REAL MJPEG-style containers: doc_id's payload is
     * (doc_id%4+2) byte-concatenated stored-IDAT PNGs whose first pixel
     * is the arithmetic gray (doc_id·31 + k·17) % 256 and whose second

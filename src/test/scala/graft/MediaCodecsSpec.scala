@@ -93,6 +93,27 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(math.abs(a.samples(0) - 1000f / 32768f) < 1e-6)
   }
 
+  test("WAV 8-bit unsigned decodes with the 128-centered normalization") {
+    // 8-bit WAV stores unsigned bytes: 128 → 0.0, 0 → −1.0, 255 → ~+0.992
+    val a = MediaCodecs.decodeWav(wav8(8000, 128, 0, 255, 192)).get
+    assert(a.sampleRate == 8000)
+    assert(a.samples.length == 4)
+    assert(a.samples(0) == 0f)
+    assert(a.samples(1) == -1f)
+    assert(math.abs(a.samples(2) - 127f / 128f) < 1e-6)
+    assert(math.abs(a.samples(3) - 0.5f) < 1e-6)
+  }
+
+  test("WAV stereo interleaves channels; duration counts frames, not samples") {
+    val a = MediaCodecs.decodeWav(wavStereo(8000,
+      Seq.fill(800)((1000.toShort, -1000.toShort)): _*)).get
+    assert(a.sampleRate == 8000)
+    assert(a.samples.length == 1600) // L/R interleaved
+    assert(a.durationMs == 100) // 800 frames / 8000 Hz, not 1600/8000
+    assert(math.abs(a.samples(0) - 1000f / 32768f) < 1e-6)
+    assert(math.abs(a.samples(1) + 1000f / 32768f) < 1e-6)
+  }
+
   test("audio amplitude histogram matches hand-computed bins") {
     // samples 0, +0.5, −0.5, ~max → bins 32, 48, 16, 63 at dim=64
     val a = MediaCodecs.decodeWav(wav(8000, 0, 16384, -16384, 32767)).get
