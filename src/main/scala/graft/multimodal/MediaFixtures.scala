@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions.col
   */
 object MediaFixtures {
 
+  // same hermeticity guard as MediaCodecs: without it, the first
+  // ImageIO.write on an executor that has not loaded MediaCodecs yet
+  // would spill an encoder temp file per GIF row
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Truecolor (color type 2) PNG, one RGB triple per pixel. Truecolor
     * rather than grayscale so `getRGB` round-trips component values
     * exactly (the AWT gray→sRGB conversion is gamma-corrected, not
