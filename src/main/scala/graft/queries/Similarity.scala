@@ -107,6 +107,27 @@ object Similarity {
       greatest(lit(-127.0), least(lit(127.0),
         floor(x.cast("double") * 127.0 + 0.5))))
 
+  /** kNN directly over the int8-quantized index — the memory-reduced
+    * search path a 100 TB vector corpus actually runs (4× smaller index,
+    * integer dot products). Same bounded-heap plan as `knn_topk` (the
+    * quantized index never shuffles; queries broadcast). Fully
+    * hash-exact oracle: every quantized component is an integer in
+    * [−127, 127], every partial dot product stays below 2^24, so the
+    * float accumulation is ORDER-INDEPENDENT and the integer scores
+    * compare exactly — no rank-only fallback needed.
+    */
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qemb = emb.select(col("vec_id"),
+      transform(quantize127(col("embedding")), x => x.cast("float")).as("embedding"))
+    val queries = qemb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Knn.bruteForceTopK(qemb, queries, K)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim").cast("long").as("iscore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Int8 embedding quantization — the 4× memory-reduction path for a
     * 100 TB vector corpus (scaled symmetric quantization, the layout
     * ANN indexes ship at scale). Emits per-vector reconstruction
@@ -162,9 +183,29 @@ object Similarity {
     "ann_ivf_trained" -> (annIvfTrained _),
     "knn_lsh" -> (knnLsh _),
     "embed_quantize" -> (embedQuantize _),
+    "knn_quantized" -> (knnQuantized _),
   )
 
   def oracles: Map[String, String] = Map(
+    "knn_quantized" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(greatest(-127.0,
+         |    least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM qv
+         |  WHERE vec_id < $NumQueries),
+         |sims AS (
+         |  SELECT qs.query_id, e.vec_id,
+         |    list_aggregate(list_transform(list_zip(e.q, qs.qq),
+         |      p -> p[1] * p[2]), 'sum') AS iscore
+         |  FROM qv e CROSS JOIN qs),
+         |ranked AS (
+         |  SELECT query_id, vec_id, CAST(iscore AS BIGINT) AS iscore,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY iscore DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT query_id, rank, vec_id, iscore FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "embed_quantize" ->
       s"""WITH qv AS (
          |  SELECT vec_id, embedding,
