@@ -579,6 +579,22 @@ class CodecsSpec extends AnyFunSuite {
     assert(status.contains(Codecs.PdfEncryptedUnsupported))
   }
 
+  test("PDF: malformed /Encrypt dicts degrade to counted-unsupported, never throw") {
+    val base = new String(encryptedPdf("Body.", r = 3), StandardCharsets.ISO_8859_1)
+    val variants = Seq(
+      base.replaceFirst("/O <[0-9A-F]+>", "/O <DEAD>"), // truncated O entry
+      base.replaceFirst("/U <[0-9A-F]+>", ""), // missing U entry
+      base.replaceFirst("/R 3", "/R 9"), // unknown revision
+      base.replaceFirst("/Filter /Standard", "/Filter /Custom"), // non-standard handler
+    )
+    variants.foreach { v =>
+      var status: Option[Codecs.PdfEncryption] = None
+      assert(Codecs.extractPdf(v.getBytes(StandardCharsets.ISO_8859_1),
+        s => status = Some(s)) == "")
+      assert(status.contains(Codecs.PdfEncryptedUnsupported))
+    }
+  }
+
   test("PDF: unencrypted documents report NotEncrypted") {
     var status: Option[Codecs.PdfEncryption] = None
     Codecs.extractPdf(minimalPdf(Seq("Plain body.")), s => status = Some(s))

@@ -367,6 +367,32 @@ class StreamingMediaSpec extends SparkSpec {
     val wav = rows(wavBytes.length)
     Seq(16, 32, 48, 63).foreach(b => assert(math.abs(wav(b) - 0.5f) < 1e-6))
   }
+
+  test("streaming media decode resumes from a checkpoint without reprocessing") {
+    val in = java.nio.file.Files.createTempDirectory("media-restart").toString
+    new java.io.File(s"$in/data").mkdirs()
+    def run(): Seq[Int] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+      val q = Streams.mediaFeaturesStream(spark, s"$in/data")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("n_bytes").collect().foreach(r => buf.add(r.getInt(0)))
+        }
+        .option("checkpointLocation", s"$in/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    val png = MediaFixtures.grayPng(2, 2, 40)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/data/a.png"), png)
+    assert(run() == Seq(png.length))
+    // second run over the SAME checkpoint: only the new file decodes
+    val wav = MediaFixtures.wav(8000, 0, 16384)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/data/b.wav"), wav)
+    assert(run() == Seq(wav.length))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
