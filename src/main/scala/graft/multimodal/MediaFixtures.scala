@@ -111,6 +111,23 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Baseline JPEG via the JDK's JPEG writer. Lossy — pixel values are
+    * not round-trip-exact — but dimensions are, which is what the
+    * decode-probe oracle checks.
+    */
+  def jpeg(width: Int, height: Int, rgb: (Int, Int, Int)*): Array[Byte] = {
+    require(rgb.length == width * height)
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until height).foreach(y => (0 until width).foreach { x =>
+      val (r, g, b) = rgb(y * width + x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    })
+    val bos = new ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
   /** Single-frame GIF via the JDK's own GIF writer (no spec-built
     * encoder needed: the oracle checks decoded dimensions against
     * doc_id arithmetic, so a writer that mis-stamped its logical screen
@@ -202,16 +219,17 @@ object MediaFixtures {
   }
 
   /** Media table of REAL encoded payloads, derived deterministically
-    * from `documents.doc_id` — one JDK decode branch per id%4 residue:
-    * PNG (id%29+4 × id%17+3), 8 kHz mono PCM WAV of (id%5+1)·80 frames,
-    * BMP (id%21+3 × id%13+2), GIF (id%11+2 × id%7+2). Pixels/samples
-    * follow fixed arithmetic patterns, so every parameter a decoder can
-    * report is a pure function of `doc_id` — which is what lets a SQL
-    * oracle verify the ImageIO/AudioSystem decode output without
-    * parsing blobs.
+    * from `documents.doc_id` — one JDK decode branch per id%5 residue,
+    * covering EVERY format probeMeta dispatches on: PNG (id%29+4 ×
+    * id%17+3), 8 kHz mono PCM WAV of (id%7+1)·80 frames, BMP (id%21+3 ×
+    * id%13+2), GIF (id%11+2 × id%7+2), JPEG (id%19+8 × id%23+8).
+    * Pixels/samples follow fixed arithmetic patterns, so every
+    * parameter a decoder can report is a pure function of `doc_id` —
+    * which is what lets a SQL oracle verify the ImageIO/AudioSystem
+    * decode output without parsing blobs.
     *
     * Payload construction is a narrow per-partition map (no shuffle);
-    * payloads are bounded (≤ 32×19 px, ≤ 400 frames) so the build cost
+    * payloads are bounded (≤ 32×31 px, ≤ 560 frames) so the build cost
     * per row is O(1) at any scale.
     */
   def realMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
@@ -223,7 +241,7 @@ object MediaFixtures {
             val v = ((i * 7 + id) % 256).toInt
             (v, v, v)
           }
-        (id % 4).toInt match {
+        (id % 5).toInt match {
           case 0 =>
             val w = (id % 29 + 4).toInt
             val h = (id % 17 + 3).toInt
@@ -231,7 +249,7 @@ object MediaFixtures {
               Multimodal.MediaMeta("png", w, h, 0L, 0))
           case 1 =>
             val rate = 8000
-            val frames = ((id % 5 + 1) * 80).toInt
+            val frames = ((id % 7 + 1) * 80).toInt
             val samples = Array.tabulate(frames)(i =>
               (((i * 131 + id * 17) % 65536) - 32768).toShort)
             Multimodal.MediaRow(id, "audio", wav(rate, samples.toIndexedSeq: _*),
@@ -241,11 +259,16 @@ object MediaFixtures {
             val h = (id % 13 + 2).toInt
             Multimodal.MediaRow(id, "image", bmp(w, h, grays(w, h): _*),
               Multimodal.MediaMeta("bmp", w, h, 0L, 0))
-          case _ =>
+          case 3 =>
             val w = (id % 11 + 2).toInt
             val h = (id % 7 + 2).toInt
             Multimodal.MediaRow(id, "image", gif(w, h, grays(w, h): _*),
               Multimodal.MediaMeta("gif", w, h, 0L, 0))
+          case _ =>
+            val w = (id % 19 + 8).toInt
+            val h = (id % 23 + 8).toInt
+            Multimodal.MediaRow(id, "image", jpeg(w, h, grays(w, h): _*),
+              Multimodal.MediaMeta("jpeg", w, h, 0L, 0))
         }
       }
     }

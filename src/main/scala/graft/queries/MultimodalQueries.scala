@@ -59,9 +59,10 @@ object MultimodalQueries {
   }
 
   /** Real decode, oracle-proven: payloads are REAL encoded PNG/WAV/BMP/
-    * GIF blobs ([[MediaFixtures.realMedia]], one JDK decode branch per
-    * id%4 residue) whose dimensions / sample rate / duration are pure
-    * functions of doc_id, and the Spark side reports
+    * GIF/JPEG blobs ([[MediaFixtures.realMedia]], one JDK decode branch
+    * per id%5 residue — every format probeMeta dispatches on) whose
+    * dimensions / sample rate / duration are pure functions of doc_id,
+    * and the Spark side reports
     * what ImageIO/AudioSystem actually decoded
     * ([[Multimodal.probeDecode]]). The oracle recomputes the expected
     * values arithmetically — if either JDK decode path breaks (or the
@@ -108,17 +109,17 @@ object MultimodalQueries {
         |ORDER BY media_id, frame_index""".stripMargin,
     "media_decode" ->
       """SELECT doc_id AS media_id,
-        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-        |    WHEN 2 THEN 'bmp' ELSE 'gif' END AS format,
-        |  CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN doc_id % 29 + 4
+        |  CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN doc_id % 29 + 4
         |    WHEN 2 THEN doc_id % 21 + 3 WHEN 3 THEN doc_id % 11 + 2
-        |    ELSE 0 END AS INTEGER) AS width,
-        |  CAST(CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN doc_id % 17 + 3
+        |    WHEN 4 THEN doc_id % 19 + 8 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN doc_id % 17 + 3
         |    WHEN 2 THEN doc_id % 13 + 2 WHEN 3 THEN doc_id % 7 + 2
-        |    ELSE 0 END AS INTEGER) AS height,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 8000 ELSE 0 END AS INTEGER)
+        |    WHEN 4 THEN doc_id % 23 + 8 ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 ELSE 0 END AS INTEGER)
         |    AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 4 = 1 THEN (doc_id % 5 + 1) * 10 ELSE 0 END
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN (doc_id % 7 + 1) * 10 ELSE 0 END
         |    AS BIGINT) AS duration_ms,
         |  TRUE AS decode_differs
         |FROM documents ORDER BY media_id""".stripMargin,
