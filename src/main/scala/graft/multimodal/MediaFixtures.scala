@@ -248,11 +248,22 @@ object MediaFixtures {
             Multimodal.MediaRow(id, "image", png(w, h, grays(w, h): _*),
               Multimodal.MediaMeta("png", w, h, 0L, 0))
           case 1 =>
+            // rotate encodings so ALL THREE decodeWav paths (16-bit mono,
+            // 8-bit unsigned, 16-bit stereo) run under the oracle; the
+            // reported rate and frame-based duration formulas are
+            // identical across them, so the oracle needs no branch
             val rate = 8000
             val frames = ((id % 7 + 1) * 80).toInt
-            val samples = Array.tabulate(frames)(i =>
-              (((i * 131 + id * 17) % 65536) - 32768).toShort)
-            Multimodal.MediaRow(id, "audio", wav(rate, samples.toIndexedSeq: _*),
+            val payload = ((id / 5) % 3).toInt match {
+              case 0 => wav(rate, Array.tabulate(frames)(i =>
+                (((i * 131 + id * 17) % 65536) - 32768).toShort).toIndexedSeq: _*)
+              case 1 => wav8(rate, Array.tabulate(frames)(i =>
+                ((i * 37 + id) % 256).toInt).toIndexedSeq: _*)
+              case _ => wavStereo(rate, Array.tabulate(frames)(i =>
+                ((((i * 131 + id * 17) % 65536) - 32768).toShort,
+                  (((i * 59 + id * 7) % 65536) - 32768).toShort)).toIndexedSeq: _*)
+            }
+            Multimodal.MediaRow(id, "audio", payload,
               Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / rate, rate))
           case 2 =>
             val w = (id % 21 + 3).toInt
