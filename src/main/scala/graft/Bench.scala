@@ -21,17 +21,24 @@ object Bench {
       val d = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (d.isDirectory) d.getPath else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    sorted.foreach { case (_, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       spark.sharedState.cacheManager.clearCache()
     }
-    // sorted: deterministic execution order (cache warm-up attribution
-    // stays comparable across rounds). Two timed passes, min per query:
-    // steady-state throughput, robust to one-off noise (GC pause, AQE
-    // re-codegen on the first at-scale run, machine contention) —
-    // single-shot totals varied ±40% run to run on identical builds.
-    def timedPass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two timed passes, min per query: steady-state throughput, robust to
+    // one-off noise (GC pause, AQE re-codegen on the first at-scale run,
+    // machine contention) — single-shot totals varied ±40% run to run on
+    // identical builds. Pass 2 runs in REVERSE order: round 8's driver run
+    // hit host contention that lasted through pass 1 + early pass 2, and
+    // with one shared ordering min() stayed poisoned for the whole early
+    // alphabet (22× inflation decaying to 1.1× by execution position).
+    // With opposed orderings no query sits early in both passes, so
+    // contention that ends mid-run can poison min() for at most the
+    // crossover queries.
+    def timedPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Map[String, Double] =
+      order.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           // keep the JSON contract but make the failure visible — a thrown
@@ -54,18 +61,35 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // 1-minute system load average (-1.0 where unsupported), sampled before
+    // and after the timed passes: a final-record field pair that lets the
+    // artifact itself adjudicate "contended host" vs "code regression" —
+    // round 8's 10× driver inflation was undiagnosable because all
+    // telemetry went to stderr, which the driver discards.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load0 = loadAvg()
     val (c0, g0) = (compileCount(), gcMs())
-    val pass1 = timedPass()
+    val pass1 = timedPass(sorted)
+    val pass2 = timedPass(sorted.reverse)
+    // Third pass only when the first two disagree badly (>1.5× on totals):
+    // that signature means contention spanned at least one full pass, so
+    // min() may still be poisoned near the crossover. A mid-rotation makes
+    // the third ordering's early segment disjoint from both prior prefixes.
+    val p1t = pass1.values.sum
+    val p2t = pass2.values.sum
+    val pass3 =
+      if (math.max(p1t, p2t) > 1.5 * math.min(p1t, p2t)) {
+        val rot = sorted.drop(sorted.size / 2) ++ sorted.take(sorted.size / 2)
+        Some(timedPass(rot))
+      } else None
     val (c1, g1) = (compileCount(), gcMs())
-    val pass2 = timedPass()
-    val (c2, g2) = (compileCount(), gcMs())
-    // Telemetry on stderr (stdout is reserved for the JSON contract):
-    // if pass2 recompiles ~as many codegen sources as pass1, the static
-    // codegen cache is thrashing and the timings measure Janino+JIT, not
-    // data processing. With the 4096-entry cache pass2 should be ~0.
+    val load1 = loadAvg()
+    // stderr keeps the verbose audit trails (the JSON contract carries the
+    // numeric summary of each below):
     System.err.println(
-      f"[bench] codegen compiles pass1=${c1 - c0} pass2=${c2 - c1} " +
-        f"gcMs pass1=${g1 - g0} pass2=${g2 - g1}")
+      f"[bench] codegen compiles total=${c1 - c0} gcMs total=${g1 - g0} " +
+        f"loadAvg before=$load0%.2f after=$load1%.2f passes=${if (pass3.isDefined) 3 else 2}")
     // LSH dedup audit trail: buckets dropped at maxBucket across the
     // whole run (warmup + both passes). Non-zero on a degenerate corpus
     // is expected and CORRECT (members still pair via other bands) —
@@ -77,35 +101,56 @@ object Bench {
     val (pdfDec, pdfUnsup) = graft.sources.DocumentLoader.pdfEncryptionAccs(spark)
     System.err.println(
       s"[bench] pdf_decrypted=${pdfDec.value} pdf_encrypted_unsupported=${pdfUnsup.value}")
+    val passes = Seq(pass1, pass2) ++ pass3.toSeq
     val results = pass1.keys.toSeq.sorted.map(k =>
-      k -> math.min(pass1(k), pass2.getOrElse(k, pass1(k))))
+      k -> passes.flatMap(_.get(k)).min)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Two JSON lines, full record each. The driver keeps only a bounded
-    // TAIL of stdout (round 3: last 2000 chars, minus sbt's trailing
-    // "[success]" line) — the round-3 single full-precision line was
-    // ~2.1 KB and lost its head, so BENCH_r03 parsed as null. Line 1 is
-    // the full-precision record for humans/debug; the LAST line is the
-    // same record with per-query seconds rounded to 3 decimals (~1.7 KB
-    // at 72 queries), so the bounded tail always ends with a parseable
-    // total.
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
     // would emit 0,123 and break the machine-parseable line.
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def record(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def fmtN(n: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${n}f", v)
+    def qmap(m: Map[String, Double], fmt: Double => String): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Telemetry embedded IN the final record (round-8 lesson: stderr
+    // evidence does not survive the driver; the artifact must be able to
+    // defend its own numbers). pass totals expose which pass a clean run
+    // came from; gc_ms + codegen_compiles rule codegen/GC thrash in or
+    // out; load_avg before/after rules host contention in or out.
+    def telemetry(fmt: Double => String): String = {
+      val p3 = pass3.map(p => s""","pass3_total":${fmt(p.values.sum)}""").getOrElse("")
+      s""""pass1_total":${fmt(p1t)},"pass2_total":${fmt(p2t)}$p3,""" +
+        s""""gc_ms":${g1 - g0},"codegen_compiles":${c1 - c0},""" +
+        s""""load_avg":[${fmtN(2)(load0)},${fmtN(2)(load1)}]"""
     }
-    println(record(v => v.toString))
-    val rounded = record(f3)
-    println(rounded)
-    // The driver's bounded tail is ~2000 chars: if query growth pushes the
-    // rounded per-query record past that, its HEAD (metric/value) is lost
-    // first — so emit a final total-only record that always fits. While the
-    // full record fits, it stays last so the parsed artifact keeps the
-    // per-query map.
-    if (rounded.length > 1800)
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    def record(qs: Map[String, Double], tot: Double, metric: String,
+               fmt: Double => String, tele: Boolean): String = {
+      val t = if (tele) telemetry(fmt) + "," else ""
+      s"""{"metric":"$metric","value":${fmt(tot)},"unit":"sec",$t"queries":${qmap(qs, fmt)},"sf":"$sfDir"}"""
+    }
+    // Per-pass full-precision records first (human/provenance lines): a
+    // kept stdout tail always shows at least the end of pass2/pass3, so
+    // which pass won each min is reconstructible even when only the tail
+    // survives. The LAST line is the contract: min-per-query record with
+    // telemetry, rounded so the driver's ~2000-char bounded tail (minus
+    // sbt's trailing "[success]" line) keeps it intact — the round-3
+    // single full-precision line was ~2.1 KB and lost its head, so
+    // BENCH_r03 parsed as null.
+    println(record(pass1, p1t, "pass1", v => v.toString, tele = false))
+    println(record(pass2, p2t, "pass2", v => v.toString, tele = false))
+    pass3.foreach(p => println(record(p, p.values.sum, "pass3", v => v.toString, tele = false)))
+    val rmap = results.toMap
+    val r3 = record(rmap, total, "total", fmtN(3), tele = true)
+    val finalLine =
+      if (r3.length <= 1850) r3
+      else {
+        // 77+ queries at 3 decimals + telemetry can brush the tail budget:
+        // degrade per-query precision before dropping the map entirely.
+        val r2 = record(rmap, total, "total", fmtN(2), tele = true)
+        if (r2.length <= 1850) r2
+        else s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},"queries":{},"sf":"$sfDir"}"""
+      }
+    println(finalLine)
     spark.stop()
   }
 }

@@ -166,18 +166,58 @@ object MediaCodecs {
       }
       None
     }
-    // end of the JPEG starting at `start`: after the EOI marker (FFD9 is
-    // escaped inside entropy-coded data, so the first occurrence ends
-    // the frame — an embedded EXIF thumbnail's EOI is rarer than a raw
-    // byte collision and still yields a decodable prefix)
-    def jpegEnd(start: Int): Option[Int] = {
-      var p = start + 2
+    // end of the JPEG starting at `start`: walk marker segments
+    // structurally (skip APPn/DQT/DHT/SOF/COM by their length fields,
+    // raw-scan only the entropy-coded data after SOS for the next
+    // unstuffed marker). An APP1 EXIF payload embedding a thumbnail —
+    // which carries its own EOI — is skipped wholesale by its segment
+    // length, so a camera JPEG's real EOI ends the frame, not the
+    // thumbnail's. Falls back to the naive first-FFD9 scan when the
+    // marker stream is malformed (still yields a decodable prefix).
+    def jpegEndStructural(start: Int): Option[Int] = {
+      var p = start + 2 // past SOI
       while (p + 1 < bytes.length) {
-        if (b(p) == 0xff && b(p + 1) == 0xd9) return Some(p + 2)
-        p += 1
+        if (b(p) != 0xff) return None // not at a marker: malformed
+        val m = b(p + 1)
+        if (m == 0xff) p += 1 // fill byte before a marker
+        else if (m == 0xd9) return Some(p + 2) // EOI
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2 // standalone
+        else if (m == 0xda) { // SOS: header, then entropy-coded data
+          if (p + 3 >= bytes.length) return None
+          val len = (b(p + 2) << 8) | b(p + 3)
+          if (len < 2) return None
+          p += 2 + len
+          // entropy data stuffs FF as FF00 and may hold RSTn; the next
+          // FF xx with any other xx is a genuine marker (EOI, DNL, or
+          // a progressive scan's next SOS) — resume the walk there
+          var found = false
+          while (p + 1 < bytes.length && !found) {
+            if (b(p) == 0xff) {
+              val n2 = b(p + 1)
+              if (n2 == 0x00 || (n2 >= 0xd0 && n2 <= 0xd7)) p += 2
+              else found = true
+            } else p += 1
+          }
+          if (!found) return None
+        } else { // segment with a 2-byte big-endian length (incl. itself)
+          if (p + 3 >= bytes.length) return None
+          val len = (b(p + 2) << 8) | b(p + 3)
+          if (len < 2 || p + 2L + len > bytes.length) return None
+          p += 2 + len
+        }
       }
       None
     }
+    def jpegEnd(start: Int): Option[Int] =
+      jpegEndStructural(start).orElse {
+        var p = start + 2
+        var r: Option[Int] = None
+        while (r.isEmpty && p + 1 < bytes.length) {
+          if (b(p) == 0xff && b(p + 1) == 0xd9) r = Some(p + 2)
+          p += 1
+        }
+        r
+      }
     val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
     while (i < bytes.length - 2) {

@@ -395,11 +395,45 @@ object Codecs {
     } else None
   }
 
+  /** Index of name token `key` scanned OUTSIDE string values: the 32
+    * binary bytes of a literal-string /O value can contain the ASCII
+    * sequence "/U" (or vice versa), so a raw indexOf could bind inside
+    * the other entry's payload and read garbage. Literal strings
+    * (balanced parens with backslash escapes) and hex strings are
+    * skipped wholesale while scanning.
+    */
+  private def keyIndexOutsideStrings(dict: String, key: String): Int = {
+    var i = 0
+    while (i < dict.length) {
+      dict.charAt(i) match {
+        case '(' =>
+          var depth = 1; i += 1
+          while (i < dict.length && depth > 0) {
+            dict.charAt(i) match {
+              case '\\' => i += 2
+              case '(' => depth += 1; i += 1
+              case ')' => depth -= 1; i += 1
+              case _ => i += 1
+            }
+          }
+        case '<' =>
+          if (i + 1 < dict.length && dict.charAt(i + 1) == '<') i += 2 // dict open, not a hex string
+          else {
+            val e = dict.indexOf('>', i)
+            i = if (e < 0) dict.length else e + 1
+          }
+        case _ =>
+          if (dict.startsWith(key, i) &&
+            (i + key.length >= dict.length ||
+              !dict.charAt(i + key.length).isLetterOrDigit)) return i
+          i += 1
+      }
+    }
+    -1
+  }
+
   private def pdfString(dict: String, key: String): Option[Array[Byte]] = {
-    var ki = dict.indexOf(key)
-    while (ki >= 0 && ki + key.length < dict.length &&
-      dict.charAt(ki + key.length).isLetterOrDigit)
-      ki = dict.indexOf(key, ki + 1)
+    val ki = keyIndexOutsideStrings(dict, key)
     if (ki < 0) None else pdfStringAt(dict, ki + key.length)
   }
 
@@ -438,8 +472,11 @@ object Codecs {
   private def emptyPasswordDecryptor(s: String,
       objs: mutable.LinkedHashMap[Int, (Int, String, Option[Array[Byte]])])
       : Option[Option[(Int, Int, Array[Byte]) => Array[Byte]]] = {
-    val encNum = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
-      .map(_.group(1).toInt)
+    // Last match wins: an incrementally-updated PDF appends a new trailer
+    // at the end, so the final /Encrypt reference is the current one (and
+    // a first-match bind inside stale or stream bytes is avoided).
+    val encNum = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(s)
+      .foldLeft(Option.empty[Int])((_, m) => Some(m.group(1).toInt))
     encNum match {
       case None => Some(None)
       case Some(num) =>
@@ -453,6 +490,11 @@ object Codecs {
           u <- pdfString(dict, "/U")
           p <- intVal(dict, "P")
           n = if (r == 2) 5 else intVal(dict, "Length").getOrElse(40) / 8
+          // Spec range is 40–128 bits (5–16 bytes); a malformed /Length 0
+          // would make rc4 divide by key.length — degrade to the
+          // PdfEncryptedUnsupported path like other malformed variants so
+          // the "all extractors are total" contract holds.
+          if n >= 5 && n <= 16
           key = fileKey(o, p, docId(s).getOrElse(Array.emptyByteArray), r, n)
           if emptyPasswordMatches(key, u, docId(s).getOrElse(Array.emptyByteArray), r)
         } yield (objNum: Int, gen: Int, data: Array[Byte]) => {

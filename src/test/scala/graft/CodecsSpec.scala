@@ -595,6 +595,51 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF: encrypt-dict key scan skips literal-string values") {
+    // a literal-string value whose bytes contain "/O <DEAD>" (legal —
+    // unknown dict keys are allowed, and /O's own 32 binary bytes can
+    // contain such sequences): a raw indexOf binds inside the string and
+    // reads garbage for /O, misclassifying a decryptable doc
+    val base = new String(encryptedPdf("Literal trap body.", r = 3),
+      StandardCharsets.ISO_8859_1)
+    val trapped = base.replaceFirst("/O <",
+      java.util.regex.Matcher.quoteReplacement(
+        """/Decoy (x\) y /O <DEAD> /U <BEEF>) /O <"""))
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(trapped.getBytes(StandardCharsets.ISO_8859_1),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nLiteral trap body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: out-of-range /Length degrades to counted-unsupported, never throws") {
+    // /Length 0 would make the RC4 key empty (divide-by-zero in the key
+    // schedule); /Length 2048 exceeds the spec's 16-byte maximum
+    val base = new String(encryptedPdf("Body.", r = 3), StandardCharsets.ISO_8859_1)
+    Seq("/Length 0", "/Length 2048").foreach { bad =>
+      val v = base.replaceFirst("/Length 128", bad)
+      var status: Option[Codecs.PdfEncryption] = None
+      assert(Codecs.extractPdf(v.getBytes(StandardCharsets.ISO_8859_1),
+        s => status = Some(s)) == "")
+      assert(status.contains(Codecs.PdfEncryptedUnsupported))
+    }
+  }
+
+  test("PDF: incrementally-updated file binds the LAST trailer's /Encrypt") {
+    // an incremental update appends a new trailer; a first-match probe
+    // would bind the stale trailer's dangling /Encrypt reference
+    val base = new String(encryptedPdf("Incremental body.", r = 3),
+      StandardCharsets.ISO_8859_1)
+    val updated = base.replaceFirst("trailer <<",
+      java.util.regex.Matcher.quoteReplacement(
+        "trailer << /Root 1 0 R /Encrypt 99 0 R >>\ntrailer <<"))
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(updated.getBytes(StandardCharsets.ISO_8859_1),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nIncremental body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
   test("PDF: unencrypted documents report NotEncrypted") {
     var status: Option[Codecs.PdfEncryption] = None
     Codecs.extractPdf(minimalPdf(Seq("Plain body.")), s => status = Some(s))

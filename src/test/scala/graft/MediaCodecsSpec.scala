@@ -184,6 +184,47 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitFrames skips an APP1 thumbnail's embedded EOI structurally") {
+    // a camera JPEG carries an EXIF/JFIF thumbnail in APP1 — a complete
+    // JPEG with its own EOI. A first-FFD9 scan ends the outer frame at
+    // the thumbnail's EOI and rescans the remaining entropy data.
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(y => (0 until 4).foreach(x =>
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)))
+      val bos = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val thumb = jpeg(128)
+    val len = thumb.length + 2
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ thumb
+    val outer = jpeg(40)
+    val withThumb = outer.take(2) ++ app1 ++ outer.drop(2)
+    assert(withThumb.sliding(2).indexWhere(w =>
+      (w(0) & 0xff) == 0xff && (w(1) & 0xff) == 0xd9) < withThumb.length - 2,
+      "fixture must embed an early EOI inside APP1")
+    val f2 = jpeg(220)
+    val segs = MediaCodecs.splitFrames(withThumb ++ f2)
+    assert(segs.length == 2)
+    assert(segs(0) == ((0, withThumb.length)))
+    assert(segs(1) == ((withThumb.length, withThumb.length + f2.length)))
+    segs.foreach { case (s, e) =>
+      assert(MediaCodecs.decodeImage(
+        java.util.Arrays.copyOfRange(withThumb ++ f2, s, e)).isDefined)
+    }
+  }
+
+  test("splitFrames falls back to the raw EOI scan on a malformed marker stream") {
+    // FF 05 is no valid marker and its "length" (0x0001) is < 2, so the
+    // structural walk bails; the raw scan still ends at the planted FFD9
+    val junk = Array(0xff, 0xd8, 0xff, 0x05, 0x00, 0x01, 0xff, 0xd9).map(_.toByte)
+    val segs = MediaCodecs.splitFrames(junk)
+    assert(segs == IndexedSeq((0, 8)))
+  }
+
   test("animated GIF decodes per frame via ImageIO's indexed reads") {
     val gif = MediaTestGifs.animatedGif(4, 10, 100, 200)
     assert(MediaCodecs.detectFormat(gif) == "gif")
