@@ -284,4 +284,39 @@ object MediaFixtures {
       }
     }
   }
+
+  /** Uniform single-channel images for the histogram-CONTENT oracle:
+    * every pixel of doc_id's payload is gray (v,v,v) or pure red/green/
+    * blue with v = doc_id%256, so the decoded 64-bin luminance histogram
+    * is a delta — value exactly 1.0 after L2 — at bin lum/4, where lum
+    * is v for gray and (299·v)/1000, (587·v)/1000, (114·v)/1000 for
+    * R/G/B (the integer per-mille weights of
+    * [[MediaCodecs.imageHistogram]]). Gray pins the binning; the pure
+    * channels pin the luminance WEIGHTS (any weights summing to 1000
+    * map gray to v, so gray alone can't catch a weight swap). Formats
+    * alternate PNG / BMP — the two spec-built, pixel-exact encoders
+    * (JPEG is lossy; GIF palettization is exact but adds nothing here).
+    */
+  def uniformMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val v = (id % 256).toInt
+        val w = (id % 5 + 2).toInt
+        val h = (id % 3 + 2).toInt
+        val rgb = (id % 4).toInt match {
+          case 0 => (v, v, v)
+          case 1 => (v, 0, 0)
+          case 2 => (0, v, 0)
+          case _ => (0, 0, v)
+        }
+        val px = Seq.fill(w * h)(rgb)
+        val (fmt, payload) =
+          if ((id / 4) % 2 == 0) ("png", png(w, h, px: _*))
+          else ("bmp", bmp(w, h, px: _*))
+        Multimodal.MediaRow(id, "image", payload,
+          Multimodal.MediaMeta(fmt, w, h, 0L, 0))
+      }
+    }
+  }
 }

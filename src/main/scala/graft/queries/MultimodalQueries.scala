@@ -91,15 +91,50 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_index")
   }
 
+  /** Decoded histogram CONTENT, oracle-proven: uniform single-channel
+    * PNG/BMP payloads ([[MediaFixtures.uniformMedia]]) make the 64-bin
+    * luminance histogram of the real decode path a delta — exactly 1.0
+    * at an arithmetically-known bin. The oracle recomputes the bin from
+    * doc_id (including the 299/587/114 per-mille weights via the pure
+    * R/G/B variants), so broken luminance math, broken binning, or a
+    * silent byte-histogram fallback (many nonzero bins) all
+    * hash-mismatch. Closes the one content gap `media_decode` left:
+    * that query proves decode RAN; this one proves what it COMPUTED.
+    */
+  def mediaHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractFeatures(
+      MediaFixtures.uniformMedia(Tables.documents(spark, dir)))
+      .map { f =>
+        val peakBin = f.features.indexWhere(_ == f.features.max)
+        val nonzero = f.features.count(_ != 0f)
+        (f.media_id, peakBin, f.features(peakBin).toDouble, nonzero)
+      }
+      .toDF("media_id", "peak_bin", "peak_value", "nonzero_bins")
+      .orderBy("media_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
     "media_decode" -> (mediaDecode _),
     "media_video_frames" -> (mediaVideoFrames _),
+    "media_histogram" -> (mediaHistogram _),
   )
 
   def oracles: Map[String, String] = Map(
+    "media_histogram" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN doc_id % 256
+        |    WHEN 1 THEN (299 * (doc_id % 256)) // 1000
+        |    WHEN 2 THEN (587 * (doc_id % 256)) // 1000
+        |    ELSE (114 * (doc_id % 256)) // 1000 END) // 4 AS INTEGER)
+        |    AS peak_bin,
+        |  1.0 AS peak_value,
+        |  1 AS nonzero_bins
+        |FROM documents ORDER BY media_id""".stripMargin,
     "media_video_frames" ->
       """SELECT d.doc_id AS media_id,
         |  CAST(u.k AS INTEGER) AS frame_index,
