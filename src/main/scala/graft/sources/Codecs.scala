@@ -188,6 +188,14 @@ object Codecs {
   case object PdfDecrypted extends PdfEncryption
   /** AES (V≥4), a set user password, or a malformed /Encrypt dict —
     * extracts as "" under the drop-not-fail contract.
+    *
+    * AES stays a deliberate, audited boundary (round-9 decision): the
+    * reference's PyPDF2 has the same practical limit without
+    * pycryptodome, so this is parity-neutral, and the
+    * `pdf_encrypted_unsupported` accumulator (surfaced per Bench/Soak
+    * run) has read zero on every corpus to date. Implement AES-128-CBC
+    * (V4/R4, JDK javax.crypto covers it) only if that counter ever
+    * reads nonzero on a real corpus.
     */
   case object PdfEncryptedUnsupported extends PdfEncryption
 

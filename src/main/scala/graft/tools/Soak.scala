@@ -103,6 +103,15 @@ object Soak {
         graft.queries.TextAnalysis.boilerplateFracOf(corpus(m)).count()
       }
 
+      // real media decode at mult× rows: payload build (spec-built
+      // PNG/WAV/BMP/GIF/JPEG) + ImageIO/AudioSystem decode is a narrow
+      // per-partition map with no exchange — wall should track rows
+      // linearly (per-row decode cost), measured here, not asserted
+      val tDecode = time {
+        graft.multimodal.Multimodal.probeDecode(
+          graft.multimodal.MediaFixtures.realMedia(corpus(m))).count()
+      }
+
       // kNN at mult× vectors: the index never shuffles in either path —
       // brute force is broadcast queries + partition heaps, LSH is the
       // signature pass + bucket join + exact re-rank
@@ -124,7 +133,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

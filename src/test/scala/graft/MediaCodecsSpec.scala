@@ -62,6 +62,26 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(h.zipWithIndex.filterNot(p => expected.contains(p._2)).forall(_._1 == 0f))
   }
 
+  test("pure-channel uniform images pin the per-mille luminance weights") {
+    // uniform gray is weight-blind (any weights summing to 1000 map
+    // (v,v,v) to v); pure R/G/B payloads pin 299/587/114 individually —
+    // same arithmetic the media_histogram oracle recomputes in SQL
+    val cases = Seq(
+      ((200, 0, 0), 299 * 200 / 1000 / 4), // red   → lum 59 → bin 14
+      ((0, 200, 0), 587 * 200 / 1000 / 4), // green → lum 117 → bin 29
+      ((0, 0, 200), 114 * 200 / 1000 / 4), // blue  → lum 22 → bin 5
+    )
+    cases.foreach { case (rgb, bin) =>
+      Seq(png(2, 2, Seq.fill(4)(rgb): _*), bmp(2, 2, Seq.fill(4)(rgb): _*))
+        .foreach { payload =>
+          val h = MediaCodecs.imageHistogram(
+            MediaCodecs.decodeImage(payload).get, 64)
+          assert(h(bin) == 1.0f, s"rgb=$rgb expected delta at bin $bin")
+          assert(h.count(_ != 0f) == 1)
+        }
+    }
+  }
+
   test("BMP decodes via ImageIO with exact pixel round-trip") {
     val img = MediaCodecs.decodeImage(
       bmp(2, 2, (255, 0, 0), (0, 255, 0), (0, 0, 255), (128, 128, 128))).get
