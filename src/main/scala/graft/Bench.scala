@@ -139,17 +139,17 @@ object Bench {
     println(record(pass1, p1t, "pass1", v => v.toString, tele = false))
     println(record(pass2, p2t, "pass2", v => v.toString, tele = false))
     pass3.foreach(p => println(record(p, p.values.sum, "pass3", v => v.toString, tele = false)))
+    // Budget: the driver's 2000-char stdout tail must hold the whole
+    // final record PLUS sbt's trailing "[success] Total time: ..." line
+    // (~73 chars) — so the record may use ~1925 chars; guard at 1900.
+    // Degrade per-query precision (3 → 2 → 1 decimals) before dropping
+    // the map entirely: a total-only record would cost the per-query
+    // trend analysis, which matters more than the third decimal.
     val rmap = results.toMap
-    val r3 = record(rmap, total, "total", fmtN(3), tele = true)
-    val finalLine =
-      if (r3.length <= 1850) r3
-      else {
-        // 77+ queries at 3 decimals + telemetry can brush the tail budget:
-        // degrade per-query precision before dropping the map entirely.
-        val r2 = record(rmap, total, "total", fmtN(2), tele = true)
-        if (r2.length <= 1850) r2
-        else s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},"queries":{},"sf":"$sfDir"}"""
-      }
+    val finalLine = (3 to 1 by -1).iterator
+      .map(d => record(rmap, total, "total", fmtN(d), tele = true))
+      .find(_.length <= 1900)
+      .getOrElse(s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},"queries":{},"sf":"$sfDir"}""")
     println(finalLine)
     spark.stop()
   }
