@@ -29,10 +29,12 @@ object MultimodalQueries {
   /** Batched decode features + norm ([[Multimodal.extractFeatures]]:
     * real ImageIO/AudioSystem decode for image/audio payloads, byte
     * histogram for the rest — this fixture's payloads are document
-    * text, so they take the fallback). The histogram content itself is
-    * out of SQL's reach (covered value-wise by MultimodalSpec and
-    * MediaCodecsSpec against hand-built PNG/BMP/WAV), but the surface
-    * is still oracle-checked: ids, kinds, byte lengths, and the norm —
+    * text, so they take the fallback). This query's arbitrary-payload
+    * histogram content is not SQL-expressible, but histogram CONTENT is
+    * oracle-proven by [[mediaHistogram]] over uniform payloads (and
+    * value-checked by MultimodalSpec / MediaCodecsSpec against
+    * hand-built PNG/BMP/WAV); here the oracle-checked surface is:
+    * ids, kinds, byte lengths, and the norm —
     * exactly 1.0 after round(·,4) for any non-empty payload (64
     * float-rounded squares can drift at most ~1e-6 from 1), 0.0 for
     * empty.
