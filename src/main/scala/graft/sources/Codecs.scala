@@ -397,8 +397,13 @@ object Codecs {
       if (end < 0) None
       else {
         val hex = text.substring(i + 1, end).filterNot(_.isWhitespace)
-        val padded = if (hex.length % 2 == 1) hex + "0" else hex
-        Some(padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+        // non-hex garbage inside the string (corrupt file) → malformed,
+        // not an exception: callers degrade to the unsupported path
+        if (!hex.forall(c => Character.digit(c, 16) >= 0)) None
+        else {
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          Some(padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+        }
       }
     } else None
   }

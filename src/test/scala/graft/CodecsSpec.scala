@@ -640,6 +640,30 @@ class CodecsSpec extends AnyFunSuite {
     assert(status.contains(Codecs.PdfDecrypted))
   }
 
+  test("PDF: extractPdf is total under random mutation of an encrypted doc") {
+    // byte flips and truncations land in the /Encrypt dict, the O/U hex
+    // strings, stream data, and object delimiters alike — every variant
+    // must extract *something* (possibly "") without throwing; the
+    // encryption callback, when invoked, reports a defined status
+    val base = encryptedPdf("Mutation fuzz body.", r = 3)
+    val rnd = new scala.util.Random(99)
+    (0 until 300).foreach { i =>
+      val v = base.clone()
+      i % 3 match {
+        case 0 => // k random byte flips
+          (0 to rnd.nextInt(8)).foreach(_ =>
+            v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte)
+        case 1 => // truncate
+          ()
+        case _ => // splice a decoy token into a random position
+          val tok = "/Encrypt 7 0 R /O (".getBytes(StandardCharsets.ISO_8859_1)
+          System.arraycopy(tok, 0, v, rnd.nextInt(v.length - tok.length), tok.length)
+      }
+      val payload = if (i % 3 == 1) v.take(rnd.nextInt(v.length) + 1) else v
+      Codecs.extractPdf(payload, s => assert(s != null)) // must not throw
+    }
+  }
+
   test("PDF: unencrypted documents report NotEncrypted") {
     var status: Option[Codecs.PdfEncryption] = None
     Codecs.extractPdf(minimalPdf(Seq("Plain body.")), s => status = Some(s))

@@ -245,6 +245,43 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(segs == IndexedSeq((0, 8)))
   }
 
+  test("splitFrames is total on fuzzed bytes: in-bounds, ordered, non-overlapping") {
+    // corpus payloads are untrusted; the splitter must terminate and
+    // stay within bounds on anything — pure noise, planted magics,
+    // truncated real frames, and length fields pointing past EOF
+    val rnd = new scala.util.Random(1234)
+    val realJpeg = {
+      val img = new java.awt.image.BufferedImage(3, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val realPng = grayPng(3, 3, 77)
+    (0 until 500).foreach { i =>
+      val base = Array.fill(rnd.nextInt(300) + 1)(rnd.nextInt(256).toByte)
+      val payload = i % 5 match {
+        case 0 => base
+        case 1 => // planted JPEG SOI + garbage
+          Array(0xff, 0xd8, 0xff).map(_.toByte) ++ base
+        case 2 => // truncated real JPEG
+          realJpeg.take(rnd.nextInt(realJpeg.length))
+        case 3 => // truncated real PNG + noise
+          realPng.take(rnd.nextInt(realPng.length)) ++ base
+        case _ => // real frame sandwiched in noise
+          base ++ (if (i % 2 == 0) realJpeg else realPng) ++ base
+      }
+      val segs = MediaCodecs.splitFrames(payload) // must not throw
+      segs.foreach { case (s, e) =>
+        assert(s >= 0 && s < e && e <= payload.length, s"iter $i: ($s,$e)")
+      }
+      segs.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 <= s2, s"iter $i overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("animated GIF decodes per frame via ImageIO's indexed reads") {
     val gif = MediaTestGifs.animatedGif(4, 10, 100, 200)
     assert(MediaCodecs.detectFormat(gif) == "gif")
