@@ -42,14 +42,26 @@ object Codecs {
   private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
-    var e = zin.getNextEntry
-    while (e != null) {
-      if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
-      e = zin.getNextEntry
-    }
-    zin.close()
+    // a corrupt entry (bad deflate data, truncated archive) ends the
+    // walk but keeps every entry already read — drop-not-fail salvage,
+    // same contract as the PDF object-graph walk
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out += e.getName -> zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    finally zin.close()
     out.result()
   }
+
+  /** Totality guard for the public extractors: the file contract is
+    * "malformed input yields ''", at THIS level, not only under
+    * DocumentLoader.safely — fuzzed mutation suites pin it.
+    */
+  private def total(body: => String): String =
+    try body catch { case scala.util.control.NonFatal(_) => "" }
 
   private def parseXml(bytes: Array[Byte]): Element = {
     val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -87,7 +99,7 @@ object Codecs {
   /** Body paragraphs first (python-docx `doc.paragraphs` is body-level
     * only), then every table flattened to pipe-joined rows.
     */
-  def extractDocx(bytes: Array[Byte]): String = {
+  def extractDocx(bytes: Array[Byte]): String = total {
     val parts = zipEntries(bytes)
     val body = parts.get("word/document.xml") match {
       case Some(xml) => descendants(parseXml(xml), "body").headOption
@@ -116,7 +128,7 @@ object Codecs {
     * shared/inline strings; `--- Sheet: name ---` markers + pipe-joined
     * non-empty cells per row, as openpyxl's values_only iteration.
     */
-  def extractXlsx(bytes: Array[Byte]): String = {
+  def extractXlsx(bytes: Array[Byte]): String = total {
     val parts = zipEntries(bytes)
     val wbXml = parts.getOrElse("xl/workbook.xml", return "")
     val rels: Map[String, String] =
@@ -158,7 +170,7 @@ object Codecs {
   /** Slides in numeric order; every text body's paragraphs joined by
     * newline (python-pptx `shape.text`), under `--- Slide N ---`.
     */
-  def extractPptx(bytes: Array[Byte]): String = {
+  def extractPptx(bytes: Array[Byte]): String = total {
     val parts = zipEntries(bytes)
     val slideRe: Regex = """ppt/slides/slide(\d+)\.xml""".r
     val slides = parts.keys.collect { case n @ slideRe(i) => (i.toInt, n) }.toSeq.sorted
@@ -204,7 +216,7 @@ object Codecs {
     */
   def extractPdf(bytes: Array[Byte]): String = extractPdf(bytes, _ => ())
 
-  def extractPdf(bytes: Array[Byte], onEncryption: PdfEncryption => Unit): String = {
+  def extractPdf(bytes: Array[Byte], onEncryption: PdfEncryption => Unit): String = total {
     val s = new String(bytes, Latin1)
     val objRe = """(?s)(\d+)\s+(\d+)\s+obj\b(.*?)endobj""".r
     // pass 1 — obj number -> (gen, dict text, raw stream bytes, still

@@ -664,6 +664,31 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("OOXML: extractors are total under random mutation and truncation") {
+    // corrupt zips (bad CRC, cut deflate streams) and malformed XML must
+    // yield "" or partial text at the Codecs level — the file's totality
+    // contract, not just DocumentLoader.safely's belt-and-braces
+    val bases = Seq(
+      minimalDocx(), minimalXlsx(), minimalPptx(),
+      docx(Seq("one", "two")), pptx(Seq(Seq("a"), Seq("b"))))
+    val fns = Seq[Array[Byte] => String](
+      Codecs.extractDocx, Codecs.extractXlsx, Codecs.extractPptx)
+    val rnd = new scala.util.Random(2026)
+    (0 until 300).foreach { i =>
+      val v = bases(i % bases.length).clone()
+      i % 3 match {
+        case 0 =>
+          (0 to rnd.nextInt(8)).foreach(_ =>
+            v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte)
+        case 1 => ()
+        case _ => // corrupt the zip local-header magic specifically
+          v(rnd.nextInt(math.min(v.length, 30))) = rnd.nextInt(256).toByte
+      }
+      val payload = if (i % 3 == 1) v.take(rnd.nextInt(v.length) + 1) else v
+      fns.foreach(f => assert(f(payload) != null)) // must not throw
+    }
+  }
+
   test("PDF: unencrypted documents report NotEncrypted") {
     var status: Option[Codecs.PdfEncryption] = None
     Codecs.extractPdf(minimalPdf(Seq("Plain body.")), s => status = Some(s))
