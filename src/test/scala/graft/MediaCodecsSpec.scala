@@ -282,6 +282,28 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("decoders are total under random mutation of real payloads") {
+    // decodeImage/decodeWav/gifFrames/splitFrames all take corpus bytes;
+    // mutations of valid payloads must yield None/empty, never throw
+    val rnd = new scala.util.Random(77)
+    val bases = Seq(
+      grayPng(4, 3, 120),
+      bmp(3, 4, Seq.fill(12)((5, 6, 7)): _*),
+      wav(8000, Seq.fill(64)(123.toShort): _*),
+      MediaTestGifs.animatedGif(3, 10, 100, 200))
+    (0 until 400).foreach { i =>
+      val v = bases(i % bases.length).clone()
+      if (i % 2 == 0)
+        (0 to rnd.nextInt(6)).foreach(_ =>
+          v(rnd.nextInt(v.length)) = rnd.nextInt(256).toByte)
+      val payload = if (i % 2 == 1) v.take(rnd.nextInt(v.length) + 1) else v
+      MediaCodecs.decodeImage(payload)
+      MediaCodecs.decodeWav(payload)
+      MediaCodecs.gifFrames(payload)
+      MediaCodecs.splitFrames(payload)
+    }
+  }
+
   test("animated GIF decodes per frame via ImageIO's indexed reads") {
     val gif = MediaTestGifs.animatedGif(4, 10, 100, 200)
     assert(MediaCodecs.detectFormat(gif) == "gif")
