@@ -297,6 +297,32 @@ object MediaFixtures {
     * alternate PNG / BMP — the two spec-built, pixel-exact encoders
     * (JPEG is lossy; GIF palettization is exact but adds nothing here).
     */
+  /** Constant-sample WAVs for the audio histogram-CONTENT oracle: every
+    * sample of doc_id's payload is the same value, so the decoded
+    * 64-bin amplitude histogram is a delta (exactly 1.0) at a bin that
+    * is pure doc_id arithmetic — (s+32768)/1024 for 16-bit PCM (mono
+    * and stereo), u/4 for 8-bit unsigned — both exact in float (sample
+    * values are dyadic rationals, so normalize → +1 → ·32 loses no
+    * bits). Rotates all three decodeWav branches like realMedia does.
+    */
+  def uniformWavs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000
+        val frames = ((id % 5 + 1) * 50).toInt
+        val s = (((id * 977) % 65536) - 32768).toShort
+        val payload = (id % 3).toInt match {
+          case 0 => wav(rate, Seq.fill(frames)(s): _*)
+          case 1 => wav8(rate, Seq.fill(frames)(((id * 131) % 256).toInt): _*)
+          case _ => wavStereo(rate, Seq.fill(frames)((s, s)): _*)
+        }
+        Multimodal.MediaRow(id, "audio", payload,
+          Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / rate, rate))
+      }
+    }
+  }
+
   def uniformMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>

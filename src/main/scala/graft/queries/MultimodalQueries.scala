@@ -116,6 +116,26 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Audio twin of [[mediaHistogram]]: constant-sample WAVs
+    * ([[MediaFixtures.uniformWavs]], all three decodeWav branches) make
+    * the amplitude histogram a delta at a bin DuckDB recomputes from
+    * doc_id — so the sample normalization ((s+1)/2 binning, 8-bit
+    * unsigned offset, stereo interleave) is hash-pinned, not just
+    * spec-tested.
+    */
+  def mediaAudioHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.extractFeatures(
+      MediaFixtures.uniformWavs(Tables.documents(spark, dir)))
+      .map { f =>
+        val peakBin = f.features.indexWhere(_ == f.features.max)
+        val nonzero = f.features.count(_ != 0f)
+        (f.media_id, peakBin, f.features(peakBin).toDouble, nonzero)
+      }
+      .toDF("media_id", "peak_bin", "peak_value", "nonzero_bins")
+      .orderBy("media_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
@@ -123,9 +143,19 @@ object MultimodalQueries {
     "media_decode" -> (mediaDecode _),
     "media_video_frames" -> (mediaVideoFrames _),
     "media_histogram" -> (mediaHistogram _),
+    "media_audio_histogram" -> (mediaAudioHistogram _),
   )
 
   def oracles: Map[String, String] = Map(
+    "media_audio_histogram" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 3 = 1
+        |    THEN ((doc_id * 131) % 256) // 4
+        |    ELSE ((doc_id * 977) % 65536) // 1024 END AS INTEGER)
+        |    AS peak_bin,
+        |  1.0 AS peak_value,
+        |  1 AS nonzero_bins
+        |FROM documents ORDER BY media_id""".stripMargin,
     "media_histogram" ->
       """SELECT doc_id AS media_id,
         |  CAST((CASE CAST(doc_id % 4 AS INTEGER)
