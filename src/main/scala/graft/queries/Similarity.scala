@@ -100,6 +100,42 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ADC top-k: 16 md5-sampled codebook vectors,
+    * 8 subspaces of 8 dims, L2-argmin encoding, Σ-of-LUT scoring — the
+    * 16×-compressed scan layout of a billion-vector index (see
+    * Ann.pqTopK). Rank-only output per SURVEY §7's float rule: the
+    * per-subspace LUT dots and the fixed-j-order ADC sum are
+    * bit-deterministic on the Spark side, but DuckDB replays them with
+    * its own list-aggregation machinery, so ranks (ties to vec_id) are
+    * the stable contract — same discipline as `ann_ivf_trained`.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.pqTopK(emb, queries, K, m = 8, numCodes = 16)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ + exact re-rank (the production PQ pipeline — Faiss
+    * IndexRefineFlat): ADC proposes 50 candidates per query from the
+    * compressed codes, then only those queries×50 vectors are re-scored
+    * with the true dot product. Rank-only output; the re-rank dots use
+    * the same left-to-right double convention as `knn_topk`.
+    */
+  def annPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cw = Ann.sampleCodebooks(emb, m = 8, numCodes = 16)
+    Ann.pqTopKRefined(emb, queries, K, r = 50, m = 8, cw = cw)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Scaled symmetric int8 quantization of a float-array column —
     * floor(x·127 + 0.5) clamped to [−127, 127] (exposed for specs). */
   def quantize127(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -184,9 +220,90 @@ object Similarity {
     "knn_lsh" -> (knnLsh _),
     "embed_quantize" -> (embedQuantize _),
     "knn_quantized" -> (knnQuantized _),
+    "ann_pq" -> (annPq _),
+    "ann_pq_refined" -> (annPqRefined _),
   )
 
+  // DuckDB 1-based inclusive slice of subspace j (0-based, width 8).
+  private def duckSub(l: String, j: String): String =
+    s"$l[CAST(8*$j + 1 AS INTEGER):CAST(8*$j + 8 AS INTEGER)]"
+
+  /** Shared PQ-ADC replay CTEs: sampled codebook → per-subspace
+    * L2-argmin encode (ties to the lowest code) → per-query LUT →
+    * ADC score summed in ascending-j list order. Ends at `score`
+    * (query_id, vec_id, sim).
+    */
+  private def pqAdcCtes: String =
+    s"""cb AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER)
+       |           AS code, cvec
+       |  FROM (SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+       |               embedding AS cvec
+       |        FROM embeddings ORDER BY r, vec_id LIMIT 16)),
+       |sub AS (
+       |  SELECT cb.code, j.j AS j, ${duckSub("cb.cvec", "j.j")} AS cw
+       |  FROM cb, range(8) j(j)),
+       |enc AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT e.vec_id, s.j, s.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, s.j
+       |        ORDER BY list_aggregate(list_transform(
+       |            list_zip(${duckSub("e.embedding", "s.j")}, s.cw),
+       |            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |          'sum') ASC, s.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN sub s) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |lut AS (
+       |  SELECT q.query_id, s.j, s.code,
+       |    list_aggregate(list_transform(
+       |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
+       |  FROM q CROSS JOIN sub s),
+       |score AS (
+       |  SELECT l.query_id, en.vec_id,
+       |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
+       |  FROM enc en JOIN lut l ON en.j = l.j AND en.code = l.code
+       |  GROUP BY 1, 2)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // PQ replay — rank-only compare (ties to vec_id) absorbing float
+    // machinery differences, exactly like ann_ivf_trained.
+    "ann_pq" ->
+      s"""WITH $pqAdcCtes,
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM score)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // Same ADC replay, then the top-50 candidates per query are
+    // re-scored with the exact left-to-right dot (the knn_topk
+    // convention) and re-ranked.
+    "ann_pq_refined" ->
+      s"""WITH $pqAdcCtes,
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM score) WHERE rn <= 50),
+         |rescored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM rescored)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "knn_quantized" ->
       s"""WITH qv AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(greatest(-127.0,

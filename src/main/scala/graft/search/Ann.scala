@@ -178,6 +178,264 @@ object Ann {
       .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cent_id", "cvec")
   }
 
+  /** Product-quantization ADC top-k — the memory-bounded layout a
+    * billion-vector corpus actually ships (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011; the Faiss
+    * `IndexPQ` contract with inner-product metric). The index is stored
+    * as `m` code bytes per vector (16× smaller than float32 at
+    * m=8/dim=64); queries never touch the original vectors at scan
+    * time — each scores a vector as Σ_j LUT[j][code_j], an O(m) table
+    * lookup instead of an O(dim) dot product.
+    *
+    * Codebook: `numCodes` md5-sampled vectors (seed|vec_id order — the
+    * same unbiased reproducible draw as [[ivfTopK]]'s sampled
+    * centroids); codeword (j, c) is sample c's j-th subvector. Encoding
+    * assigns each subvector to its L2-argmin codeword (strict `<` scan,
+    * ties to the lowest code — reconstruction-optimal and
+    * deterministic). Scoring approximates dot(q, x) by the ADC sum in
+    * FIXED ascending-j order with left-to-right double accumulation, so
+    * scores are bit-deterministic regardless of partitioning.
+    *
+    * Scale shape: encode is a narrow map over the broadcast codebook
+    * (the float index is read once and never shuffled); the scan is a
+    * narrow map over the code rows with per-partition bounded heaps;
+    * the only exchange is the ≤ P×Q×k heap-survivor merge — identical
+    * to [[Knn.bruteForceTopK]]'s plan but over 1/16th the bytes.
+    *
+    * Output: (query_id, vec_id, rank, sim), rank 1..k by sim desc,
+    * vec_id asc ties. `dim % m` must be 0.
+    */
+  def pqTopK(index: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, numCodes: Int = 16, seed: String = "pq"): DataFrame =
+    pqTopKWith(index, queries, k, m, sampleCodebooks(index, m, numCodes, seed))
+
+  /** Sampled PQ codebooks: codeword (j, c) is the j-th subvector of the
+    * c-th md5-ordered sample — the reproducible zero-training baseline
+    * (and the Lloyd init for [[trainPqCodebooks]]). Shape cw(j)(c). */
+  def sampleCodebooks(index: DataFrame, m: Int, numCodes: Int,
+      seed: String = "pq"): Array[Array[Array[Float]]] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val samples: Array[Array[Float]] = index
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .withColumn("r", md5(concat(lit(s"$seed|"), col("vec_id"))))
+      .orderBy(col("r"), col("vec_id"))
+      .limit(numCodes)
+      .select(col("embedding")).as[Array[Float]].collect()
+    if (samples.isEmpty) return Array.empty
+    val dim = samples(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m, samples.length)((j, c) =>
+      java.util.Arrays.copyOfRange(samples(c), j * sub, (j + 1) * sub))
+  }
+
+  /** Per-subspace Lloyd training of PQ codebooks (the k-means step of
+    * Jégou et al. §III-A; what Faiss `ProductQuantizer::train` runs).
+    * Init = [[sampleCodebooks]]; each iteration is ONE narrow pass over
+    * the index that assigns every subvector to its L2-argmin codeword
+    * and partial-sums per (subspace, code) locally — only
+    * m×numCodes×subDim doubles per partition move to the driver merge,
+    * the index never shuffles. Empty cells keep their previous
+    * codeword; means round `(sum / count).toFloat` (the same
+    * convention as [[trainCentroids]] / the Lloyd-in-SQL oracle).
+    */
+  def trainPqCodebooks(index: DataFrame, m: Int, numCodes: Int, iters: Int,
+      seed: String = "pq"): Array[Array[Array[Float]]] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    var cw = sampleCodebooks(index, m, numCodes, seed)
+    if (cw.isEmpty) return cw
+    val sub = cw(0)(0).length
+    val nc = cw(0).length
+    val mm = m
+    val typed = index.select(col("embedding")).as[Array[Float]]
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cw)
+      // one flattened (sums, counts) partial per partition; merged on
+      // the driver (m×nc×sub ≈ 1k doubles — bytes, not data)
+      val (sums, counts) = typed.mapPartitions { it =>
+        val cs = bc.value
+        val s = new Array[Double](mm * nc * sub)
+        val n = new Array[Long](mm * nc)
+        it.foreach { v =>
+          var j = 0
+          while (j < mm) {
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < nc) {
+              var dd = 0.0; var d = 0
+              while (d < sub) {
+                val diff = v(j * sub + d).toDouble - cs(j)(c)(d).toDouble
+                dd += diff * diff
+                d += 1
+              }
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            var d = 0
+            while (d < sub) {
+              s((j * nc + best) * sub + d) += v(j * sub + d).toDouble
+              d += 1
+            }
+            n(j * nc + best) += 1
+            j += 1
+          }
+        }
+        Iterator.single((s, n))
+      }.reduce { (a, b) =>
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        i = 0
+        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+        a
+      }
+      bc.unpersist()
+      cw = Array.tabulate(mm, nc) { (j, c) =>
+        val cnt = counts(j * nc + c)
+        if (cnt == 0) cw(j)(c)
+        else Array.tabulate(sub)(d => (sums((j * nc + c) * sub + d) / cnt).toFloat)
+      }
+    }
+    cw
+  }
+
+  /** [[pqTopK]] with explicit codebooks `cw(j)(c)` (all subspaces the
+    * same width; from [[sampleCodebooks]] or [[trainPqCodebooks]]). */
+  def pqTopKWith(index: DataFrame, queries: DataFrame, k: Int,
+      m: Int, cw: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (cw.isEmpty || qArr.isEmpty) {
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "vec_id", "rank", "sim")
+    }
+    val sub = cw(0)(0).length
+    val nc = cw(0).length
+    val bcCw = spark.sparkContext.broadcast(cw)
+
+    // per-query ADC lookup table: LUT(q)(j*nc + c) = dot(q_j, cw(j)(c))
+    val lut: Array[Array[Double]] = qArr.map { case (_, qv) =>
+      val t = new Array[Double](m * nc)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < nc) {
+          var s = 0.0; var d = 0
+          while (d < sub) {
+            s += qv(j * sub + d).toDouble * cw(j)(c)(d).toDouble
+            d += 1
+          }
+          t(j * nc + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val bcQids = spark.sparkContext.broadcast(qArr.map(_._1))
+
+    // encode: L2-argmin per subspace over the broadcast codebook — a
+    // narrow map; at scale the code rows would be persisted and the
+    // float index never re-read
+    val codes = index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs0 = bcCw.value
+        it.map { case (id, v) =>
+          val cs = new Array[Int](m)
+          var j = 0
+          while (j < m) {
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < nc) {
+              var s = 0.0; var d = 0
+              while (d < sub) {
+                val diff = v(j * sub + d).toDouble - cs0(j)(c)(d).toDouble
+                s += diff * diff
+                d += 1
+              }
+              if (s < bestD) { bestD = s; best = c }
+              c += 1
+            }
+            cs(j) = best
+            j += 1
+          }
+          (id, cs)
+        }
+      }
+
+    // ADC scan: O(m) lookups per (vector, query), bounded heap per query
+    val mm = m; val kCap = k
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val partial = codes.mapPartitions { it =>
+      val luts = bcLut.value
+      val qids = bcQids.value
+      val heaps = Array.fill(qids.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      it.foreach { case (id, cs) =>
+        var q = 0
+        while (q < qids.length) {
+          val t = luts(q)
+          var s = 0.0; var j = 0
+          while (j < mm) { s += t(j * nc + cs(j)); j += 1 }
+          val h = heaps(q)
+          if (h.size < kCap) h.enqueue((s, id))
+          else {
+            val (ws, wid) = h.head
+            if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+          }
+          q += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+        h.iterator.map { case (s, id) => (qids(q), id, s) }
+      }
+    }
+    val topk = new graft.functions.TopKAggregator[Long](k).toColumn
+    partial
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(topk.name("topk"))
+      .flatMap { case (q, winners) =>
+        winners.zipWithIndex.map { case ((s, id), i) => (q, id, i + 1, s) }
+      }
+      .toDF("query_id", "vec_id", "rank", "sim")
+  }
+
+  /** PQ search with exact re-ranking (the Faiss `IndexRefineFlat`
+    * shape): ADC produces `r` candidates per query, then the true
+    * float vectors of ONLY those queries×r rows are joined back and
+    * re-scored with the exact dot product. This is the production PQ
+    * pipeline — the compressed scan bounds memory traffic, the
+    * re-rank restores ordering that code-tie collapse destroys (all
+    * members of a tight cluster encode identically, so pure ADC
+    * ranks them by id, not true distance).
+    *
+    * Scale shape: candidate ids are queries×r rows — broadcast; the
+    * index-side join to fetch their vectors is the only index touch
+    * after the code scan, and the final heap merge is bounded as in
+    * [[Knn.bruteForceTopK]].
+    */
+  def pqTopKRefined(index: DataFrame, queries: DataFrame, k: Int, r: Int,
+      m: Int, cw: Array[Array[Array[Float]]]): DataFrame = {
+    val candIds = pqTopKWith(index, queries, r, m, cw)
+      .select(col("query_id"), col("vec_id"))
+    val cands = index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candIds), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    heapTopK(cands, k)
+  }
+
   /** Seeded ±1 hyperplane for (table, bit) — deterministic across runs. */
   private def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")

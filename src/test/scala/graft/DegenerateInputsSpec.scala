@@ -55,6 +55,7 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(graft.search.Ann.lshTopK(emb, noQ, 5, dim = 8).count() == 0)
     val cent = emb.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     assert(graft.search.Ann.ivfTopK(emb, noQ, cent, 5, 1).count() == 0)
+    assert(graft.search.Ann.pqTopK(emb, noQ, 5, m = 4, numCodes = 2).count() == 0)
   }
 
   test("dup-span queries skip sub-window docs; BM25 survives an empty corpus") {

@@ -153,6 +153,51 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF nprobe=4 recall too low: $recall")
   }
 
+  test("PQ ADC keeps useful recall on clustered data and is partition-independent") {
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = Knn.bruteForceTopK(clustered, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val pq = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & pq).size.toDouble / exact.size
+    }
+    // pure ADC is tie-collapsed (a tight cluster's members share one
+    // code tuple, so ADC orders them by id, not true distance) — recall
+    // sits near |top-k|/|cluster|, far above the 2% random floor but
+    // capped; this is WHY production PQ re-ranks
+    val r16 = recallOf(Ann.pqTopK(clustered, queries, 10, m = 8, numCodes = 16))
+    assert(r16 >= 0.25, s"PQ recall too low: $r16")
+    val trained = Ann.trainPqCodebooks(clustered, m = 8, numCodes = 16, iters = 3)
+    val rT = recallOf(Ann.pqTopKWith(clustered, queries, 10, 8, trained))
+    assert(rT >= r16 - 0.05, s"training degraded recall: $rT < $r16")
+    // exact re-rank of the top-50 ADC candidates restores the ordering
+    val rRef = recallOf(Ann.pqTopKRefined(clustered, queries, 10, r = 50,
+      m = 8, cw = trained))
+    assert(rRef >= 0.8, s"refined-PQ recall too low: $rRef")
+    // fixed-j-order LUT sums are bit-deterministic: any partitioning of
+    // the index produces the identical ranking
+    val repart = Ann.pqTopK(clustered.repartition(13), queries, 10,
+      m = 8, numCodes = 16)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val base = Ann.pqTopK(clustered, queries, 10, m = 8, numCodes = 16)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(repart == base)
+  }
+
+  test("PQ with every vector its own codeword reproduces exact ranks") {
+    // 8 vectors, 8 codes: encoding is lossless (each subvector argmins
+    // to its own sample), so ADC scores equal true dot products and the
+    // ranking matches brute force exactly, including tie-breaks
+    val tiny = clustered.filter($"vec_id" < 8)
+    val queries = tiny.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val exact = Knn.bruteForceTopK(tiny, queries, 8)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val pq = Ann.pqTopK(tiny, queries, 8, m = 8, numCodes = 8)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(pq == exact)
+  }
+
   test("k-means codebook training is reproducible and at least matches sampled init") {
     val queries = clustered.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
