@@ -137,7 +137,72 @@ object Events {
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
       .orderBy("day")
 
+  /** HyperLogLog distinct-count sketch per event type — the fixed-memory
+    * (m=256 registers) cardinality estimator every large-scale pipeline
+    * pairs with count-min (Flajolet et al. 2007, with the standard
+    * linear-counting small-range correction). Deterministic and
+    * oracle-replayable by construction: the register index is the first
+    * md5 byte, the rank rho is the 1-based position of the first set bit
+    * in the next 14 hex chars (capped at 32), and the register state is
+    * a max — order- and partitioning-independent, so DuckDB reproduces
+    * every register and the estimate arithmetic bit-for-bit (the only
+    * float steps are one division and possibly one ln, both on
+    * identical inputs; the output rounds to 3 decimals).
+    *
+    * Scale shape: ONE map-side-combined aggregation to ≤ types×256
+    * register rows, then a types-sized rollup — the sketch state is
+    * O(m) per group no matter how many events stream through, which is
+    * the entire point at 100 TB. `exact_distinct` rides along (per-
+    * register distincts are disjoint, so they sum) to expose the
+    * estimation error; at true scale one would drop it and keep only
+    * the sketch.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllOf(Tables.events(spark, dir))
+
+  /** [[hllDistinct]] over an explicit events frame (spec entry point —
+    * the sketch must be identical under any partitioning). */
+  def hllOf(events: DataFrame): DataFrame = {
+    val lzOf = (c: org.apache.spark.sql.Column) =>
+      when(c === "1", 3).when(c.isin("2", "3"), 2)
+        .when(c.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val regs = events
+      .select(col("event_type"), col("event_id"),
+        md5(concat(lit("hll|"), col("event_id").cast("string"))).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("tail", substring(col("h"), 3, 14))
+      .withColumn("zeros", length(regexp_extract(col("tail"), "^0*", 0)))
+      .withColumn("firstc", expr("substring(tail, zeros + 1, 1)"))
+      .withColumn("rho", least(
+        when(col("firstc") === "", lit(4 * 14 + 1))
+          .otherwise(col("zeros") * 4 + lzOf(col("firstc")) + 1),
+        lit(32)))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"),
+        countDistinct(col("event_id")).as("nd"))
+    // alpha_256 · m² · 2³² / Σ 2^(32−r); empty registers contribute
+    // 2³² each. All-integer sum (≤ 256·2³² < 2⁶³) keeps the register
+    // state exact; the double arithmetic happens once per group.
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    regs.groupBy(col("event_type"))
+      .agg(
+        sum(col("nd")).as("exact_distinct"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 32 - r)")).as("sum_present"),
+        count(lit(1)).as("nonempty"))
+      .withColumn("sum_scaled",
+        col("sum_present") + (lit(256L) - col("nonempty")) * lit(4294967296L))
+      .withColumn("raw",
+        lit(alpha * 65536.0 * 4294967296.0) / col("sum_scaled"))
+      .withColumn("hll_estimate", round(
+        when(col("nonempty") < 256 && col("raw") < 640.0,
+          lit(256.0) * log(lit(256.0) / (lit(256L) - col("nonempty"))))
+          .otherwise(col("raw")), 3))
+      .select(col("event_type"), col("exact_distinct"), col("hll_estimate"))
+      .orderBy(col("event_type"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
     "events_hourly" -> (eventsHourly _),
     "events_json" -> (eventsJson _),
@@ -147,6 +212,49 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    // HLL replay: identical md5-derived register index + rank, integer
+    // register state, and the same literal-by-literal estimate
+    // arithmetic (one double division, one ln in the linear-counting
+    // branch, round to 3).
+    "hll_distinct" -> {
+      val raw = "(0.7213 / (1.0 + 1.079/256.0)) * 65536.0 * 4294967296.0" +
+        " / (sum_present + (256 - nonempty) * 4294967296)"
+      s"""WITH rr AS (
+         |  SELECT event_type, event_id,
+         |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+         |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+         |    substr(h, 3, 14) AS tail
+         |  FROM (SELECT event_type, event_id,
+         |          md5('hll|' || CAST(event_id AS VARCHAR)) AS h
+         |        FROM events)),
+         |rho AS (
+         |  SELECT event_type, event_id, bucket,
+         |    least(CASE WHEN firstc = '' THEN 57
+         |          ELSE zeros * 4 +
+         |               CASE WHEN firstc = '1' THEN 3
+         |                    WHEN firstc IN ('2','3') THEN 2
+         |                    WHEN firstc IN ('4','5','6','7') THEN 1
+         |                    ELSE 0 END + 1 END, 32) AS rho
+         |  FROM (SELECT event_type, event_id, bucket, zeros,
+         |          substr(tail, CAST(zeros + 1 AS INTEGER), 1) AS firstc
+         |        FROM (SELECT *, length(regexp_extract(tail, '^0*')) AS zeros
+         |              FROM rr))),
+         |regs AS (
+         |  SELECT event_type, bucket, max(rho) AS r,
+         |         count(DISTINCT event_id) AS nd
+         |  FROM rho GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type,
+         |    CAST(sum(nd) AS BIGINT) AS exact_distinct,
+         |    CAST(sum(CAST(1 AS BIGINT) << (32 - r)) AS BIGINT) AS sum_present,
+         |    count(*) AS nonempty
+         |  FROM regs GROUP BY 1)
+         |SELECT event_type, exact_distinct,
+         |  round(CASE WHEN nonempty < 256 AND $raw < 640.0
+         |        THEN 256.0 * ln(256.0 / (256 - nonempty))
+         |        ELSE $raw END, 3) AS hll_estimate
+         |FROM agg ORDER BY event_type""".stripMargin
+    },
     // naive interval theta-join — the semantic ground truth the banded
     // equi-join must reproduce exactly
     "events_range_join" ->

@@ -130,10 +130,15 @@ object Soak {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         graft.search.Ann.ivfTopK(emb, qs, cents, 10, nprobe = 4).count()
       }
+      // PQ ADC at mult× vectors: the 16-codeword codebook is collected
+      // once, encode+LUT-scan are narrow maps over the broadcast
+      // codebook — like knn_topk the only exchange is heap survivors,
+      // but the scan arithmetic is O(m)-per-row instead of O(dim)
+      val tPq = time { graft.search.Ann.pqTopK(emb, qs, 10).count() }
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

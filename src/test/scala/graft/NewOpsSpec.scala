@@ -67,6 +67,24 @@ class NewOpsSpec extends SparkSpec {
     assert(rows.forall { case (_, exact, cms) => cms == exact })
   }
 
+  test("hll estimate tracks exact distincts in both regimes") {
+    val out = Events.hllDistinct(spark, dir)
+      .select("event_type", "exact_distinct", "hll_estimate")
+      .as[(String, Long, Double)].collect()
+    assert(out.length == 5)
+    out.foreach { case (t, exact, est) =>
+      // m=256 → theoretical std error 1.04/√256 ≈ 6.5%; linear counting
+      // (the regime at sf0.001's ~200 distincts/type) is tighter
+      val err = math.abs(est - exact) / exact
+      assert(err <= 0.20, s"$t: estimate $est vs exact $exact (err $err)")
+    }
+    // partitioning-independence: register maxes and integer state make
+    // the sketch identical under any layout
+    val repart = Events.hllOf(Tables.events(spark, dir).repartition(17))
+      .as[(String, Long, Double)].collect()
+    assert(repart.toSet == out.toSet)
+  }
+
   test("int8 quantization clamps and rounds half-up") {
     val in = Seq((1L, Array(1.0f, -1.0f, 0.0f, 0.004f, -0.004f, 0.5f, 2.0f, -2.0f)))
     val out = in.toDF("vec_id", "v")

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n$plan")
   }
 
+  test("pq refine joins only broadcast — the float index never shuffles") {
+    val df = Similarity.annPqRefined(spark, dir)
+    df.collect() // finalize adaptive plan
+    val plan = planOf(df)
+    // the candidate-id and query sides are broadcast; a SortMergeJoin
+    // would mean the full float index shuffled for a queries×50 fetch
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("pack_sequences runs one per-bucket window, no global sort before it") {
     val df = graft.queries.TextAnalysis.packSequences(spark, dir)
     df.collect()
