@@ -286,7 +286,72 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Bloom-filter semi-join pruning — the runtime-filter primitive that
+    * keeps a 100 TB fact table from shuffling rows that cannot match
+    * (Spark's own `spark.sql.optimizer.runtime.bloomFilter.enabled`
+    * does this opaquely; here the filter is explicit and deterministic
+    * so its selectivity is oracle-checkable). The bloom is m=4096 bits,
+    * k=3, with bit positions drawn from md5("bloom"+i+"|"+key) — any
+    * engine reproduces the exact bit set, the exact candidate set, and
+    * the exact false-positive count.
+    *
+    * Scale shape: the bit set is built from the SMALL side (one
+    * distinct over ≤ m integer positions, broadcast); the fact side
+    * probes it with a broadcast join on the bit — no shuffle of orders
+    * beyond the final count. A bloom-passing row count vs the true
+    * semi-join exposes the fp rate the filter would ship to the join.
+    */
+  def bloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val (cands, matches) = bloomParts(seg, orders)
+    val nc = cands.agg(count(lit(1)).as("n_candidates"))
+    val nm = matches.agg(count(lit(1)).as("n_matches"))
+    nc.crossJoin(nm)
+      .select(col("n_candidates"), col("n_matches"),
+        (col("n_candidates") - col("n_matches")).as("n_false_pos"),
+        round((col("n_candidates") - col("n_matches")).cast("double") /
+          col("n_candidates"), 4).as("fp_rate"))
+  }
+
+  /** (bloom-passing candidate rows, true semi-join rows) for a key set
+    * `seg` (column c_custkey) and fact rows (o_orderkey, o_custkey) —
+    * the spec entry point: candidates must be a superset of matches
+    * (a Bloom filter never false-negatives).
+    */
+  private[graft] def bloomParts(seg: DataFrame, orders: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val mBits = 4096
+    val kHash = 3
+    def bitOf(i: Int, key: org.apache.spark.sql.Column) =
+      (conv(substring(md5(concat(lit(s"bloom$i|"), key.cast("string"))), 1, 4),
+        16, 10).cast("int") % mBits).as("bit")
+    val bits = (0 until kHash)
+      .map(i => seg.select(bitOf(i, col("c_custkey"))))
+      .reduce(_ union _)
+      .distinct()
+    // a fact row is a candidate iff all k of its positions are set
+    val cands = (0 until kHash)
+      .map(i => orders.select(col("o_orderkey"), col("o_custkey"),
+        bitOf(i, col("o_custkey"))))
+      .reduce(_ union _)
+      .join(broadcast(bits), "bit")
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === kHash)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val matches = orders
+      .join(seg.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"),
+        "left_semi")
+      .select(col("o_orderkey"), col("o_custkey")) // USING reorders cols
+    (cands, matches)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_semi_join" -> (bloomSemiJoin _),
     "window_funcs" -> (windowFuncs _),
     "orders_above_cust_avg" -> (ordersAboveCustAvg _),
     "quantiles" -> (quantiles _),
@@ -320,7 +385,42 @@ object Relational {
        |ORDER BY collection""".stripMargin
   }
 
+  // DuckDB replay of Spark's conv(substr(md5,1,4),16,10): 4 hex chars
+  // to an integer via digit positions.
+  private def duckHex4(h: String): String =
+    s"((((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, 2, 1)) - 1)) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, 3, 1)) - 1)) * 16 + " +
+      s"(strpos('0123456789abcdef', substr($h, 4, 1)) - 1))"
+
   def oracles: Map[String, String] = Map(
+    // Bloom replay: identical md5-derived bit positions, identical bit
+    // set, so candidate and false-positive counts match exactly.
+    "bloom_semi_join" -> {
+      def bit(key: String) = duckHex4(
+        s"md5('bloom' || CAST(i.i AS VARCHAR) || '|' || CAST($key AS VARCHAR))") +
+        " % 4096"
+      s"""WITH seg AS (
+         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |bits AS (
+         |  SELECT DISTINCT ${bit("s.c_custkey")} AS bit
+         |  FROM seg s, range(3) i(i)),
+         |pos AS (
+         |  SELECT o.o_orderkey, o.o_custkey, ${bit("o.o_custkey")} AS bit
+         |  FROM orders o, range(3) i(i)),
+         |cands AS (
+         |  SELECT o_orderkey, o_custkey FROM pos JOIN bits USING (bit)
+         |  GROUP BY 1, 2 HAVING count(*) = 3),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM cands) AS n_candidates,
+         |  (SELECT count(*) FROM orders o
+         |   WHERE o.o_custkey IN (SELECT c_custkey FROM seg)) AS n_matches)
+         |SELECT n_candidates, n_matches,
+         |  n_candidates - n_matches AS n_false_pos,
+         |  round(CAST(n_candidates - n_matches AS DOUBLE) / n_candidates, 4)
+         |    AS fp_rate
+         |FROM agg""".stripMargin
+    },
     "window_funcs" ->
       """WITH t AS (
         |  SELECT l_suppkey,

@@ -119,6 +119,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ over per-subspace Lloyd-TRAINED codebooks (2 iterations from the
+    * sampled init) — the `ann_ivf_trained` twin for product
+    * quantization: DuckDB replays the subspace k-means (assign →
+    * float-rounded cell means → empty cells keep their codeword) and
+    * the ADC scan; rank-only output absorbs the mean-summation-order
+    * float drift exactly as the IVF trained oracle does.
+    */
+  def annPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cw = Ann.trainPqCodebooks(emb, m = 8, numCodes = 16, iters = 2)
+    Ann.pqTopKWith(emb, queries, K, 8, cw)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PQ + exact re-rank (the production PQ pipeline — Faiss
     * IndexRefineFlat): ADC proposes 50 candidates per query from the
     * compressed codes, then only those queries×50 vectors are re-scored
@@ -222,18 +240,23 @@ object Similarity {
     "knn_quantized" -> (knnQuantized _),
     "ann_pq" -> (annPq _),
     "ann_pq_refined" -> (annPqRefined _),
+    "ann_pq_trained" -> (annPqTrained _),
   )
 
   // DuckDB 1-based inclusive slice of subspace j (0-based, width 8).
   private def duckSub(l: String, j: String): String =
     s"$l[CAST(8*$j + 1 AS INTEGER):CAST(8*$j + 8 AS INTEGER)]"
 
-  /** Shared PQ-ADC replay CTEs: sampled codebook → per-subspace
-    * L2-argmin encode (ties to the lowest code) → per-query LUT →
-    * ADC score summed in ascending-j list order. Ends at `score`
-    * (query_id, vec_id, sim).
-    */
-  private def pqAdcCtes: String =
+  // Left-to-right squared-L2 of two 8-float lists (double casts match
+  // the Spark encode loop).
+  private def duckL2sq(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))" +
+      " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), 'sum')"
+
+  /** Sampled codebook CTEs: `cb` (code, full vector) and `sub`
+    * (code, j, 8-float codeword subvector). */
+  private def pqCbCtes: String =
     s"""cb AS (
        |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER)
        |           AS code, cvec
@@ -242,17 +265,21 @@ object Similarity {
        |        FROM embeddings ORDER BY r, vec_id LIMIT 16)),
        |sub AS (
        |  SELECT cb.code, j.j AS j, ${duckSub("cb.cvec", "j.j")} AS cw
-       |  FROM cb, range(8) j(j)),
-       |enc AS (
+       |  FROM cb, range(8) j(j))""".stripMargin
+
+  /** ADC replay over a codebook CTE `cbCte` (code, j, cw): per-subspace
+    * L2-argmin encode (ties to the lowest code) → per-query LUT → ADC
+    * score summed in ascending-j list order. Ends at `score`
+    * (query_id, vec_id, sim).
+    */
+  private def pqScoreCtes(cbCte: String): String =
+    s"""enc AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT e.vec_id, s.j, s.code,
        |      row_number() OVER (PARTITION BY e.vec_id, s.j
-       |        ORDER BY list_aggregate(list_transform(
-       |            list_zip(${duckSub("e.embedding", "s.j")}, s.cw),
-       |            p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-       |                 * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
-       |          'sum') ASC, s.code ASC) AS rn
-       |    FROM embeddings e CROSS JOIN sub s) WHERE rn = 1),
+       |        ORDER BY ${duckL2sq(duckSub("e.embedding", "s.j"), "s.cw")}
+       |          ASC, s.code ASC) AS rn
+       |    FROM embeddings e CROSS JOIN $cbCte s) WHERE rn = 1),
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS qv
        |  FROM embeddings WHERE vec_id < $NumQueries),
@@ -261,18 +288,65 @@ object Similarity {
        |    list_aggregate(list_transform(
        |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
-       |  FROM q CROSS JOIN sub s),
+       |  FROM q CROSS JOIN $cbCte s),
        |score AS (
        |  SELECT l.query_id, en.vec_id,
        |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
        |  FROM enc en JOIN lut l ON en.j = l.j AND en.code = l.code
        |  GROUP BY 1, 2)""".stripMargin
 
+  private def pqAdcCtes: String = pqCbCtes + ",\n" + pqScoreCtes("sub")
+
+  /** One per-subspace Lloyd iteration as CTEs: assign every (vector,
+    * subspace) to its L2-argmin codeword of `prev` (ties to the lowest
+    * code), average each (subspace, code) cell componentwise, round the
+    * mean to float32 exactly as the trainer's `(sum / count).toFloat`,
+    * keep the previous codeword for empty cells. Requires an `sv` CTE
+    * (vec_id, j, 8-float subvector).
+    */
+  private def pqTrainIter(prev: String, next: String): String =
+    s"""a_$next AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT v.vec_id, v.j, s.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.j
+       |        ORDER BY ${duckL2sq("v.sv", "s.cw")} ASC, s.code ASC) AS rn
+       |    FROM sv v JOIN $prev s ON v.j = s.j) WHERE rn = 1),
+       |m_$next AS (
+       |  SELECT a.j, a.code, d.d AS d,
+       |    CAST(avg(CAST(v.sv[CAST(d.d AS INTEGER)] AS DOUBLE)) AS FLOAT)
+       |      AS mval
+       |  FROM a_$next a JOIN sv v ON a.vec_id = v.vec_id AND a.j = v.j,
+       |       range(1, 9) d(d)
+       |  GROUP BY 1, 2, 3),
+       |$next AS (
+       |  SELECT p.code, p.j, coalesce(mm.cw, p.cw) AS cw
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT j, code, list(mval ORDER BY d) AS cw
+       |    FROM m_$next GROUP BY 1, 2) mm
+       |    ON p.j = mm.j AND p.code = mm.code)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     // PQ replay — rank-only compare (ties to vec_id) absorbing float
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->
       s"""WITH $pqAdcCtes,
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM score)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // Subspace-Lloyd replay (2 iterations) over the sampled init, then
+    // the same ADC scan against the trained codebooks — rank-only.
+    "ann_pq_trained" ->
+      s"""WITH $pqCbCtes,
+         |sv AS (
+         |  SELECT e.vec_id, j.j AS j, ${duckSub("e.embedding", "j.j")} AS sv
+         |  FROM embeddings e, range(8) j(j)),
+         |${pqTrainIter("sub", "cb1")},
+         |${pqTrainIter("cb1", "cb2")},
+         |${pqScoreCtes("cb2")},
          |ranked AS (
          |  SELECT query_id, vec_id,
          |    CAST(row_number() OVER (PARTITION BY query_id

@@ -85,6 +85,28 @@ class NewOpsSpec extends SparkSpec {
     assert(repart.toSet == out.toSet)
   }
 
+  test("bloom semi-join never false-negatives and keeps fp rate near theory") {
+    import graft.queries.Relational
+    val cust = (0L until 300L).map(k =>
+      (k, if (k % 5 == 0) "BUILDING" else "OTHER")).toDF("c_custkey", "c_mktsegment")
+    val seg = cust.filter($"c_mktsegment" === "BUILDING").select("c_custkey")
+    val orders = (0L until 900L).map(o => (o, o % 300L))
+      .toDF("o_orderkey", "o_custkey")
+    val (cands, matches) = Relational.bloomParts(seg, orders)
+    val cSet = cands.as[(Long, Long)].collect().toSet
+    val mSet = matches.as[(Long, Long)].collect().toSet
+    assert(mSet.subsetOf(cSet), "bloom dropped a true match (false negative)")
+    // m=4096 bits, k=3, 60 keys → fill ≈ 4.3%, fp ≈ 0.008%; allow a
+    // generous margin over theory, but a broken hash (all rows pass)
+    // must fail loudly
+    val fp = (cSet -- mSet).size.toDouble / cSet.size
+    assert(fp <= 0.10, s"false-positive rate $fp far above theory")
+    // summary row is consistent with the parts on the real fixture
+    val row = Relational.bloomSemiJoin(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(row._1 == row._2 + row._3 && row._2 > 0)
+  }
+
   test("int8 quantization clamps and rounds half-up") {
     val in = Seq((1L, Array(1.0f, -1.0f, 0.0f, 0.004f, -0.004f, 0.5f, 2.0f, -2.0f)))
     val out = in.toDF("vec_id", "v")
