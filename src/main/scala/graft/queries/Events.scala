@@ -201,6 +201,57 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** JVM mirror of [[hllOf]]'s register derivation — (bucket 0..255,
+    * rho 1..32) for one value. The streaming sketch and the batch query
+    * must agree register-for-register, which StreamingSpec pins by
+    * comparing their estimates exactly.
+    */
+  private[graft] def hllRegister(value: String): (Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(("hll|" + value).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val bucket = Integer.parseInt(h.substring(0, 2), 16)
+    val tail = h.substring(2, 16)
+    val zeros = tail.takeWhile(_ == '0').length
+    val rho =
+      if (zeros == tail.length) 4 * 14 + 1
+      else {
+        val lz = tail.charAt(zeros) match {
+          case '1' => 3
+          case '2' | '3' => 2
+          case '4' | '5' | '6' | '7' => 1
+          case _ => 0
+        }
+        zeros * 4 + lz + 1
+      }
+    (bucket, math.min(rho, 32))
+  }
+
+  /** JVM mirror of [[hllOf]]'s estimate arithmetic over a 256-register
+    * array (0 = empty) — same constants, same integer register sum,
+    * same linear-counting branch, same HALF_UP round to 3 (via
+    * `BigDecimal.valueOf`, the rounding Spark's `round` applies to
+    * doubles).
+    */
+  private[graft] def hllEstimate(regs: Array[Byte]): Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    var sumScaled = 0L
+    var nonempty = 0
+    var i = 0
+    while (i < regs.length) {
+      sumScaled += 1L << (32 - regs(i))
+      if (regs(i) > 0) nonempty += 1
+      i += 1
+    }
+    val raw = alpha * 65536.0 * 4294967296.0 / sumScaled
+    val est =
+      if (nonempty < 256 && raw < 640.0)
+        256.0 * math.log(256.0 / (256 - nonempty))
+      else raw
+    java.math.BigDecimal.valueOf(est)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),

@@ -177,6 +177,36 @@ object Streams {
     * `gapSeconds` of silence; each batch emits the updated (or closed)
     * session per user.
     */
+  case class HllState(regs: Array[Byte])
+  case class DistinctUpdate(event_type: String, batch_events: Long,
+      hll_estimate: Double)
+
+  /** Streaming distinct-count estimation per event type — the
+    * HyperLogLog sketch as keyed streaming state. Exact streaming
+    * distinct needs unbounded state (every seen key); the sketch holds
+    * 256 BYTES per group forever, and because the register update is a
+    * max (commutative, idempotent), the estimate after any sequence of
+    * micro-batches equals the batch `Events.hllOf` over the same rows —
+    * StreamingSpec asserts that equality exactly. Emits one update per
+    * (group, micro-batch) with the running estimate.
+    */
+  def distinctStream(events: Dataset[Event]): Dataset[DistinctUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState[HllState, DistinctUpdate](GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[HllState]) =>
+          val st = state.getOption.getOrElse(HllState(new Array[Byte](256)))
+          var n = 0L
+          batch.foreach { e =>
+            val (b, r) = graft.queries.Events.hllRegister(e.event_id.toString)
+            if (r > st.regs(b)) st.regs(b) = r.toByte
+            n += 1
+          }
+          state.update(st)
+          DistinctUpdate(etype, n, graft.queries.Events.hllEstimate(st.regs))
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

@@ -259,6 +259,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == 3)
   }
 
+  test("streaming hll sketch equals the batch sketch over the same rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-hll").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(tmp)
+    val q = Streams.distinctStream(spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(tmp).as[Streams.Event])
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // last update per type carries the full-state estimate; register max
+    // is commutative + idempotent, so it must equal the batch sketch
+    // bit-for-bit no matter how rows were micro-batched
+    val streamed = spark.table("hllstream")
+      .groupBy("event_type").agg(max(col("hll_estimate")).as("est"))
+      .as[(String, Double)].collect().toMap
+    val batch = graft.queries.Events.hllOf(ev)
+      .select(col("event_type"), col("hll_estimate"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("stateful sessionization closes sessions across the gap") {
     val in = java.nio.file.Files.createTempDirectory("stream-se").toString
     Seq(
