@@ -137,6 +137,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ: the composed billion-vector layout (Faiss IndexIVFPQ) —
+    * the IVF coarse quantizer bounds which rows a query scans (nprobe=4
+    * of 16 md5-sampled cells), the product quantizer bounds the bytes
+    * per scanned row (m=8 codes). Rank-only output; DuckDB replays cell
+    * assignment, probing, PQ encoding, and the cell-restricted ADC scan.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfPqTopK(emb, queries, centroids, K, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** PQ + exact re-rank (the production PQ pipeline — Faiss
     * IndexRefineFlat): ADC proposes 50 candidates per query from the
     * compressed codes, then only those queries×50 vectors are re-scored
@@ -241,6 +263,7 @@ object Similarity {
     "ann_pq" -> (annPq _),
     "ann_pq_refined" -> (annPqRefined _),
     "ann_pq_trained" -> (annPqTrained _),
+    "ann_ivf_pq" -> (annIvfPq _),
   )
 
   // DuckDB 1-based inclusive slice of subspace j (0-based, width 8).
@@ -267,28 +290,40 @@ object Similarity {
        |  SELECT cb.code, j.j AS j, ${duckSub("cb.cvec", "j.j")} AS cw
        |  FROM cb, range(8) j(j))""".stripMargin
 
-  /** ADC replay over a codebook CTE `cbCte` (code, j, cw): per-subspace
-    * L2-argmin encode (ties to the lowest code) → per-query LUT → ADC
-    * score summed in ascending-j list order. Ends at `score`
-    * (query_id, vec_id, sim).
-    */
-  private def pqScoreCtes(cbCte: String): String =
+  /** Per-subspace L2-argmin encode CTE (ties to the lowest code) over a
+    * codebook CTE (code, j, cw). */
+  private def pqEncCte(cbCte: String): String =
     s"""enc AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT e.vec_id, s.j, s.code,
        |      row_number() OVER (PARTITION BY e.vec_id, s.j
        |        ORDER BY ${duckL2sq(duckSub("e.embedding", "s.j"), "s.cw")}
        |          ASC, s.code ASC) AS rn
-       |    FROM embeddings e CROSS JOIN $cbCte s) WHERE rn = 1),
-       |q AS (
-       |  SELECT vec_id AS query_id, embedding AS qv
-       |  FROM embeddings WHERE vec_id < $NumQueries),
-       |lut AS (
+       |    FROM embeddings e CROSS JOIN $cbCte s) WHERE rn = 1)""".stripMargin
+
+  /** Per-(query, subspace, code) ADC lookup-table CTE; requires a `q`
+    * CTE (query_id, qv). */
+  private def pqLutCte(cbCte: String): String =
+    s"""lut AS (
        |  SELECT q.query_id, s.j, s.code,
        |    list_aggregate(list_transform(
        |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
-       |  FROM q CROSS JOIN $cbCte s),
+       |  FROM q CROSS JOIN $cbCte s)""".stripMargin
+
+  private def pqQCte: String =
+    s"""q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv
+       |  FROM embeddings WHERE vec_id < $NumQueries)""".stripMargin
+
+  /** ADC replay over a codebook CTE (code, j, cw): encode → per-query
+    * LUT → ADC score summed in ascending-j list order. Ends at `score`
+    * (query_id, vec_id, sim).
+    */
+  private def pqScoreCtes(cbCte: String): String =
+    s"""${pqEncCte(cbCte)},
+       |$pqQCte,
+       |${pqLutCte(cbCte)},
        |score AS (
        |  SELECT l.query_id, en.vec_id,
        |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
@@ -330,6 +365,45 @@ object Similarity {
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->
       s"""WITH $pqAdcCtes,
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM score)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ replay: IVF cell assignment + probing (the ann_ivf CTEs)
+    // composed with PQ encode + LUT, scoring only probed cells.
+    "ann_ivf_pq" ->
+      s"""WITH $pqCbCtes,
+         |cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |$pqQCte,
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |${pqEncCte("sub")},
+         |${pqLutCte("sub")},
+         |score AS (
+         |  SELECT l.query_id, en.vec_id,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
+         |  FROM enc en
+         |  JOIN assign a ON en.vec_id = a.vec_id
+         |  JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN lut l ON l.query_id = p.query_id
+         |    AND en.j = l.j AND en.code = l.code
+         |  GROUP BY 1, 2),
          |ranked AS (
          |  SELECT query_id, vec_id,
          |    CAST(row_number() OVER (PARTITION BY query_id

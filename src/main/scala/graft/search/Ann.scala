@@ -412,6 +412,154 @@ object Ann {
       .toDF("query_id", "vec_id", "rank", "sim")
   }
 
+  /** IVF-PQ: the composed billion-vector layout (Faiss `IndexIVFPQ`) —
+    * a coarse quantizer (IVF cells) bounds WHICH rows are scanned, the
+    * product quantizer bounds the BYTES per scanned row. Each index
+    * vector stores its cell id + m code bytes; a query probes its
+    * `nprobe` best cells and ADC-scans only those cells' codes with the
+    * O(m) LUT sum.
+    *
+    * Scale shape: cell assignment and PQ encoding happen in ONE narrow
+    * pass over the broadcast centroids + codebooks (the float index is
+    * read once); probes are a driver-side queries×centroids product
+    * (both tiny, both already collected); the scan is a narrow map over
+    * the code rows that touches only probed cells, and the only
+    * exchange is the heap-survivor merge. Output as [[pqTopK]].
+    */
+  def ivfPqTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int, m: Int = 8, numCodes: Int = 16,
+      seed: String = "pq"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cw = sampleCodebooks(index, m, numCodes, seed)
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (cw.isEmpty || qArr.isEmpty || cents.isEmpty) {
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "vec_id", "rank", "sim")
+    }
+    val sub = cw(0)(0).length
+    val nc = cw(0).length
+    val mm = m
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; val n = math.min(a.length, b.length); var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // probes driver-side: queries and centroids are both collected
+    // already; cell -> probing query indexes, broadcast
+    val cellQueries: Map[Long, Array[Int]] = qArr.zipWithIndex
+      .flatMap { case ((_, qv), qi) =>
+        cents.map { case (cid, cv) => (cid, dot(qv, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(nprobe)
+          .map { case (cid, _) => (cid, qi) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted }
+    val lut: Array[Array[Double]] = qArr.map { case (_, qv) =>
+      val t = new Array[Double](mm * nc)
+      var j = 0
+      while (j < mm) {
+        var c = 0
+        while (c < nc) {
+          var s = 0.0; var d = 0
+          while (d < sub) {
+            s += qv(j * sub + d).toDouble * cw(j)(c)(d).toDouble
+            d += 1
+          }
+          t(j * nc + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val bcCw = spark.sparkContext.broadcast(cw)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val bcQids = spark.sparkContext.broadcast(qArr.map(_._1))
+    val bcCellQ = spark.sparkContext.broadcast(cellQueries)
+    val kCap = k
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    // one narrow pass: assign cell (argmax dot, ties lowest cent_id),
+    // PQ-encode, and ADC-score for exactly the queries probing the cell
+    val partial = index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs0 = bcCw.value
+        val cts = bcCents.value
+        val luts = bcLut.value
+        val qids = bcQids.value
+        val cellQ = bcCellQ.value
+        val heaps = Array.fill(qids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        val codes = new Array[Int](mm)
+        it.foreach { case (id, v) =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cts.length) {
+            var s = 0.0; val n = math.min(v.length, cts(ci)._2.length); var i = 0
+            while (i < n) { s += v(i).toDouble * cts(ci)._2(i).toDouble; i += 1 }
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          cellQ.get(cts(best)._1) match {
+            case None => () // cell probed by no query: row never scanned
+            case Some(qis) =>
+              var j = 0
+              while (j < mm) {
+                var bc = 0; var bestD = Double.PositiveInfinity
+                var c = 0
+                while (c < nc) {
+                  var s = 0.0; var d = 0
+                  while (d < sub) {
+                    val diff = v(j * sub + d).toDouble - cs0(j)(c)(d).toDouble
+                    s += diff * diff
+                    d += 1
+                  }
+                  if (s < bestD) { bestD = s; bc = c }
+                  c += 1
+                }
+                codes(j) = bc
+                j += 1
+              }
+              qis.foreach { qi =>
+                val t = luts(qi)
+                var s = 0.0; var j2 = 0
+                while (j2 < mm) { s += t(j2 * nc + codes(j2)); j2 += 1 }
+                val h = heaps(qi)
+                if (h.size < kCap) h.enqueue((s, id))
+                else {
+                  val (ws, wid) = h.head
+                  if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+                }
+              }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qids(qi), id, s) }
+        }
+      }
+    val topk = new graft.functions.TopKAggregator[Long](k).toColumn
+    partial
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(topk.name("topk"))
+      .flatMap { case (q, winners) =>
+        winners.zipWithIndex.map { case ((s, id), i) => (q, id, i + 1, s) }
+      }
+      .toDF("query_id", "vec_id", "rank", "sim")
+  }
+
   /** PQ search with exact re-ranking (the Faiss `IndexRefineFlat`
     * shape): ADC produces `r` candidates per query, then the true
     * float vectors of ONLY those queries×r rows are joined back and

@@ -185,6 +185,28 @@ class AnnSpec extends SparkSpec {
     assert(repart == base)
   }
 
+  test("IVF-PQ with all cells probed equals pure PQ; fewer probes keep recall") {
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val centroids = clustered
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"),
+        md5(concat(lit("ivf|"), $"vec_id")).as("r"))
+      .orderBy($"r", $"cent_id").limit(16).select("cent_id", "cvec")
+    // probing every cell removes the IVF restriction entirely
+    val all = Ann.ivfPqTopK(clustered, queries, centroids, 10, nprobe = 16)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val pq = Ann.pqTopK(clustered, queries, 10, m = 8, numCodes = 16)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(all == pq)
+    // nprobe=4 scans a quarter of the cells; against the PQ ranking it
+    // must retain most of the ADC top-10 (the IVF loss, not the PQ loss)
+    val probed = Ann.ivfPqTopK(clustered, queries, centroids, 10, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pqIds = pq.map { case (q, _, v) => (q, v) }
+    val recall = (pqIds & probed).size.toDouble / pqIds.size
+    assert(recall >= 0.5, s"IVF-PQ nprobe=4 recall vs PQ too low: $recall")
+  }
+
   test("PQ with every vector its own codeword reproduces exact ranks") {
     // 8 vectors, 8 codes: encoding is lossless (each subvector argmins
     // to its own sample), so ADC scores equal true dot products and the
