@@ -159,6 +159,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): top-20
+    * candidates per query, then 5 greedy picks maximizing
+    * 0.7·sim(q,d) − 0.3·max sim(d, selected) — the step RAG retrievers
+    * run so near-duplicate passages don't crowd the context. Integer
+    * output (query_id, step, vec_id); the oracle unrolls the 5 greedy
+    * steps as chained CTEs (the Lloyd-unrolling pattern).
+    */
+  def retrieveMmr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Knn.mmrTopK(emb, queries, k = 5, kCand = 20)
+      .orderBy(col("query_id"), col("step"))
+  }
+
   /** PQ + exact re-rank (the production PQ pipeline — Faiss
     * IndexRefineFlat): ADC proposes 50 candidates per query from the
     * compressed codes, then only those queries×50 vectors are re-scored
@@ -264,6 +280,7 @@ object Similarity {
     "ann_pq_refined" -> (annPqRefined _),
     "ann_pq_trained" -> (annPqTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "retrieve_mmr" -> (retrieveMmr _),
   )
 
   // DuckDB 1-based inclusive slice of subspace j (0-based, width 8).
@@ -360,7 +377,66 @@ object Similarity {
        |    FROM m_$next GROUP BY 1, 2) mm
        |    ON p.j = mm.j AND p.code = mm.code)""".stripMargin
 
+  /** One greedy MMR step as CTEs: score every unselected candidate as
+    * 0.7·sim − 0.3·(max pair-sim to `prev`'s selections, 0 when none),
+    * pick the argmax (ties to the lowest vec_id), append to the
+    * selection as step `n`. Requires `mcands` (query_id, vec_id, sim)
+    * and `mpair` (query_id, a, b, s).
+    */
+  private def mmrStep(prev: String, n: Int): String =
+    s"""s$n AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sc DESC, vec_id ASC) AS rn
+       |    FROM (
+       |      SELECT c.query_id, c.vec_id,
+       |        0.7 * c.sim - 0.3 * coalesce(m.mx, 0) AS sc
+       |      FROM mcands c
+       |      LEFT JOIN (
+       |        SELECT p.query_id, p.a AS vec_id, max(p.s) AS mx
+       |        FROM mpair p JOIN $prev s
+       |          ON p.query_id = s.query_id AND p.b = s.vec_id
+       |        GROUP BY 1, 2) m
+       |        ON c.query_id = m.query_id AND c.vec_id = m.vec_id
+       |      WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+       |        WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)))
+       |  WHERE rn = 1),
+       |sel$n AS (SELECT * FROM $prev UNION ALL
+       |          SELECT query_id, vec_id, $n AS step FROM s$n)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // Greedy-selection replay: same candidate set, same pair sims, the
+    // five picks unrolled as chained CTEs — integer-only output.
+    "retrieve_mmr" ->
+      s"""WITH $pqQCte,
+         |msims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |mcands AS (
+         |  SELECT query_id, vec_id, sim FROM (
+         |    SELECT query_id, vec_id, sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM msims) WHERE rn <= 20),
+         |mpair AS (
+         |  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         |         ${duckDot("ea.embedding", "eb.embedding")} AS s
+         |  FROM mcands a
+         |  JOIN mcands b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+         |                CAST(NULL AS BIGINT) AS vec_id,
+         |                CAST(NULL AS INTEGER) AS step WHERE 1 = 0),
+         |${mmrStep("sel0", 1)},
+         |${mmrStep("sel1", 2)},
+         |${mmrStep("sel2", 3)},
+         |${mmrStep("sel3", 4)},
+         |${mmrStep("sel4", 5)}
+         |SELECT query_id, CAST(step AS INTEGER) AS step, vec_id
+         |FROM sel5 ORDER BY query_id, step""".stripMargin,
     // PQ replay — rank-only compare (ties to vec_id) absorbing float
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->

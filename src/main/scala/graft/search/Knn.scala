@@ -82,6 +82,72 @@ object Knn {
       .toDF("query_id", "vec_id", "rank", "sim")
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversity step RAG retrievers run after candidate
+    * generation: greedily pick `k` of `kCand` candidates maximizing
+    * `lam·sim(q,d) − mu·max_{s∈selected} sim(d,s)`, so near-duplicate
+    * passages don't crowd the context window. `mu` is passed explicitly
+    * (not derived as 1−lam) so both engines parse the same literal.
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]] (swap in
+    * any ANN path); the greedy loop runs per query over kCand bounded
+    * rows inside `flatMapGroups` — state is candidates×dim floats per
+    * group, never corpus-sized. Determinism: candidate sims come from
+    * the left-to-right dot convention, pair sims use the same loop,
+    * argmax scans candidates in vec_id order with strict `>` (ties to
+    * the lowest id), and `max` over selected is order-exact — so the
+    * selection replays in SQL step by step.
+    *
+    * Output: (query_id, step 1..k, vec_id).
+    */
+  def mmrTopK(index: DataFrame, queries: DataFrame, k: Int = 5,
+      kCand: Int = 20, lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(index, queries, kCand)
+      .join(index.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("sim"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+    val kk = k
+    cands.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cs = it.toArray.sortBy(_._2) // vec_id order pins the tie-break
+        val n = cs.length
+        val picked = new Array[Boolean](n)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def dot(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; val m = math.min(a.length, b.length); var i = 0
+          while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        (1 to math.min(kk, n)).iterator.map { step =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              var mx = 0.0
+              if (sel.nonEmpty) {
+                mx = Double.NegativeInfinity
+                sel.foreach { j =>
+                  val s = dot(cs(i)._4, cs(j)._4)
+                  if (s > mx) mx = s
+                }
+              }
+              val score = lam * cs(i)._3 - mu * mx
+              if (score > bestScore) { bestScore = score; best = i }
+            }
+            i += 1
+          }
+          picked(best) = true
+          sel += best
+          (qid, step, cs(best)._2)
+        }
+      }
+      .toDF("query_id", "step", "vec_id")
+  }
+
   /** Generic windowed top-k (for small/medium candidate sets where the
     * candidates are already pruned, e.g. after an LSH bucket join).
     */

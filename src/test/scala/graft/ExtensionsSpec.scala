@@ -220,6 +220,29 @@ class AnnSpec extends SparkSpec {
     assert(pq == exact)
   }
 
+  test("MMR re-rank keeps the top hit and diversifies across clusters") {
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val mmr = Knn.mmrTopK(clustered, queries, k = 5, kCand = 20)
+      .select("query_id", "step", "vec_id").as[(Long, Int, Long)].collect()
+    assert(mmr.length == 50)
+    val top1 = Knn.bruteForceTopK(clustered, queries, 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    // step 1 has no diversity penalty -> it IS the top-sim candidate
+    mmr.filter(_._2 == 1).foreach { case (q, _, v) => assert(v == top1(q)) }
+    // the fixture's clusters are the near-duplicate groups (vec_id % 20);
+    // plain top-5 drowns in the query's own cluster, MMR must spread
+    val plain = Knn.bruteForceTopK(clustered, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    def spread(rows: Seq[(Long, Long)]): Double =
+      rows.groupBy(_._1).values.map(_.map(_._2 % 20).distinct.size).sum.toDouble
+    val mmrSpread = spread(mmr.map(r => (r._1, r._3)).toSeq)
+    assert(mmrSpread >= spread(plain.toSeq),
+      s"MMR did not diversify: $mmrSpread clusters vs plain")
+    // each query's 5 picks are distinct
+    mmr.groupBy(_._1).values.foreach(g => assert(g.map(_._3).distinct.size == 5))
+  }
+
   test("k-means codebook training is reproducible and at least matches sampled init") {
     val queries = clustered.filter($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
