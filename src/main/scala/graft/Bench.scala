@@ -123,10 +123,17 @@ object Bench {
         s""""gc_ms":${g1 - g0},"codegen_compiles":${c1 - c0},""" +
         s""""load_avg":[${fmtN(2)(load0)},${fmtN(2)(load1)}]"""
     }
+    // The total and telemetry always keep 3 decimals (they are the
+    // gate-facing numbers and cost a fixed ~60 chars); only the
+    // per-query map degrades under the tail budget. "sf" carries just
+    // the basename — the 15 chars the directory prefix cost were
+    // exactly what pushed the 1-decimal map over the guard at 86
+    // queries.
+    val sfName = new java.io.File(sfDir).getName
     def record(qs: Map[String, Double], tot: Double, metric: String,
                fmt: Double => String, tele: Boolean): String = {
-      val t = if (tele) telemetry(fmt) + "," else ""
-      s"""{"metric":"$metric","value":${fmt(tot)},"unit":"sec",$t"queries":${qmap(qs, fmt)},"sf":"$sfDir"}"""
+      val t = if (tele) telemetry(fmtN(3)) + "," else ""
+      s"""{"metric":"$metric","value":${fmtN(3)(tot)},"unit":"sec",$t"queries":${qmap(qs, fmt)},"sf":"$sfName"}"""
     }
     // Per-pass full-precision records first (human/provenance lines): a
     // kept stdout tail always shows at least the end of pass2/pass3, so
@@ -142,11 +149,16 @@ object Bench {
     // Budget: the driver's 2000-char stdout tail must hold the whole
     // final record PLUS sbt's trailing "[success] Total time: ..." line
     // (~73 chars) — so the record may use ~1925 chars; guard at 1900.
-    // Degrade per-query precision (3 → 2 → 1 decimals) before dropping
-    // the map entirely: a total-only record would cost the per-query
-    // trend analysis, which matters more than the third decimal.
+    // Degrade per-query precision (3 → 2 → 1 → 0 decimals) before
+    // dropping the map entirely: a total-only record would cost the
+    // per-query trend analysis, which matters more than precision.
+    // The 0-decimal rung exists because a fired pass 3 adds a
+    // "pass3_total" field (~20 chars) that at 86+ queries pushes even
+    // the 1-decimal record past the guard — integer per-query seconds
+    // are coarse, but the full-precision pass records above carry the
+    // detail, and an empty map carries nothing.
     val rmap = results.toMap
-    val finalLine = (3 to 1 by -1).iterator
+    val finalLine = (3 to 0 by -1).iterator
       .map(d => record(rmap, total, "total", fmtN(d), tele = true))
       .find(_.length <= 1900)
       .getOrElse(s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},"queries":{},"sf":"$sfDir"}""")
