@@ -158,10 +158,30 @@ object Bench {
     // are coarse, but the full-precision pass records above carry the
     // detail, and an empty map carries nothing.
     val rmap = results.toMap
-    val finalLine = (3 to 0 by -1).iterator
-      .map(d => record(rmap, total, "total", fmtN(d), tele = true))
+    // Per-query min PROVENANCE (round-9 verdict #1): one digit per query,
+    // alphabetical order (same order as the "queries" map), digit = which
+    // pass produced that query's minimum ('1'/'2'/'3'; ties go to the
+    // earliest pass; '0' would flag an impossible no-match). This makes a
+    // "pass-1-only-contended" run decidable from the artifact alone: a
+    // query whose min came from a contended pass has no clean window, and
+    // the per-pass full-precision lines above carry the magnitudes.
+    val minPassStr = results.map { case (k, v) =>
+      ('1' + passes.indexWhere(_.get(k).contains(v))).toChar
+    }.mkString
+    val provFull = s""""min_pass":"$minPassStr","""
+    // Degenerate rung if even the 0-decimal map + digit string overflows:
+    // per-pass win counts keep the aggregate signal (at the cost of
+    // per-query attribution) in ~20 chars instead of ~100.
+    val winCounts = passes.indices
+      .map(i => minPassStr.count(_ == ('1' + i).toChar))
+    val provWins = s""""min_pass_wins":${winCounts.mkString("[", ",", "]")},"""
+    def finalRecord(fmt: Double => String, prov: String, qs: String): String =
+      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},$prov"queries":$qs,"sf":"$sfName"}"""
+    val finalLine = ((3 to 0 by -1).iterator
+      .map(d => finalRecord(fmtN(d), provFull, qmap(rmap, fmtN(d)))) ++
+      Iterator(finalRecord(fmtN(0), provWins, qmap(rmap, fmtN(0)))))
       .find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},"queries":{},"sf":"$sfDir"}""")
+      .getOrElse(finalRecord(fmtN(0), provFull, "{}"))
     println(finalLine)
     spark.stop()
   }
