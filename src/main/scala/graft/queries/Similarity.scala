@@ -123,8 +123,12 @@ object Similarity {
     * sampled init) — the `ann_ivf_trained` twin for product
     * quantization: DuckDB replays the subspace k-means (assign →
     * float-rounded cell means → empty cells keep their codeword) and
-    * the ADC scan; rank-only output absorbs the mean-summation-order
-    * float drift exactly as the IVF trained oracle does.
+    * the ADC scan; rank-only output absorbs rank-preserving float
+    * drift in the scores. Residual risk (shared with
+    * `ann_ivf_trained`): 1e-16-level drift in a trained mean can flip
+    * a DISCRETE L2-argmin code assignment, which rank-only comparison
+    * does not absorb — corpus-pinned in practice, and a flip would
+    * surface as a CI hash mismatch, not silent wrongness.
     */
   def annPqTrained(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.Ann
@@ -164,7 +168,10 @@ object Similarity {
     * 0.7·sim(q,d) − 0.3·max sim(d, selected) — the step RAG retrievers
     * run so near-duplicate passages don't crowd the context. Integer
     * output (query_id, step, vec_id); the oracle unrolls the 5 greedy
-    * steps as chained CTEs (the Lloyd-unrolling pattern).
+    * steps as chained CTEs (the Lloyd-unrolling pattern). Residual
+    * risk: a near-tie in the 0.7·sim − 0.3·mx greedy argmax could
+    * resolve differently across engines' float machinery — corpus-
+    * pinned, and a flip surfaces as a CI hash mismatch.
     */
   def retrieveMmr(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.Knn
@@ -173,6 +180,52 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Knn.mmrTopK(emb, queries, k = 5, kCand = 20)
       .orderBy(col("query_id"), col("step"))
+  }
+
+  /** IVF-PQ with BOTH quantizers TRAINED — the production Faiss
+    * `IndexIVFPQ` configuration: 8 coarse cells from 2 Lloyd iterations
+    * (`trainCentroids`, as `ann_ivf_trained`) composed with per-subspace
+    * Lloyd-trained PQ codebooks (`trainPqCodebooks`, 2 iterations, as
+    * `ann_pq_trained`) through `ivfPqTopKWith`. Rank-only output; the
+    * oracle chains BOTH training CTE ladders (the coarse Lloyd and the
+    * subspace Lloyd) then replays the cell-restricted ADC scan. Same
+    * residual argmin-flip exposure as the other trained oracles.
+    */
+  def annIvfPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.trainCentroids(emb, k = 8, iters = 2)
+    val cw = Ann.trainPqCodebooks(emb, m = 8, numCodes = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfPqTopKWith(emb, queries, cents, K, nprobe = 4, m = 8, cw = cw)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@k of the approximate paths against exact `knn_topk` — the
+    * round-9 verdict's missing measurement: every ANN path trades
+    * recall for scan fraction, and this query turns that trade into a
+    * hash-checked integer instead of an unmeasured assumption (the
+    * reference's HNSW is effectively exact on its corpus —
+    * src/vector_db.py:93-119 — so recall is the parity axis). Output
+    * one row per path: hits = Σ_q |approx_topk(q) ∩ exact_topk(q)|,
+    * n = queries×k (the denominator). All-integer → hash-exact; each
+    * path's id set is already proven engine-identical by its own
+    * rank-only oracle, so the intersection counts are too.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("vec_id"))
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("algo"), col("hits"),
+          lit((NumQueries * K).toLong).as("n"))
+    recallOf("ann_ivf_trained", annIvfTrained(spark, dir))
+      .unionAll(recallOf("ann_pq", annPq(spark, dir)))
+      .unionAll(recallOf("knn_lsh", knnLsh(spark, dir)))
+      .orderBy(col("algo"))
   }
 
   /** PQ + exact re-rank (the production PQ pipeline — Faiss
@@ -280,6 +333,8 @@ object Similarity {
     "ann_pq_refined" -> (annPqRefined _),
     "ann_pq_trained" -> (annPqTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_ivf_pq_trained" -> (annIvfPqTrained _),
+    "ann_recall" -> (annRecall _),
     "retrieve_mmr" -> (retrieveMmr _),
   )
 
@@ -377,6 +432,16 @@ object Similarity {
        |    FROM m_$next GROUP BY 1, 2) mm
        |    ON p.j = mm.j AND p.code = mm.code)""".stripMargin
 
+  /** Top-K (id-only) ranking CTE over a (query_id, vec_id, sim) CTE —
+    * the shared tail of every path replay (sim desc, vec_id asc ties). */
+  private def topKIdsCte(src: String, out: String): String =
+    s"""$out AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM $src) WHERE rn <= $K)""".stripMargin
+
   /** One greedy MMR step as CTEs: score every unselected candidate as
     * 0.7·sim − 0.3·(max pair-sim to `prev`'s selections, 0 when none),
     * pick the argmax (ties to the lowest vec_id), append to the
@@ -406,6 +471,143 @@ object Similarity {
        |          SELECT query_id, vec_id, $n AS step FROM s$n)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Fully trained IVF-PQ replay: BOTH training ladders (coarse Lloyd
+    // over 8 cells + per-subspace PQ Lloyd over the sampled init), then
+    // the probed-cells-only ADC scan — rank-only compare.
+    "ann_ivf_pq_trained" ->
+      s"""WITH $pqCbCtes,
+         |sv AS (
+         |  SELECT e.vec_id, j.j AS j, ${duckSub("e.embedding", "j.j")} AS sv
+         |  FROM embeddings e, range(8) j(j)),
+         |${pqTrainIter("sub", "cb1")},
+         |${pqTrainIter("cb1", "cb2")},
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |$pqQCte,
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+         |${pqEncCte("cb2")},
+         |${pqLutCte("cb2")},
+         |score AS (
+         |  SELECT l.query_id, en.vec_id,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
+         |  FROM enc en
+         |  JOIN assign a ON en.vec_id = a.vec_id
+         |  JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN lut l ON l.query_id = p.query_id
+         |    AND en.j = l.j AND en.code = l.code
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM score)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // Recall@k of three approximate paths vs exact: each path's replay
+    // (already proven engine-identical by its own rank-only oracle)
+    // reduced to id sets, intersected with the exact top-k, counted —
+    // integer-only output, one row per path.
+    "ann_recall" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |tassign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |tprobes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |    SELECT q.query_id, q.qv, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+         |tcands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.embedding", "p.qv")} AS sim
+         |  FROM tassign a JOIN tprobes p ON a.cent_id = p.cent_id),
+         |${topKIdsCte("tcands", "ivfk")},
+         |hp AS (
+         |  SELECT t.t, j.j, i.i,
+         |    CASE WHEN strpos('02468ace',
+         |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)
+         |                      || '|' || CAST(i.i AS VARCHAR)), 2, 1)) > 0
+         |         THEN 1.0 ELSE -1.0 END AS v
+         |  FROM range(8) t(t), range(8) j(j), range(64) i(i)),
+         |hpl AS (SELECT t, j, list(v ORDER BY i) AS hv FROM hp GROUP BY t, j),
+         |isig AS (
+         |  SELECT e.vec_id, h.t,
+         |    sum(CASE WHEN ${duckDot("e.embedding", "h.hv")} > 0
+         |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
+         |  FROM embeddings e CROSS JOIN hpl h GROUP BY 1, 2),
+         |qsig AS (
+         |  SELECT q.query_id, h.t,
+         |    sum(CASE WHEN ${duckDot("q.qv", "h.hv")} > 0
+         |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
+         |  FROM q CROSS JOIN hpl h GROUP BY 1, 2),
+         |lcand AS (
+         |  SELECT DISTINCT qs.query_id, s.vec_id
+         |  FROM isig s JOIN qsig qs ON s.t = qs.t AND s.sig = qs.sig),
+         |lsims AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM lcand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |${topKIdsCte("lsims", "lshk")},
+         |${pqCbCtes},
+         |${pqEncCte("sub")},
+         |${pqLutCte("sub")},
+         |pscore AS (
+         |  SELECT l.query_id, en.vec_id,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
+         |  FROM enc en JOIN lut l ON en.j = l.j AND en.code = l.code
+         |  GROUP BY 1, 2),
+         |${topKIdsCte("pscore", "pqk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_ivf_trained' AS algo,
+         |    (SELECT count(*) FROM ivfk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_pq' AS algo,
+         |    (SELECT count(*) FROM pqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'knn_lsh' AS algo,
+         |    (SELECT count(*) FROM lshk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     // Greedy-selection replay: same candidate set, same pair sims, the
     // five picks unrolled as chained CTEs — integer-only output.
     "retrieve_mmr" ->

@@ -428,10 +428,19 @@ object Ann {
     */
   def ivfPqTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int, m: Int = 8, numCodes: Int = 16,
-      seed: String = "pq"): DataFrame = {
+      seed: String = "pq"): DataFrame =
+    ivfPqTopKWith(index, queries, centroids, k, nprobe, m,
+      sampleCodebooks(index, m, numCodes, seed))
+
+  /** [[ivfPqTopK]] with explicit PQ codebooks `cw(j)(c)` — feeding
+    * [[trainCentroids]] + [[trainPqCodebooks]] here is the fully
+    * TRAINED composition (both quantizers k-means-trained), i.e. the
+    * production Faiss `IndexIVFPQ` configuration; the sampled-codebook
+    * [[ivfPqTopK]] is its zero-training baseline. */
+  def ivfPqTopKWith(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int, m: Int, cw: Array[Array[Array[Float]]]): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cw = sampleCodebooks(index, m, numCodes, seed)
     val qArr: Array[(Long, Array[Float])] = queries
       .select(col("query_id").cast("long"), col("qvec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)

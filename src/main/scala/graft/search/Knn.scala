@@ -101,10 +101,23 @@ object Knn {
     * Output: (query_id, step 1..k, vec_id).
     */
   def mmrTopK(index: DataFrame, queries: DataFrame, k: Int = 5,
-      kCand: Int = 20, lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
+      kCand: Int = 20, lam: Double = 0.7, mu: Double = 0.3): DataFrame =
+    mmrRerank(index, bruteForceTopK(index, queries, kCand), k, lam, mu)
+
+  /** [[mmrTopK]] over an EXPLICIT candidate frame (query_id, vec_id,
+    * sim) — the production retriever shape: candidate generation is
+    * pluggable (brute force, IVF, LSH, PQ — any path emitting the
+    * common (query_id, vec_id, rank, sim) contract), and only the
+    * bounded candidates×dim floats per query enter the greedy loop.
+    * When the candidate frame contains the exact top-kCand with exact
+    * sims, the selection is identical to the brute-force-fed one
+    * (KnnSpec proves brute ≡ exhaustive-probe IVF feeding).
+    */
+  def mmrRerank(index: DataFrame, candidates: DataFrame, k: Int = 5,
+      lam: Double = 0.7, mu: Double = 0.3): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    val cands = bruteForceTopK(index, queries, kCand)
+    val cands = candidates
       .join(index.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("query_id").cast("long"), col("vec_id").cast("long"),
         col("sim"), col("embedding"))

@@ -264,6 +264,55 @@ class AnnSpec extends SparkSpec {
     assert(recall(trained) >= recall(sampled) - 0.05,
       s"training degraded recall: ${recall(trained)} < ${recall(sampled)}")
   }
+
+  test("MMR fed ANN candidates equals brute-force-fed MMR when candidates are exact") {
+    // the production retriever shape: candidate generation is pluggable.
+    // IVF probing every cell returns the exact top-kCand with the exact
+    // sims (same left-to-right dot convention), so the greedy selection
+    // must be identical to the brute-force-fed one.
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val centroids = clustered.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val annCands = Ann.ivfTopK(clustered, queries, centroids, 20, nprobe = 8)
+    val viaAnn = Knn.mmrRerank(clustered, annCands, k = 5)
+      .select("query_id", "step", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val brute = Knn.mmrTopK(clustered, queries, k = 5, kCand = 20)
+      .select("query_id", "step", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaAnn == brute)
+    // and an LSH-fed MMR still returns k distinct picks per query with
+    // the top-sim candidate first (structural contract under a lossy
+    // candidate generator)
+    val lshCands = Ann.lshTopK(clustered, queries, 20, dim = 32)
+    val viaLsh = Knn.mmrRerank(clustered, lshCands, k = 5)
+      .select("query_id", "step", "vec_id").as[(Long, Int, Long)].collect()
+    viaLsh.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == g.length)
+    }
+  }
+
+  test("trained IVF-PQ composition: all cells probed equals trained PQ") {
+    // ivfPqTopKWith fed trainCentroids + trainPqCodebooks is the Faiss
+    // IndexIVFPQ production config; with every cell probed the coarse
+    // quantizer drops out and the ranking must equal pure trained-PQ ADC
+    val queries = clustered.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cents = Ann.trainCentroids(clustered, 16, iters = 2)
+    val cw = Ann.trainPqCodebooks(clustered, m = 8, numCodes = 16, iters = 2)
+    val all = Ann.ivfPqTopKWith(clustered, queries, cents, 10, nprobe = 16,
+        m = 8, cw = cw)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val pq = Ann.pqTopKWith(clustered, queries, 10, 8, cw)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(all == pq)
+    // nprobe=4 restricts the scan; picks per query stay ≤ k and distinct
+    val probed = Ann.ivfPqTopKWith(clustered, queries, cents, 10, nprobe = 4,
+        m = 8, cw = cw)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    probed.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 10 && g.map(_._2).distinct.length == g.length)
+    }
+  }
 }
 
 class StreamingSpec extends SparkSpec {
