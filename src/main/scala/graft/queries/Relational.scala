@@ -310,11 +310,14 @@ object Relational {
     val (cands, matches) = bloomParts(seg, orders)
     val nc = cands.agg(count(lit(1)).as("n_candidates"))
     val nm = matches.agg(count(lit(1)).as("n_matches"))
+    // zero guard: on an empty candidate set Spark's 0/0 yields NULL but
+    // DuckDB yields NaN — pin both engines to 0.0 (ADVICE r9)
     nc.crossJoin(nm)
       .select(col("n_candidates"), col("n_matches"),
         (col("n_candidates") - col("n_matches")).as("n_false_pos"),
-        round((col("n_candidates") - col("n_matches")).cast("double") /
-          col("n_candidates"), 4).as("fp_rate"))
+        when(col("n_candidates") > 0,
+          round((col("n_candidates") - col("n_matches")).cast("double") /
+            col("n_candidates"), 4)).otherwise(lit(0.0)).as("fp_rate"))
   }
 
   /** (bloom-passing candidate rows, true semi-join rows) for a key set
@@ -417,8 +420,9 @@ object Relational {
          |   WHERE o.o_custkey IN (SELECT c_custkey FROM seg)) AS n_matches)
          |SELECT n_candidates, n_matches,
          |  n_candidates - n_matches AS n_false_pos,
-         |  round(CAST(n_candidates - n_matches AS DOUBLE) / n_candidates, 4)
-         |    AS fp_rate
+         |  CASE WHEN n_candidates > 0
+         |    THEN round(CAST(n_candidates - n_matches AS DOUBLE) / n_candidates, 4)
+         |    ELSE 0.0 END AS fp_rate
          |FROM agg""".stripMargin
     },
     "window_funcs" ->

@@ -499,8 +499,21 @@ object Codecs {
       : Option[Option[(Int, Int, Array[Byte]) => Array[Byte]]] = {
     // Last match wins: an incrementally-updated PDF appends a new trailer
     // at the end, so the final /Encrypt reference is the current one (and
-    // a first-match bind inside stale or stream bytes is avoided).
-    val encNum = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(s)
+    // a first-match bind inside stale or stream bytes is avoided). The
+    // scan is restricted to trailer dictionaries — the bounded text after
+    // each 'trailer' keyword up to its 'startxref' — because raw stream
+    // bytes can also match the reference regex, and with a GLOBAL last
+    // match such bytes after the final trailer would beat the real entry
+    // and misclassify a readable PDF as encrypted (ADVICE r9).
+    // Cross-reference-stream PDFs carry /Encrypt in the xref stream dict
+    // instead of a 'trailer' keyword, so no-trailer files keep the old
+    // whole-file scan.
+    val encRe = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
+    val trailerRegions = """(?s)trailer(.{0,2048}?)(?:startxref|\z)""".r
+      .findAllMatchIn(s).map(_.group(1)).toSeq
+    val scanTargets = if (trailerRegions.nonEmpty) trailerRegions else Seq(s)
+    val encNum = scanTargets.iterator
+      .flatMap(t => encRe.findAllMatchIn(t))
       .foldLeft(Option.empty[Int])((_, m) => Some(m.group(1).toInt))
     encNum match {
       case None => Some(None)

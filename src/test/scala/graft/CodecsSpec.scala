@@ -695,6 +695,23 @@ class CodecsSpec extends AnyFunSuite {
     assert(status.contains(Codecs.PdfNotEncrypted))
   }
 
+  test("PDF: /Encrypt-shaped bytes inside stream content don't shadow the trailer") {
+    // the /Encrypt probe must bind only inside trailer dictionaries: a
+    // content stream legitimately carrying the byte sequence
+    // "/Encrypt 9 0 R" (here as shown text) must not make a readable,
+    // unencrypted file — whose real trailer has no /Encrypt — register
+    // as encrypted/unsupported (ADVICE r9)
+    val base = minimalPdf(Seq("Mentions /Encrypt 9 0 R in prose."))
+    val out = new ByteArrayOutputStream
+    out.write(base, 0, base.length - "%%EOF\n".length)
+    out.write(("trailer << /Root 1 0 R /Size 8 >>\nstartxref\n0\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1))
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(out.toByteArray, s => status = Some(s))
+    assert(text == "--- Page 1 ---\nMentions /Encrypt 9 0 R in prose.")
+    assert(status.contains(Codecs.PdfNotEncrypted))
+  }
+
   // ---- OOXML --------------------------------------------------------
 
   test("DOCX: body paragraphs then pipe-joined table rows") {
