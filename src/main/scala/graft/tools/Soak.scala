@@ -135,10 +135,25 @@ object Soak {
       // codebook — like knn_topk the only exchange is heap survivors,
       // but the scan arithmetic is O(m)-per-row instead of O(dim)
       val tPq = time { graft.search.Ann.pqTopK(emb, qs, 10).count() }
+      // IVF-PQ at mult× vectors: ONE narrow pass assigns cell + encodes
+      // + ADC-scores only probed cells — flatness proves the composed
+      // layout's only exchange stays heap-survivor-sized as the index
+      // grows (the billion-vector IndexIVFPQ claim)
+      val tIvfPq = time {
+        val cents = emb.filter(col("vec_id") % 31 === 0).limit(32)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        graft.search.Ann.ivfPqTopK(emb, qs, cents, 10, nprobe = 4).count()
+      }
+      // MMR at mult× vectors: candidate gen is the brute-force top-kCand
+      // pass; the greedy re-rank touches only queries×kCand bounded rows,
+      // so its cost over knn_topk must stay ~constant as the index grows
+      val tMmr = time {
+        graft.search.Knn.mmrTopK(emb, qs, k = 5, kCand = 20).count()
+      }
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
