@@ -215,15 +215,21 @@ object Similarity {
     * rank-only oracle, so the intersection counts are too.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the exact side is the comparison target for EVERY path —
+    // one brute-force pass, not one per semi-join (Bench's per-query
+    // cache clear releases it)
     val exact = knnTopK(spark, dir).select(col("query_id"), col("vec_id"))
+      .cache()
     def recallOf(name: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("vec_id"))
         .join(exact, Seq("query_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .select(lit(name).as("algo"), col("hits"),
           lit((NumQueries * K).toLong).as("n"))
-    recallOf("ann_ivf_trained", annIvfTrained(spark, dir))
+    recallOf("ann_ivf_pq", annIvfPq(spark, dir))
+      .unionAll(recallOf("ann_ivf_trained", annIvfTrained(spark, dir)))
       .unionAll(recallOf("ann_pq", annPq(spark, dir)))
+      .unionAll(recallOf("ann_pq_refined", annPqRefined(spark, dir)))
       .unionAll(recallOf("knn_lsh", knnLsh(spark, dir)))
       .orderBy(col("algo"))
   }
@@ -521,7 +527,7 @@ object Similarity {
          |  FROM score)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
-    // Recall@k of three approximate paths vs exact: each path's replay
+    // Recall@k of five approximate paths vs exact: each path's replay
     // (already proven engine-identical by its own rank-only oracle)
     // reduced to id sets, intersected with the exact top-k, counted —
     // integer-only output, one row per path.
@@ -594,14 +600,61 @@ object Similarity {
          |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
          |  FROM enc en JOIN lut l ON en.j = l.j AND en.code = l.code
          |  GROUP BY 1, 2),
-         |${topKIdsCte("pscore", "pqk")}
+         |${topKIdsCte("pscore", "pqk")},
+         |prcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM pscore) WHERE rn <= 50),
+         |prres AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM prcand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |${topKIdsCte("prres", "prk")},
+         |scent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sassign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN scent c) WHERE rn = 1),
+         |sprobes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN scent c) WHERE rn <= 4),
+         |ipscore AS (
+         |  SELECT l.query_id, en.vec_id,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
+         |  FROM enc en
+         |  JOIN sassign a ON en.vec_id = a.vec_id
+         |  JOIN sprobes p ON a.cent_id = p.cent_id
+         |  JOIN lut l ON l.query_id = p.query_id
+         |    AND en.j = l.j AND en.code = l.code
+         |  GROUP BY 1, 2),
+         |${topKIdsCte("ipscore", "ipqk")}
          |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_ivf_pq' AS algo,
+         |    (SELECT count(*) FROM ipqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
          |  SELECT 'ann_ivf_trained' AS algo,
          |    (SELECT count(*) FROM ivfk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
          |  UNION ALL
          |  SELECT 'ann_pq' AS algo,
          |    (SELECT count(*) FROM pqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_pq_refined' AS algo,
+         |    (SELECT count(*) FROM prk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
          |  UNION ALL
          |  SELECT 'knn_lsh' AS algo,

@@ -56,6 +56,18 @@ class DegenerateInputsSpec extends SparkSpec {
     val cent = emb.select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
     assert(graft.search.Ann.ivfTopK(emb, noQ, cent, 5, 1).count() == 0)
     assert(graft.search.Ann.pqTopK(emb, noQ, 5, m = 4, numCodes = 2).count() == 0)
+    assert(graft.search.Ann.ivfPqTopK(emb, noQ, cent, 5, 1, m = 4,
+      numCodes = 2).count() == 0)
+    // explicit-codebook composition with empty queries / empty codebooks
+    val cw = graft.search.Ann.sampleCodebooks(emb, m = 4, numCodes = 2)
+    assert(graft.search.Ann.ivfPqTopKWith(emb, noQ, cent, 5, 1, 4, cw)
+      .count() == 0)
+    assert(graft.search.Ann.ivfPqTopKWith(emb, noQ, cent, 5, 1, 4,
+      Array.empty).count() == 0)
+    // MMR over an empty candidate frame: no groups, no rows, no throw
+    val noCands = Seq.empty[(Long, Long, Double)]
+      .toDF("query_id", "vec_id", "sim")
+    assert(graft.search.Knn.mmrRerank(emb, noCands, k = 3).count() == 0)
   }
 
   test("dup-span queries skip sub-window docs; BM25 survives an empty corpus") {
