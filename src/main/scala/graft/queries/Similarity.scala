@@ -234,6 +234,26 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** MMR over ANN candidates — the production retriever composition
+    * (candidate generation swapped from brute force to the PQ+refine
+    * path): `pqTopKRefined` proposes 20 candidates per query from the
+    * compressed index, then the same greedy 0.7/0.3 diversity re-rank
+    * runs over them. Deterministic end to end: the refined candidates
+    * carry EXACT left-to-right dot sims (not ADC scores), so the
+    * greedy replay composes the `ann_pq_refined` CTEs with the
+    * `retrieve_mmr` step unrolling unchanged.
+    */
+  def retrieveMmrAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.{Ann, Knn}
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cw = Ann.sampleCodebooks(emb, m = 8, numCodes = 16)
+    val cands = Ann.pqTopKRefined(emb, queries, k = 20, r = 50, m = 8, cw = cw)
+    Knn.mmrRerank(emb, cands, k = 5)
+      .orderBy(col("query_id"), col("step"))
+  }
+
   /** PQ + exact re-rank (the production PQ pipeline — Faiss
     * IndexRefineFlat): ADC proposes 50 candidates per query from the
     * compressed codes, then only those queries×50 vectors are re-scored
@@ -342,6 +362,7 @@ object Similarity {
     "ann_ivf_pq_trained" -> (annIvfPqTrained _),
     "ann_recall" -> (annRecall _),
     "retrieve_mmr" -> (retrieveMmr _),
+    "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
 
   // DuckDB 1-based inclusive slice of subspace j (0-based, width 8).
@@ -661,6 +682,47 @@ object Similarity {
          |    (SELECT count(*) FROM lshk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
          |ORDER BY algo""".stripMargin,
+    // MMR over PQ-refined candidates: the ann_pq_refined replay (ADC
+    // top-50 → exact-dot rescore → top-20 WITH sims) feeds the same
+    // five unrolled greedy steps — candidate-gen swap, integer output.
+    "retrieve_mmr_ann" ->
+      s"""WITH $pqCbCtes,
+         |${pqScoreCtes("sub")},
+         |prcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM score) WHERE rn <= 50),
+         |rescored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM prcand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |mcands AS (
+         |  SELECT query_id, vec_id, sim FROM (
+         |    SELECT query_id, vec_id, sim,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM rescored) WHERE rn <= 20),
+         |mpair AS (
+         |  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         |         ${duckDot("ea.embedding", "eb.embedding")} AS s
+         |  FROM mcands a
+         |  JOIN mcands b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+         |                CAST(NULL AS BIGINT) AS vec_id,
+         |                CAST(NULL AS INTEGER) AS step WHERE 1 = 0),
+         |${mmrStep("sel0", 1)},
+         |${mmrStep("sel1", 2)},
+         |${mmrStep("sel2", 3)},
+         |${mmrStep("sel3", 4)},
+         |${mmrStep("sel4", 5)}
+         |SELECT query_id, CAST(step AS INTEGER) AS step, vec_id
+         |FROM sel5 ORDER BY query_id, step""".stripMargin,
     // Greedy-selection replay: same candidate set, same pair sims, the
     // five picks unrolled as chained CTEs — integer-only output.
     "retrieve_mmr" ->
