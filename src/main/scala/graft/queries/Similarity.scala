@@ -214,11 +214,24 @@ object Similarity {
     * path's id set is already proven engine-identical by its own
     * rank-only oracle, so the intersection counts are too.
     */
+  // The exact-side frame embeds typed lambdas (the kNN mapPartitions
+  // heaps), so its logical plan never canonicalizes equal across calls
+  // — a fresh `.cache()` per call would register a NEW entry every time
+  // (cache growth in a library-caller loop, the anti-pattern
+  // CacheLifecycleSpec pins). Memoizing the DataFrame INSTANCE per
+  // (session, dir) makes the per-call `.cache()` idempotent: same
+  // instance, same plan object, one entry. The map holds lazy plans
+  // (bytes); the data lives in the cache manager and is released by the
+  // caller's `clearCache()` exactly as the Bm25/Dedup entries are.
+  private val exactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     // cached: the exact side is the comparison target for EVERY path —
     // one brute-force pass, not one per semi-join (Bench's per-query
     // cache clear releases it)
-    val exact = knnTopK(spark, dir).select(col("query_id"), col("vec_id"))
+    val exact = exactMemo.computeIfAbsent((spark, dir),
+      k => knnTopK(k._1, k._2).select(col("query_id"), col("vec_id")))
       .cache()
     def recallOf(name: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("vec_id"))

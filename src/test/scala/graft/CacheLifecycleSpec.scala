@@ -23,6 +23,7 @@ class CacheLifecycleSpec extends SparkSpec {
     graft.queries.Bm25.bm25TopK(spark, dir).count()
     graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
     graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
+    graft.queries.Similarity.annRecall(spark, dir).count()
     val afterFirst = cachedRddCount
     assert(afterFirst > 0, "the shared subplans should be cached at all")
 
@@ -30,6 +31,7 @@ class CacheLifecycleSpec extends SparkSpec {
       graft.queries.Bm25.bm25TopK(spark, dir).count()
       graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
       graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
+      graft.queries.Similarity.annRecall(spark, dir).count()
     }
     assert(cachedRddCount == afterFirst,
       s"cache grew across repeated calls: $afterFirst -> $cachedRddCount")
