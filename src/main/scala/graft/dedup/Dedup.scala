@@ -307,4 +307,47 @@ object Dedup {
   def dupOf(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     df.withColumn("dup_of", min(col(idCol)).over(Window.partitionBy(col(keyCol))))
       .withColumn("is_dup", (col(idCol) =!= col("dup_of")).cast("int"))
+
+  /** Semantic deduplication (SemDeDup — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): k-means clusters bound the quadratic comparison, then
+    * within each cluster any vector with a LOWER-id cluster-mate above
+    * the cosine threshold is marked removed (the paper keeps one
+    * exemplar per semantic-duplicate group; lowest id is our
+    * deterministic exemplar rule, matching the other dedup operators).
+    *
+    * `emb` is (vec_id, embedding); `centroids` is (cent_id, cvec) —
+    * typically [[graft.search.Ann.trainCentroids]] output, so the whole
+    * pipeline (training included) replays in the oracle's Lloyd CTEs.
+    *
+    * Scale shape: assignment is [[graft.search.Ann.assignCells]] (a
+    * narrow map over the broadcast codebook — the index never
+    * shuffles); the pair stage shuffles once on cent_id and is
+    * quadratic ONLY within a cluster — the SemDeDup contract is that k
+    * grows with the corpus (the paper uses fixed-occupancy clusters,
+    * ~n/k members each), so per-cluster cost stays bounded while total
+    * work is n²/k. Dots accumulate left-to-right in double (the
+    * engine-wide convention), so the strict `> tau` comparison is
+    * bit-identical in the oracle replay.
+    *
+    * Output: one row per vector — (vec_id, cent_id, is_removed 0/1).
+    */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, tau: Double): DataFrame = {
+    import graft.functions.Vec
+    val assigned = graft.search.Ann.assignCells(emb, centroids)
+    val a = assigned.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("cent_id"))
+    val b = assigned.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("cent_id"))
+    val removed = a.join(b, "cent_id")
+      .filter(col("a") < col("b"))
+      .filter(Vec.dot(col("va"), col("vb")) > tau)
+      .select(col("b").as("vec_id"))
+      .distinct()
+      .withColumn("is_removed", lit(1))
+    assigned.select(col("vec_id"), col("cent_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("is_removed"), lit(0)).as("is_removed"))
+  }
 }

@@ -176,8 +176,32 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): Lloyd-trained
+    * k-means clusters (k=8, 2 iterations — the exact `ann_ivf_trained`
+    * training ladder, so the oracle replays it) bound the pairwise
+    * stage; within a cluster, any vector with a lower-id cluster-mate
+    * at cosine > τ is removed. τ=0.35 is corpus-tuned: the synthetic
+    * embeddings are near-uniform (max pair sim ≈0.6, p99.9 ≈0.38), so
+    * 0.35 marks the top ~0.1% most-similar pairs as semantic
+    * duplicates — on a real embedding corpus the same operator runs at
+    * the paper's ~0.9. Integer-only output (vec_id, cent_id,
+    * is_removed); the strict `> τ` compare uses the engine-wide
+    * left-to-right double dot, bit-identical in DuckDB. Residual risk
+    * (shared with every trained oracle): mean-drift flipping a
+    * discrete cluster assignment — corpus-pinned, surfaces as a CI
+    * hash mismatch.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.trainCentroids(emb, k = 8, iters = 2)
+    Dedup.semanticDedup(emb, cents, tau = 0.35)
+      .orderBy("vec_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "decontaminate" -> (decontaminate _),
@@ -263,6 +287,36 @@ object DedupQueries {
        |  WHERE c.n <= ${Dedup.DefaultMaxBucket})""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // SemDeDup replay: the ann_ivf_trained Lloyd ladder (8 cells, 2
+    // iterations) via Similarity.lloydIter, argmax-dot assignment (ties
+    // to the lowest cent_id), then within-cluster lower-id-mate pairs
+    // above τ — integer-only output.
+    "dedup_semantic" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${Similarity.lloydIter("c0", "c1")},
+         |${Similarity.lloydIter("c1", "c2")},
+         |assign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${Similarity.duckDot("e.embedding", "c.cvec")} DESC,
+         |                 c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |removed AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM assign x JOIN assign y
+         |    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+         |  WHERE ${Similarity.duckDot("x.embedding", "y.embedding")} > 0.35)
+         |SELECT a.vec_id, a.cent_id,
+         |  CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS is_removed
+         |FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "decontaminate" ->
       s"""WITH dsh AS ($duckShingleSet),
          |qsh AS ($duckQShingleSet)

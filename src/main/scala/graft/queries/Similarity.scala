@@ -27,6 +27,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Metadata-FILTERED top-k — the filtered-search contract of a
+    * production vector store (Qdrant search with a payload filter):
+    * each query retrieves only among index rows sharing its `label`.
+    * Pre-filter semantics — the label equality prunes rows BEFORE any
+    * dot product, so every query gets its full k from its own segment
+    * (post-filtering a global top-k would under-fill). The plan is a
+    * broadcast hash join on label + the bounded-heap merge
+    * ([[graft.search.Knn.filteredTopK]]); sims use the exact
+    * left-to-right convention, so rank output compares exactly.
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Knn.filteredTopK(emb, queries, K)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Pairwise cosine of a small id range — exercises E6 directly. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vec
@@ -332,7 +353,9 @@ object Similarity {
   }
 
   // DuckDB-side dot product with identical double accumulation order.
-  private def duckDot(a: String, b: String): String =
+  // (private[queries]: the dedup_semantic oracle composes the same
+  // Lloyd ladder and dot convention from DedupQueries.)
+  private[queries] def duckDot(a: String, b: String): String =
     s"list_aggregate(list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
 
@@ -343,7 +366,7 @@ object Similarity {
     * `(sum / count).toFloat`, and keep the previous centroid for empty
     * cells. `prev`/`next` name the codebook CTEs being chained.
     */
-  private def lloydIter(prev: String, next: String): String =
+  private[queries] def lloydIter(prev: String, next: String): String =
     s"""a_$next AS (
        |  SELECT vec_id, embedding, cent_id FROM (
        |    SELECT e.vec_id, e.embedding, c.cent_id,
@@ -362,6 +385,7 @@ object Similarity {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk" -> (knnTopK _),
+    "knn_filtered" -> (knnFiltered _),
     "cosine_pairs" -> (cosinePairs _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),
@@ -890,6 +914,23 @@ object Similarity {
          |    (sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("q", "q")})), 4)
          |    AS recon_cos
          |FROM qv ORDER BY vec_id""".stripMargin,
+    // The knn_topk replay with the pre-filter applied in the pair
+    // build: index rows join queries on label equality BEFORE the dot.
+    "knn_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |sims AS (
+         |  SELECT q.query_id, e.vec_id, e.label,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e JOIN q ON e.label = q.qlabel),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT query_id, rank, vec_id, label FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "knn_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, embedding AS qv

@@ -40,6 +40,8 @@ object Ann {
     val spark = index.sparkSession
     import spark.implicits._
 
+    val assigned = assignCells(index, centroids)
+
     // codebook: cent_id ascending so the argmax tie-break (lowest id
     // wins on equal sims) falls out of strict > comparison in order
     val cents: Array[(Long, Array[Float])] = centroids
@@ -53,24 +55,8 @@ object Ann {
       s
     }
 
-    // nearest cell per index vector: narrow map over the broadcast codebook
-    val assigned = index.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bcCents.value
-        it.map { case (id, v) =>
-          var best = 0; var bestSim = Double.NegativeInfinity
-          var ci = 0
-          while (ci < cs.length) {
-            val s = dot(v, cs(ci)._2)
-            if (s > bestSim) { bestSim = s; best = ci }
-            ci += 1
-          }
-          (id, v, cs(best)._1)
-        }
-      }.toDF("vec_id", "embedding", "cent_id")
-
-    // nprobe nearest cells per query: same narrow map, emitting nprobe rows
+    // nprobe nearest cells per query: narrow map over the broadcast
+    // codebook, emitting nprobe rows
     val probes = queries.select(col("query_id").cast("long"), col("qvec"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -86,6 +72,38 @@ object Ann {
     // probe join (queries×nprobe rows — broadcast) + fused heap top-k
     val cands = assigned.join(broadcast(probes), "cent_id")
     heapTopK(cands, k)
+  }
+
+  /** Nearest-cell assignment of every index vector against a broadcast
+    * codebook — the shared first step of [[ivfTopK]] and of
+    * cluster-bounded operations like semantic dedup: a narrow map (no
+    * shuffle of the index), argmax by dot with ties to the LOWEST
+    * cent_id (strict `>` scan in cent_id-ascending order).
+    *
+    * Output: (vec_id LONG, embedding, cent_id LONG).
+    */
+  def assignCells(index: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v) =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val s = dotFF(v, cs(ci)._2)
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          (id, v, cs(best)._1)
+        }
+      }.toDF("vec_id", "embedding", "cent_id")
   }
 
   private def dotFF(a: Array[Float], b: Array[Float]): Double = {

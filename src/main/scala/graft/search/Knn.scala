@@ -41,7 +41,6 @@ object Knn {
       queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-
     val sims = index
       .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
       .select(
@@ -49,7 +48,50 @@ object Knn {
         col(idCol).cast("long").as("vec_id"),
         Vec.dot(col(vecCol), col(queryVecCol)).as("sim"))
       .as[(Long, Long, Double)]
+    topKOfSims(sims, k)
+  }
 
+  /** Metadata-FILTERED exact top-k — the filtered-search contract of a
+    * production vector store (Qdrant `search` with a payload filter;
+    * the reference's store supports it even though its pipeline never
+    * filters — reference: src/vector_db.py:93-119): each query carries
+    * a filter value, and only index rows whose `filterCol` equals the
+    * query's `queryFilterCol` are eligible. PRE-filter semantics: the
+    * predicate prunes rows BEFORE any dot product is computed, so
+    * (unlike post-filtering a top-k) the result always holds k matches
+    * when k exist.
+    *
+    * Scale shape: the equality predicate turns the query fan-out into a
+    * broadcast hash JOIN on the filter column — each index row pairs
+    * with only its label's queries instead of all of them, so the
+    * pre-heap row count is |index| × (queries per label), not
+    * |index| × |queries|. The same bounded-heap merge as
+    * [[bruteForceTopK]] follows; the index still never shuffles.
+    */
+  def filteredTopK(index: DataFrame, queries: DataFrame, k: Int,
+      filterCol: String = "label", queryFilterCol: String = "qlabel",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id", queryVecCol: String = "qvec"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val sims = index
+      .join(
+        broadcast(queries.select(col(queryIdCol), col(queryVecCol), col(queryFilterCol))),
+        col(filterCol) === col(queryFilterCol))
+      .select(
+        col(queryIdCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("vec_id"),
+        Vec.dot(col(vecCol), col(queryVecCol)).as("sim"))
+      .as[(Long, Long, Double)]
+    topKOfSims(sims, k)
+  }
+
+  /** Shared top-k tail: per-partition bounded heaps, then the typed
+    * bounded-buffer merge. `sims` is (query_id, vec_id, sim). */
+  private def topKOfSims(sims: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int): DataFrame = {
+    val spark = sims.sparkSession
+    import spark.implicits._
     // Partial top-k per input partition: bounded heap per query, no shuffle.
     val partial = sims.mapPartitions { it =>
       val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[(Double, Long)]]

@@ -265,6 +265,56 @@ class AnnSpec extends SparkSpec {
       s"training degraded recall: ${recall(trained)} < ${recall(sampled)}")
   }
 
+  test("filteredTopK equals per-segment brute force and never crosses the filter") {
+    // pre-filter semantics: each query searches ONLY its own label
+    // segment, so the result must equal brute force over that segment
+    val labeled = clustered.withColumn("label", ($"vec_id" % 3).cast("int"))
+    val queries = labeled.filter($"vec_id" < 9)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+        $"label".as("qlabel"))
+    val filtered = Knn.filteredTopK(labeled, queries, 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    // no result crosses the filter
+    filtered.foreach { case (q, _, v) => assert(v % 3 == q % 3) }
+    // per segment it IS brute force over the pre-filtered index
+    val expected = (0 until 3).flatMap { seg =>
+      val segIdx = labeled.filter($"label" === seg)
+      val segQ = queries.filter($"qlabel" === seg)
+      Knn.bruteForceTopK(segIdx, segQ, 5)
+        .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect()
+    }.toSet
+    assert(filtered == expected)
+  }
+
+  test("semanticDedup removes exactly the lower-id-mate-above-tau vectors") {
+    import graft.dedup.Dedup
+    val cents = Ann.trainCentroids(clustered, 16, iters = 2)
+    val out = Dedup.semanticDedup(clustered, cents, tau = 0.9)
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 500, "one row per vector")
+    val removed = out.filter(_._3 == 1).map(_._1).toSet
+    assert(removed.nonEmpty, "clustered fixture must contain semantic dups at 0.9")
+    // brute-force reference: assignment via assignCells, then the
+    // definition applied literally
+    val assign = Ann.assignCells(clustered, cents)
+      .select("vec_id", "embedding", "cent_id")
+      .as[(Long, Array[Float], Long)].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expected = (for {
+      x <- assign; y <- assign
+      if x._3 == y._3 && x._1 < y._1 && dot(x._2, y._2) > 0.9
+    } yield y._1).toSet
+    assert(removed == expected)
+    // exemplars survive: the lowest id of every cluster is never removed
+    assign.groupBy(_._3).values.foreach { g =>
+      assert(!removed.contains(g.map(_._1).min))
+    }
+  }
+
   test("MMR fed ANN candidates equals brute-force-fed MMR when candidates are exact") {
     // the production retriever shape: candidate generation is pluggable.
     // IVF probing every cell returns the exact top-kCand with the exact
