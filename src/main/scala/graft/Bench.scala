@@ -169,9 +169,24 @@ object Bench {
       ('1' + passes.indexWhere(_.get(k).contains(v))).toChar
     }.mkString
     val provFull = s""""min_pass":"$minPassStr","""
-    // Degenerate rung if even the 0-decimal map + digit string overflows:
-    // per-pass win counts keep the aggregate signal (at the cost of
-    // per-query attribution) in ~20 chars instead of ~100.
+    // Compressed rung: the same per-query attribution as a hex bitmask —
+    // bit i (query i in ALPHABETICAL order, first query = MSB of the
+    // first hex digit, last digit zero-padded) is 1 iff that query's
+    // minimum came from pass 2 (second mask: pass 3); neither bit set ⇒
+    // pass 1. Four queries per hex char ⇒ ~n/4 chars instead of n, which
+    // keeps full attribution inside the tail budget past ~90 queries,
+    // where the digit string no longer fits next to the 0-decimal map.
+    def hexMask(pred: Char => Boolean): String =
+      minPassStr.grouped(4).map { g =>
+        val v = g.zipWithIndex.map { case (c, i) => if (pred(c)) 8 >> i else 0 }.sum
+        Integer.toHexString(v)
+      }.mkString
+    val provHex =
+      s""""min_pass2_hex":"${hexMask(_ == '2')}",""" +
+        (if (pass3.isDefined) s""""min_pass3_hex":"${hexMask(_ == '3')}",""" else "")
+    // Degenerate rung if even the hex masks overflow: per-pass win
+    // counts keep the aggregate signal (at the cost of per-query
+    // attribution) in ~20 chars.
     val winCounts = passes.indices
       .map(i => minPassStr.count(_ == ('1' + i).toChar))
     val provWins = s""""min_pass_wins":${winCounts.mkString("[", ",", "]")},"""
@@ -179,9 +194,10 @@ object Bench {
       s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},$prov"queries":$qs,"sf":"$sfName"}"""
     val finalLine = ((3 to 0 by -1).iterator
       .map(d => finalRecord(fmtN(d), provFull, qmap(rmap, fmtN(d)))) ++
-      Iterator(finalRecord(fmtN(0), provWins, qmap(rmap, fmtN(0)))))
+      Iterator(finalRecord(fmtN(0), provHex, qmap(rmap, fmtN(0))),
+        finalRecord(fmtN(0), provWins, qmap(rmap, fmtN(0)))))
       .find(_.length <= 1900)
-      .getOrElse(finalRecord(fmtN(0), provFull, "{}"))
+      .getOrElse(finalRecord(fmtN(0), provHex, "{}"))
     println(finalLine)
     spark.stop()
   }
