@@ -48,6 +48,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Filtered search composed with the IVF index — the production
+    * filtered-ANN shape ([[graft.search.Ann.ivfTopKFiltered]]): probe
+    * 4 of 16 md5-sampled cells, then score only same-label rows within
+    * the probed cells. Exact-dot sims (left-to-right convention) →
+    * rank output compares exactly; the oracle composes the `ann_ivf`
+    * replay with the label-equality join of `knn_filtered`.
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Ann.ivfTopKFiltered(emb, queries, centroids, K, nprobe = 4)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Pairwise cosine of a small id range — exercises E6 directly. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vec
@@ -386,6 +411,7 @@ object Similarity {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk" -> (knnTopK _),
     "knn_filtered" -> (knnFiltered _),
+    "ann_ivf_filtered" -> (annIvfFiltered _),
     "cosine_pairs" -> (cosinePairs _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_trained" -> (annIvfTrained _),
@@ -914,6 +940,41 @@ object Similarity {
          |    (sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("q", "q")})), 4)
          |    AS recon_cos
          |FROM qv ORDER BY vec_id""".stripMargin,
+    // The ann_ivf replay (sampled cells, assignment, probing) with the
+    // label-equality filter applied to the probed candidates before
+    // ranking — the filtered-ANN composition.
+    "ann_ivf_filtered" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT vec_id, embedding, label, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, qlabel, cent_id FROM (
+         |    SELECT q.query_id, q.qv, q.qlabel, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |cands AS (
+         |  SELECT p.query_id, a.vec_id, a.label,
+         |         ${duckDot("a.embedding", "p.qv")} AS sim
+         |  FROM assign a JOIN probes p
+         |    ON a.cent_id = p.cent_id AND a.label = p.qlabel),
+         |ranked AS (
+         |  SELECT query_id, vec_id, label,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM cands)
+         |SELECT query_id, rank, vec_id, label FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     // The knn_topk replay with the pre-filter applied in the pair
     // build: index rows join queries on label equality BEFORE the dot.
     "knn_filtered" ->

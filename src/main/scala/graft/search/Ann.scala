@@ -106,6 +106,55 @@ object Ann {
       }.toDF("vec_id", "embedding", "cent_id")
   }
 
+  /** FILTERED IVF search — the composition a production vector store
+    * runs when a payload filter meets an ANN index (Qdrant's filtered
+    * search): the coarse quantizer still bounds which cells a query
+    * scans, and within the probed cells only rows whose `filterCol`
+    * equals the query's `queryFilterCol` are scored. Pre-filter
+    * semantics AFTER cell restriction: the filter prunes candidate
+    * rows before any query-vector dot product, so the heap fills with
+    * eligible rows only (a post-filtered top-k would under-fill).
+    * Note the recall caveat every filtered-ANN system carries: probing
+    * is label-blind, so a highly selective filter concentrated in
+    * unprobed cells lowers recall — raise nprobe with selectivity.
+    *
+    * Scale shape: identical to [[ivfTopK]] (narrow assignment, probe
+    * join bounded by queries×nprobe, bounded-heap merge) plus one
+    * narrow filter on the candidate stream — the filter column rides
+    * the assignment output, never a separate shuffle.
+    */
+  def ivfTopKFiltered(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int,
+      filterCol: String = "label", queryFilterCol: String = "qlabel"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    // assignment with the filter column carried along (vec_id join is
+    // against the same scan — Catalyst collapses it; the filter value
+    // stays with the row through the probe join)
+    val assigned = assignCells(index, centroids)
+      .join(index.select(col("vec_id").cast("long").as("vec_id"), col(filterCol)),
+        "vec_id")
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col("query_id").cast("long"), col("qvec"), col(queryFilterCol))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (qid, qv, ql) =>
+          cs.map { case (cid, cv) => (cid, dotFF(qv, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(nprobe)
+            .map { case (cid, _) => (qid, qv, ql, cid) }
+        }
+      }.toDF("query_id", "qvec", queryFilterCol, "cent_id")
+    val cands = assigned.join(broadcast(probes), "cent_id")
+      .filter(col(filterCol) === col(queryFilterCol))
+    heapTopK(cands, k)
+  }
+
   private def dotFF(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; val n = math.min(a.length, b.length); var i = 0
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }

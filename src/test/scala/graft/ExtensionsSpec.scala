@@ -286,6 +286,26 @@ class AnnSpec extends SparkSpec {
     assert(filtered == expected)
   }
 
+  test("filtered IVF with all cells probed equals exact filtered search") {
+    // with every cell probed the coarse quantizer drops out, so the
+    // composition must reduce to the exact pre-filtered top-k; with
+    // nprobe=4 results still never cross the filter
+    val labeled = clustered.withColumn("label", ($"vec_id" % 3).cast("int"))
+    val queries = labeled.filter($"vec_id" < 9)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+        $"label".as("qlabel"))
+    val centroids = labeled.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cvec"))
+    val all = Ann.ivfTopKFiltered(labeled, queries, centroids, 5, nprobe = 8)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val exact = Knn.filteredTopK(labeled, queries, 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(all == exact)
+    val probed = Ann.ivfTopKFiltered(labeled, queries, centroids, 5, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    probed.foreach { case (q, v) => assert(v % 3 == q % 3) }
+  }
+
   test("semanticDedup removes exactly the lower-id-mate-above-tau vectors") {
     import graft.dedup.Dedup
     val cents = Ann.trainCentroids(clustered, 16, iters = 2)
