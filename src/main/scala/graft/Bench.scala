@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Hex bitmask over the per-query min-pass digit string: bit i (query
+    * i in the string's order, first query = MSB of the first hex digit,
+    * last digit zero-padded) is 1 iff digit i equals `pass`. Decodes
+    * as: expand each hex char to 4 bits MSB-first, bit i ↔ query i.
+    * Exposed for BenchRecordSpec — a silent encoding bug here corrupts
+    * the driver artifact's provenance field.
+    */
+  private[graft] def hexMask(minPass: String, pass: Char): String =
+    minPass.grouped(4).map { g =>
+      val v = g.zipWithIndex.map { case (c, i) => if (c == pass) 8 >> i else 0 }.sum
+      Integer.toHexString(v)
+    }.mkString
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,14 +188,9 @@ object Bench {
     // pass 1. Four queries per hex char ⇒ ~n/4 chars instead of n, which
     // keeps full attribution inside the tail budget past ~90 queries,
     // where the digit string no longer fits next to the 0-decimal map.
-    def hexMask(pred: Char => Boolean): String =
-      minPassStr.grouped(4).map { g =>
-        val v = g.zipWithIndex.map { case (c, i) => if (pred(c)) 8 >> i else 0 }.sum
-        Integer.toHexString(v)
-      }.mkString
     val provHex =
-      s""""min_pass2_hex":"${hexMask(_ == '2')}",""" +
-        (if (pass3.isDefined) s""""min_pass3_hex":"${hexMask(_ == '3')}",""" else "")
+      s""""min_pass2_hex":"${hexMask(minPassStr, '2')}",""" +
+        (if (pass3.isDefined) s""""min_pass3_hex":"${hexMask(minPassStr, '3')}",""" else "")
     // Degenerate rung if even the hex masks overflow: per-pass win
     // counts keep the aggregate signal (at the cost of per-query
     // attribution) in ~20 chars.

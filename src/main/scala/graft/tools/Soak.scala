@@ -150,10 +150,26 @@ object Soak {
       val tMmr = time {
         graft.search.Knn.mmrTopK(emb, qs, k = 5, kCand = 20).count()
       }
+      // SemDeDup at mult× vectors with FIXED-OCCUPANCY clusters (k grows
+      // with n, ~64 members per cell — the paper's configuration): total
+      // pair work is Σ cluster² ≈ n×occupancy, so wall must track rows
+      // ~linearly, NOT quadratically — the measured evidence that the
+      // k∝n contract tames the pair stage. Cells are hash-sampled (no
+      // Lloyd here; training cost is soaked by ann_ivf's trainCentroids
+      // twin) and the sample is a TakeOrdered, never a full sort.
+      val tSemDedup = time {
+        val kCells = math.max(8, (nVecs / 64).toInt)
+        val cents = emb
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+            md5(concat(lit("sem|"), col("vec_id"))).as("r"))
+          .orderBy(col("r"), col("cent_id")).limit(kCells)
+          .select(col("cent_id"), col("cvec"))
+        graft.dedup.Dedup.semanticDedup(emb, cents, tau = 0.35).count()
+      }
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
