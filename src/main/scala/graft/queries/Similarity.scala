@@ -35,7 +35,11 @@ object Similarity {
     * (post-filtering a global top-k would under-fill). The plan is a
     * broadcast hash join on label + the bounded-heap merge
     * ([[graft.search.Knn.filteredTopK]]); sims use the exact
-    * left-to-right convention, so rank output compares exactly.
+    * left-to-right convention, so rank output compares exactly. The
+    * output `label` is re-attached from the query frame (pre-filter
+    * semantics guarantee every hit's label equals its query's), so the
+    * only join after the heap is against the ~100-row broadcast query
+    * side — never the index again.
     */
   def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -43,7 +47,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label").as("qlabel"))
     Knn.filteredTopK(emb, queries, K)
-      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"),
+        col("qlabel").as("label"))), "query_id")
       .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -68,7 +73,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("label").as("qlabel"))
     Ann.ivfTopKFiltered(emb, queries, centroids, K, nprobe = 4)
-      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"),
+        col("qlabel").as("label"))), "query_id")
       .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -106,6 +106,40 @@ object Ann {
       }.toDF("vec_id", "embedding", "cent_id")
   }
 
+  /** [[assignCells]] with an integer payload column (the filter value)
+    * carried through the same narrow assignment map, so the filtered
+    * path never re-joins the index with itself to recover it — at scale
+    * that re-join is an index-sized shuffle for a value the scan
+    * already holds. Output: (vec_id LONG, embedding, tagCol INT,
+    * cent_id LONG); assignment semantics identical to [[assignCells]]
+    * (argmax by dot, ties to the lowest cent_id).
+    */
+  def assignCellsTagged(index: DataFrame, centroids: DataFrame,
+      tagCol: String): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    index.select(col("vec_id").cast("long"), col("embedding"),
+        col(tagCol).cast("int"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v, tag) =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val s = dotFF(v, cs(ci)._2)
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          (id, v, tag, cs(best)._1)
+        }
+      }.toDF("vec_id", "embedding", tagCol, "cent_id")
+  }
+
   /** FILTERED IVF search — the composition a production vector store
     * runs when a payload filter meets an ANN index (Qdrant's filtered
     * search): the coarse quantizer still bounds which cells a query
@@ -128,12 +162,10 @@ object Ann {
       filterCol: String = "label", queryFilterCol: String = "qlabel"): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
-    // assignment with the filter column carried along (vec_id join is
-    // against the same scan — Catalyst collapses it; the filter value
-    // stays with the row through the probe join)
-    val assigned = assignCells(index, centroids)
-      .join(index.select(col("vec_id").cast("long").as("vec_id"), col(filterCol)),
-        "vec_id")
+    // assignment with the filter column carried through the narrow map —
+    // never a re-join of the index with itself on vec_id (that would be
+    // an index-sized shuffle at scale, for a value the scan already has)
+    val assigned = assignCellsTagged(index, centroids, filterCol)
     val cents: Array[(Long, Array[Float])] = centroids
       .select(col("cent_id").cast("long"), col("cvec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)

@@ -159,6 +159,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
   }
 
+  test("knn_filtered: every join broadcasts — the index never rejoins itself") {
+    val df = Similarity.knnFiltered(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ann_ivf_filtered: label rides the assignment map; joins only broadcast") {
+    val df = Similarity.annIvfFiltered(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // probe join + the query-frame label re-attach are both broadcast;
+    // a SortMergeJoin here would mean the index was joined with itself
+    // (the re-attach shape assignCellsTagged exists to prevent)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dedup_semantic: the pair stage is an equi-join on cent_id, never cartesian") {
+    val df = graft.queries.DedupQueries.dedupSemantic(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the quadratic stage must be keyed by the cluster id — Σ cluster²
+    // bounded work, not an unkeyed pair enumeration
+    assert(plan.contains("cent_id"), plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
