@@ -364,6 +364,34 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF composed with scalar quantization — the Faiss
+    * `IndexIVFScalarQuantizer` production config
+    * ([[graft.search.Ann.ivfSqTopK]]): the coarse quantizer (the exact
+    * `ann_ivf` md5-sampled 16-cell layout, float assignment + probing,
+    * nprobe=4) bounds which rows a query scans; within probed cells the
+    * stored vector is the int8 code and the score is the integer dot.
+    * Scores are exact integers (every 64-dim int8 dot ≤ 2^20), so the
+    * output hashes fully — rank AND iscore — with the oracle composing
+    * the `ann_ivf` assignment/probe CTEs with `knn_quantized`'s
+    * quantization CTE.
+    */
+  def annIvfSq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfSqTopK(emb, queries, centroids, K, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim").cast("long").as("iscore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Int8 embedding quantization — the 4× memory-reduction path for a
     * 100 TB vector corpus (scaled symmetric quantization, the layout
     * ANN indexes ship at scale). Emits per-vector reconstruction
@@ -429,6 +457,7 @@ object Similarity {
     "ann_pq_trained" -> (annPqTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_trained" -> (annIvfPqTrained _),
+    "ann_ivf_sq" -> (annIvfSq _),
     "ann_recall" -> (annRecall _),
     "retrieve_mmr" -> (retrieveMmr _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
@@ -1125,6 +1154,48 @@ object Similarity {
          |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM cands)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // the ann_ivf replay (float-space sampled cells, assignment,
+    // probing) composed with knn_quantized's int8 CTE: candidates are
+    // scored on the codes, so iscore is an exact integer and the row
+    // hashes fully (rank AND score)
+    "ann_ivf_sq" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |qv8 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(greatest(-127.0,
+         |    least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |cands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_aggregate(list_transform(list_zip(ev.q, qq.q),
+         |      z -> z[1] * z[2]), 'sum') AS iscore
+         |  FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN qv8 ev ON ev.vec_id = a.vec_id
+         |  JOIN qv8 qq ON qq.vec_id = p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, CAST(iscore AS BIGINT) AS iscore,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY iscore DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM cands)
+         |SELECT query_id, rank, vec_id, iscore FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
   )
 }

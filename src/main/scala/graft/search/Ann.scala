@@ -187,6 +187,55 @@ object Ann {
     heapTopK(cands, k)
   }
 
+  /** IVF + scalar quantization — the Faiss `IndexIVFScalarQuantizer`
+    * (SQ8) layout, completing the production index matrix beside
+    * IVF-flat, PQ, and IVF-PQ: coarse assignment and probing run on the
+    * ORIGINAL float vectors (the coarse quantizer never sees codes,
+    * Faiss's non-residual config), per-list storage is the int8 code
+    * (4× smaller candidate bytes than IVF-flat), and candidate scoring
+    * is the int8·int8 dot. Every score term is an integer ≤ 127², a
+    * 64-dim sum stays ≤ 2^20 — accumulation is order-independent, so
+    * scores hash exactly with no rank-only fallback.
+    *
+    * Scale shape: identical to [[ivfTopK]] — assignment plus the SQ8
+    * re-projection is one narrow map over the broadcast codebook, the
+    * probe join is bounded by queries×nprobe, and the only exchange is
+    * the heap-survivor merge.
+    */
+  def ivfSqTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    // floor(x·127 + 0.5) clamped to [−127, 127], stored as float (ints
+    // ≤ 127 are exact in float32) — identical to the knn_quantized
+    // convention so the two oracles share one quantization CTE.
+    def sq8(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(v, x => greatest(lit(-127.0), least(lit(127.0),
+        floor(x.cast("double") * 127.0 + 0.5))).cast("float"))
+    val assigned = assignCells(index, centroids)
+      .select(col("vec_id"), sq8(col("embedding")).as("embedding"),
+        col("cent_id"))
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val probes = queries
+      .select(col("query_id").cast("long"), col("qvec"),
+        sq8(col("qvec")).as("q8"))
+      .as[(Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (qid, qv, q8) =>
+          cs.map { case (cid, cv) => (cid, dotFF(qv, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(nprobe)
+            .map { case (cid, _) => (qid, q8, cid) }
+        }
+      }.toDF("query_id", "qvec", "cent_id")
+    val cands = assigned.join(broadcast(probes), "cent_id")
+    heapTopK(cands, k)
+  }
+
   private def dotFF(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; val n = math.min(a.length, b.length); var i = 0
     while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }

@@ -180,6 +180,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ann_ivf_sq: assignment+quantize narrow, probe join broadcast") {
+    val df = Similarity.annIvfSq(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("dedup_semantic: the pair stage is an equi-join on cent_id, never cartesian") {
     val df = graft.queries.DedupQueries.dedupSemantic(spark, dir)
     df.collect()
