@@ -292,6 +292,7 @@ object Similarity {
         .select(lit(name).as("algo"), col("hits"),
           lit((NumQueries * K).toLong).as("n"))
     recallOf("ann_ivf_pq", annIvfPq(spark, dir))
+      .unionAll(recallOf("ann_ivf_sq", annIvfSq(spark, dir)))
       .unionAll(recallOf("ann_ivf_trained", annIvfTrained(spark, dir)))
       .unionAll(recallOf("ann_pq", annPq(spark, dir)))
       .unionAll(recallOf("ann_pq_refined", annPqRefined(spark, dir)))
@@ -758,10 +759,26 @@ object Similarity {
          |  JOIN lut l ON l.query_id = p.query_id
          |    AND en.j = l.j AND en.code = l.code
          |  GROUP BY 1, 2),
-         |${topKIdsCte("ipscore", "ipqk")}
+         |${topKIdsCte("ipscore", "ipqk")},
+         |sqv AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(greatest(-127.0,
+         |    least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS BIGINT)) AS q8
+         |  FROM embeddings),
+         |sqscore AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_aggregate(list_transform(list_zip(ev.q8, qq.q8),
+         |      z -> z[1] * z[2]), 'sum') AS sim
+         |  FROM sassign a JOIN sprobes p ON a.cent_id = p.cent_id
+         |  JOIN sqv ev ON ev.vec_id = a.vec_id
+         |  JOIN sqv qq ON qq.vec_id = p.query_id),
+         |${topKIdsCte("sqscore", "sqk")}
          |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
          |  SELECT 'ann_ivf_pq' AS algo,
          |    (SELECT count(*) FROM ipqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_ivf_sq' AS algo,
+         |    (SELECT count(*) FROM sqk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
          |  UNION ALL
          |  SELECT 'ann_ivf_trained' AS algo,

@@ -120,6 +120,37 @@ class NewOpsSpec extends SparkSpec {
     assert(out(0) == 127.0 && out(1) == -127.0)
   }
 
+  test("ivfSqTopK with all cells probed equals exact search over the quantized index") {
+    // with nprobe = |cells| the IVF layer only partitions the scan —
+    // every vector is scored for every query on the same int8 codes, so
+    // the ranking must be IDENTICAL to brute force over the quantized
+    // index (same integer scores, same vec_id tie-breaks)
+    import graft.search.{Ann, Knn}
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id")).limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val sq = Ann.ivfSqTopK(emb, queries, centroids, k = 10, nprobe = 16)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim").cast("long").as("iscore"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val qemb = emb.select(col("vec_id"),
+      transform(Similarity.quantize127(col("embedding")),
+        x => x.cast("float")).as("embedding"))
+    val qqueries = qemb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Knn.bruteForceTopK(qemb, qqueries, 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim").cast("long").as("iscore"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(sq === exact)
+    assert(sq.size === 200) // 20 queries × k=10
+  }
+
   test("corpus filter: kept is exactly the conjunction of its flags") {
     val rows = TextAnalysis.corpusFilter(spark, dir)
       .as[(Long, Int, Int, Int, Int, Int, Int)].collect()
