@@ -293,6 +293,7 @@ object Similarity {
           lit((NumQueries * K).toLong).as("n"))
     recallOf("ann_ivf_pq", annIvfPq(spark, dir))
       .unionAll(recallOf("ann_ivf_sq", annIvfSq(spark, dir)))
+      .unionAll(recallOf("ann_ivf_sq_trained", annIvfSqTrained(spark, dir)))
       .unionAll(recallOf("ann_ivf_trained", annIvfTrained(spark, dir)))
       .unionAll(recallOf("ann_pq", annPq(spark, dir)))
       .unionAll(recallOf("ann_pq_refined", annPqRefined(spark, dir)))
@@ -393,6 +394,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-SQ with a TRAINED coarse quantizer — the production
+    * `IndexIVFScalarQuantizer` config (Lloyd-trained cells + int8
+    * storage): the exact `ann_ivf_trained` training ladder (8 cells,
+    * 2 iterations) bounds the scan, int8 codes bound the bytes.
+    * `iscore` stays an exact integer (the int8 dot is
+    * order-independent), so rank AND score hash; the residual exposure
+    * is the shared trained-oracle one — mean-summation drift flipping a
+    * discrete cell assignment (corpus-pinned, surfaces as a CI hash
+    * mismatch).
+    */
+  def annIvfSqTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val trained = Ann.trainCentroids(emb, k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfSqTopK(emb, queries, trained, K, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("sim").cast("long").as("iscore"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Int8 embedding quantization — the 4× memory-reduction path for a
     * 100 TB vector corpus (scaled symmetric quantization, the layout
     * ANN indexes ship at scale). Emits per-vector reconstruction
@@ -459,6 +482,7 @@ object Similarity {
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_trained" -> (annIvfPqTrained _),
     "ann_ivf_sq" -> (annIvfSq _),
+    "ann_ivf_sq_trained" -> (annIvfSqTrained _),
     "ann_recall" -> (annRecall _),
     "retrieve_mmr" -> (retrieveMmr _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
@@ -771,7 +795,15 @@ object Similarity {
          |  FROM sassign a JOIN sprobes p ON a.cent_id = p.cent_id
          |  JOIN sqv ev ON ev.vec_id = a.vec_id
          |  JOIN sqv qq ON qq.vec_id = p.query_id),
-         |${topKIdsCte("sqscore", "sqk")}
+         |${topKIdsCte("sqscore", "sqk")},
+         |tsqscore AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_aggregate(list_transform(list_zip(ev.q8, qq.q8),
+         |      z -> z[1] * z[2]), 'sum') AS sim
+         |  FROM tassign a JOIN tprobes p ON a.cent_id = p.cent_id
+         |  JOIN sqv ev ON ev.vec_id = a.vec_id
+         |  JOIN sqv qq ON qq.vec_id = p.query_id),
+         |${topKIdsCte("tsqscore", "tsqk")}
          |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
          |  SELECT 'ann_ivf_pq' AS algo,
          |    (SELECT count(*) FROM ipqk a JOIN xk x
@@ -779,6 +811,10 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'ann_ivf_sq' AS algo,
          |    (SELECT count(*) FROM sqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_ivf_sq_trained' AS algo,
+         |    (SELECT count(*) FROM tsqk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
          |  UNION ALL
          |  SELECT 'ann_ivf_trained' AS algo,
@@ -1171,6 +1207,52 @@ object Similarity {
          |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM cands)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // the ann_ivf_trained replay (8-cell Lloyd ladder, float assignment
+    // + probing) composed with knn_quantized's int8 CTE — the trained
+    // twin of ann_ivf_sq; iscore hashes exactly
+    "ann_ivf_sq_trained" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |qv8 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(greatest(-127.0,
+         |    least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5))) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+         |cands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |    list_aggregate(list_transform(list_zip(ev.q, qq.q),
+         |      z -> z[1] * z[2]), 'sum') AS iscore
+         |  FROM assign a JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN qv8 ev ON ev.vec_id = a.vec_id
+         |  JOIN qv8 qq ON qq.vec_id = p.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, CAST(iscore AS BIGINT) AS iscore,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY iscore DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM cands)
+         |SELECT query_id, rank, vec_id, iscore FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     // the ann_ivf replay (float-space sampled cells, assignment,
     // probing) composed with knn_quantized's int8 CTE: candidates are
