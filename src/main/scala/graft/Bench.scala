@@ -129,11 +129,17 @@ object Bench {
     // defend its own numbers). pass totals expose which pass a clean run
     // came from; gc_ms + codegen_compiles rule codegen/GC thrash in or
     // out; load_avg before/after rules host contention in or out.
-    def telemetry(fmt: Double => String): String = {
+    def telemetry(fmt: Double => String, lean: Boolean = false): String = {
       val p3 = pass3.map(p => s""","pass3_total":${fmt(p.values.sum)}""").getOrElse("")
+      // lean (compressed provenance rungs only): drop gc_ms/codegen —
+      // the full-precision pass records above carry them, and the ~37
+      // chars are what keep per-query hex attribution under the guard
+      // past ~93 queries (at 94, hex + full telemetry overflowed and the
+      // record silently fell to the win-count rung)
+      val jit = if (lean) ""
+        else s""""gc_ms":${g1 - g0},"codegen_compiles":${c1 - c0},"""
       s""""pass1_total":${fmt(p1t)},"pass2_total":${fmt(p2t)}$p3,""" +
-        s""""gc_ms":${g1 - g0},"codegen_compiles":${c1 - c0},""" +
-        s""""load_avg":[${fmtN(2)(load0)},${fmtN(2)(load1)}]"""
+        jit + s""""load_avg":[${fmtN(2)(load0)},${fmtN(2)(load1)}]"""
     }
     // The total and telemetry always keep 3 decimals (they are the
     // gate-facing numbers and cost a fixed ~60 chars); only the
@@ -197,14 +203,15 @@ object Bench {
     val winCounts = passes.indices
       .map(i => minPassStr.count(_ == ('1' + i).toChar))
     val provWins = s""""min_pass_wins":${winCounts.mkString("[", ",", "]")},"""
-    def finalRecord(fmt: Double => String, prov: String, qs: String): String =
-      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3))},$prov"queries":$qs,"sf":"$sfName"}"""
+    def finalRecord(fmt: Double => String, prov: String, qs: String,
+        lean: Boolean = false): String =
+      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3), lean)},$prov"queries":$qs,"sf":"$sfName"}"""
     val finalLine = ((3 to 0 by -1).iterator
       .map(d => finalRecord(fmtN(d), provFull, qmap(rmap, fmtN(d)))) ++
-      Iterator(finalRecord(fmtN(0), provHex, qmap(rmap, fmtN(0))),
-        finalRecord(fmtN(0), provWins, qmap(rmap, fmtN(0)))))
+      Iterator(finalRecord(fmtN(0), provHex, qmap(rmap, fmtN(0)), lean = true),
+        finalRecord(fmtN(0), provWins, qmap(rmap, fmtN(0)), lean = true)))
       .find(_.length <= 1900)
-      .getOrElse(finalRecord(fmtN(0), provHex, "{}"))
+      .getOrElse(finalRecord(fmtN(0), provHex, "{}", lean = true))
     println(finalLine)
     spark.stop()
   }
