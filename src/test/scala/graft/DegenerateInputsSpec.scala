@@ -68,6 +68,13 @@ class DegenerateInputsSpec extends SparkSpec {
     val noCands = Seq.empty[(Long, Long, Double)]
       .toDF("query_id", "vec_id", "sim")
     assert(graft.search.Knn.mmrRerank(emb, noCands, k = 3).count() == 0)
+    // SQ composition with empty queries; and the tagged assignment on an
+    // empty index emits zero rows (the filtered path's first step)
+    assert(graft.search.Ann.ivfSqTopK(emb, noQ, cent, 5, 1).count() == 0)
+    val labeled = emb.withColumn("label", lit(0))
+    val noIdx = labeled.filter(col("vec_id") < 0)
+    assert(graft.search.Ann.assignCellsTagged(noIdx, cent, "label")
+      .count() == 0)
   }
 
   test("dup-span queries skip sub-window docs; BM25 survives an empty corpus") {
