@@ -301,6 +301,24 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** Recall of the filtered-ANN composition against exact filtered
+    * search — the caveat `ivfTopKFiltered`'s scaladoc states ("probing
+    * is label-blind, so a selective filter concentrated in unprobed
+    * cells lowers recall") turned into a hash-checked integer instead
+    * of a warning: hits = Σ_q |ivf_filtered_topk(q) ∩
+    * knn_filtered_topk(q)|, n = queries×k. All-integer, and both sides
+    * are already proven engine-identical by their own oracles, so the
+    * intersection count is too.
+    */
+  def annRecallFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnFiltered(spark, dir).select(col("query_id"), col("vec_id"))
+    annIvfFiltered(spark, dir).select(col("query_id"), col("vec_id"))
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("ann_ivf_filtered").as("algo"), col("hits"),
+        lit((NumQueries * K).toLong).as("n"))
+  }
+
   /** MMR over ANN candidates — the production retriever composition
     * (candidate generation swapped from brute force to the PQ+refine
     * path): `pqTopKRefined` proposes 20 candidates per query from the
@@ -484,6 +502,7 @@ object Similarity {
     "ann_ivf_sq" -> (annIvfSq _),
     "ann_ivf_sq_trained" -> (annIvfSqTrained _),
     "ann_recall" -> (annRecall _),
+    "ann_recall_filtered" -> (annRecallFiltered _),
     "retrieve_mmr" -> (retrieveMmr _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
@@ -1208,6 +1227,44 @@ object Similarity {
          |  FROM cands)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // the knn_filtered and ann_ivf_filtered replays composed into id
+    // sets; the single output row counts their intersection — the
+    // filtered path's label-blind-probing recall loss as an integer
+    "ann_recall_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |fsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e JOIN q ON e.label = q.qlabel),
+         |${topKIdsCte("fsims", "xfk")},
+         |cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, embedding, label, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, qlabel, cent_id FROM (
+         |    SELECT q.query_id, q.qv, q.qlabel, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |fcands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.embedding", "p.qv")} AS sim
+         |  FROM assign a JOIN probes p
+         |    ON a.cent_id = p.cent_id AND a.label = p.qlabel),
+         |${topKIdsCte("fcands", "afk")}
+         |SELECT 'ann_ivf_filtered' AS algo,
+         |  (SELECT count(*) FROM afk a JOIN xfk x
+         |     ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+         |  CAST(${NumQueries * K} AS BIGINT) AS n""".stripMargin,
     // the ann_ivf_trained replay (8-cell Lloyd ladder, float assignment
     // + probing) composed with knn_quantized's int8 CTE — the trained
     // twin of ann_ivf_sq; iscore hashes exactly
