@@ -135,15 +135,20 @@ object Bench {
       // the full-precision pass records above carry them, and the ~37
       // chars are what keep per-query hex attribution under the guard
       // past ~93 queries (at 94, hex + full telemetry overflowed and the
-      // record silently fell to the win-count rung)
+      // record silently fell to the win-count rung). Lean also carries
+      // pass totals and load_avg at 1 decimal — the >1.5x pass-disparity
+      // diagnosis needs no more, and the ~8 chars are what keep the hex
+      // rung under the guard at 95 queries (measured 1902 with 2-decimal
+      // load / 3-decimal totals: 2 chars past the guard).
       val jit = if (lean) ""
         else s""""gc_ms":${g1 - g0},"codegen_compiles":${c1 - c0},"""
+      val loadDec = if (lean) 1 else 2
       s""""pass1_total":${fmt(p1t)},"pass2_total":${fmt(p2t)}$p3,""" +
-        jit + s""""load_avg":[${fmtN(2)(load0)},${fmtN(2)(load1)}]"""
+        jit + s""""load_avg":[${fmtN(loadDec)(load0)},${fmtN(loadDec)(load1)}]"""
     }
-    // The total and telemetry always keep 3 decimals (they are the
-    // gate-facing numbers and cost a fixed ~60 chars); only the
-    // per-query map degrades under the tail budget. "sf" carries just
+    // The gate-facing total always keeps 3 decimals; telemetry keeps 3
+    // except on the lean rungs (1 decimal — see telemetry()); only the
+    // per-query map degrades in precision under the tail budget. "sf" carries just
     // the basename — the 15 chars the directory prefix cost were
     // exactly what pushed the 1-decimal map over the guard at 86
     // queries.
@@ -204,8 +209,10 @@ object Bench {
       .map(i => minPassStr.count(_ == ('1' + i).toChar))
     val provWins = s""""min_pass_wins":${winCounts.mkString("[", ",", "]")},"""
     def finalRecord(fmt: Double => String, prov: String, qs: String,
-        lean: Boolean = false): String =
-      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(fmtN(3), lean)},$prov"queries":$qs,"sf":"$sfName"}"""
+        lean: Boolean = false): String = {
+      val teleFmt: Double => String = if (lean) fmtN(1) else fmtN(3)
+      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(teleFmt, lean)},$prov"queries":$qs,"sf":"$sfName"}"""
+    }
     val finalLine = ((3 to 0 by -1).iterator
       .map(d => finalRecord(fmtN(d), provFull, qmap(rmap, fmtN(d)))) ++
       Iterator(finalRecord(fmtN(0), provHex, qmap(rmap, fmtN(0)), lean = true),
