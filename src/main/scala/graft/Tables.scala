@@ -31,18 +31,32 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects. Read nanos as LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a
-    * microsecond TIMESTAMP — the same truncation the DuckDB oracle
-    * applies via `CAST(ts AS TIMESTAMP)`.
+  /** `events.parquet` has shipped `ts` as either parquet
+    * TIMESTAMP(NANOS) — which the Spark vectorized reader rejects, so
+    * it is read as LONG via `spark.sql.legacy.parquet.nanosAsLong` and
+    * truncated to a microsecond TIMESTAMP — or (current fixtures) as a
+    * plain TIMESTAMP(MICROS) that needs no conversion. Branch on the
+    * type actually read so both generator vintages load; either way
+    * the values equal the DuckDB oracle's `CAST(ts AS TIMESTAMP)`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions pin spark.sql.session.timeZone=UTC, so this cast is
+        // value-preserving; downstream `unix_micros`/`window` require
+        // TIMESTAMP and this keeps the type identical to the
+        // nanos-vintage path (timestamp_micros also yields TIMESTAMP)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
