@@ -255,6 +255,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RESIDUAL-encoded IVF-PQ — the default Faiss `IndexIVFPQ`
+    * configuration (`by_residual = true`): same 16 sampled coarse
+    * cells and nprobe=4 as `ann_ivf_pq`, but the PQ codebooks are
+    * sampled from (and applied to) the residuals `v − c_cell`, and
+    * each score adds the exact coarse term `dot(q, c_cell)`. Identical
+    * bytes per row; the coarse position is exact instead of
+    * PQ-approximated, so recall recovers (measured by `ann_recall`).
+    * Rank-only output; the oracle replays assignment, float32 residual
+    * subtraction, residual-codebook sampling, L2-argmin encode, and
+    * the ADC + coarse-term score.
+    */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfPqResidualTopK(emb, queries, centroids, K, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Recall@k of the approximate paths against exact `knn_topk` — the
     * round-9 verdict's missing measurement: every ANN path trades
     * recall for scan fraction, and this query turns that trade into a
@@ -292,6 +319,7 @@ object Similarity {
         .select(lit(name).as("algo"), col("hits"),
           lit((NumQueries * K).toLong).as("n"))
     recallOf("ann_ivf_pq", annIvfPq(spark, dir))
+      .unionAll(recallOf("ann_ivf_pq_residual", annIvfPqResidual(spark, dir)))
       .unionAll(recallOf("ann_ivf_sq", annIvfSq(spark, dir)))
       .unionAll(recallOf("ann_ivf_sq_trained", annIvfSqTrained(spark, dir)))
       .unionAll(recallOf("ann_ivf_trained", annIvfTrained(spark, dir)))
@@ -498,6 +526,7 @@ object Similarity {
     "ann_pq_refined" -> (annPqRefined _),
     "ann_pq_trained" -> (annPqTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
+    "ann_ivf_pq_residual" -> (annIvfPqResidual _),
     "ann_ivf_pq_trained" -> (annIvfPqTrained _),
     "ann_ivf_sq" -> (annIvfSq _),
     "ann_ivf_sq_trained" -> (annIvfSqTrained _),
@@ -822,10 +851,59 @@ object Similarity {
          |  FROM tassign a JOIN tprobes p ON a.cent_id = p.cent_id
          |  JOIN sqv ev ON ev.vec_id = a.vec_id
          |  JOIN sqv qq ON qq.vec_id = p.query_id),
-         |${topKIdsCte("tsqscore", "tsqk")}
+         |${topKIdsCte("tsqscore", "tsqk")},
+         |rres AS (
+         |  SELECT e.vec_id, a.cent_id,
+         |    list_transform(list_zip(e.embedding, c.cvec),
+         |      p -> CAST(p[1] AS FLOAT) - CAST(p[2] AS FLOAT)) AS rvec
+         |  FROM embeddings e
+         |  JOIN sassign a ON e.vec_id = a.vec_id
+         |  JOIN scent c ON a.cent_id = c.cent_id),
+         |rrcb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER)
+         |           AS code, rvec AS cvec
+         |  FROM (SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS r, vec_id, rvec
+         |        FROM rres ORDER BY r, vec_id LIMIT 16)),
+         |rrsub AS (
+         |  SELECT rrcb.code, j.j AS j, ${duckSub("rrcb.cvec", "j.j")} AS cw
+         |  FROM rrcb, range(8) j(j)),
+         |rrenc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT r.vec_id, s.j, s.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, s.j
+         |        ORDER BY ${duckL2sq(duckSub("r.rvec", "s.j"), "s.cw")} ASC, s.code ASC) AS rn
+         |    FROM rres r CROSS JOIN rrsub s) WHERE rn = 1),
+         |rrlut AS (
+         |  SELECT q.query_id, s.j, s.code,
+         |    list_aggregate(list_transform(
+         |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
+         |  FROM q CROSS JOIN rrsub s),
+         |rqc AS (
+         |  SELECT q.query_id, c.cent_id, ${duckDot("q.qv", "c.cvec")} AS qc
+         |  FROM q CROSS JOIN scent c),
+         |radc AS (
+         |  SELECT l.query_id, en.vec_id,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS adc
+         |  FROM rrenc en
+         |  JOIN sassign a ON en.vec_id = a.vec_id
+         |  JOIN sprobes p ON a.cent_id = p.cent_id
+         |  JOIN rrlut l ON l.query_id = p.query_id
+         |    AND en.j = l.j AND en.code = l.code
+         |  GROUP BY 1, 2),
+         |rscore AS (
+         |  SELECT d.query_id, d.vec_id, d.adc + rqc.qc AS sim
+         |  FROM radc d
+         |  JOIN sassign a ON d.vec_id = a.vec_id
+         |  JOIN rqc ON rqc.query_id = d.query_id AND rqc.cent_id = a.cent_id),
+         |${topKIdsCte("rscore", "rpqk")}
          |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
          |  SELECT 'ann_ivf_pq' AS algo,
          |    (SELECT count(*) FROM ipqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_ivf_pq_residual' AS algo,
+         |    (SELECT count(*) FROM rpqk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
          |  UNION ALL
          |  SELECT 'ann_ivf_sq' AS algo,
@@ -928,6 +1006,81 @@ object Similarity {
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->
       s"""WITH $pqAdcCtes,
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM score)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // Residual IVF-PQ replay: assignment → float32 residual
+    // subtraction → residual-codebook sampling → L2-argmin encode →
+    // ADC sum + exact coarse term. FLOAT−FLOAT in DuckDB is IEEE
+    // single-precision, bit-identical to the Scala `v(i) - c(i)`; the
+    // coarse term is added AFTER the list-ordered ADC sum on both
+    // sides, so the grouping matches. Rank-only compare.
+    "ann_ivf_pq_residual" ->
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |$pqQCte,
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |res AS (
+         |  SELECT e.vec_id, a.cent_id,
+         |    list_transform(list_zip(e.embedding, c.cvec),
+         |      p -> CAST(p[1] AS FLOAT) - CAST(p[2] AS FLOAT)) AS rvec
+         |  FROM embeddings e
+         |  JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN cent c ON a.cent_id = c.cent_id),
+         |rcb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER)
+         |           AS code, rvec AS cvec
+         |  FROM (SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS r, vec_id, rvec
+         |        FROM res ORDER BY r, vec_id LIMIT 16)),
+         |rsub AS (
+         |  SELECT rcb.code, j.j AS j, ${duckSub("rcb.cvec", "j.j")} AS cw
+         |  FROM rcb, range(8) j(j)),
+         |renc AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT r.vec_id, s.j, s.code,
+         |      row_number() OVER (PARTITION BY r.vec_id, s.j
+         |        ORDER BY ${duckL2sq(duckSub("r.rvec", "s.j"), "s.cw")} ASC, s.code ASC) AS rn
+         |    FROM res r CROSS JOIN rsub s) WHERE rn = 1),
+         |rlut AS (
+         |  SELECT q.query_id, s.j, s.code,
+         |    list_aggregate(list_transform(
+         |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
+         |  FROM q CROSS JOIN rsub s),
+         |qc AS (
+         |  SELECT q.query_id, c.cent_id, ${duckDot("q.qv", "c.cvec")} AS qc
+         |  FROM q CROSS JOIN cent c),
+         |probes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT query_id, cent_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qc DESC, cent_id ASC) AS rn
+         |    FROM qc) WHERE rn <= 4),
+         |adc AS (
+         |  SELECT l.query_id, en.vec_id,
+         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS adc
+         |  FROM renc en
+         |  JOIN assign a ON en.vec_id = a.vec_id
+         |  JOIN probes p ON a.cent_id = p.cent_id
+         |  JOIN rlut l ON l.query_id = p.query_id
+         |    AND en.j = l.j AND en.code = l.code
+         |  GROUP BY 1, 2),
+         |score AS (
+         |  SELECT d.query_id, d.vec_id, d.adc + qc.qc AS sim
+         |  FROM adc d
+         |  JOIN assign a ON d.vec_id = a.vec_id
+         |  JOIN qc ON qc.query_id = d.query_id AND qc.cent_id = a.cent_id),
          |ranked AS (
          |  SELECT query_id, vec_id,
          |    CAST(row_number() OVER (PARTITION BY query_id

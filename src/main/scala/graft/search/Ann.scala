@@ -717,6 +717,233 @@ object Ann {
       .toDF("query_id", "vec_id", "rank", "sim")
   }
 
+  /** Residuals of every index vector against its assigned coarse cell:
+    * `(vec_id, embedding = v − c_argmax)` with float32 subtraction
+    * (bit-reproducible in any IEEE engine). This is the frame Faiss
+    * trains a RESIDUAL product quantizer on — residuals concentrate
+    * around the origin, so a codebook over them spends its codewords on
+    * the within-cell detail the coarse quantizer discarded, instead of
+    * re-describing cell positions. One narrow map over the broadcast
+    * centroids; the index never shuffles.
+    */
+  def residuals(index: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (cents.isEmpty) {
+      return Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    }
+    val bcCents = spark.sparkContext.broadcast(cents)
+    index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v) =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cs.length) {
+            val s = dotFF(v, cs(ci)._2)
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          val cv = cs(best)._2
+          val r = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) {
+            r(i) = v(i) - (if (i < cv.length) cv(i) else 0f)
+            i += 1
+          }
+          (id, r)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** RESIDUAL-encoded IVF-PQ — the default Faiss `IndexIVFPQ`
+    * configuration (`by_residual = true`, Jégou et al. §IV-A): each
+    * vector stores its cell id + PQ codes of the RESIDUAL
+    * `r = v − c_cell`, and a query scores a row as
+    * `adc(q, codes) + dot(q, c_cell)` — the coarse term is exact, the
+    * PQ error applies only to the small within-cell remainder, which is
+    * why residual encoding recovers recall over [[ivfPqTopK]]'s
+    * raw-vector (`by_residual = false`) layout at identical bytes.
+    * Codebooks here are md5-sampled from the residual frame
+    * ([[residuals]]) — the same zero-training baseline as
+    * [[ivfPqTopK]]; feed trained residual codebooks through
+    * [[ivfPqResidualTopKWith]] for the fully trained composition.
+    *
+    * Scale shape: one extra narrow pass over the index to build the
+    * residual sample (TakeOrdered 16 — no shuffle of data), then the
+    * identical single-pass assign+encode+ADC scan of [[ivfPqTopKWith]]
+    * with a per-(query, cell) constant added at score time (the
+    * queries×cells dot table rides the same broadcast as the probes).
+    */
+  def ivfPqResidualTopK(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int, m: Int = 8,
+      numCodes: Int = 16, seed: String = "pq"): DataFrame =
+    ivfPqResidualTopKWith(index, queries, centroids, k, nprobe, m,
+      sampleCodebooks(residuals(index, centroids), m, numCodes, seed))
+
+  /** [[ivfPqResidualTopK]] with explicit residual codebooks. Kept as a
+    * sibling of [[ivfPqTopKWith]] (not a flag on it) so the raw-vector
+    * path's arithmetic stays byte-identical to its pinned oracles; the
+    * two differ only in the encode target (residual vs raw) and the
+    * `+ dot(q, c_cell)` score term, both noted inline.
+    */
+  def ivfPqResidualTopKWith(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int, m: Int,
+      cw: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (cw.isEmpty || qArr.isEmpty || cents.isEmpty) {
+      return Seq.empty[(Long, Long, Int, Double)]
+        .toDF("query_id", "vec_id", "rank", "sim")
+    }
+    val sub = cw(0)(0).length
+    val nc = cw(0).length
+    val mm = m
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; val n = math.min(a.length, b.length); var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    // queries×cells exact-dot table: row qi = this query's dot with
+    // every centroid — feeds BOTH the probe choice and the residual
+    // score's coarse term, so the two can never disagree
+    val qcAll: Array[Array[Double]] = qArr.map { case (_, qv) =>
+      cents.map { case (_, cv) => dot(qv, cv) }
+    }
+    val cellQueries: Map[Long, Array[Int]] = qArr.indices
+      .flatMap { qi =>
+        cents.indices.map(ci => (cents(ci)._1, qcAll(qi)(ci)))
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(nprobe)
+          .map { case (cid, _) => (cid, qi) }
+      }
+      .groupBy(_._1).map { case (cid, xs) => cid -> xs.map(_._2).sorted.toArray }
+    val lut: Array[Array[Double]] = qArr.map { case (_, qv) =>
+      val t = new Array[Double](mm * nc)
+      var j = 0
+      while (j < mm) {
+        var c = 0
+        while (c < nc) {
+          var s = 0.0; var d = 0
+          while (d < sub) {
+            s += qv(j * sub + d).toDouble * cw(j)(c)(d).toDouble
+            d += 1
+          }
+          t(j * nc + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      t
+    }
+    val bcCw = spark.sparkContext.broadcast(cw)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcLut = spark.sparkContext.broadcast(lut)
+    val bcQids = spark.sparkContext.broadcast(qArr.map(_._1))
+    val bcCellQ = spark.sparkContext.broadcast(cellQueries)
+    val bcQc = spark.sparkContext.broadcast(qcAll)
+    val kCap = k
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    // one narrow pass: assign cell (argmax dot, ties lowest cent_id),
+    // PQ-encode the RESIDUAL, ADC-score + coarse term for exactly the
+    // queries probing the cell
+    val partial = index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs0 = bcCw.value
+        val cts = bcCents.value
+        val luts = bcLut.value
+        val qids = bcQids.value
+        val cellQ = bcCellQ.value
+        val qcs = bcQc.value
+        val heaps = Array.fill(qids.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        val codes = new Array[Int](mm)
+        var rbuf = Array.emptyFloatArray
+        it.foreach { case (id, v) =>
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var ci = 0
+          while (ci < cts.length) {
+            var s = 0.0; val n = math.min(v.length, cts(ci)._2.length); var i = 0
+            while (i < n) { s += v(i).toDouble * cts(ci)._2(i).toDouble; i += 1 }
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          cellQ.get(cts(best)._1) match {
+            case None => () // cell probed by no query: row never scanned
+            case Some(qis) =>
+              // residual in float32 — the only encode-side difference
+              // from ivfPqTopKWith
+              val cv = cts(best)._2
+              if (rbuf.length != v.length) rbuf = new Array[Float](v.length)
+              var ri = 0
+              while (ri < v.length) {
+                rbuf(ri) = v(ri) - (if (ri < cv.length) cv(ri) else 0f)
+                ri += 1
+              }
+              var j = 0
+              while (j < mm) {
+                var bc = 0; var bestD = Double.PositiveInfinity
+                var c = 0
+                while (c < nc) {
+                  var s = 0.0; var d = 0
+                  while (d < sub) {
+                    val diff = rbuf(j * sub + d).toDouble - cs0(j)(c)(d).toDouble
+                    s += diff * diff
+                    d += 1
+                  }
+                  if (s < bestD) { bestD = s; bc = c }
+                  c += 1
+                }
+                codes(j) = bc
+                j += 1
+              }
+              qis.foreach { qi =>
+                val t = luts(qi)
+                var s = 0.0; var j2 = 0
+                while (j2 < mm) { s += t(j2 * nc + codes(j2)); j2 += 1 }
+                // coarse term: ADC sum first, then one add — matches
+                // the oracle's (Σ list) + qc grouping exactly
+                val sc = s + qcs(qi)(best)
+                val h = heaps(qi)
+                if (h.size < kCap) h.enqueue((sc, id))
+                else {
+                  val (ws, wid) = h.head
+                  if (sc > ws || (sc == ws && id < wid)) { h.dequeue(); h.enqueue((sc, id)) }
+                }
+              }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, id) => (qids(qi), id, s) }
+        }
+      }
+    val topk = new graft.functions.TopKAggregator[Long](k).toColumn
+    partial
+      .groupByKey(_._1)
+      .mapValues { case (_, id, s) => (id, s) }
+      .agg(topk.name("topk"))
+      .flatMap { case (q, winners) =>
+        winners.zipWithIndex.map { case ((s, id), i) => (q, id, i + 1, s) }
+      }
+      .toDF("query_id", "vec_id", "rank", "sim")
+  }
+
   /** PQ search with exact re-ranking (the Faiss `IndexRefineFlat`
     * shape): ADC produces `r` candidates per query, then the true
     * float vectors of ONLY those queries×r rows are joined back and

@@ -68,6 +68,16 @@ class DegenerateInputsSpec extends SparkSpec {
     val noCands = Seq.empty[(Long, Long, Double)]
       .toDF("query_id", "vec_id", "sim")
     assert(graft.search.Knn.mmrRerank(emb, noCands, k = 3).count() == 0)
+    // residual composition: empty queries, empty codebooks, and an
+    // empty centroid frame (residuals of nothing) all yield zero rows
+    assert(graft.search.Ann.ivfPqResidualTopK(emb, noQ, cent, 5, 1, m = 4,
+      numCodes = 2).count() == 0)
+    assert(graft.search.Ann.ivfPqResidualTopKWith(emb, noQ, cent, 5, 1, 4,
+      Array.empty).count() == 0)
+    val noCent = cent.filter(col("cent_id") < 0)
+    assert(graft.search.Ann.residuals(emb, noCent).count() == 0)
+    assert(graft.search.Ann.ivfPqResidualTopK(emb, noQ, noCent, 5, 1,
+      m = 4, numCodes = 2).count() == 0)
     // SQ composition with empty queries; and the tagged assignment on an
     // empty index emits zero rows (the filtered path's first step)
     assert(graft.search.Ann.ivfSqTopK(emb, noQ, cent, 5, 1).count() == 0)

@@ -173,4 +173,37 @@ class NewOpsSpec extends SparkSpec {
       })
     }
   }
+
+  test("residual IVF-PQ over a single zero centroid degenerates to plain PQ") {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val zero = Seq((0L, Array.fill(dim)(0f))).toDF("cent_id", "cvec")
+    // v − 0 = v bit-for-bit, so the residual frame IS the index
+    val res = Ann.residuals(emb, zero).select($"vec_id", $"embedding")
+    val orig = emb.select($"vec_id", $"embedding")
+    assert(res.except(orig).count() == 0 && orig.except(res).count() == 0)
+    // …and with dot(q, 0) = 0 the scan reduces to the plain ADC scan:
+    // same codebooks → identical ranking (nprobe=1 covers the one cell)
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val cw = Ann.sampleCodebooks(emb, m = 8, numCodes = 8, seed = "t")
+    val a = Ann.ivfPqResidualTopKWith(emb, queries, zero, 10, 1, 8, cw)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val b = Ann.pqTopKWith(emb, queries, 10, 8, cw)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(a == b && a.size == 50)
+  }
+
+  test("residual encoding never loses recall vs raw-vector IVF-PQ") {
+    // same coarse cells, same probes, same bytes per row — the residual
+    // layout's PQ error applies only to the within-cell remainder, so
+    // on any corpus its recall should at least match the raw layout's
+    val hits = Similarity.annRecall(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map { case (algo, h, _) => algo -> h }.toMap
+    assert(hits.contains("ann_ivf_pq_residual") && hits.contains("ann_ivf_pq"))
+    assert(hits("ann_ivf_pq_residual") >= hits("ann_ivf_pq"),
+      s"residual ${hits("ann_ivf_pq_residual")} < raw ${hits("ann_ivf_pq")}")
+  }
 }
