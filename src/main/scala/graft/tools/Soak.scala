@@ -144,6 +144,16 @@ object Soak {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         graft.search.Ann.ivfPqTopK(emb, qs, cents, 10, nprobe = 4).count()
       }
+      // Residual IVF-PQ at mult× vectors: one extra narrow pass over
+      // the raw layout (residual sampling for the codebook) and a
+      // per-(query, cell) constant at score time — flatness proves the
+      // coarse term rides the existing broadcasts and the only exchange
+      // stays heap-survivor-sized
+      val tIvfPqRes = time {
+        val cents = emb.filter(col("vec_id") % 31 === 0).limit(32)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        graft.search.Ann.ivfPqResidualTopK(emb, qs, cents, 10, nprobe = 4).count()
+      }
       // IVF-SQ at mult× vectors: assignment + int8 re-projection is one
       // narrow map, probing/scoring identical to ivfTopK over the 4×-
       // smaller codes — the seventh kNN/ANN shape whose flat line proves
@@ -178,7 +188,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
