@@ -200,6 +200,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("cent_id"), plan)
   }
 
+  test("residual IVF-PQ: no join operators at all — scan + heap merge only") {
+    val df = Similarity.annIvfPqResidual(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // centroids, codebooks, probes, and the coarse-dot table all ride
+    // broadcast variables inside ONE mapPartitions pass; the only
+    // exchange the plan may contain is the heap-survivor merge (plus
+    // the fixture spread repartition) — any Spark JOIN operator here
+    // means the index got rejoined and the scale contract broke
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
