@@ -380,6 +380,28 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** Recall@k of trained IVF as nprobe sweeps 1 → 8 — the operational
+    * tuning curve: nprobe is THE knob a production IVF deployment
+    * turns, and this emits its recall-vs-scan-fraction trade as four
+    * hash-checked integer rows instead of folklore. Monotone by
+    * construction (probe sets nest, and an exact-top-k member present
+    * among a query's candidates always wins its heap slot — only other
+    * exact-top-k members outscore it), and the nprobe=8 row probes ALL
+    * cells, so float scoring makes it exactly n — both properties
+    * spec-asserted, the values oracle-hashed.
+    */
+  def annRecallNprobe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.trainCentroids(emb, k = 8, iters = 2)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    Seq(1, 2, 4, 8).map { np =>
+      recallOf(s"nprobe_$np", Ann.ivfTopK(emb, queries, cents, K, nprobe = np))
+    }.reduce(_ unionAll _).orderBy(col("algo"))
+  }
+
   /** Recall of the filtered-ANN composition against exact filtered
     * search — the caveat `ivfTopKFiltered`'s scaladoc states ("probing
     * is label-blind, so a selective filter concentrated in unprobed
@@ -584,6 +606,7 @@ object Similarity {
     "ann_ivf_sq_trained" -> (annIvfSqTrained _),
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
+    "ann_recall_nprobe" -> (annRecallNprobe _),
     "ann_recall_trained" -> (annRecallTrained _),
     "retrieve_mmr" -> (retrieveMmr _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
@@ -985,6 +1008,52 @@ object Similarity {
          |  SELECT 'knn_lsh' AS algo,
          |    (SELECT count(*) FROM lshk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
+    // nprobe sweep replay: the coarse-Lloyd ladder and the per-query
+    // cell ranking ONCE, then four nested rn-cuts share the same
+    // assignment — the candidate sets nest exactly as the Spark side's
+    // take(nprobe) does.
+    "ann_recall_nprobe" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |tassign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |pall AS (
+         |  SELECT q.query_id, q.qv, c.cent_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |  FROM q CROSS JOIN c2 c),
+         |${Seq(1, 2, 4, 8).map { np =>
+            s"""cand_$np AS (
+               |  SELECT p.query_id, a.vec_id,
+               |         ${duckDot("a.embedding", "p.qv")} AS sim
+               |  FROM tassign a JOIN pall p
+               |    ON a.cent_id = p.cent_id AND p.rn <= $np),
+               |${topKIdsCte(s"cand_$np", s"k_$np")}""".stripMargin
+          }.mkString(",\n")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |${Seq(1, 2, 4, 8).map { np =>
+            s"""  SELECT 'nprobe_$np' AS algo,
+               |    (SELECT count(*) FROM k_$np a JOIN xk x
+               |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
+          }.mkString("\n  UNION ALL\n")})
          |ORDER BY algo""".stripMargin,
     // Trained-cell recall: the coarse-Lloyd ladder once, then the
     // float-scoring ceiling (ann_ivf_trained), the raw-PQ-trained scan,

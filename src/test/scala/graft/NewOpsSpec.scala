@@ -195,6 +195,21 @@ class NewOpsSpec extends SparkSpec {
     assert(a == b && a.size == 50)
   }
 
+  test("nprobe recall curve is monotone and full probe is exact") {
+    val rows = Similarity.annRecallNprobe(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("nprobe_1", "nprobe_2", "nprobe_4", "nprobe_8"))
+    // probe sets nest → candidate sets nest → an exact-top-k member
+    // among the candidates always makes the top-k, so hits are monotone
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._2
+      case _ => true
+    }, rows.mkString(", "))
+    // nprobe=8 probes every cell: float scoring over all rows IS exact
+    assert(rows.last._2 == rows.last._3, rows.last.toString)
+  }
+
   test("residual encoding never loses recall vs raw-vector IVF-PQ") {
     // same coarse cells, same probes, same bytes per row — the residual
     // layout's PQ error applies only to the within-cell remainder, so
