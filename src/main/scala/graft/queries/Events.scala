@@ -252,7 +252,36 @@ object Events {
       .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
+  /** Cohort retention — the classic product-analytics matrix a query
+    * engine over an events stream must express: each user's cohort is
+    * their first ISO week, and cell (cohort, offset) counts the
+    * distinct cohort members active `offset` weeks later. Both engines
+    * truncate weeks to Monday, so day-difference ÷ 7 is an exact
+    * integer; the output is (DATE, INT, BIGINT) — hash-exact.
+    *
+    * Scale shape: one (user, week) distinct, one per-user min, and one
+    * co-partitioned equi-join on user_id — all three exchanges hash on
+    * the user key, none on the raw event rows' count; at 100 TB the
+    * cohort frame is users-sized and the join never broadcasts the
+    * fact side. No window functions — the per-user min is a hash
+    * aggregate, not a sort.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cohorts = wk.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    wk.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
     "events_hourly" -> (eventsHourly _),
@@ -324,6 +353,18 @@ object Events {
          |  $cols
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin
     },
+    "events_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, min(week) AS cohort FROM wk GROUP BY 1)
+        |SELECT c.cohort,
+        |  CAST(date_diff('day', c.cohort, w.week) / 7 AS INTEGER) AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM wk w JOIN coh c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
         |  count(*) AS n,
