@@ -207,6 +207,42 @@ object Streams {
       }
   }
 
+  case class CohortState(firstWeekDay: Long)
+  case class CohortUpdate(user_id: Long, cohort: String, changed: Boolean)
+
+  /** Monday (ISO week start) of the UTC day containing `epochMs`, as an
+    * epoch day — the streaming twin of the batch side's
+    * `date_trunc("week", ts)` under the pinned UTC session timezone. */
+  private[graft] def mondayEpochDay(epochMs: Long): Long =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(epochMs, 86400000L))
+      .`with`(java.time.temporal.TemporalAdjusters
+        .previousOrSame(java.time.DayOfWeek.MONDAY))
+      .toEpochDay
+
+  /** Streaming cohort assignment — `events_retention`'s per-user first
+    * ISO week as keyed streaming state. Exact streaming retention needs
+    * each user's full history; first-seen is a MIN — commutative and
+    * idempotent — so ONE LONG of state per user reproduces the batch
+    * cohort after any micro-batch split (ExtensionsSpec asserts the
+    * equality against the batch query's cohort frame). Emits
+    * (user, cohort ISO date, changed) per touched user per micro-batch;
+    * the retention matrix itself is then a stateless aggregation of
+    * events joined to this slowly-changing cohort output.
+    */
+  def cohortStream(events: Dataset[Event]): Dataset[CohortUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[CohortState, CohortUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[CohortState]) =>
+          val minDay = batch.map(e => mondayEpochDay(e.ts.getTime)).min
+          val prev = state.getOption
+          val day = prev.map(p => math.min(p.firstWeekDay, minDay)).getOrElse(minDay)
+          state.update(CohortState(day))
+          CohortUpdate(uid, java.time.LocalDate.ofEpochDay(day).toString,
+            changed = prev.forall(_.firstWeekDay != day))
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)

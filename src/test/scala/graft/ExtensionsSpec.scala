@@ -446,6 +446,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streaming cohort assignment equals the batch retention cohorts") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-coh").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(tmp)
+    val q = Streams.cohortStream(spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(tmp).as[Streams.Event])
+      .writeStream.format("memory").queryName("cohstream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // first-seen is a min — monotone across updates, so the smallest
+    // emitted cohort per user is the final state; it must equal the
+    // batch query's date_trunc('week')-based cohort exactly
+    val streamed = spark.table("cohstream")
+      .groupBy("user_id").agg(min(col("cohort")).as("cohort"))
+      .as[(Long, String)].collect().toMap
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .groupBy("user_id").agg(min(col("week")).as("c"))
+      .select(col("user_id"), date_format(col("c"), "yyyy-MM-dd").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch, s"streamed cohorts differ from batch")
+  }
+
   test("stateful sessionization closes sessions across the gap") {
     val in = java.nio.file.Files.createTempDirectory("stream-se").toString
     Seq(
