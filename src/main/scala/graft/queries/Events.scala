@@ -280,7 +280,38 @@ object Events {
       .orderBy(col("cohort"), col("week_offset"))
   }
 
+  /** Funnel analysis — ordered step conversion, the other classic
+    * product-analytics query beside [[eventsRetention]]: of the users
+    * who signed up, how many later clicked, and of those, how many
+    * later purchased (strictly increasing timestamps). Step k's frame
+    * is `min ts of step-k events after the user's step-(k−1) time` — a
+    * filter + hash aggregate + equi-join chain, never a per-user
+    * ordered sequence scan: no window function, no sort, and each
+    * join's right side is the shrinking survivor set of the previous
+    * step (users-sized at worst, broadcastable in practice). Output
+    * (step INT, event_type, n_users) — hash-exact.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.select(lit(1).as("step"), lit("signup").as("event_type"))
+      .unionAll(s2.select(lit(2).as("step"), lit("click").as("event_type")))
+      .unionAll(s3.select(lit(3).as("step"), lit("purchase").as("event_type")))
+      .groupBy(col("step"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("step"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "events_retention" -> (eventsRetention _),
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
@@ -353,6 +384,25 @@ object Events {
          |  $cols
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin
     },
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |  GROUP BY 1)
+        |SELECT step, event_type, n_users FROM (
+        |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
     "events_retention" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id,
