@@ -59,4 +59,87 @@ class BenchRecordSpec extends AnyFunSuite {
     assert((m2 & m3).isEmpty)
     assert(m2 ++ m3 === s.zipWithIndex.collect { case (c, i) if c != '1' => i }.toSet)
   }
+
+  // ---- chooseFinalLine ladder (round-10 failure: ladder fell through
+  // every rung and shipped "queries":{} — no per-query trend at all) ----
+
+  /** Realistic mkRecord: mirrors main's finalRecord field layout and
+    * telemetry lengths (lean ~90 chars, full ~130) so the spec exercises
+    * the same character budget the driver sees.
+    */
+  private def mkRecord(fmt: Double => String, prov: String, qs: String,
+      lean: Boolean): String = {
+    val tele =
+      if (lean) """"pass1_total":152.3,"pass2_total":231.8,"pass3_total":78.7,"load_avg":[9.6,11.9]"""
+      else """"pass1_total":152.312,"pass2_total":231.841,"pass3_total":78.702,"gc_ms":48231,"codegen_compiles":412,"load_avg":[9.61,11.92]"""
+    s"""{"metric":"total","value":462.855,"unit":"sec",$tele,$prov"queries":$qs,"sf":"sf0.1"}"""
+  }
+
+  private def syntheticResults(n: Int, time: Int => Double): Seq[(String, Double)] =
+    (0 until n).map(i => f"q${i}%03d_some_query_name" -> time(i))
+
+  private def queriesMap(line: String): Map[String, Double] = {
+    val qs = line.split("\"queries\":", 2)(1)
+    val body = qs.substring(1, qs.indexOf('}'))
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":", 2)
+      k.drop(1).dropRight(1) -> v.toDouble
+    }.toMap
+  }
+
+  test("round-10 regression: 101 queries all >= 2s still yields per-query entries") {
+    // All slower than the 0.2/0.5/1/2 floors (all kept -> overflow) and
+    // all below the 5s floor (none kept -> empty): exactly the gap the
+    // round-10 single-rung floor fell through. The adaptive rung must
+    // keep the slowest K that fit.
+    val rs = syntheticResults(101, i => 2.0 + (i % 30) * 0.1)
+    val prov = s""""min_pass2_hex":"${"a5" * 13}","min_pass3_hex":"${"5a" * 13}","""
+    val line = Bench.chooseFinalLine(rs, mkRecord, """"min_pass":"123",""", prov,
+      """"min_pass_wins":[18,34,49],""")
+    assert(line.length <= 1900, s"guard: ${line.length}")
+    val qs = queriesMap(line)
+    assert(qs.nonEmpty, "per-query map must never be empty")
+    // absence must read as "< floor": every kept entry >= queries_floor,
+    // and kept + omitted covers all queries
+    val floor = line.split("\"queries_floor\":", 2)(1).split(",")(0).toDouble
+    assert(qs.values.forall(_ >= floor))
+    val omitted = line.split("\"queries_omitted\":", 2)(1).split(",|\\}")(0).toInt
+    assert(qs.size + omitted === rs.size)
+    // the kept set is the SLOWEST K — no faster query displaced a slower one
+    val keptMin = qs.values.min
+    val droppedMax = rs.filterNot(r => qs.contains(r._1)).map(_._2).max
+    assert(droppedMax <= keptMin)
+  }
+
+  test("small result sets still take the full-precision rung") {
+    val rs = syntheticResults(8, i => 0.5 + i * 0.25)
+    val line = Bench.chooseFinalLine(rs, mkRecord, """"min_pass":"11111111",""",
+      """"min_pass2_hex":"00","""", """"min_pass_wins":[8,0],""")
+    assert(line.contains("\"min_pass\":"))
+    assert(queriesMap(line).size === 8)
+  }
+
+  test("fixed floor rungs fire before the adaptive rung when they fit") {
+    // 101 queries, 6 slow (>= 1s), the rest fast (~0.05s): the 0.2s floor
+    // rung fits and must win (queries_floor is one of the fixed rungs).
+    val rs = syntheticResults(101, i => if (i < 6) 1.5 + i else 0.05)
+    val prov = s""""min_pass2_hex":"${"a5" * 13}","""
+    val line = Bench.chooseFinalLine(rs, mkRecord,
+      s""""min_pass":"${"1" * 101}",""", prov, """"min_pass_wins":[101,0],""")
+    assert(line.length <= 1900)
+    val qs = queriesMap(line)
+    if (line.contains("\"queries_floor\":")) {
+      val floor = line.split("\"queries_floor\":", 2)(1).split(",")(0).toDouble
+      assert(Set(0.2, 0.5, 1.0, 2.0, 5.0).contains(floor), s"fixed rung, got $floor")
+      assert(qs.size >= 6)
+    } else assert(qs.size === 101) // an even earlier (full-map) rung fit
+  }
+
+  test("pathological guard still parses (backstop)") {
+    val rs = syntheticResults(101, _ => 3.0)
+    val line = Bench.chooseFinalLine(rs, mkRecord, """"min_pass":"1",""",
+      """"min_pass2_hex":"0","""", """"min_pass_wins":[101],""", guard = 10)
+    assert(line.contains("\"queries\":{}"))
+  }
 }
