@@ -140,7 +140,16 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Embedding near-dup: top-20 most-similar pairs by cosine. */
+  /** Embedding near-dup: top-20 most-similar pairs by cosine.
+    *
+    * ORACLE BASELINE ONLY — this is a deliberate n² crossJoin, kept
+    * exact so [[dedupEmbeddingLsh]] and [[dedupRecall]] have a
+    * ground-truth side to measure against on the ≤500-row fixtures. At
+    * scale it is a scale-killer by construction (10⁵ rows → 10¹⁰
+    * pairs); the at-scale path is the bucketed LSH twin
+    * [[dedupEmbeddingLsh]], whose cost is Σ bucket² and whose recall
+    * vs this baseline is hash-checked every round by `dedup_recall`.
+    */
   def dedupEmbeddingTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val a = e.select(col("vec_id").as("a"), col("embedding").as("va"))
@@ -199,8 +208,27 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** Recall of the bucketed LSH near-dup path against the exact n²
+    * baseline, as a hash-checked oracle row instead of a spec-only
+    * assertion: hits = |lsh_top20 ∩ exact_top20|, n = 20. The reference
+    * contract is Qdrant-exactness (`src/vector_db.py:93-119` — its
+    * store never approximates at demo scale), so the LSH twin's recall
+    * is the number a migrating user needs, measured every round on the
+    * regenerated corpus. Same deterministic join-and-count shape as
+    * `ann_recall` (Similarity.scala).
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = dedupEmbeddingTopk(spark, dir).select(col("a"), col("b"))
+    dedupEmbeddingLsh(spark, dir).select(col("a"), col("b"))
+      .join(exact, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("dedup_embedding_lsh").as("algo"), col("hits"),
+        lit(20L).as("n"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_recall" -> (dedupRecall _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -285,6 +313,44 @@ object DedupQueries {
        |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id
        |  JOIN bcnt c ON p.band = c.band AND p.bkey = c.bkey
        |  WHERE c.n <= ${Dedup.DefaultMaxBucket})""".stripMargin
+
+  private def duckEmbDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), " +
+      s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+
+  // Hyperplane-LSH candidate pairs + exact re-rank sims, as a WITH-body
+  // fragment ending in `sims(a, b, sim)` — shared by the
+  // dedup_embedding_lsh oracle and the dedup_recall composition.
+  // Embedding hazard: this fragment is spliced into templates that call
+  // .stripMargin AGAIN, so no line here may begin (after indent) with
+  // '|' — a leading '||' concat would lose its first pipe char.
+  private val duckEmbLshSims: String =
+    s"""hp AS (
+       |  SELECT t.t, j.j, i.i,
+       |    CASE WHEN strpos('02468ace',
+       |           substr(md5(CAST(t.t AS VARCHAR) || '|' ||
+       |                      CAST(j.j AS VARCHAR) || '|' ||
+       |                      CAST(i.i AS VARCHAR)), 2, 1)) > 0
+       |         THEN 1.0 ELSE -1.0 END AS v
+       |  FROM range(8) t(t), range(8) j(j), range(64) i(i)),
+       |hpl AS (SELECT t, j, list(v ORDER BY i) AS hv FROM hp GROUP BY t, j),
+       |isig AS (
+       |  SELECT e.vec_id, h.t,
+       |    sum(CASE WHEN ${duckEmbDot("e.embedding", "h.hv")} > 0
+       |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
+       |  FROM embeddings e CROSS JOIN hpl h GROUP BY 1, 2),
+       |bcnt AS (SELECT t, sig, count(*) AS n FROM isig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM isig x JOIN isig y ON x.t = y.t AND x.sig = y.sig
+       |    AND x.vec_id < y.vec_id
+       |  JOIN bcnt c ON x.t = c.t AND x.sig = c.sig
+       |  WHERE c.n <= ${Dedup.DefaultMaxBucket}),
+       |sims AS (
+       |  SELECT c.a, c.b, ${duckEmbDot("ea.embedding", "eb.embedding")} AS sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON c.a = ea.vec_id
+       |  JOIN embeddings eb ON c.b = eb.vec_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // SemDeDup replay: the ann_ivf_trained Lloyd ladder (8 cells, 2
@@ -383,47 +449,35 @@ object DedupQueries {
     // Same hyperplane family as knn_lsh: component i of (table t, bit j)
     // is +1 iff the first byte of md5("t|j|i") is even (second hex digit
     // even — Ann.hyperplane uses (d(0) & 1) == 0).
-    "dedup_embedding_lsh" -> {
-      def dot(a: String, b: String): String =
-        s"list_aggregate(list_transform(list_zip($a, $b), " +
-          s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
-      s"""WITH hp AS (
-         |  SELECT t.t, j.j, i.i,
-         |    CASE WHEN strpos('02468ace',
-         |           substr(md5(CAST(t.t AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)
-         |                      || '|' || CAST(i.i AS VARCHAR)), 2, 1)) > 0
-         |         THEN 1.0 ELSE -1.0 END AS v
-         |  FROM range(8) t(t), range(8) j(j), range(64) i(i)),
-         |hpl AS (SELECT t, j, list(v ORDER BY i) AS hv FROM hp GROUP BY t, j),
-         |isig AS (
-         |  SELECT e.vec_id, h.t,
-         |    sum(CASE WHEN ${dot("e.embedding", "h.hv")} > 0
-         |             THEN 1 << CAST(h.j AS INTEGER) ELSE 0 END) AS sig
-         |  FROM embeddings e CROSS JOIN hpl h GROUP BY 1, 2),
-         |bcnt AS (SELECT t, sig, count(*) AS n FROM isig GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-         |  FROM isig x JOIN isig y ON x.t = y.t AND x.sig = y.sig
-         |    AND x.vec_id < y.vec_id
-         |  JOIN bcnt c ON x.t = c.t AND x.sig = c.sig
-         |  WHERE c.n <= ${Dedup.DefaultMaxBucket}),
-         |sims AS (
-         |  SELECT c.a, c.b, ${dot("ea.embedding", "eb.embedding")} AS sim
-         |  FROM cand c
-         |  JOIN embeddings ea ON c.a = ea.vec_id
-         |  JOIN embeddings eb ON c.b = eb.vec_id)
+    "dedup_embedding_lsh" ->
+      s"""WITH $duckEmbLshSims
          |SELECT a, b, round(sim, 4) AS sim FROM sims
-         |ORDER BY sim DESC, a ASC, b ASC LIMIT 20""".stripMargin
-    },
+         |ORDER BY sim DESC, a ASC, b ASC LIMIT 20""".stripMargin,
     "dedup_embedding_topk" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-        |  round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
-        |FROM embeddings a CROSS JOIN embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |ORDER BY list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') DESC,
-        |  a.vec_id ASC, b.vec_id ASC
-        |LIMIT 20""".stripMargin,
+      s"""SELECT a.vec_id AS a, b.vec_id AS b,
+         |  round(${duckEmbDot("a.embedding", "b.embedding")}, 4) AS sim
+         |FROM embeddings a CROSS JOIN embeddings b
+         |WHERE a.vec_id < b.vec_id
+         |ORDER BY ${duckEmbDot("a.embedding", "b.embedding")} DESC,
+         |  a.vec_id ASC, b.vec_id ASC
+         |LIMIT 20""".stripMargin,
+    // Both sides of the intersection are already hash-proven engine-
+    // identical by their own oracles, so the count is too — the same
+    // composition argument ann_recall_filtered documents.
+    "dedup_recall" ->
+      s"""WITH $duckEmbLshSims,
+         |lsh20 AS (
+         |  SELECT a, b FROM sims
+         |  ORDER BY sim DESC, a ASC, b ASC LIMIT 20),
+         |exact20 AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM embeddings a CROSS JOIN embeddings b
+         |  WHERE a.vec_id < b.vec_id
+         |  ORDER BY ${duckEmbDot("a.embedding", "b.embedding")} DESC,
+         |    a.vec_id ASC, b.vec_id ASC
+         |  LIMIT 20)
+         |SELECT 'dedup_embedding_lsh' AS algo, count(*) AS hits,
+         |  CAST(20 AS BIGINT) AS n
+         |FROM lsh20 JOIN exact20 USING (a, b)""".stripMargin,
   )
 }
