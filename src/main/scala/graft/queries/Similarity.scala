@@ -402,6 +402,34 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("algo"))
   }
 
+  /** Recall@k of the PRODUCTION-SHAPED index (residual IVF-PQ, both
+    * quantizers trained — `ann_ivf_pq_residual_trained`'s exact
+    * configuration) as nprobe sweeps 1 → 8: the same operational
+    * tuning curve [[annRecallNprobe]] measures for the float-scored
+    * IVF, but for the index a deployment actually ships, where the
+    * within-cell scorer is residual ADC over codes. Unlike the float
+    * curve, nprobe=8 is NOT exact (ADC error remains at full probe)
+    * and monotonicity is expected-not-guaranteed (a widened candidate
+    * set adds ADC scores that can displace a true top-k member whose
+    * own ADC score ranks below a new false positive) — the spec
+    * asserts the curve with that slack; the oracle hashes the exact
+    * per-corpus values.
+    */
+  def annRecallNprobeResidual(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.trainCentroids(emb, k = 8, iters = 2)
+    val res = Ann.residuals(emb, cents)
+    val cw = Ann.trainPqCodebooks(res, m = 8, numCodes = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    Seq(1, 2, 4, 8).map { np =>
+      recallOf(s"nprobe_$np",
+        Ann.ivfPqResidualTopKWith(emb, queries, cents, K, np, 8, cw))
+    }.reduce(_ unionAll _).orderBy(col("algo"))
+  }
+
   /** Recall of the filtered-ANN composition against exact filtered
     * search — the caveat `ivfTopKFiltered`'s scaladoc states ("probing
     * is label-blind, so a selective filter concentrated in unprobed
@@ -564,9 +592,11 @@ object Similarity {
   /** One Lloyd iteration as DuckDB CTEs: assign every vector to its
     * argmax-dot cell (ties to the lowest cent_id, mirroring the strict
     * `>` scan in Ann.trainCentroids), average each cell componentwise,
-    * round the mean to float32 exactly as the aggregator's
-    * `(sum / count).toFloat`, and keep the previous centroid for empty
-    * cells. `prev`/`next` name the codebook CTEs being chained.
+    * snap the mean to the shared 10⁻⁶ grid (floor(x·10⁶ + 0.5)/10⁶ —
+    * exactly Ann.roundMean, which retires the cross-engine ulp-drift
+    * argmin-flip class: see its scaladoc) before the float32 cast, and
+    * keep the previous centroid for empty cells. `prev`/`next` name
+    * the codebook CTEs being chained.
     */
   private[queries] def lloydIter(prev: String, next: String): String =
     s"""a_$next AS (
@@ -577,7 +607,8 @@ object Similarity {
        |    FROM embeddings e CROSS JOIN $prev c) WHERE rn = 1),
        |m_$next AS (
        |  SELECT a.cent_id, i.i AS idx,
-       |    CAST(avg(CAST(a.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)) AS FLOAT) AS m
+       |    CAST(floor(avg(CAST(a.embedding[CAST(i.i AS INTEGER)] AS DOUBLE))
+       |               * 1e6 + 0.5) / 1e6 AS FLOAT) AS m
        |  FROM a_$next a, range(1, 65) i(i) GROUP BY a.cent_id, i.i),
        |$next AS (
        |  SELECT c.cent_id, coalesce(mm.cv, c.cvec) AS cvec
@@ -607,6 +638,7 @@ object Similarity {
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
     "ann_recall_nprobe" -> (annRecallNprobe _),
+    "ann_recall_nprobe_residual" -> (annRecallNprobeResidual _),
     "ann_recall_trained" -> (annRecallTrained _),
     "retrieve_mmr" -> (retrieveMmr _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
@@ -680,8 +712,9 @@ object Similarity {
 
   /** One per-subspace Lloyd iteration as CTEs: assign every (vector,
     * subspace) to its L2-argmin codeword of `prev` (ties to the lowest
-    * code), average each (subspace, code) cell componentwise, round the
-    * mean to float32 exactly as the trainer's `(sum / count).toFloat`,
+    * code), average each (subspace, code) cell componentwise, snap the
+    * mean to the shared 10⁻⁶ grid (floor(x·10⁶ + 0.5)/10⁶ — exactly
+    * Ann.roundMean) before the float32 cast,
     * keep the previous codeword for empty cells. Requires a CTE named
     * `svCte` with columns (vec_id, j, 8-float subvector `sv`) — raw
     * subvectors for the plain trained paths, residual subvectors for
@@ -697,7 +730,8 @@ object Similarity {
        |    FROM $svCte v JOIN $prev s ON v.j = s.j) WHERE rn = 1),
        |m_$next AS (
        |  SELECT a.j, a.code, d.d AS d,
-       |    CAST(avg(CAST(v.sv[CAST(d.d AS INTEGER)] AS DOUBLE)) AS FLOAT)
+       |    CAST(floor(avg(CAST(v.sv[CAST(d.d AS INTEGER)] AS DOUBLE))
+       |               * 1e6 + 0.5) / 1e6 AS FLOAT)
        |      AS mval
        |  FROM a_$next a JOIN $svCte v ON a.vec_id = v.vec_id AND a.j = v.j,
        |       range(1, 9) d(d)
@@ -708,6 +742,95 @@ object Similarity {
        |    SELECT j, code, list(mval ORDER BY d) AS cw
        |    FROM m_$next GROUP BY 1, 2) mm
        |    ON p.j = mm.j AND p.code = mm.code)""".stripMargin
+
+  /** Residual-trained IVF-PQ replay base (the `IndexIVFPQ` training
+    * chain): coarse Lloyd ladder → trained assignment → float32
+    * residuals → residual-seeded subspace Lloyd ladder → L2-argmin
+    * encode → per-query LUT → query×cell coarse-dot table. Everything
+    * nprobe-INDEPENDENT, ending at `qc(query_id, cent_id, qc)`; the
+    * probe/score tail is [[duckResidualScore]]. Shared by the
+    * `ann_ivf_pq_residual_trained` replay and the
+    * `ann_recall_nprobe_residual` sweep (which reuses the base across
+    * four tails). Spliced into stripMargin templates — no line here
+    * may begin (after indent) with '|'.
+    */
+  private def duckResidualTrainedBase: String =
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+       |           AS cent_id,
+       |         cvec
+       |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+       |               embedding AS cvec
+       |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+       |${lloydIter("c0", "c1")},
+       |${lloydIter("c1", "c2")},
+       |$pqQCte,
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+       |rres AS (
+       |  SELECT e.vec_id, a.cent_id,
+       |    list_transform(list_zip(e.embedding, c.cvec),
+       |      p -> CAST(p[1] AS FLOAT) - CAST(p[2] AS FLOAT)) AS rvec
+       |  FROM embeddings e
+       |  JOIN assign a ON e.vec_id = a.vec_id
+       |  JOIN c2 c ON a.cent_id = c.cent_id),
+       |rcb0f AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER)
+       |           AS code, rvec AS cvec
+       |  FROM (SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS r, vec_id, rvec
+       |        FROM rres ORDER BY r, vec_id LIMIT 16)),
+       |rcb0 AS (
+       |  SELECT rcb0f.code, j.j AS j, ${duckSub("rcb0f.cvec", "j.j")} AS cw
+       |  FROM rcb0f, range(8) j(j)),
+       |sv AS (
+       |  SELECT r.vec_id, j.j AS j, ${duckSub("r.rvec", "j.j")} AS sv
+       |  FROM rres r, range(8) j(j)),
+       |${pqTrainIter("rcb0", "rcb1")},
+       |${pqTrainIter("rcb1", "rcb2")},
+       |renc AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT r.vec_id, s.j, s.code,
+       |      row_number() OVER (PARTITION BY r.vec_id, s.j
+       |        ORDER BY ${duckL2sq(duckSub("r.rvec", "s.j"), "s.cw")} ASC, s.code ASC) AS rn
+       |    FROM rres r CROSS JOIN rcb2 s) WHERE rn = 1),
+       |rlut AS (
+       |  SELECT q.query_id, s.j, s.code,
+       |    list_aggregate(list_transform(
+       |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
+       |  FROM q CROSS JOIN rcb2 s),
+       |qc AS (
+       |  SELECT q.query_id, c.cent_id, ${duckDot("q.qv", "c.cvec")} AS qc
+       |  FROM q CROSS JOIN c2 c)""".stripMargin
+
+  /** Probe/score tail over [[duckResidualTrainedBase]] at a given
+    * nprobe, CTE names suffixed `_$sfx`: probes → ADC sum → `+ exact
+    * coarse term`, ending at `score_$sfx(query_id, vec_id, sim)`. */
+  private def duckResidualScore(np: Int, sfx: String): String =
+    s"""probes_$sfx AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT query_id, cent_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY qc DESC, cent_id ASC) AS rn
+       |    FROM qc) WHERE rn <= $np),
+       |adc_$sfx AS (
+       |  SELECT l.query_id, en.vec_id,
+       |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS adc
+       |  FROM renc en
+       |  JOIN assign a ON en.vec_id = a.vec_id
+       |  JOIN probes_$sfx p ON a.cent_id = p.cent_id
+       |  JOIN rlut l ON l.query_id = p.query_id
+       |    AND en.j = l.j AND en.code = l.code
+       |  GROUP BY 1, 2),
+       |score_$sfx AS (
+       |  SELECT d.query_id, d.vec_id, d.adc + qc.qc AS sim
+       |  FROM adc_$sfx d
+       |  JOIN assign a ON d.vec_id = a.vec_id
+       |  JOIN qc ON qc.query_id = d.query_id AND qc.cent_id = a.cent_id)""".stripMargin
 
   /** Top-K (id-only) ranking CTE over a (query_id, vec_id, sim) CTE —
     * the shared tail of every path replay (sim desc, vec_id asc ties). */
@@ -1271,84 +1394,37 @@ object Similarity {
     // (2 iters) seeded from md5-sampled residuals → cell-restricted
     // ADC scan + exact coarse term. Rank-only compare.
     "ann_ivf_pq_residual_trained" ->
-      s"""WITH c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
-         |           AS cent_id,
-         |         cvec
-         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
-         |               embedding AS cvec
-         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
-         |${lloydIter("c0", "c1")},
-         |${lloydIter("c1", "c2")},
-         |$pqQCte,
-         |assign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT e.vec_id, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
-         |rres AS (
-         |  SELECT e.vec_id, a.cent_id,
-         |    list_transform(list_zip(e.embedding, c.cvec),
-         |      p -> CAST(p[1] AS FLOAT) - CAST(p[2] AS FLOAT)) AS rvec
-         |  FROM embeddings e
-         |  JOIN assign a ON e.vec_id = a.vec_id
-         |  JOIN c2 c ON a.cent_id = c.cent_id),
-         |rcb0f AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS INTEGER)
-         |           AS code, rvec AS cvec
-         |  FROM (SELECT md5('pq|' || CAST(vec_id AS VARCHAR)) AS r, vec_id, rvec
-         |        FROM rres ORDER BY r, vec_id LIMIT 16)),
-         |rcb0 AS (
-         |  SELECT rcb0f.code, j.j AS j, ${duckSub("rcb0f.cvec", "j.j")} AS cw
-         |  FROM rcb0f, range(8) j(j)),
-         |sv AS (
-         |  SELECT r.vec_id, j.j AS j, ${duckSub("r.rvec", "j.j")} AS sv
-         |  FROM rres r, range(8) j(j)),
-         |${pqTrainIter("rcb0", "rcb1")},
-         |${pqTrainIter("rcb1", "rcb2")},
-         |renc AS (
-         |  SELECT vec_id, j, code FROM (
-         |    SELECT r.vec_id, s.j, s.code,
-         |      row_number() OVER (PARTITION BY r.vec_id, s.j
-         |        ORDER BY ${duckL2sq(duckSub("r.rvec", "s.j"), "s.cw")} ASC, s.code ASC) AS rn
-         |    FROM rres r CROSS JOIN rcb2 s) WHERE rn = 1),
-         |rlut AS (
-         |  SELECT q.query_id, s.j, s.code,
-         |    list_aggregate(list_transform(
-         |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
-         |  FROM q CROSS JOIN rcb2 s),
-         |qc AS (
-         |  SELECT q.query_id, c.cent_id, ${duckDot("q.qv", "c.cvec")} AS qc
-         |  FROM q CROSS JOIN c2 c),
-         |probes AS (
-         |  SELECT query_id, cent_id FROM (
-         |    SELECT query_id, cent_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY qc DESC, cent_id ASC) AS rn
-         |    FROM qc) WHERE rn <= 4),
-         |adc AS (
-         |  SELECT l.query_id, en.vec_id,
-         |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS adc
-         |  FROM renc en
-         |  JOIN assign a ON en.vec_id = a.vec_id
-         |  JOIN probes p ON a.cent_id = p.cent_id
-         |  JOIN rlut l ON l.query_id = p.query_id
-         |    AND en.j = l.j AND en.code = l.code
-         |  GROUP BY 1, 2),
-         |score AS (
-         |  SELECT d.query_id, d.vec_id, d.adc + qc.qc AS sim
-         |  FROM adc d
-         |  JOIN assign a ON d.vec_id = a.vec_id
-         |  JOIN qc ON qc.query_id = d.query_id AND qc.cent_id = a.cent_id),
+      s"""WITH $duckResidualTrainedBase,
+         |${duckResidualScore(4, "t")},
          |ranked AS (
          |  SELECT query_id, vec_id,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
-         |  FROM score)
+         |  FROM score_t)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // nprobe sweep of the production-shaped index: the residual-trained
+    // base (coarse ladder, residual codebook ladder, encode, LUT,
+    // coarse-dot table) ONCE, then four probe/score tails share it —
+    // probe sets nest exactly as the Spark side's take(nprobe).
+    "ann_recall_nprobe_residual" ->
+      s"""WITH $duckResidualTrainedBase,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |${Seq(1, 2, 4, 8).map { np =>
+            duckResidualScore(np, np.toString) + ",\n" +
+              topKIdsCte(s"score_$np", s"k_$np")
+          }.mkString(",\n")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |${Seq(1, 2, 4, 8).map { np =>
+            s"""  SELECT 'nprobe_$np' AS algo,
+               |    (SELECT count(*) FROM k_$np a JOIN xk x
+               |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
+          }.mkString("\n  UNION ALL\n")})
+         |ORDER BY algo""".stripMargin,
     // Residual IVF-PQ replay: assignment → float32 residual
     // subtraction → residual-codebook sampling → L2-argmin encode →
     // ADC sum + exact coarse term. FLOAT−FLOAT in DuckDB is IEEE

@@ -242,6 +242,24 @@ object Ann {
     s
   }
 
+  /** Shared fixed-precision rounding for every trained mean (coarse
+    * centroids AND PQ codewords): snap the double mean to a 10⁻⁶ grid —
+    * floor(x·10⁶ + 0.5)/10⁶, half-up like the quantize127 convention,
+    * no engine-specific round() ties — BEFORE the float32 cast. The
+    * DuckDB oracle replay (Similarity.lloydIter / pqTrainIter) applies
+    * the identical expression, so a cross-engine mean drift of a few
+    * ulps (different double summation order in avg()) is erased unless
+    * it straddles a grid boundary — ~200× wider spacing than the float
+    * rounding boundaries the bare `.toFloat` cast exposed, which is
+    * what made a drift-flipped argmin/argmax assignment the one
+    * residual risk every `*_trained` oracle carried through round 10.
+    * Grid step 10⁻⁶ keeps ~20 significant bits for unit-norm
+    * components — far above the corpus's assignment margins
+    * (DegenerateInputsSpec pins stability under ±1ulp input drift).
+    */
+  private[graft] def roundMean(x: Double): Float =
+    (math.floor(x * 1e6 + 0.5) / 1e6).toFloat
+
   /** Element-wise mean of float vectors — the k-means update step as a
     * typed Aggregator, so the per-cell reduction partial-combines
     * map-side (one shuffle of k partial sums per partition, never the
@@ -266,7 +284,8 @@ object Ann {
         (a._1, a._2 + b._2)
       }
     override def finish(b: (Array[Double], Long)): Array[Float] =
-      if (b._2 == 0) Array.emptyFloatArray else b._1.map(x => (x / b._2).toFloat)
+      if (b._2 == 0) Array.emptyFloatArray
+      else b._1.map(x => roundMean(x / b._2))
     override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
     override def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
@@ -385,8 +404,9 @@ object Ann {
     * and partial-sums per (subspace, code) locally — only
     * m×numCodes×subDim doubles per partition move to the driver merge,
     * the index never shuffles. Empty cells keep their previous
-    * codeword; means round `(sum / count).toFloat` (the same
-    * convention as [[trainCentroids]] / the Lloyd-in-SQL oracle).
+    * codeword; means snap to the shared 10⁻⁶ grid via [[roundMean]]
+    * (the same convention as [[trainCentroids]] / the Lloyd-in-SQL
+    * oracle).
     */
   def trainPqCodebooks(index: DataFrame, m: Int, numCodes: Int, iters: Int,
       seed: String = "pq"): Array[Array[Array[Float]]] = {
@@ -442,7 +462,7 @@ object Ann {
       cw = Array.tabulate(mm, nc) { (j, c) =>
         val cnt = counts(j * nc + c)
         if (cnt == 0) cw(j)(c)
-        else Array.tabulate(sub)(d => (sums((j * nc + c) * sub + d) / cnt).toFloat)
+        else Array.tabulate(sub)(d => roundMean(sums((j * nc + c) * sub + d) / cnt))
       }
     }
     cw

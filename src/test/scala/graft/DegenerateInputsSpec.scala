@@ -106,6 +106,53 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(graft.queries.Bm25.bm25TopKOf(noDocs).count() == 0)
   }
 
+  test("trained means: summation-order / ±1ulp drift is erased by the 1e-6 grid") {
+    // The one residual risk every *_trained oracle carried: Spark and
+    // DuckDB average cell members in different orders, so the double
+    // means differ by ulps, and a bare double→float cast could round
+    // them to different floats — flipping a discrete argmin/argmax
+    // assignment. Ann.roundMean snaps means to a 1e-6 grid on BOTH
+    // sides first. This test constructs the real drift on the real
+    // corpus: assign fixture vectors to the trained centroids, average
+    // each cell in forward, reverse, and pairwise-merge order, perturb
+    // by ±1ulp on top, and requires every variant to land on the same
+    // grid point — hence bit-identical float32 centroids, hence stable
+    // assignments.
+    import graft.search.Ann
+    val dir = "/root/testdata/sf0.001"
+    val embDf = Tables.embeddings(spark, dir)
+    val cents = Ann.trainCentroids(embDf, k = 8, iters = 2)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val vecs = embDf.select(col("embedding")).as[Array[Float]].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val byCell = vecs.groupBy(v => cents.indices.maxBy(c => dot(v, cents(c))))
+    assert(byCell.size > 1, "degenerate clustering — corpus check")
+    var checked = 0
+    byCell.values.foreach { vs =>
+      val n = vs.length
+      for (d <- vs(0).indices) {
+        val fwd = vs.map(_(d).toDouble).sum / n
+        val rev = vs.reverse.map(_(d).toDouble).sum / n
+        // pairwise merge — the shape a map-side combine actually sums in
+        def pair(xs: Array[Double]): Double =
+          if (xs.length == 1) xs(0)
+          else pair(xs.grouped(2).map(_.sum).toArray)
+        val mrg = pair(vs.map(_(d).toDouble)) / n
+        val variants = Seq(fwd, rev, mrg).flatMap(x =>
+          Seq(x, Math.nextUp(x), Math.nextDown(x)))
+        val snapped = variants.map(Ann.roundMean).distinct
+        assert(snapped.size == 1,
+          s"grid did not erase drift at cell dim $d: $variants -> $snapped")
+        checked += 1
+      }
+    }
+    assert(checked >= 8 * 64 / 2, s"only $checked (cell,dim) pairs checked")
+  }
+
   test("corpus_filter pins empty-text flags: no NULL leaks into int columns") {
     // an empty document divides 0/0 in the stopword and digit ratios —
     // semantics are pinned (stop_ok 0, digit_ok 1), never engine-NULL/NaN

