@@ -55,7 +55,16 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(
             org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // A third generator vintage must fail LOUDLY, not load wrong
+        // values: e.g. millis stored as plain LONG would hit the
+        // LongType branch above and be misread as nanos ÷1000. Every
+        // known vintage is matched explicitly; anything else is a
+        // schema drift that needs a new branch here.
+        throw new IllegalStateException(
+          s"events.ts has unrecognized type $other — new fixture " +
+            "vintage? Add an explicit branch in Tables.events")
     }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

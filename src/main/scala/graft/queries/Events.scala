@@ -42,7 +42,14 @@ object Events {
   /** Sessionization: a session breaks after a >30-minute gap per user.
     * lag + cumulative-sum-of-flags, then per-user session stats.
     */
-  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Reference formulation of per-user sessionization: a window over
+    * user_id. CORRECT but skew-exposed — the window sorts ALL of a
+    * user's events in ONE task, so a power-law user at 100× data is a
+    * hot task by construction. Kept as the equality target for
+    * [[eventsSessionize]] (the registered, skew-hardened version) —
+    * SkewSpec proves the two identical on a 100:1 skewed fixture.
+    */
+  def eventsSessionizeWindow(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(spark, dir)
@@ -56,6 +63,65 @@ object Events {
       .agg(
         max(col("session_id")).as("n_sessions"),
         count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Skew-hardened sessionization — the registered `events_sessionize`.
+    *
+    * The window formulation above puts every event of a user into one
+    * task; a 100:1 heavy hitter makes that task the stage. This
+    * version bounds per-task work by the (user, DAY) cell instead:
+    *
+    *   1. bucket events by day (width ≫ the 30-min gap), collect and
+    *      sort each (user, day) cell's timestamps IN THE AGGREGATE
+    *      (sort_array∘collect_list — one cell per row, never a
+    *      per-user global sort), and count the cell's internal session
+    *      starts with a HOF scan over adjacent gaps;
+    *   2. stitch cells per user with a window over CELL SUMMARIES
+    *      (rows per user = active days, not events — the hot user
+    *      contributes ~366 summary rows, not 10⁹): the cell's first
+    *      event is a continuation, not a session start, when it is
+    *      within the gap of the previous cell's last event;
+    *   3. a decomposable groupBy(user) sums (starts − continuations)
+    *      and event counts — partial-aggregated map-side, so the hot
+    *      key's shuffle volume is per-mapper cells, not raw events.
+    *
+    * Semantics are identical to the window version (same gap, ties at
+    * equal ts irrelevant to gap tests); SkewSpec asserts equality on
+    * skewed and uniform fixtures, and the sf oracle hashes it each
+    * round. Memory: one day of ONE user's timestamps per aggregation
+    * buffer — at 1 event/sec that is 86 400 longs ≈ 700 KB, safe; a
+    * narrower bucket is the knob if a corpus ever beats that rate.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val bucketUs = 86400L * 1000000L
+    val cells = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("bucket", expr(s"us div ${bucketUs}L"))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(sort_array(collect_list(col("us"))).as("tss"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("bucket"), col("n_events"),
+        element_at(col("tss"), 1).as("first_us"),
+        element_at(col("tss"), -1).as("last_us"),
+        // session starts inside the cell, counting its first event
+        (lit(1) + when(size(col("tss")) > 1,
+          aggregate(
+            transform(sequence(lit(1), size(col("tss")) - 1),
+              i => (element_at(col("tss"), i + 1) -
+                element_at(col("tss"), i) > gapUs).cast("int")),
+            lit(0), (acc, x) => acc + x)).otherwise(lit(0))).as("starts"))
+    val byUserBucket = Window.partitionBy(col("user_id"))
+      .orderBy(col("bucket").asc)
+    cells
+      .withColumn("prev_last", lag(col("last_us"), 1).over(byUserBucket))
+      .withColumn("cont",
+        (col("prev_last").isNotNull &&
+          col("first_us") - col("prev_last") <= gapUs).cast("int"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("starts")) - sum(col("cont"))).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
   }
 
@@ -290,6 +356,12 @@ object Events {
     * join's right side is the shrinking survivor set of the previous
     * step (users-sized at worst, broadcastable in practice). Output
     * (step INT, event_type, n_users) — hash-exact.
+    *
+    * Every step emits its row UNCONDITIONALLY: each survivor set goes
+    * through a global count (one row even over empty input), matching
+    * the oracle's `SELECT k, 'type', count(*)` — a fixture vintage
+    * missing a step type must read as n_users=0, not as a missing row
+    * (a union-of-users-then-group formulation silently drops the row).
     */
   def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -302,11 +374,13 @@ object Events {
     val s3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id").filter(col("ts") > col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    s1.select(lit(1).as("step"), lit("signup").as("event_type"))
-      .unionAll(s2.select(lit(2).as("step"), lit("click").as("event_type")))
-      .unionAll(s3.select(lit(3).as("step"), lit("purchase").as("event_type")))
-      .groupBy(col("step"), col("event_type"))
-      .agg(count(lit(1)).as("n_users"))
+    def stepRow(df: DataFrame, step: Int, typ: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(typ).as("event_type"),
+          col("n_users"))
+    stepRow(s1, 1, "signup")
+      .unionAll(stepRow(s2, 2, "click"))
+      .unionAll(stepRow(s3, 3, "purchase"))
       .orderBy(col("step"))
   }
 
