@@ -228,6 +228,16 @@ object Streams {
     * (user, cohort ISO date, changed) per touched user per micro-batch;
     * the retention matrix itself is then a stateless aggregation of
     * events joined to this slowly-changing cohort output.
+    *
+    * FOREVER-STATE BY DESIGN (unlike [[sessionize]], where NoTimeout
+    * was a leak): a user's cohort is their first week EVER — evicting
+    * it would re-cohort a returning user into the wrong week, changing
+    * answers. State is one long per user, the minimum the semantics
+    * admit; at 100 TB / 10⁹ users that is ~8 GB of raw state, which is
+    * a RocksDB state-store deployment
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider) — off-heap, incrementally
+    * checkpointed — not the default in-memory HDFS-backed store.
     */
   def cohortStream(events: Dataset[Event]): Dataset[CohortUpdate] = {
     import events.sparkSession.implicits._
@@ -243,34 +253,64 @@ object Streams {
       }
   }
 
-  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+  /** Keyed sessionization with EVICTED state: a session closes after
+    * `gapSeconds` of event-time silence, enforced two ways. In-batch, a
+    * same-user event past the gap closes the previous session exactly
+    * as before; across batches, an event-time TIMER (per-key timeout at
+    * `last + gap`, clamped above the current watermark) fires once the
+    * watermark passes it, emits the open session as closed, and REMOVES
+    * the key's state — the `nearDupStream` pattern. Without the timer
+    * (round-10 shape: NoTimeout), per-user state grew forever and an
+    * idle user's last session never emitted its closed row — unbounded
+    * state at 100× and a correctness gap, not just a leak. `watermark`
+    * bounds how late a same-user event may arrive and still extend its
+    * session; beyond it the session has already closed.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val out = Seq.newBuilder[SessionUpdate]
-            var st = state.getOption.getOrElse {
-              val t = sorted.head.ts.getTime
-              SessionState(t, t, 0)
-            }
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              if (t - st.last > gapSeconds * 1000) {
-                out += SessionUpdate(userId, new Timestamp(st.start),
-                  new Timestamp(st.last), st.n, closed = true)
-                st = SessionState(t, t, 1)
-              } else {
-                st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: the open
+            // session is definitively closed; evict the key's state
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, closed = true))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[SessionUpdate]
+              var st = state.getOption.getOrElse {
+                val t = sorted.head.ts.getTime
+                SessionState(t, t, 0)
               }
+              for (e <- sorted) {
+                val t = e.ts.getTime
+                if (t - st.last > gapSeconds * 1000) {
+                  out += SessionUpdate(userId, new Timestamp(st.start),
+                    new Timestamp(st.last), st.n, closed = true)
+                  st = SessionState(t, t, 1)
+                } else {
+                  st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+                }
+              }
+              state.update(st)
+              // the timer must sit strictly above the current watermark
+              // or Spark rejects it — a session already older than the
+              // watermark fires at the next batch boundary instead
+              state.setTimeoutTimestamp(math.max(st.last + gapSeconds * 1000,
+                state.getCurrentWatermarkMs + 1))
+              out += SessionUpdate(userId, new Timestamp(st.start),
+                new Timestamp(st.last), st.n, closed = false)
+              out.result().iterator
             }
-            state.update(st)
-            out += SessionUpdate(userId, new Timestamp(st.start),
-              new Timestamp(st.last), st.n, closed = false)
-            out.result().iterator
           }
       }
   }

@@ -493,6 +493,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
   }
 
+  test("sessionize: idle user's session is closed by event-time timeout") {
+    // Round-10 gap: with NoTimeout an idle user's open session never
+    // emitted closed=true and its state lived forever. Three runs over
+    // one checkpoint drive the timer: run 1 opens user 1's session
+    // (events 00:00/00:05 → timer at 00:35); run 2's user-2 event at
+    // 01:00 advances the watermark to 00:50 (> timer) at batch end;
+    // run 3's batch then fires the timer and must emit user 1's
+    // session as CLOSED with its state evicted — no user-1 events ever
+    // arrived after 00:05.
+    val in = java.nio.file.Files.createTempDirectory("stream-sesto").toString
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$in/data/$name")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Streams.SessionUpdate]()
+    def run(): Unit = {
+      val q = Streams.sessionize(spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(s"$in/data/*").as[Streams.Event])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.SessionUpdate], _: Long) =>
+          df.collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", s"$in/ckpt")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    write("b1", Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "click", 1.0)))
+    run()
+    write("b2", Seq((3L, Timestamp.valueOf("2024-01-01 01:00:00"), 2L, "click", 1.0)))
+    run()
+    write("b3", Seq((4L, Timestamp.valueOf("2024-01-01 01:01:00"), 2L, "click", 1.0)))
+    run()
+    import scala.jdk.CollectionConverters._
+    val rows = buf.asScala.toSeq
+    val u1closed = rows.filter(r => r.user_id == 1L && r.closed)
+    assert(u1closed.nonEmpty, s"user 1's idle session never closed: $rows")
+    assert(u1closed.exists(_.n_events == 2L))
+  }
+
   test("windowed agg drops events older than the watermark across batches") {
     val in = java.nio.file.Files.createTempDirectory("stream-late").toString
     def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
