@@ -226,8 +226,33 @@ object DedupQueries {
         lit(20L).as("n"))
   }
 
+  /** Recall of the MinHash-LSH text-dedup path against the full
+    * pairwise ground truth — [[dedupRecall]]'s twin for the TEXT side:
+    * hits = |verified LSH pairs at jac ≥ 0.7|, n = |ALL pairs at true
+    * jac ≥ 0.7| (uncapped pairwise Jaccard — the oracle's
+    * ground-truth convention). n − hits counts exactly the band
+    * misses: truly-duplicate pairs that never collided in any of the 4
+    * bands, the loss the banding theory prices at 1 − (1 − s⁴)⁴.
+    * Verified pairs are a subset of true pairs by construction (the
+    * verify stage recomputes TRUE Jaccard on candidates), so the
+    * semi-join is shape parity with the other recall queries, not a
+    * correction. Dynamic denominator — both counts are corpus facts,
+    * hash-checked each round on the regenerated fixtures.
+    */
+  def dedupMinhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
+    val truePairs = Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
+      .filter(col("jac") >= 0.7).select(col("a"), col("b"))
+    verifiedNearDupPairs(spark, dir).select(col("a"), col("b"))
+      .join(truePairs, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .crossJoin(truePairs.agg(count(lit(1)).as("n")))
+      .select(lit("dedup_minhash_lsh").as("algo"), col("hits"), col("n"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_recall" -> (dedupRecall _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -407,6 +432,18 @@ object DedupQueries {
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    "dedup_minhash_recall" ->
+      s"""WITH $duckPairJaccard,
+         |$duckMinhashCands,
+         |tp AS (SELECT a, b FROM jacs WHERE jac >= 0.7),
+         |fp AS (
+         |  SELECT j.a, j.b FROM jacs j
+         |  JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7)
+         |SELECT 'dedup_minhash_lsh' AS algo,
+         |  (SELECT count(*) FROM fp
+         |     JOIN tp ON fp.a = tp.a AND fp.b = tp.b) AS hits,
+         |  (SELECT count(*) FROM tp) AS n""".stripMargin,
     // Connected components as a recursive CTE: reach(v) accumulates the
     // labels of every node that can reach v over bidirectional near-dup
     // edges; min(lab) is the component representative — the same unique

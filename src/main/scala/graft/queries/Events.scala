@@ -384,8 +384,43 @@ object Events {
       .orderBy(col("step"))
   }
 
+  /** Funnel with a CONVERSION WINDOW — [[eventsFunnel]] with the
+    * constraint every real funnel ships: step k counts only if it
+    * happens within `windowDays` (7) of step k−1, not ever-after.
+    * Same filter + hash-agg + shrinking-survivor-join chain, the only
+    * change is the upper bound on each join's time predicate
+    * (timestamp + INTERVAL arithmetic is exact integer microseconds on
+    * both engines). Same unconditional step rows as the unwindowed
+    * funnel; identical skew shape (SkewSpec's analysis carries over —
+    * per-user min is a map-side partial aggregate).
+    */
+  def eventsFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr("INTERVAL 7 DAYS")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stepRow(df: DataFrame, step: Int, typ: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(typ).as("event_type"),
+          col("n_users"))
+    stepRow(s1, 1, "signup")
+      .unionAll(stepRow(s2, 2, "click"))
+      .unionAll(stepRow(s3, 3, "purchase"))
+      .orderBy(col("step"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "events_retention" -> (eventsRetention _),
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
@@ -471,6 +506,27 @@ object Events {
         |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
         |  FROM events e JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |  GROUP BY 1)
+        |SELECT step, event_type, n_users FROM (
+        |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 7 DAY
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 7 DAY
         |  GROUP BY 1)
         |SELECT step, event_type, n_users FROM (
         |  SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1

@@ -402,6 +402,33 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("algo"))
   }
 
+  /** The FULL production retrieval shape — Faiss `IndexRefineFlat`
+    * wrapping `IndexIVFPQ` (residual, both quantizers trained): the
+    * trained residual-ADC scan proposes 50 candidates per query from
+    * codes, and only those 50 vectors are fetched for an exact float
+    * re-rank to the final top-10. This is the configuration a
+    * recall-sensitive deployment actually ships: the code scan bounds
+    * the index touch, the refine stage repairs ADC error and
+    * tie-collapse at queries×50 exact dots. Completes the engine's
+    * Faiss ladder (flat → PQ → PQ-refined → IVF → IVF-PQ → residual →
+    * trained → REFINED-trained). Rank-only output; the oracle chains
+    * the residual-trained replay base, the ADC top-50 cut, and the
+    * exact re-rank.
+    */
+  def annIvfPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Ann.trainCentroids(emb, k = 8, iters = 2)
+    val res = Ann.residuals(emb, cents)
+    val cw = Ann.trainPqCodebooks(res, m = 8, numCodes = 16, iters = 2)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfPqResidualTopKRefined(emb, queries, cents, K, r = 50, nprobe = 4,
+        m = 8, cw = cw)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Recall@k of the PRODUCTION-SHAPED index (residual IVF-PQ, both
     * quantizers trained — `ann_ivf_pq_residual_trained`'s exact
     * configuration) as nprobe sweeps 1 → 8: the same operational
@@ -631,6 +658,7 @@ object Similarity {
     "ann_pq_trained" -> (annPqTrained _),
     "ann_ivf_pq" -> (annIvfPq _),
     "ann_ivf_pq_residual" -> (annIvfPqResidual _),
+    "ann_ivf_pq_refined" -> (annIvfPqRefined _),
     "ann_ivf_pq_residual_trained" -> (annIvfPqResidualTrained _),
     "ann_ivf_pq_trained" -> (annIvfPqTrained _),
     "ann_ivf_sq" -> (annIvfSq _),
@@ -1401,6 +1429,31 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM score_t)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // Refined production shape: residual-trained base + ADC top-50 cut
+    // + exact float re-rank of only those candidates (IndexRefineFlat
+    // over IndexIVFPQ). Rank-only.
+    "ann_ivf_pq_refined" ->
+      s"""WITH $duckResidualTrainedBase,
+         |${duckResidualScore(4, "t")},
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM score_t) WHERE rn <= 50),
+         |ex AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN q ON q.query_id = c.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM ex)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     // nprobe sweep of the production-shaped index: the residual-trained

@@ -988,6 +988,31 @@ object Ann {
     heapTopK(cands, k)
   }
 
+  /** Refined residual IVF-PQ — the full production retrieval shape
+    * (Faiss `IndexRefineFlat` wrapping `IndexIVFPQ`): the trained
+    * residual-ADC scan proposes `r` candidates per query from codes,
+    * then ONLY those r vectors are fetched and re-ranked by the exact
+    * float dot. The refine stage pays queries×r exact dots — 50 rows
+    * per query against a billion-row index — and repairs both the ADC
+    * approximation error and its tie-collapse, exactly as
+    * [[pqTopKRefined]] does for flat PQ.
+    *
+    * Scale shape: candidate ids are queries×r rows — broadcast; the
+    * index-side join to fetch their vectors is the only index touch
+    * after the code scan, and the final heap merge is bounded as in
+    * [[Knn.bruteForceTopK]].
+    */
+  def ivfPqResidualTopKRefined(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, r: Int, nprobe: Int, m: Int,
+      cw: Array[Array[Array[Float]]]): DataFrame = {
+    val candIds = ivfPqResidualTopKWith(index, queries, centroids, r, nprobe, m, cw)
+      .select(col("query_id"), col("vec_id"))
+    val cands = index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candIds), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    heapTopK(cands, k)
+  }
+
   /** Seeded ±1 hyperplane for (table, bit) — deterministic across runs. */
   private def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -210,6 +210,24 @@ class NewOpsSpec extends SparkSpec {
     assert(rows.last._2 == rows.last._3, rows.last.toString)
   }
 
+  test("refined residual IVF-PQ never loses recall vs its unrefined ADC ranking") {
+    // TRUE invariant (unlike the heuristic residual>=raw): the refine
+    // stage re-ranks the ADC top-50 by exact dot, and the unrefined
+    // top-10 is a subset of those candidates — every exact-top-10
+    // member among the 50 has a higher true sim than any non-member,
+    // so all of them survive the exact re-rank, while ADC could have
+    // dropped them. Hence refined hits >= unrefined hits, always.
+    val exact = Similarity.knnTopK(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet.intersect(exact).size
+    val refined = hits(Similarity.annIvfPqRefined(spark, dir))
+    val unrefined = hits(Similarity.annIvfPqResidualTrained(spark, dir))
+    assert(refined >= unrefined, s"refined $refined < unrefined $unrefined")
+  }
+
   test("residual-trained nprobe curve: near-monotone, bounded by the float curve") {
     // The production-shaped index's tuning curve. Unlike the float
     // sweep, monotonicity is expected-not-guaranteed here: widening the
