@@ -201,9 +201,11 @@ object DedupQueries {
     * hash mismatch.
     */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    import graft.search.Ann
     val emb = Tables.embeddings(spark, dir)
-    val cents = Ann.trainCentroids(emb, k = 8, iters = 2)
+    // same (k=8, iters=2) training config as the ann_*_trained family —
+    // share the built index (Similarity's train memo: build once, query
+    // many, the Faiss train()/search() phase split)
+    val cents = Similarity.trainedCents(spark, dir)
     Dedup.semanticDedup(emb, cents, tau = 0.35)
       .orderBy("vec_id")
   }
