@@ -253,6 +253,74 @@ object Streams {
       }
   }
 
+  case class FunnelState(buf: Seq[(Long, String)], t1: Option[Long],
+      t2: Option[Long], t3: Option[Long])
+  case class FunnelStep(user_id: Long, step: Int, event_type: String,
+      ts: Timestamp)
+
+  /** Streaming funnel — `events_funnel`'s per-user step progression as
+    * keyed streaming state, EXACT under out-of-order arrival. The batch
+    * contract (t1 = min signup, t2 = min click > t1, t3 = min purchase
+    * > t2) is order-sensitive: a click arriving before its user's
+    * earlier-timestamped signup must still convert. A naive
+    * fold-on-arrival gets this wrong, and monotone min-updates can't
+    * repair it (lowering t1 retroactively admits clicks already
+    * discarded). The correct streaming pattern is EVENT-TIME ORDERED
+    * REPLAY: buffer each user's funnel events in state, and only when
+    * the watermark passes an event's timestamp fold it — in timestamp
+    * order — into the (t1, t2, t3) machine, emitting a FunnelStep row
+    * the moment a step is definitively reached. Processing strictly in
+    * event-time order below the watermark makes the fold equal to the
+    * batch min-chain by construction (ExtensionsSpec proves equality
+    * against the batch query, including an out-of-order case).
+    *
+    * State hygiene: the BUFFER is bounded by the watermark horizon per
+    * user (exactly `nearDupStream`'s discipline — a timer at the
+    * earliest buffered timestamp re-fires as the watermark advances and
+    * drains it); the three folded longs persist for the user's lifetime
+    * BY DESIGN, like [[cohortStream]]'s first-week (a funnel step, once
+    * reached, is a fact about history — evicting it would double-count
+    * a returning user), with the same RocksDB state-store expectation
+    * at 10⁹ users.
+    */
+  def funnelStream(events: Dataset[Event], watermark: String = "2 hours")
+      : Dataset[FunnelStep] = {
+    import events.sparkSession.implicits._
+    val steps = Map("signup" -> 1, "click" -> 2, "purchase" -> 3)
+    events
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, None, None, None))
+          val incoming = batch.map(e => (e.ts.getTime, e.event_type)).toSeq
+          val wm = state.getCurrentWatermarkMs
+          // fold everything the watermark has finalized, in ts order
+          // (ties: step order — a click at the exact signup instant does
+          // NOT convert, matching the batch side's strict `>`)
+          val (ready, pending) = (prev.buf ++ incoming).partition(_._1 <= wm)
+          var (t1, t2, t3) = (prev.t1, prev.t2, prev.t3)
+          val out = Seq.newBuilder[FunnelStep]
+          for ((ts, typ) <- ready.sortBy(r => (r._1, steps(r._2)))) typ match {
+            case "signup" if t1.isEmpty =>
+              t1 = Some(ts); out += FunnelStep(userId, 1, typ, new Timestamp(ts))
+            case "click" if t1.exists(ts > _) && t2.isEmpty =>
+              t2 = Some(ts); out += FunnelStep(userId, 2, typ, new Timestamp(ts))
+            case "purchase" if t2.exists(ts > _) && t3.isEmpty =>
+              t3 = Some(ts); out += FunnelStep(userId, 3, typ, new Timestamp(ts))
+            case _ => ()
+          }
+          state.update(FunnelState(pending, t1, t2, t3))
+          if (pending.nonEmpty)
+            // re-fire when the watermark reaches the earliest buffered
+            // event (clamped above the current watermark, as required)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** Keyed sessionization with EVICTED state: a session closes after
     * `gapSeconds` of event-time silence, enforced two ways. In-batch, a
     * same-user event past the gap closes the previous session exactly

@@ -493,6 +493,108 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(r => !r.getAs[Boolean]("closed") && r.getAs[Long]("n_events") == 1))
   }
 
+  test("funnelStream: out-of-order arrival folds exactly like the batch min-chain") {
+    // The order-sensitivity trap: user 1's click ARRIVES before their
+    // earlier-timestamped signup. A fold-on-arrival discards the click
+    // (no signup yet); the ordered-replay stream must buffer both and,
+    // once the watermark passes them, fold signup@09:00 then click@10:00
+    // then purchase@11:00 — full conversion. Sentinel batches advance
+    // the watermark; the timer drains buffered events it has passed.
+    val in = java.nio.file.Files.createTempDirectory("stream-funnel").toString
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$in/data/$name")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Streams.FunnelStep]()
+    def run(): Unit = {
+      val q = Streams.funnelStream(spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(s"$in/data/*").as[Streams.Event])
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.FunnelStep], _: Long) =>
+          df.collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", s"$in/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    write("b1", Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0)))
+    run()
+    write("b2", Seq(
+      (2L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "signup", 1.0),
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "purchase", 1.0)))
+    run()
+    write("b3", Seq((4L, Timestamp.valueOf("2024-01-01 20:00:00"), 99L, "signup", 1.0)))
+    run()
+    write("b4", Seq((5L, Timestamp.valueOf("2024-01-01 21:00:00"), 99L, "signup", 1.0)))
+    run()
+    import scala.jdk.CollectionConverters._
+    val u1 = buf.asScala.filter(_.user_id == 1L).map(s => s.step -> s.ts.toString).toMap
+    assert(u1 === Map(
+      1 -> "2024-01-01 09:00:00.0",
+      2 -> "2024-01-01 10:00:00.0",
+      3 -> "2024-01-01 11:00:00.0"), s"got: ${buf.asScala.toSeq}")
+  }
+
+  test("funnelStream: multi-user stream equals the batch min-chain ground truth") {
+    val in = java.nio.file.Files.createTempDirectory("stream-funnel2").toString
+    val rng = new scala.util.Random(7)
+    val types = Seq("signup", "click", "purchase", "view")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until 400).map { i =>
+      (i.toLong, new Timestamp(base + rng.nextInt(36000) * 1000L),
+        (rng.nextInt(30) + 1).toLong, types(rng.nextInt(4)), 1.0)
+    }
+    // ground truth: per-user batch min-chain over ts-sorted events
+    // (ties at equal ts: step order, matching the strict > contract)
+    val stepNo = Map("signup" -> 1, "click" -> 2, "purchase" -> 3)
+    val expected = events.filter(e => stepNo.contains(e._4))
+      .groupBy(_._3).flatMap { case (u, evs) =>
+        var t1 = Option.empty[Long]; var t2 = Option.empty[Long]
+        var t3 = Option.empty[Long]
+        for ((_, ts, _, typ, _) <- evs.sortBy(e => (e._2.getTime, stepNo(e._4)))) {
+          val t = ts.getTime
+          typ match {
+            case "signup" if t1.isEmpty => t1 = Some(t)
+            case "click" if t1.exists(t > _) && t2.isEmpty => t2 = Some(t)
+            case "purchase" if t2.exists(t > _) && t3.isEmpty => t3 = Some(t)
+            case _ => ()
+          }
+        }
+        Seq(t1.map((u, 1, _)), t2.map((u, 2, _)), t3.map((u, 3, _))).flatten
+      }.toSet
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$in/data/$name")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Streams.FunnelStep]()
+    def run(): Unit = {
+      // 12h watermark: the event-time window spans 10h and arrival order
+      // is fully shuffled across runs, so nothing may be late-dropped —
+      // the test isolates ordered-replay correctness from late filtering
+      val q = Streams.funnelStream(spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(s"$in/data/*").as[Streams.Event], watermark = "12 hours")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.FunnelStep], _: Long) =>
+          df.collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", s"$in/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    // arrival order ≠ event-time order: shuffled halves, then sentinels
+    // far in the future to advance the watermark and drain every buffer
+    val shuffled = rng.shuffle(events)
+    write("b1", shuffled.take(200)); run()
+    write("b2", shuffled.drop(200)); run()
+    write("b3", Seq((9001L, new Timestamp(base + 900000000L), 999L, "signup", 1.0))); run()
+    write("b4", Seq((9002L, new Timestamp(base + 900060000L), 999L, "signup", 1.0))); run()
+    import scala.jdk.CollectionConverters._
+    val streamed = buf.asScala.filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.step, s.ts.getTime)).toSet
+    assert(streamed === expected,
+      s"missing=${expected -- streamed} extra=${streamed -- expected}")
+  }
+
   test("sessionize: idle user's session is closed by event-time timeout") {
     // Round-10 gap: with NoTimeout an idle user's open session never
     // emitted closed=true and its state lived forever. Three runs over
