@@ -253,6 +253,62 @@ object Streams {
       }
   }
 
+  case class RetentionState(buf: Seq[Long], cohortDay: Option[Long],
+      seen: Seq[Int])
+  case class RetentionHit(user_id: Long, cohort: String, week_offset: Int)
+
+  /** Streaming retention — `events_retention`'s matrix as an
+    * append-only delta log: one RetentionHit(user, cohort, offset) the
+    * first time a user is seen active `offset` weeks after their
+    * cohort week, so `count(*) GROUP BY cohort, week_offset` over the
+    * output equals the batch matrix exactly (each user contributes
+    * each offset once — the streaming form of countDistinct).
+    *
+    * Correctness needs the same EVENT-TIME ORDERED REPLAY as
+    * [[funnelStream]], for a subtler reason: a user's cohort is their
+    * MINIMUM week, and a late-arriving earlier event would silently
+    * re-cohort the user after offsets were already emitted against the
+    * old cohort — an append-only output cannot retract them. Folding
+    * strictly in event-time order below the watermark pins the cohort
+    * at the user's true first event BEFORE any offset row is emitted;
+    * no retraction case exists by construction. Buffer bounded by the
+    * watermark horizon (timer-drained); cohort + seen-offsets persist
+    * for the user's lifetime like [[cohortStream]] (bounded: one int
+    * per ACTIVE week since cohort), RocksDB expectation as there.
+    */
+  def retentionStream(events: Dataset[Event], watermark: String = "2 hours")
+      : Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RetentionState]) =>
+          val prev = state.getOption.getOrElse(RetentionState(Nil, None, Nil))
+          val wm = state.getCurrentWatermarkMs
+          val (ready, pending) =
+            (prev.buf ++ batch.map(_.ts.getTime)).partition(_ <= wm)
+          var cohort = prev.cohortDay
+          var seen = prev.seen.toSet
+          val out = Seq.newBuilder[RetentionHit]
+          for (t <- ready.sorted) {
+            val wk = mondayEpochDay(t)
+            if (cohort.isEmpty) cohort = Some(wk)
+            val off = ((wk - cohort.get) / 7).toInt
+            if (!seen(off)) {
+              seen += off
+              out += RetentionHit(userId,
+                java.time.LocalDate.ofEpochDay(cohort.get).toString, off)
+            }
+          }
+          state.update(RetentionState(pending, cohort, seen.toSeq))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.min, wm + 1))
+          out.result().iterator
+      }
+  }
+
   case class FunnelState(buf: Seq[(Long, String)], t1: Option[Long],
       t2: Option[Long], t3: Option[Long])
   case class FunnelStep(user_id: Long, step: Int, event_type: String,

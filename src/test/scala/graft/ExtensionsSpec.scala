@@ -595,6 +595,61 @@ class StreamingSpec extends SparkSpec {
       s"missing=${expected -- streamed} extra=${streamed -- expected}")
   }
 
+  test("retentionStream: delta log aggregates to the exact batch retention matrix") {
+    // 20 users active over ~6 ISO weeks, arrival fully shuffled across
+    // two checkpointed runs; sentinels advance the watermark to drain
+    // every buffer. count(*) over the streamed (cohort, offset) deltas
+    // must equal the batch events_retention matrix on the same rows —
+    // ordered replay pins each user's cohort before any offset row is
+    // emitted, so the append-only log needs no retractions.
+    val in = java.nio.file.Files.createTempDirectory("stream-ret").toString
+    val rng = new scala.util.Random(11)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime // a Monday
+    val events = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(base + rng.nextInt(42 * 24 * 3600) * 1000L),
+        (rng.nextInt(20) + 1).toLong, "click", 1.0)
+    }
+    // batch ground truth runs on a dir WITHOUT the sentinel user
+    val batchDir = java.nio.file.Files.createTempDirectory("stream-ret-b").toString
+    events.map { case (id, ts, u, t, v) => (id, ts, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val expected = graft.queries.Events.eventsRetention(spark, batchDir)
+      .select(date_format(col("cohort"), "yyyy-MM-dd"), col("week_offset"),
+        col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    def write(name: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").parquet(s"$in/data/$name")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Streams.RetentionHit]()
+    def run(): Unit = {
+      // 50-day watermark: disorder spans the whole 42-day window (see
+      // funnelStream's multi-user test for the reasoning)
+      val q = Streams.retentionStream(spark.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+          .parquet(s"$in/data/*").as[Streams.Event], watermark = "1200 hours")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.RetentionHit], _: Long) =>
+          df.collect().foreach(buf.add)
+        }
+        .option("checkpointLocation", s"$in/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val shuffled = rng.shuffle(events)
+    write("b1", shuffled.take(150)); run()
+    write("b2", shuffled.drop(150)); run()
+    val far = base + 400L * 24 * 3600 * 1000
+    write("b3", Seq((9001L, new Timestamp(far), 999L, "click", 1.0))); run()
+    write("b4", Seq((9002L, new Timestamp(far + 60000), 999L, "click", 1.0))); run()
+    import scala.jdk.CollectionConverters._
+    val streamed = buf.asScala.filter(_.user_id != 999L).toSeq
+      .groupBy(h => (h.cohort, h.week_offset))
+      .map { case ((c, o), hs) => (c, o, hs.size.toLong) }.toSet
+    assert(streamed === expected,
+      s"missing=${expected -- streamed} extra=${streamed -- expected}")
+  }
+
   test("sessionize: idle user's session is closed by event-time timeout") {
     // Round-10 gap: with NoTimeout an idle user's open session never
     // emitted closed=true and its state lived forever. Three runs over
