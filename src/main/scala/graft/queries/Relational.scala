@@ -130,6 +130,48 @@ object Relational {
       .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize —
+    * SURVEY §2.6 noted grouping sets as available-but-unused; this
+    * closes the taxonomy cell): the two single-column marginals plus
+    * the grand total, WITHOUT the (flag, status) pairs a rollup would
+    * force — the shape a reporting layer actually asks for. Same one
+    * Expand + hash-agg plan as rollup/cube; sums stay exact (integral
+    * quantities in double).
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** RANGE-frame window (SURVEY §2.6: "no frame-spec usage" in the
+    * reference — the events surface exercises it): per-user rolling
+    * 1-hour event count and max value, the frame bounded by VALUE
+    * (seconds) not rows. Value-based frames are tie-safe by
+    * construction (all rows at equal `us` share one frame, whatever
+    * their order), and count/max are order-independent, so the result
+    * hashes exactly with no float-sum discipline needed. First 30 rows
+    * per user via a deterministic (us, event_id) row_number.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("us"), col("value"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3599L, 0L)
+    ev.withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_1h", count(lit(1)).over(wRange))
+      .withColumn("max_1h", max(col("value")).over(wRange))
+      .filter(col("rn") <= 30)
+      .select(col("user_id"), col("rn"), col("event_id"), col("n_1h"),
+        round(col("max_1h"), 4).as("max_1h"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   /** Running-window aggregates (frame spec) per supplier — deterministic
     * total order via (shipdate, orderkey, linenumber) tie-break
     * (SURVEY §7 "determinism").
@@ -370,6 +412,8 @@ object Relational {
     "topk_orders" -> (topkOrders _),
     "global_stats" -> (globalStats _),
     "rollup_agg" -> (rollupAgg _),
+    "grouping_sets_agg" -> (groupingSetsAgg _),
+    "window_range_frame" -> (windowRangeFrame _),
     "window_running" -> (windowRunning _),
     "string_funcs" -> (stringFuncs _),
     "set_ops" -> (setOps _),
@@ -529,6 +573,28 @@ object Relational {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "window_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS us, value
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC) AS INTEGER) AS rn,
+        |    event_id,
+        |    count(*) OVER wr AS n_1h,
+        |    round(max(value) OVER wr, 4) AS max_1h
+        |  FROM e
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY us
+        |                RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, rn, event_id, n_1h, max_1h FROM t
+        |WHERE rn <= 30 ORDER BY user_id, rn""".stripMargin,
     "window_running" ->
       """WITH t AS (
         |  SELECT l_suppkey,
