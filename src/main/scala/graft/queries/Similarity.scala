@@ -510,6 +510,34 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("algo"))
   }
 
+  /** Operational nprobe AUTO-TUNING — the recall curve turned into the
+    * decision a deployment actually makes: the smallest nprobe whose
+    * measured recall on the query sample reaches the 70% target. Full
+    * probe is float-exact (hits = n), so a qualifying nprobe always
+    * exists and the output is exactly one row (nprobe, hits, n,
+    * target). This is how the `ann_recall_nprobe` measurement gets
+    * USED: measure the curve once on a validation sample, pin the
+    * serving nprobe, spend the rest of the fleet's scan budget
+    * nowhere. One row, all-integer — hash-exact.
+    */
+  def annTuneNprobe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val cents = trainedCents(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    Seq(1, 2, 4, 8).map { np =>
+      recallOf(s"nprobe_$np", Ann.ivfTopK(emb, queries, cents, K, nprobe = np))
+    }.reduce(_ unionAll _)
+      .withColumn("nprobe", substring(col("algo"), 8, 2).cast("int"))
+      .filter(col("hits") >= TuneTarget)
+      .orderBy(col("nprobe").asc)
+      .limit(1)
+      .select(col("nprobe"), col("hits"), col("n"),
+        lit(TuneTarget).as("target"))
+  }
+
   /** Recall of the filtered-ANN composition against exact filtered
     * search — the caveat `ivfTopKFiltered`'s scaladoc states ("probing
     * is label-blind, so a selective filter concentrated in unprobed
@@ -719,6 +747,7 @@ object Similarity {
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
     "ann_recall_nprobe" -> (annRecallNprobe _),
+    "ann_tune_nprobe" -> (annTuneNprobe _),
     "ann_recall_nprobe_residual" -> (annRecallNprobeResidual _),
     "ann_recall_trained" -> (annRecallTrained _),
     "retrieve_mmr" -> (retrieveMmr _),
@@ -823,6 +852,60 @@ object Similarity {
        |    SELECT j, code, list(mval ORDER BY d) AS cw
        |    FROM m_$next GROUP BY 1, 2) mm
        |    ON p.j = mm.j AND p.code = mm.code)""".stripMargin
+
+  /** ceil(0.7 · queries · k): the recall target `ann_tune_nprobe` tunes
+    * to, shared between the Spark query and its oracle replay. */
+  private[queries] val TuneTarget: Long = (NumQueries * K * 7L + 9) / 10
+
+  /** Trained-IVF nprobe curve CTEs (exact side + coarse ladder + the
+    * four nested probe cuts ending at `k_1`/`k_2`/`k_4`/`k_8`) — shared
+    * by the `ann_recall_nprobe` curve oracle and the `ann_tune_nprobe`
+    * selection. Spliced into stripMargin templates — no line may begin
+    * (after indent) with '|'.
+    */
+  private def duckNprobeCurveCtes: String =
+    s"""$pqQCte,
+       |xsims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         ${duckDot("e.embedding", "q.qv")} AS sim
+       |  FROM embeddings e CROSS JOIN q),
+       |${topKIdsCte("xsims", "xk")},
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+       |           AS cent_id,
+       |         cvec
+       |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+       |               embedding AS cvec
+       |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+       |${lloydIter("c0", "c1")},
+       |${lloydIter("c1", "c2")},
+       |tassign AS (
+       |  SELECT vec_id, embedding, cent_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+       |pall AS (
+       |  SELECT q.query_id, q.qv, c.cent_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |  FROM q CROSS JOIN c2 c),
+       |${Seq(1, 2, 4, 8).map { np =>
+          s"""cand_$np AS (
+             |  SELECT p.query_id, a.vec_id,
+             |         ${duckDot("a.embedding", "p.qv")} AS sim
+             |  FROM tassign a JOIN pall p
+             |    ON a.cent_id = p.cent_id AND p.rn <= $np),
+             |${topKIdsCte(s"cand_$np", s"k_$np")}""".stripMargin
+        }.mkString(",\n")}""".stripMargin
+
+  /** The per-nprobe hit-count union subquery over the curve CTEs. */
+  private def duckNprobeHitsUnion: String =
+    Seq(1, 2, 4, 8).map { np =>
+      s"""  SELECT 'nprobe_$np' AS algo,
+         |    (SELECT count(*) FROM k_$np a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
+    }.mkString("\n  UNION ALL\n")
 
   /** Residual-trained IVF-PQ replay base (the `IndexIVFPQ` training
     * chain): coarse Lloyd ladder → trained assignment → float32
@@ -1218,47 +1301,21 @@ object Similarity {
     // assignment — the candidate sets nest exactly as the Spark side's
     // take(nprobe) does.
     "ann_recall_nprobe" ->
-      s"""WITH $pqQCte,
-         |xsims AS (
-         |  SELECT q.query_id, e.vec_id,
-         |         ${duckDot("e.embedding", "q.qv")} AS sim
-         |  FROM embeddings e CROSS JOIN q),
-         |${topKIdsCte("xsims", "xk")},
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
-         |           AS cent_id,
-         |         cvec
-         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
-         |               embedding AS cvec
-         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
-         |${lloydIter("c0", "c1")},
-         |${lloydIter("c1", "c2")},
-         |tassign AS (
-         |  SELECT vec_id, embedding, cent_id FROM (
-         |    SELECT e.vec_id, e.embedding, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
-         |pall AS (
-         |  SELECT q.query_id, q.qv, c.cent_id,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
-         |  FROM q CROSS JOIN c2 c),
-         |${Seq(1, 2, 4, 8).map { np =>
-            s"""cand_$np AS (
-               |  SELECT p.query_id, a.vec_id,
-               |         ${duckDot("a.embedding", "p.qv")} AS sim
-               |  FROM tassign a JOIN pall p
-               |    ON a.cent_id = p.cent_id AND p.rn <= $np),
-               |${topKIdsCte(s"cand_$np", s"k_$np")}""".stripMargin
-          }.mkString(",\n")}
+      s"""WITH $duckNprobeCurveCtes
          |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
-         |${Seq(1, 2, 4, 8).map { np =>
-            s"""  SELECT 'nprobe_$np' AS algo,
-               |    (SELECT count(*) FROM k_$np a JOIN xk x
-               |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
-          }.mkString("\n  UNION ALL\n")})
+         |$duckNprobeHitsUnion)
          |ORDER BY algo""".stripMargin,
+    // Operational auto-tuning replay: the same curve CTEs, then pick
+    // the SMALLEST nprobe whose hits reach the 70% target — full probe
+    // is float-exact (hits = n), so a qualifying row always exists.
+    "ann_tune_nprobe" ->
+      s"""WITH $duckNprobeCurveCtes
+         |SELECT CAST(substr(algo, 8) AS INTEGER) AS nprobe, hits,
+         |  CAST(${NumQueries * K} AS BIGINT) AS n,
+         |  CAST($TuneTarget AS BIGINT) AS target
+         |FROM ($duckNprobeHitsUnion)
+         |WHERE hits >= $TuneTarget
+         |ORDER BY nprobe LIMIT 1""".stripMargin,
     // Trained-cell recall: the coarse-Lloyd ladder once, then the
     // float-scoring ceiling (ann_ivf_trained), the raw-PQ-trained scan,
     // and the residual-PQ-trained scan (each PQ path trains its own
