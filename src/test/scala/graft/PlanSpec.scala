@@ -215,6 +215,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("grouping sets: one Expand + hash aggregate, pruned scan") {
+    val df = Relational.groupingSetsAgg(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the three grouping sets must come from ONE Expand over one scan —
+    // a union-of-aggregates formulation would read lineitem three times
+    assert(plan.contains("Expand"), plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    assert(!plan.contains("l_orderkey"), "scan should prune unused columns")
+  }
+
+  test("range-frame window: single user_id exchange, no extra sort after the frame") {
+    val df = Relational.windowRangeFrame(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan)
+    // both window specs share the (user_id, us[, event_id]) sort order,
+    // so the FINAL plan must contain exactly one hash exchange on
+    // user_id for the window stage (the final orderBy adds a range
+    // exchange, not a second hash one). AQE's toString repeats the
+    // Initial Plan below the final one — count the final section only.
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val hashExchanges = "hashpartitioning\\(user_id".r
+      .findAllMatchIn(finalSection.toLowerCase).length
+    assert(hashExchanges == 1, s"expected 1 user_id hash exchange:\n$plan")
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
