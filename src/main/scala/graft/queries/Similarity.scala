@@ -79,6 +79,35 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Binary quantization + exact re-rank — the "BQ" production shape
+    * (Qdrant binary quantization, Faiss `IndexBinaryFlat` +
+    * `IndexRefineFlat`): sign-bit codes (1 bit/dim, 32× smaller than
+    * float32) are Hamming-scanned with XOR+popcount to propose 50
+    * candidates per query, then only those rows are re-scored with the
+    * exact float dot ([[graft.search.Ann.binaryTopKRefined]]). The
+    * oracle packs the same sign bits into two 32-bit words (layout
+    * differs from Spark's 64-bit words, but Hamming distance is
+    * layout-independent), replays the proposal cut (ham ASC, vec_id
+    * ASC) and the exact re-rank; rank-only output.
+    */
+  def annBinary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.binaryTopKRefined(emb, queries, K, r = 50)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the binary-quantized path vs exact search — one
+    * integer row, same join-and-count contract as [[annRecall]]. Kept
+    * standalone (rather than widening `ann_recall`) so the established
+    * 8-path meter's artifact stays comparable across rounds.
+    */
+  def annRecallBinary(spark: SparkSession, dir: String): DataFrame =
+    recallRow(exactIds(spark, dir))("ann_binary", annBinary(spark, dir))
+
   /** Pairwise cosine of a small id range — exercises E6 directly. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vec
@@ -744,6 +773,8 @@ object Similarity {
     "ann_ivf_pq_trained" -> (annIvfPqTrained _),
     "ann_ivf_sq" -> (annIvfSq _),
     "ann_ivf_sq_trained" -> (annIvfSqTrained _),
+    "ann_binary" -> (annBinary _),
+    "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
     "ann_recall_nprobe" -> (annRecallNprobe _),
@@ -998,6 +1029,44 @@ object Similarity {
 
   /** Top-K (id-only) ranking CTE over a (query_id, vec_id, sim) CTE —
     * the shared tail of every path replay (sim desc, vec_id asc ties). */
+  /** Binary-quantization replay: sign bits packed into two 32-bit
+    * words (layout differs from Spark's 64-bit words — Hamming
+    * distance is layout-independent, so the candidate sets agree),
+    * Hamming proposal cut at r=50 (ham ASC, vec_id ASC — the pinned
+    * tie), exact float re-rank. Requires the `q` CTE; ends at `brer`
+    * (query_id, vec_id, sim).
+    */
+  private def binaryReplayCtes: String =
+    s"""biw AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN i <= 32 AND v > 0
+       |                  THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END) AS BIGINT) AS w0,
+       |    CAST(sum(CASE WHEN i > 32 AND v > 0
+       |                  THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END) AS BIGINT) AS w1
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               generate_subscripts(embedding, 1) AS i
+       |        FROM embeddings)
+       |  GROUP BY vec_id),
+       |bqw AS (
+       |  SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+       |  FROM biw WHERE vec_id < $NumQueries),
+       |bham AS (
+       |  SELECT qc.query_id, c.vec_id,
+       |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
+       |  FROM biw c CROSS JOIN bqw qc),
+       |bcand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY ham ASC, vec_id ASC) AS rn
+       |    FROM bham) WHERE rn <= 50),
+       |brer AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+       |  FROM bcand c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN embeddings qe ON c.query_id = qe.vec_id)""".stripMargin
+
   private def topKIdsCte(src: String, out: String): String =
     s"""$out AS (
        |  SELECT query_id, vec_id FROM (
@@ -1087,6 +1156,29 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
     // Recall@k of five approximate paths vs exact: each path's replay
     // (already proven engine-identical by its own rank-only oracle)
+    "ann_binary" ->
+      s"""WITH $pqQCte,
+         |$binaryReplayCtes,
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM brer)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_recall_binary" ->
+      s"""WITH $pqQCte,
+         |$binaryReplayCtes,
+         |${topKIdsCte("brer", "bink")},
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")}
+         |SELECT 'ann_binary' AS algo,
+         |  (SELECT count(*) FROM bink a JOIN xk x
+         |     ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+         |  CAST(${NumQueries * K} AS BIGINT) AS n""".stripMargin,
     // reduced to id sets, intersected with the exact top-k, counted —
     // integer-only output, one row per path.
     "ann_recall" ->

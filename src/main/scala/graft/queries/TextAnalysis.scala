@@ -367,6 +367,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Data selection via importance resampling (DSIR — Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-like its hashed bag-of-words
+    * is, where the target domain here is the English sub-corpus (the
+    * paper's formulation with target = Wikipedia, raw = Common Crawl).
+    * Features are md5-hashed unigram buckets (B=256); both distributions
+    * get add-one smoothing over B; a document's weight is the mean
+    * per-token log ratio ln p_target(b) − ln p_raw(b), and selection is
+    * the positive-weight threshold (more target-like than the corpus).
+    *
+    * Scale shape: one narrow explode → two map-side-combined aggregates
+    * onto ≤B keys → the ≤B-row λ table broadcasts back onto per-doc
+    * bucket counts — no corpus-sized exchange beyond the (doc, bucket)
+    * combine, and the λ join never shuffles the corpus. Both engines
+    * compute the weighted form Σ c_b·λ_b / n over the same ≤B terms per
+    * doc and round to 4 decimals before the threshold (bigram_lm's
+    * cross-engine float contract); `selected` derives from the ROUNDED
+    * score, so the hashed columns and the flag cannot disagree.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirScore(Tables.documents(spark, dir))
+
+  /** [[dsirSelect]] over an explicit (doc_id, lang, text) frame — split
+    * out so specs can drive constructed corpora (e.g. target == raw ⇒
+    * every λ_b = 0 ⇒ no selection, a true invariant of the estimator).
+    */
+  private[graft] def dsirScore(docs: DataFrame): DataFrame = {
+    val b = 256
+    val bt = docs
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("b", TextFns.md5Int(concat(lit("dsir|"), col("tok"))) % b)
+    val perDoc = bt.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val tgt = bt.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = bt.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tot = bt.agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val lam = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + b)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + b))).as("lam"))
+    perDoc.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        round(sum(col("c") * col("lam")) / sum(col("c")), 4).as("dsir_logratio"))
+      .withColumn("selected", col("dsir_logratio") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse
     * whitespace, mask digit runs as `<num>`. Patterns stay in the
     * ASCII-safe regex subset where Java regex and RE2 agree exactly.
@@ -579,6 +630,7 @@ object TextAnalysis {
     "substring_dedup" -> (substringDedup _),
     "cms_top_terms" -> (cmsTopTerms _),
     "sample_quality" -> (sampleQuality _),
+    "dsir_select" -> (dsirSelect _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -835,6 +887,26 @@ object TextAnalysis {
          |        AS BIGINT) % 100
          |      < CASE WHEN s > mean_s THEN 100 ELSE 25 END
          |ORDER BY doc_id""".stripMargin,
+    "dsir_select" ->
+      s"""WITH bt AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5('dsir|' || tok), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, lang, unnest($duckToks) AS tok FROM documents)),
+         |perdoc AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+         |tgt AS (SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY 1),
+         |rawc AS (SELECT b, count(*) AS cr FROM bt GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*) FILTER (lang = 'en') AS nt, count(*) AS nr FROM bt),
+         |lam AS (
+         |  SELECT r.b,
+         |    ln((COALESCE(t.ct, 0) + 1) / CAST(tot.nt + 256 AS DOUBLE)) -
+         |    ln((r.cr + 1) / CAST(tot.nr + 256 AS DOUBLE)) AS lam
+         |  FROM rawc r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot)
+         |SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_toks,
+         |  round(sum(p.c * l.lam) / sum(p.c), 4) AS dsir_logratio,
+         |  round(sum(p.c * l.lam) / sum(p.c), 4) > 0 AS selected
+         |FROM perdoc p JOIN lam l ON p.b = l.b
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "tfidf_top" ->
       s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -88,7 +88,7 @@ object Knn {
 
   /** Shared top-k tail: per-partition bounded heaps, then the typed
     * bounded-buffer merge. `sims` is (query_id, vec_id, sim). */
-  private def topKOfSims(sims: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+  private[search] def topKOfSims(sims: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       k: Int): DataFrame = {
     val spark = sims.sparkSession
     import spark.implicits._

@@ -269,4 +269,78 @@ class NewOpsSpec extends SparkSpec {
     assert(hits("ann_ivf_pq_residual") >= hits("ann_ivf_pq") - n / 20,
       s"residual ${hits("ann_ivf_pq_residual")} far below raw ${hits("ann_ivf_pq")} (n=$n)")
   }
+
+  test("DSIR: target == raw gives zero scores and empty selection") {
+    // TRUE invariant of the importance estimator: when every document
+    // is in the target domain, p_target and p_raw are the SAME
+    // distribution, every bucket's log ratio is exactly
+    // ln((Nr+B)/(Nt+B)) = ln(1) = 0, and nothing clears the positive
+    // threshold.
+    val docs = Seq(
+      (0L, "en", "alpha beta gamma"),
+      (1L, "en", "delta alpha epsilon"),
+      (2L, "en", "beta beta zeta"),
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.dsirScore(docs)
+      .select(col("doc_id"), col("dsir_logratio"), col("selected"))
+      .as[(Long, Double, Boolean)].collect()
+    assert(out.length == 3)
+    assert(out.forall { case (_, s, sel) => s == 0.0 && !sel })
+  }
+
+  test("DSIR: disjoint-vocabulary target ranks target docs above the rest") {
+    // Construct en/zh corpora with disjoint vocabularies and every
+    // token appearing at least twice: en buckets keep ct = cr so
+    // λ = ln((Nr+B)/(Nt+B)) > 0, while each zh bucket has ct = 0 and
+    // cr+1 > (Nr+B)/(Nt+B), so λ < 0 — selection must be exactly the
+    // English docs.
+    val docs = Seq(
+      (0L, "en", "alpha beta gamma alpha beta gamma"),
+      (1L, "en", "delta epsilon delta epsilon alpha beta"),
+      (2L, "zh", "uno dos tres uno dos tres"),
+      (3L, "zh", "quatro cinco quatro cinco uno dos"),
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.dsirScore(docs)
+      .select(col("doc_id"), col("selected"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(0L) && out(1L), s"en docs not selected: $out")
+    assert(!out(2L) && !out(3L), s"zh docs selected: $out")
+  }
+
+  test("binary quantization with full-index proposal degenerates to exact top-k") {
+    // TRUE invariant: when r covers the whole index the Hamming
+    // proposal keeps every row, so the exact re-rank IS brute force —
+    // the refine stage's contract checked analytically, independent of
+    // what the sign bits discard at serving r.
+    import graft.search.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = Ann.binaryTopKRefined(emb, queries, Similarity.K, r = n)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.knnTopK(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("binary codes: sign bits round-trip and Hamming is layout-independent") {
+    // The oracle packs 2×32-bit words, Spark packs 1×64 — equality of
+    // the DISTANCES is what the replay rests on. Check the Scala side's
+    // popcount sum against a direct per-dimension disagreement count.
+    import graft.search.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+    val codes = Ann.binaryCodes(emb, "embedding", "vec_id", 64)
+      .collect().toMap
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    val ids = vecs.keys.toSeq.sorted.take(20)
+    for (a <- ids; b <- ids) {
+      val direct = (0 until 64).count(i => (vecs(a)(i) > 0f) != (vecs(b)(i) > 0f))
+      val packed = codes(a).zip(codes(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(direct == packed, s"ham($a,$b): direct $direct packed $packed")
+    }
+  }
 }
