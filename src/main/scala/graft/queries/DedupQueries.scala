@@ -132,6 +132,40 @@ object DedupQueries {
       .orderBy("doc_id", "query_id")
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding-space twin of
+    * [[decontaminate]] (the check large-model reports run beside
+    * lexical overlap: a paraphrased benchmark question shares no
+    * shingles but sits close in embedding space). Eval set = the first
+    * 25 vectors; every train vector gets its nearest eval neighbor
+    * (max cosine, ties to the lowest eval_id) and a contamination flag
+    * at the corpus-tuned τ=0.35 (the [[dedupSemantic]] threshold —
+    * fixture sims are near-uniform).
+    *
+    * Scale shape: the eval set is the SMALL side by construction, so
+    * the right 100 TB plan is a broadcast fan-out + one map-side-
+    * combined hash aggregate per train row (max over a (sim, -eval_id)
+    * struct — no window, no sort, no shuffle of the train corpus
+    * beyond the per-vec_id combine). The flag compares the RAW dot
+    * (bit-identical left-to-right on both engines); only the reported
+    * sim is rounded.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ev = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+    val tr = e.filter(col("vec_id") >= 25)
+    tr.crossJoin(broadcast(ev))
+      .select(col("vec_id"),
+        struct(Vec.dot(col("embedding"), col("evec")).as("sim"),
+          (-col("eval_id")).as("neg_id")).as("p"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("p")).as("best"))
+      .select(col("vec_id"), (-col("best.neg_id")).as("eval_id"),
+        round(col("best.sim"), 4).as("max_sim"),
+        (col("best.sim") > 0.35).as("is_contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** SimHash signatures + hamming-0 clustering. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
@@ -260,6 +294,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
@@ -410,6 +445,24 @@ object DedupQueries {
          |  CASE WHEN r.vec_id IS NULL THEN 0 ELSE 1 END AS is_removed
          |FROM assign a LEFT JOIN removed r ON a.vec_id = r.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "decontaminate_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS evec
+         |  FROM embeddings WHERE vec_id < 25),
+         |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25),
+         |sims AS (
+         |  SELECT t.vec_id, e.eval_id,
+         |         ${Similarity.duckDot("t.embedding", "e.evec")} AS sim
+         |  FROM tr t CROSS JOIN ev e),
+         |best AS (
+         |  SELECT vec_id, eval_id, sim FROM (
+         |    SELECT vec_id, eval_id, sim,
+         |      row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY sim DESC, eval_id ASC) AS rn
+         |    FROM sims) WHERE rn = 1)
+         |SELECT vec_id, eval_id, round(sim, 4) AS max_sim,
+         |       sim > 0.35 AS is_contaminated
+         |FROM best ORDER BY vec_id""".stripMargin,
     "decontaminate" ->
       s"""WITH dsh AS ($duckShingleSet),
          |qsh AS ($duckQShingleSet)

@@ -270,6 +270,30 @@ class NewOpsSpec extends SparkSpec {
       s"residual ${hits("ann_ivf_pq_residual")} far below raw ${hits("ann_ivf_pq")} (n=$n)")
   }
 
+  test("decontaminate_semantic: struct-max agg equals the window argmax") {
+    // The scale formulation (map-side-combined max over a
+    // (sim, -eval_id) struct) must pick exactly the window formulation's
+    // winner — including the lowest-eval_id tie rule the negated id
+    // encodes.
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Vec
+    val e = graft.Tables.embeddings(spark, dir)
+    val ev = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("eval_id").asc)
+    val windowed = e.filter(col("vec_id") >= 25).crossJoin(ev)
+      .select(col("vec_id"), col("eval_id"),
+        Vec.dot(col("embedding"), col("evec")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("eval_id"), round(col("sim"), 4).as("max_sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    val agg = graft.queries.DedupQueries.decontaminateSemantic(spark, dir)
+      .select(col("vec_id"), col("eval_id"), col("max_sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(agg == windowed)
+  }
+
   test("DSIR: target == raw gives zero scores and empty selection") {
     // TRUE invariant of the importance estimator: when every document
     // is in the target domain, p_target and p_raw are the SAME
