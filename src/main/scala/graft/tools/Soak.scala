@@ -169,6 +169,14 @@ object Soak {
       val tMmr = time {
         graft.search.Knn.mmrTopK(emb, qs, k = 5, kCand = 20).count()
       }
+      // Binary quantization at mult× vectors: the Hamming proposal is a
+      // narrow XOR+popcount scan over dim/8-byte codes with bounded
+      // heaps, the refine join touches queries×r rows — the ninth
+      // kNN/ANN shape whose flat line proves the exchange stays
+      // heap-survivor-sized while per-row memory traffic drops 32×
+      val tBinary = time {
+        graft.search.Ann.binaryTopKRefined(emb, qs, 10, r = 50).count()
+      }
       // SemDeDup at mult× vectors with FIXED-OCCUPANCY clusters (k grows
       // with n, ~64 members per cell — the paper's configuration): total
       // pair work is Σ cluster² ≈ n×occupancy, so wall must track rows
@@ -188,7 +196,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
