@@ -418,6 +418,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-scale BPE tokenizer training (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * the map-reduce formulation: word counts once, then per iteration
+    * (1) count adjacent symbol pairs weighted by word frequency — a
+    * map-side-combined hash aggregate onto pair keys, (2) take the
+    * argmax pair (count desc, then lexicographic — both engines compare
+    * UTF-8 bytes, so the tie is pinned), (3) merge that pair in every
+    * word with a narrow map. Five unrolled iterations; output is the
+    * merge table (rank, left, right, pair_count) — all integers and
+    * strings, no float anywhere.
+    *
+    * Symbol encoding: every symbol is wrapped \u0001s\u0002, so the
+    * merge is a LITERAL string replace of \u0001l\u0002\u0001r\u0002 —
+    * left-to-right non-overlapping in both Java `String.replace` and
+    * DuckDB `replace`, which is exactly BPE's greedy scan ("aaa" +
+    * (a,a) → "aa","a"), and a pattern can never match inside a longer
+    * symbol because symbols contain no sentinels.
+    *
+    * Scale shape: the words frame (|vocab| rows, far smaller than the
+    * corpus) stays distributed; each iteration's pair aggregate
+    * combines map-side; the driver holds ONE winner row per iteration
+    * (the codebook-staging pattern of [[graft.search.Ann]]). The
+    * 5-iteration ladder is the loop a real 50k-merge training runs —
+    * per-iteration cost is |vocab|-bounded, not corpus-bounded.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, dir), iters = 5)
+
+  /** [[bpeTrain]] over an explicit documents frame — split out so specs
+    * can drive the textbook corpus (Sennrich et al.'s low/lower/
+    * newest/widest example) against the known merge sequence.
+    */
+  private[graft] def bpeMerges(docs: DataFrame, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("word"), "(.)", "\u0001$1\u0002").as("w"),
+        col("cnt"))
+      .as[(String, Long)]
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to iters) {
+      val syms = split(expr("substring(w, 2, length(w) - 2)"), "\u0002\u0001")
+      val Array(row) = words.toDF("w", "cnt")
+        .withColumn("syms", syms)
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      val (l, r, c) = row
+      merges += ((i, l, r, c))
+      val pat = "\u0001" + l + "\u0002\u0001" + r + "\u0002"
+      val rep = "\u0001" + l + r + "\u0002"
+      val prev = words
+      words = prev.map { case (w, cnt) => (w.replace(pat, rep), cnt) }.cache()
+      words.count() // materialize before dropping the parent
+      prev.unpersist()
+    }
+    words.unpersist()
+    merges.result()
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse
     * whitespace, mask digit runs as `<num>`. Patterns stay in the
     * ASCII-safe regex subset where Java regex and RE2 agree exactly.
@@ -631,6 +705,7 @@ object TextAnalysis {
     "cms_top_terms" -> (cmsTopTerms _),
     "sample_quality" -> (sampleQuality _),
     "dsir_select" -> (dsirSelect _),
+    "bpe_train" -> (bpeTrain _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -887,6 +962,41 @@ object TextAnalysis {
          |        AS BIGINT) % 100
          |      < CASE WHEN s > mean_s THEN 100 ELSE 25 END
          |ORDER BY doc_id""".stripMargin,
+    "bpe_train" -> {
+      // one CTE block per unrolled merge iteration: adjacent-pair
+      // counts from the previous words frame, the argmax pair, the
+      // literal sentinel-delimited replace — see bpeTrain's scaladoc
+      // for why replace() IS the greedy BPE scan on both engines
+      val iterBlocks = (1 to 5).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT string_split(substr(w, 2, length(w) - 2),
+           |               chr(2)||chr(1)) AS syms, cnt FROM $prev),
+           |       unnest(range(1, len(syms))) t(j)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(x.w, chr(1)||m.l||chr(2)||chr(1)||m.r||chr(2),
+           |                 chr(1)||m.l||m.r||chr(2)) AS w, x.cnt
+           |  FROM $prev x CROSS JOIN m$i m)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 5).map { i =>
+        s"SELECT $i AS rank, l AS \"left\", r AS \"right\", c AS pair_count FROM m$i"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH wc AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1),
+         |w0 AS (
+         |  SELECT regexp_replace(word, '(.)', chr(1)||'\\1'||chr(2), 'g') AS w, cnt
+         |  FROM wc),
+         |$iterBlocks
+         |SELECT CAST(rank AS INTEGER) AS rank, "left", "right", pair_count FROM (
+         |  $rows)
+         |ORDER BY rank""".stripMargin
+    },
     "dsir_select" ->
       s"""WITH bt AS (
          |  SELECT doc_id, lang,

@@ -438,4 +438,44 @@ object Streams {
           }
       }
   }
+
+  case class QueryArrival(query_id: Long, ts: Timestamp, qvec: Array[Float])
+
+  /** Streaming vector search — the store's serving path lifted to
+    * Structured Streaming: queries ARRIVE as a stream while the index
+    * is the STATIC side (a stream-static join, re-planned against the
+    * current index snapshot each micro-batch — exactly how a serving
+    * tier reads a periodically-republished index). Each arriving query
+    * fans out to the index, per-partition sims reduce through the
+    * bounded [[graft.functions.TopKAggregator]] buffer keyed by
+    * (event-time window, query_id), and the watermark finalizes
+    * windows so append-mode emission is exact-once-per-query; queries
+    * later than the horizon are dropped instead of re-opening state.
+    *
+    * Scale shape: identical to batch kNN — the static index never
+    * shuffles (partial buffers combine map-side), only ≤ queries×2k
+    * buffer rows exchange, and state per open window is one bounded
+    * buffer per in-flight query. Batch equality: the buffer merge is
+    * associative and commutative, so the emitted top-k is independent
+    * of micro-batching — spec-proven against
+    * [[graft.search.Knn.bruteForceTopK]].
+    */
+  def knnStream(queries: Dataset[QueryArrival], index: DataFrame,
+      k: Int = 10, windowDur: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator[Long](k))
+    queries.toDF()
+      .withWatermark("ts", watermark)
+      .crossJoin(index.select(col("vec_id"), col("embedding")))
+      .select(col("ts"), col("query_id"), col("vec_id"),
+        graft.functions.Vec.dot(col("embedding"), col("qvec")).as("sim"))
+      .groupBy(window(col("ts"), windowDur), col("query_id"))
+      .agg(topk(col("vec_id"), col("sim")).as("topk"))
+      .select(col("window").getField("start").as("window_start"),
+        col("query_id"), posexplode(col("topk")))
+      .select(col("window_start"), col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("_2").as("vec_id"),
+        col("col").getField("_1").as("sim"))
+  }
 }

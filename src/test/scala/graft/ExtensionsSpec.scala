@@ -472,6 +472,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed cohorts differ from batch")
   }
 
+  test("streaming knn equals batch brute force under arbitrary micro-batching") {
+    // The serving path as a stream-static join: query vectors arrive
+    // as a stream (shuffled order, one watermark horizon), the index
+    // is static. The TopKAggregator buffer merge is associative and
+    // commutative, so the finalized per-(window, query) top-k must be
+    // IDENTICAL to the batch heap search no matter how queries split
+    // into micro-batches.
+    val tmp = java.nio.file.Files.createTempDirectory("stream-knn").toString
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        // all arrivals within ~72s of the base, shuffled file order
+        timestamp_millis(lit(1700000000000L) + (col("vec_id") * 7919) % 200000)
+          .as("ts"),
+        col("embedding").as("qvec"))
+    // A far-future arrival pushes the watermark past the real window's
+    // end so append mode finalizes it (its own window stays open and
+    // is NOT emitted — which the query_id filter below also guards).
+    val flusher = emb.filter(col("vec_id") === 0)
+      .select(lit(999L).as("query_id"),
+        timestamp_millis(lit(1700000000000L + 7200000L)).as("ts"),
+        col("embedding").as("qvec"))
+    queries.unionAll(flusher)
+      .orderBy(md5(col("query_id").cast("string")))
+      .coalesce(3).write.mode("overwrite").parquet(tmp)
+    val q = Streams.knnStream(
+        spark.readStream
+          .schema("query_id LONG, ts TIMESTAMP, qvec ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(tmp).as[Streams.QueryArrival],
+        emb, k = 10)
+      .writeStream.format("memory").queryName("knnstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("knnstream")
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val batch = graft.queries.Similarity.knnTopK(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(streamed == batch, s"streamed knn differs from batch")
+  }
+
   test("stateful sessionization closes sessions across the gap") {
     val in = java.nio.file.Files.createTempDirectory("stream-se").toString
     Seq(

@@ -270,6 +270,27 @@ class NewOpsSpec extends SparkSpec {
       s"residual ${hits("ann_ivf_pq_residual")} far below raw ${hits("ann_ivf_pq")} (n=$n)")
   }
 
+  test("BPE training reproduces the textbook merge sequence") {
+    // Sennrich et al.'s worked example (low×5, lower×2, newest×6,
+    // widest×3, no end-of-word marker): hand-derived merges are
+    // (e,s,9) [ties (s,t) 9, lexicographic pins e<s], (es,t,9),
+    // (l,o,7) [ties (o,w), l<o], (lo,w,7), (e,w,6) [ties (n,e),(w,est)
+    // at 6, e<n<w].
+    val docs = Seq(
+      (0L, ("low " * 5).trim),
+      (1L, ("lower " * 2).trim),
+      (2L, ("newest " * 6).trim),
+      (3L, ("widest " * 3).trim),
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, iters = 5)
+      .select(col("rank"), col("left"), col("right"), col("pair_count"))
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L), (5, "e", "w", 6L)),
+      s"unexpected merges: $merges")
+  }
+
   test("decontaminate_semantic: struct-max agg equals the window argmax") {
     // The scale formulation (map-side-combined max over a
     // (sim, -eval_id) struct) must pick exactly the window formulation's
