@@ -451,20 +451,36 @@ object TextAnalysis {
     * newest/widest example) against the known merge sequence.
     */
   private[graft] def bpeMerges(docs: DataFrame, iters: Int): DataFrame = {
+    val (merges, fin) = bpeLoop(docs, iters)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fin.unpersist()
+    merges.toDF("rank", "left", "right", "pair_count").orderBy("rank")
+  }
+
+  /** The shared merge-training loop: returns the merge table AND the
+    * final vocab frame (word, sentinel-encoded symbols, count) — still
+    * cached — so [[bpeTrain]] emits the merges and [[bpeEncode]] joins
+    * the trained segmentation back onto documents.
+    */
+  private def bpeLoop(docs: DataFrame, iters: Int)
+      : (Seq[(Int, String, String, Long)],
+         org.apache.spark.sql.Dataset[(String, String, Long)]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     var words = docs
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(regexp_replace(col("word"), "(.)", "\u0001$1\u0002").as("w"),
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", "\u0001$1\u0002").as("w"),
         col("cnt"))
-      .as[(String, Long)]
+      .as[(String, String, Long)]
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to iters) {
       val syms = split(expr("substring(w, 2, length(w) - 2)"), "\u0002\u0001")
-      val Array(row) = words.toDF("w", "cnt")
+      val Array(row) = words.toDF("word", "w", "cnt")
         .withColumn("syms", syms)
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(
@@ -482,14 +498,47 @@ object TextAnalysis {
       val pat = "\u0001" + l + "\u0002\u0001" + r + "\u0002"
       val rep = "\u0001" + l + r + "\u0002"
       val prev = words
-      words = prev.map { case (w, cnt) => (w.replace(pat, rep), cnt) }.cache()
+      words = prev
+        .map { case (word, w, cnt) => (word, w.replace(pat, rep), cnt) }
+        .cache()
       words.count() // materialize before dropping the parent
       prev.unpersist()
     }
-    words.unpersist()
-    merges.result()
-      .toDF("rank", "left", "right", "pair_count")
-      .orderBy("rank")
+    (merges.result(), words)
+  }
+
+  /** Apply the trained BPE segmentation back to the corpus — the
+    * encode half of the tokenizer: per-document token counts under the
+    * 5-merge vocabulary, beside the whitespace word count (their ratio
+    * is the compression the merges bought). The merge chain runs on
+    * the VOCAB frame (|vocab| rows), so encoding a document is a join
+    * from its (doc, word) counts onto the segmented vocab — the
+    * corpus-scale shape: train once on distinct words, encode by
+    * lookup, never re-run merges per document.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeDocs(Tables.documents(spark, dir), iters = 5)
+
+  /** [[bpeEncode]] over an explicit documents frame (spec hook). */
+  private[graft] def bpeEncodeDocs(docs: DataFrame, iters: Int): DataFrame = {
+    val (_, fin) = bpeLoop(docs, iters)
+    val vocabSyms = fin.toDF("word", "w", "cnt")
+      .select(col("word"),
+        size(split(expr("substring(w, 2, length(w) - 2)"), "\u0002\u0001"))
+          .cast("long").as("ns"))
+    val perDocWord = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val out = perDocWord.join(vocabSyms, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("ns")).as("n_bpe_tokens"),
+        sum(col("c")).as("n_words"))
+      .orderBy("doc_id")
+    // materialize before releasing the segmented vocab the plan reads
+    out.cache().count()
+    fin.unpersist()
+    out
   }
 
   /** Text normalization for training corpora: lowercase, collapse
@@ -706,11 +755,47 @@ object TextAnalysis {
     "sample_quality" -> (sampleQuality _),
     "dsir_select" -> (dsirSelect _),
     "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** The BPE training replay: word counts, the sentinel-encoded w0
+    * frame (word carried through for the encode join), and five
+    * unrolled merge iterations — adjacent-pair counts, the argmax pair
+    * (count desc, byte-lexicographic tie), the literal sentinel-
+    * delimited replace (see bpeTrain's scaladoc for why replace() IS
+    * the greedy BPE scan on both engines). Ends at `w5` and `m1..m5`.
+    */
+  private lazy val duckBpeChain: String = {
+    val iterBlocks = (1 to 5).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT string_split(substr(w, 2, length(w) - 2),
+         |               chr(2)||chr(1)) AS syms, cnt FROM $prev),
+         |       unnest(range(1, len(syms))) t(j)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT x.* REPLACE (replace(x.w,
+         |           chr(1)||m.l||chr(2)||chr(1)||m.r||chr(2),
+         |           chr(1)||m.l||m.r||chr(2)) AS w)
+         |  FROM $prev x CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |w0 AS (
+       |  SELECT word, regexp_replace(word, '(.)', chr(1)||'\\1'||chr(2), 'g') AS w,
+       |         cnt
+       |  FROM wc),
+       |$iterBlocks""".stripMargin
+  }
 
   private def duckCountIn(words: Seq[String]): String =
     s"len(list_filter($duckToks, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -963,40 +1048,30 @@ object TextAnalysis {
          |      < CASE WHEN s > mean_s THEN 100 ELSE 25 END
          |ORDER BY doc_id""".stripMargin,
     "bpe_train" -> {
-      // one CTE block per unrolled merge iteration: adjacent-pair
-      // counts from the previous words frame, the argmax pair, the
-      // literal sentinel-delimited replace — see bpeTrain's scaladoc
-      // for why replace() IS the greedy BPE scan on both engines
-      val iterBlocks = (1 to 5).map { i =>
-        val prev = if (i == 1) "w0" else s"w${i - 1}"
-        s"""p$i AS (
-           |  SELECT syms[j] AS l, syms[j+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
-           |  FROM (SELECT string_split(substr(w, 2, length(w) - 2),
-           |               chr(2)||chr(1)) AS syms, cnt FROM $prev),
-           |       unnest(range(1, len(syms))) t(j)
-           |  GROUP BY 1, 2),
-           |m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-           |w$i AS (
-           |  SELECT replace(x.w, chr(1)||m.l||chr(2)||chr(1)||m.r||chr(2),
-           |                 chr(1)||m.l||m.r||chr(2)) AS w, x.cnt
-           |  FROM $prev x CROSS JOIN m$i m)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to 5).map { i =>
         s"SELECT $i AS rank, l AS \"left\", r AS \"right\", c AS pair_count FROM m$i"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH wc AS (
-         |  SELECT word, count(*) AS cnt
-         |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-         |        FROM documents)
-         |  WHERE length(word) > 0 GROUP BY 1),
-         |w0 AS (
-         |  SELECT regexp_replace(word, '(.)', chr(1)||'\\1'||chr(2), 'g') AS w, cnt
-         |  FROM wc),
-         |$iterBlocks
+      s"""WITH $duckBpeChain
          |SELECT CAST(rank AS INTEGER) AS rank, "left", "right", pair_count FROM (
          |  $rows)
          |ORDER BY rank""".stripMargin
     },
+    "bpe_encode" ->
+      s"""WITH $duckBpeChain,
+         |pdw AS (
+         |  SELECT doc_id, word, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1, 2),
+         |vs AS (
+         |  SELECT word, len(string_split(substr(w, 2, length(w) - 2),
+         |                    chr(2)||chr(1))) AS ns
+         |  FROM w5)
+         |SELECT p.doc_id, CAST(sum(p.c * v.ns) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(sum(p.c) AS BIGINT) AS n_words
+         |FROM pdw p JOIN vs v USING (word)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "dsir_select" ->
       s"""WITH bt AS (
          |  SELECT doc_id, lang,

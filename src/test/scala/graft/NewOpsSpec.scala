@@ -291,6 +291,22 @@ class NewOpsSpec extends SparkSpec {
       s"unexpected merges: $merges")
   }
 
+  test("BPE encode reproduces hand-derived segment counts on the textbook corpus") {
+    // Applying the five textbook merges: low → [low] (1 symbol),
+    // lower → [low, e, r] (3), newest → [n, ew, est] (3),
+    // widest → [w, i, d, est] (4).
+    val docs = Seq(
+      (0L, ("low " * 5).trim),
+      (1L, ("lower " * 2).trim),
+      (2L, ("newest " * 6).trim),
+      (3L, ("widest " * 3).trim),
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeDocs(docs, iters = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 5L, 5L), (1L, 6L, 2L), (2L, 18L, 6L), (3L, 12L, 3L)),
+      s"unexpected encode: $out")
+  }
+
   test("decontaminate_semantic: struct-max agg equals the window argmax") {
     // The scale formulation (map-side-combined max over a
     // (sim, -eval_id) struct) must pick exactly the window formulation's
