@@ -242,6 +242,38 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 user_id hash exchange:\n$plan")
   }
 
+  test("dsir_select: the lambda table broadcasts back — corpus never re-shuffles") {
+    val df = graft.queries.TextAnalysis.dsirSelect(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // per-doc bucket counts join the <=256-row λ table by broadcast;
+    // a SortMergeJoin would mean the corpus-side frame was shuffled
+    // for a dimension-table-sized right side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("decontaminate_semantic: eval side broadcasts, one struct-max agg, no window") {
+    val df = graft.queries.DedupQueries.decontaminateSemantic(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("ann_binary: refine joins broadcast — the float index never shuffles") {
+    val df = Similarity.annBinary(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // candidate ids and the query frame broadcast onto the index scan;
+    // the Hamming pass itself is typed mapPartitions (no join operator)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
