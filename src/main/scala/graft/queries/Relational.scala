@@ -93,6 +93,74 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q4-style order-priority check: orders in one quarter with at
+    * least one LATE lineitem (shipped > 30 days after the order date —
+    * the fixture's stand-in for Q4's commitdate < receiptdate, which
+    * the schema doesn't carry), counted per priority. The EXISTS
+    * decorrelates to a left-semi join whose condition spans both sides
+    * (key equality + the late predicate) — the classic correlated-
+    * subquery plan shape beside [[ordersAboveCustAvg]]'s scalar-agg
+    * decorrelation. Exchanges hash on the order key only.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14-style promo revenue share: one ship month, the part dim
+    * broadcast, and the PROMO fraction of discounted revenue as a
+    * percentage. Both numerator and denominator go through the DECIMAL
+    * sum (exact), so the single double division + round is the only
+    * float step — the ratio-of-money discipline shared with
+    * [[globalStats]].
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        decSum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 4)
+          .as("promo"),
+        decSum(disc, 4).as("total"))
+      .select(round(lit(100.0) * col("promo") / col("total"), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q19-style disjunctive filter: OR-of-ANDs over (brand, size,
+    * quantity) bands after the part broadcast join — the predicate
+    * shape that exercises disjunction pushdown and branch-heavy
+    * codegen. One revenue row out.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(decSum(disc, 4).as("revenue"))
+  }
+
   /** Semi/anti join: customers with ≥1 order vs none (SURVEY §2.6 joins). */
   def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -407,7 +475,10 @@ object Relational {
     "config_split" -> (configSplit _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "join_semi_anti" -> (joinSemiAnti _),
     "topk_orders" -> (topkOrders _),
     "global_stats" -> (globalStats _),
@@ -518,6 +589,36 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |                     THEN l_extendedprice * (1.0 - l_discount)
+        |                     ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "events_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
