@@ -28,6 +28,29 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Daily volume anomaly flags — the ops-dashboard query every event
+    * pipeline runs: per-(event_type, day) counts against the type's
+    * exact median daily count, flagged when a day exceeds 2× median.
+    * All inputs are exact integers; the median interpolates two
+    * integers at most (identical percentile_cont definition on both
+    * engines), and the flag compares against 2×median directly — no
+    * streaming moment kernels, no order-dependent float sum (the
+    * [[Relational.aggMoments]] discipline applied to anomaly
+    * detection). Scale: two map-side-combined aggregates — days per
+    * type is calendar-bounded, so the median side is a broadcast.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("percentile(n, 0.5)").as("med_daily"))
+    daily.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med_daily"),
+        (col("n") > lit(2.0) * col("med_daily")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** JSON extraction from the `props` column + aggregate. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -425,6 +448,7 @@ object Events {
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
     "events_hourly" -> (eventsHourly _),
+    "events_anomaly" -> (eventsAnomaly _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
@@ -550,6 +574,17 @@ object Events {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, quantile_cont(n, 0.5) AS med_daily
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n, m.med_daily,
+        |       d.n > 2.0 * m.med_daily AS is_anomaly
+        |FROM daily d JOIN med m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
