@@ -286,7 +286,38 @@ object DedupQueries {
       .select(lit("dedup_minhash_lsh").as("algo"), col("hits"), col("n"))
   }
 
+  /** MinHash banding tuning curve — `ann_recall_nprobe`'s pattern
+    * applied to text dedup: the SAME 16 permutations banded three ways
+    * (rows-per-band r = 2/4/8 → 8/4/2 bands), each config's candidate
+    * pairs intersected with ALL true jac≥0.7 pairs. r is THE knob an
+    * LSH dedup deployment turns (the 1−(1−s^r)^(16/r) S-curve steepens
+    * as r grows: fewer false candidates, more missed true pairs), and
+    * this emits the measured trade as three integer rows. Candidates
+    * are UNCAPPED here, which makes the curve monotone by construction:
+    * band boundaries align, so an r=8 bucket match implies both r=4
+    * half-bands match implies all four r=2 quarter-bands match —
+    * cands_8 ⊆ cands_4 ⊆ cands_2, spec-asserted (a bucket cap could
+    * break the nesting by dropping differently per config).
+    */
+  def dedupRecallBands(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
+      .cache()
+    val truePairs = Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
+      .filter(col("jac") >= 0.7).select(col("a"), col("b")).cache()
+    val mh = Dedup.minhash(sh, 16).cache()
+    val n = truePairs.agg(count(lit(1)).as("n"))
+    Seq(2, 4, 8).map { r =>
+      Dedup.lshCandidates(Dedup.lshBands(mh, r), maxBucket = Int.MaxValue)
+        .select(col("a"), col("b"))
+        .join(truePairs, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(s"rows_per_band_$r").as("algo"), col("hits"))
+        .crossJoin(n)
+    }.reduce(_.unionAll(_)).orderBy("algo")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_recall_bands" -> (dedupRecallBands _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_recall" -> (dedupRecall _),
@@ -487,6 +518,34 @@ object DedupQueries {
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    "dedup_recall_bands" -> {
+      val bandCtes = Seq(2, 4, 8).map { r =>
+        s"""bands_$r AS (
+           |  SELECT id, CAST(j // $r AS INTEGER) AS band,
+           |         md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
+           |  FROM mh GROUP BY 1, 2),
+           |cands_$r AS (
+           |  SELECT DISTINCT p.id AS a, q.id AS b
+           |  FROM bands_$r p JOIN bands_$r q
+           |    ON p.band = q.band AND p.bkey = q.bkey AND p.id < q.id)""".stripMargin
+      }.mkString(",\n")
+      val hitRows = Seq(2, 4, 8).map { r =>
+        s"""  SELECT 'rows_per_band_$r' AS algo,
+           |    (SELECT count(*) FROM cands_$r c
+           |       JOIN tp t ON c.a = t.a AND c.b = t.b) AS hits""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $duckPairJaccard,
+         |perms(j, a, b) AS (VALUES ${Dedup.permValuesSql(16)}),
+         |mh AS (
+         |  SELECT sh.id, p.j, min((p.a * sh.s + p.b) % ${Dedup.MinhashP}) AS mh
+         |  FROM sh CROSS JOIN perms p
+         |  GROUP BY 1, 2),
+         |tp AS (SELECT a, b FROM jacs WHERE jac >= 0.7),
+         |$bandCtes
+         |SELECT algo, hits, (SELECT count(*) FROM tp) AS n FROM (
+         |$hitRows)
+         |ORDER BY algo""".stripMargin
+    },
     "dedup_minhash_recall" ->
       s"""WITH $duckPairJaccard,
          |$duckMinhashCands,

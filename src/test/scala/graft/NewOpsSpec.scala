@@ -291,6 +291,24 @@ class NewOpsSpec extends SparkSpec {
       s"unexpected merges: $merges")
   }
 
+  test("LSH banding: aligned band candidates nest as rows-per-band grows") {
+    // TRUE invariant behind the dedup_recall_bands monotone curve:
+    // with aligned band boundaries, all 8 rows of an r=8 band agreeing
+    // implies both r=4 half-bands agree implies all r=2 quarter-bands
+    // agree — so cands(8) ⊆ cands(4) ⊆ cands(2) (uncapped).
+    import graft.dedup.Dedup
+    val sh = Dedup.shingleSet(
+      graft.Tables.documents(spark, dir), "doc_id", "text").cache()
+    val mh = Dedup.minhash(sh, 16).cache()
+    def cands(r: Int): Set[(Long, Long)] =
+      Dedup.lshCandidates(Dedup.lshBands(mh, r), maxBucket = Int.MaxValue)
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val (c2, c4, c8) = (cands(2), cands(4), cands(8))
+    assert(c8.subsetOf(c4), s"r=8 candidates escape r=4: ${c8 -- c4}")
+    assert(c4.subsetOf(c2), s"r=4 candidates escape r=2: ${c4 -- c2}")
+  }
+
   test("BPE encode reproduces hand-derived segment counts on the textbook corpus") {
     // Applying the five textbook merges: low → [low] (1 symbol),
     // lower → [low, e, r] (3), newest → [n, ew, est] (3),
