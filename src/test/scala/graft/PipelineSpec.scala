@@ -62,6 +62,33 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.collectionNames().isEmpty)
   }
 
+  test("compact rewrites the file layout without changing a row") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-compact").toString
+    val store = new VectorStore(spark, base)
+    val m = HashingEmbedder.modelsByName("hash-64")
+    // eight single-file appended micro-batches — the layout streaming
+    // ingestion leaves behind (createCollection's one-shot write is
+    // AQE-coalesced, so fragmentation comes from appends, not creates)
+    val dir = s"$base/collection=c"
+    for (b <- 0 until 8) {
+      (0 until 25)
+        .map(i => ((b * 25 + i).toLong, s"doc number ${b * 25 + i}",
+          HashingEmbedder.embed(s"doc ${b * 25 + i}", m)))
+        .toDF("id", "content", "embedding")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def files(): Int = new java.io.File(s"$base/collection=c")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val before = store.read("c")
+      .select("id", "content").as[(Long, String)].collect().toSet
+    assert(files() >= 8, s"expected a fragmented layout, got ${files()} files")
+    store.compact("c", targetRows = 100)
+    assert(files() <= 2, s"compact left ${files()} files")
+    val after = store.read("c")
+      .select("id", "content").as[(Long, String)].collect().toSet
+    assert(after == before, "compact changed collection contents")
+  }
+
   test("id assignment is distributed: range sort + zipWithIndex, never a single-partition window") {
     val base = java.nio.file.Files.createTempDirectory("vstore-ids").toString
     val store = new VectorStore(spark, base)
