@@ -480,7 +480,7 @@ object TextAnalysis {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to iters) {
       val syms = split(expr("substring(w, 2, length(w) - 2)"), "\u0002\u0001")
-      val Array(row) = words.toDF("word", "w", "cnt")
+      val best = words.toDF("word", "w", "cnt")
         .withColumn("syms", syms)
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(
@@ -493,7 +493,8 @@ object TextAnalysis {
         .limit(1)
         .as[(String, String, Long)]
         .collect()
-      val (l, r, c) = row
+      if (best.isEmpty) return (merges.result(), words) // corpus fully merged
+      val (l, r, c) = best(0)
       merges += ((i, l, r, c))
       val pat = "\u0001" + l + "\u0002\u0001" + r + "\u0002"
       val rep = "\u0001" + l + r + "\u0002"
