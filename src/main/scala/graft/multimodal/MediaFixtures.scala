@@ -305,6 +305,31 @@ object MediaFixtures {
     * values are dyadic rationals, so normalize → +1 → ·32 loses no
     * bits). Rotates all three decodeWav branches like realMedia does.
     */
+  /** Gradient images: pixel (x, y) of document id has gray value
+    * (id + 7x + 13y) mod 256 — every pixel position distinguishable,
+    * so a resize oracle can recompute EXACT pixel values from doc_id
+    * arithmetic alone (uniform fixtures can't pin the source-pixel
+    * mapping). Alternates spec-built PNG and BMP containers.
+    */
+  def gradientMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 5 + 3).toInt
+        val h = (id % 3 + 3).toInt
+        val px = for (y <- 0 until h; x <- 0 until w) yield {
+          val v = ((id + 7 * x + 13 * y) % 256).toInt
+          (v, v, v)
+        }
+        val (fmt, payload) =
+          if (id % 2 == 0) ("png", png(w, h, px: _*))
+          else ("bmp", bmp(w, h, px: _*))
+        Multimodal.MediaRow(id, "image", payload,
+          Multimodal.MediaMeta(fmt, w, h, 0L, 0))
+      }
+    }
+  }
+
   def uniformWavs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>

@@ -97,6 +97,40 @@ object Multimodal {
       "sample_rate", "duration_ms", "decode_differs")
   }
 
+  /** Nearest-neighbor image resize — the preprocessing step every
+    * vision-training pipeline runs before batching: REAL ImageIO decode
+    * (PNG/BMP/GIF/JPEG), then the standard floor mapping
+    * `src = tgt·srcDim / tgtDim` per axis, emitting the resized
+    * grayscale (blue-channel) pixels row-major. A narrow per-partition
+    * map like [[extractFeatures]] (codec setup amortizes per batch) —
+    * no exchange at any corpus size; output is tw×th ints per row
+    * regardless of source dimensions, which is exactly what makes the
+    * downstream batch shape fixed.
+    */
+  def resizeNearest(media: Dataset[MediaRow], tw: Int, th: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.bytes))
+        require(img != null, s"undecodable media ${m.media_id}")
+        val px = new Array[Int](tw * th)
+        var ty = 0
+        while (ty < th) {
+          val sy = ty * img.getHeight / th
+          var tx = 0
+          while (tx < tw) {
+            val sx = tx * img.getWidth / tw
+            px(ty * tw + tx) = img.getRGB(sx, sy) & 0xFF
+            tx += 1
+          }
+          ty += 1
+        }
+        (m.media_id, img.getWidth, img.getHeight, px)
+      }
+    }.toDF("media_id", "src_w", "src_h", "gray")
+  }
+
   /** Batched feature extraction — the mapInPandas shape: the work runs
     * once per partition over an iterator of rows, so codec setup (class
     * loading, ImageIO plugin registry) amortizes per batch, not per row.

@@ -136,7 +136,29 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Nearest-neighbor resize with a decoded-CONTENT oracle: gradient
+    * images ([[MediaFixtures.gradientMedia]] — pixel (x,y) of doc id is
+    * (id + 7x + 13y) mod 256) are ImageIO-decoded and resized to 2×2,
+    * and DuckDB recomputes every resized pixel from doc_id arithmetic:
+    * g(tx,ty) = (id + 7·(tx·w div 2) + 13·(ty·h div 2)) mod 256. That
+    * hash-pins the decode, the floor source mapping, AND row-major
+    * output order — the preprocessing contract a vision pipeline
+    * batches on. All-integer output.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.resizeNearest(
+        MediaFixtures.gradientMedia(Tables.documents(spark, dir)), 2, 2)
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        element_at(col("gray"), 1).as("g00"),
+        element_at(col("gray"), 2).as("g01"),
+        element_at(col("gray"), 3).as("g10"),
+        element_at(col("gray"), 4).as("g11"))
+      .orderBy("media_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_resize" -> (mediaResize _),
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
@@ -147,6 +169,19 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "media_resize" -> {
+      def g(tx: Int, ty: Int) =
+        s"CAST((doc_id + 7 * ((${tx} * (doc_id % 5 + 3)) // 2) " +
+          s"+ 13 * ((${ty} * (doc_id % 3 + 3)) // 2)) % 256 AS INTEGER)"
+      s"""SELECT doc_id AS media_id,
+         |  CAST(doc_id % 5 + 3 AS INTEGER) AS src_w,
+         |  CAST(doc_id % 3 + 3 AS INTEGER) AS src_h,
+         |  ${g(0, 0)} AS g00,
+         |  ${g(1, 0)} AS g01,
+         |  ${g(0, 1)} AS g10,
+         |  ${g(1, 1)} AS g11
+         |FROM documents ORDER BY media_id""".stripMargin
+    },
     "media_audio_histogram" ->
       """SELECT doc_id AS media_id,
         |  CAST(CASE WHEN doc_id % 3 = 1
