@@ -169,4 +169,44 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(empty.getAs[Int]("stop_ok") == 0 && empty.getAs[Int]("digit_ok") == 1)
     assert(empty.getAs[Int]("kept") == 0)
   }
+
+  test("BPE and DSIR survive empty and single-character corpora") {
+    import org.apache.spark.sql.functions._
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    // empty corpus: no merges, no scores — zero rows, never a crash
+    assert(graft.queries.TextAnalysis
+      .bpeMerges(emptyDocs, iters = 5).count() == 0)
+    assert(graft.queries.TextAnalysis.dsirScore(emptyDocs).count() == 0)
+    // all-single-character words: no adjacent pair ever exists, so the
+    // trainer must stop at zero merges instead of failing the argmax
+    val singles = Seq((0L, "en", "a b c a b")).toDF("doc_id", "lang", "text")
+    assert(graft.queries.TextAnalysis
+      .bpeMerges(singles, iters = 5).count() == 0)
+    // encode still works: every word is its own single symbol
+    val enc = graft.queries.TextAnalysis.bpeEncodeDocs(singles, iters = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(enc.toSeq == Seq((0L, 5L, 5L)))
+  }
+
+  test("nearest-neighbor resize: identity at source dims, top-left at 1x1") {
+    import graft.multimodal.{MediaFixtures, Multimodal}
+    val docs = Seq((6L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val media = MediaFixtures.gradientMedia(docs)
+    // identity: resizing w×h → w×h must reproduce the exact gradient
+    for (m <- media.collect()) {
+      val (w, h) = (m.meta.width, m.meta.height)
+      val out = Multimodal.resizeNearest(
+          media.filter(col("media_id") === m.media_id), w, h)
+        .select("gray").as[Seq[Int]].collect().head
+      val expected = for (y <- 0 until h; x <- 0 until w)
+        yield ((m.media_id + 7 * x + 13 * y) % 256).toInt
+      assert(out == expected, s"identity resize mismatch for ${m.media_id}")
+    }
+    // 1×1 picks source (0,0) = id mod 256
+    val one = Multimodal.resizeNearest(media, 1, 1)
+      .select(col("media_id"), element_at(col("gray"), 1))
+      .as[(Long, Int)].collect().toMap
+    assert(one == Map(6L -> 6, 7L -> 7))
+  }
 }
