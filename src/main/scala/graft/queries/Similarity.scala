@@ -108,6 +108,32 @@ object Similarity {
   def annRecallBinary(spark: SparkSession, dir: String): DataFrame =
     recallRow(exactIds(spark, dir))("ann_binary", annBinary(spark, dir))
 
+  /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
+    * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
+    * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
+    * same 16 md5-sampled coarse cells and nprobe=4 probing as
+    * `ann_ivf`, sign-bit codes scanned with XOR+popcount inside probed
+    * cells, top-50 Hamming proposal, exact float re-rank to the
+    * top-10. The oracle composes the `ann_ivf` assignment/probe CTEs
+    * with the binary-code CTEs and the cell-restricted Hamming cut;
+    * rank-only output.
+    */
+  def annIvfBinary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.ivfBinaryTopK(emb, queries, centroids, K, r = 50, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Pairwise cosine of a small id range — exercises E6 directly. */
   def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vec
@@ -774,6 +800,7 @@ object Similarity {
     "ann_ivf_sq" -> (annIvfSq _),
     "ann_ivf_sq_trained" -> (annIvfSqTrained _),
     "ann_binary" -> (annBinary _),
+    "ann_ivf_binary" -> (annIvfBinary _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
@@ -1036,7 +1063,10 @@ object Similarity {
     * tie), exact float re-rank. Requires the `q` CTE; ends at `brer`
     * (query_id, vec_id, sim).
     */
-  private def binaryReplayCtes: String =
+  /** Sign-bit code CTEs shared by every binary-quantization replay:
+    * `biw` (index words) and `bqw` (query words).
+    */
+  private def binaryCodesCtes: String =
     s"""biw AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN i <= 32 AND v > 0
@@ -1049,7 +1079,10 @@ object Similarity {
        |  GROUP BY vec_id),
        |bqw AS (
        |  SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
-       |  FROM biw WHERE vec_id < $NumQueries),
+       |  FROM biw WHERE vec_id < $NumQueries)""".stripMargin
+
+  private def binaryReplayCtes: String =
+    s"""$binaryCodesCtes,
        |bham AS (
        |  SELECT qc.query_id, c.vec_id,
        |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
@@ -1164,6 +1197,51 @@ object Similarity {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
          |  FROM brer)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_binary" ->
+      s"""WITH $pqQCte,
+         |$binaryCodesCtes,
+         |ibcent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |ibassign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN ibcent c) WHERE rn = 1),
+         |ibprobes AS (
+         |  SELECT query_id, cent_id FROM (
+         |    SELECT q.query_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN ibcent c) WHERE rn <= 4),
+         |ibham AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
+         |  FROM ibassign a
+         |  JOIN ibprobes p ON a.cent_id = p.cent_id
+         |  JOIN biw c ON c.vec_id = a.vec_id
+         |  JOIN bqw qc ON qc.query_id = p.query_id),
+         |ibcand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY ham ASC, vec_id ASC) AS rn
+         |    FROM ibham) WHERE rn <= 50),
+         |ibrer AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM ibcand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM ibrer)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     "ann_recall_binary" ->

@@ -1147,6 +1147,72 @@ object Ann {
     heapTopK(cands, k)
   }
 
+  /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition,
+    * completing the IVF × quantizer matrix (flat / SQ8 / PQ /
+    * residual-PQ / binary): the float-space coarse quantizer bounds
+    * WHICH rows are scanned (nprobe cells), sign-bit codes bound the
+    * BYTES per row (dim/8 — 32× under float32), the XOR+popcount
+    * Hamming scan proposes `r` candidates per query within probed
+    * cells, and only those rows are fetched for the exact float
+    * re-rank.
+    *
+    * Scale shape: assignment and packing are one narrow pass each (the
+    * index never shuffles), the probe join is queries×nprobe broadcast
+    * rows, query codes ride the closure, and only P×Q×r proposal
+    * survivors exchange before the bounded refine.
+    */
+  def ivfBinaryTopK(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, r: Int, nprobe: Int,
+      dim: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val codes = assignCells(index, centroids)
+      .select(col("vec_id").cast("long"), col("embedding"),
+        col("cent_id").cast("long"))
+      .as[(Long, Array[Float], Long)]
+      .map { case (id, v, cid) =>
+        val w = new Array[Long]((dim + 63) >> 6)
+        var i = 0
+        val n = math.min(v.length, dim)
+        while (i < n) { if (v(i) > 0f) w(i >> 6) |= 1L << (i & 63); i += 1 }
+        (id, cid, w)
+      }.toDF("vec_id", "cent_id", "w")
+    val cents: Array[(Long, Array[Float])] = centroids
+      .select(col("cent_id").cast("long"), col("cvec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val probes = queries.select(col("query_id").cast("long"), col("qvec"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        cents.map { case (cid, cv) => (cid, dotFF(qv, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(nprobe)
+          .map { case (cid, _) => (qid, cid) }
+      }.toDF("query_id", "cent_id")
+    val qcodes: Map[Long, Array[Long]] =
+      binaryCodes(queries, "qvec", "query_id", dim).collect().toMap
+    val sims = codes.join(broadcast(probes), "cent_id")
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("w"))
+      .as[(Long, Long, Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (qid, id, w) =>
+          val qw = qcodes(qid)
+          var h = 0
+          var j = 0
+          while (j < w.length) {
+            h += java.lang.Long.bitCount(w(j) ^ qw(j)); j += 1
+          }
+          (qid, id, -h.toDouble)
+        }
+      }
+    val candIds = Knn.topKOfSims(sims, r)
+      .select(col("query_id"), col("vec_id"))
+    val cands = index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candIds), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    heapTopK(cands, k)
+  }
+
   /** Fused dot-product + per-partition heap top-k per query over
     * candidate rows (query_id, vec_id, embedding, qvec) — no exchange
     * of the candidate set, only of the ≤ P×Q×k partial winners.

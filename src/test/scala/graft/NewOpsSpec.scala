@@ -404,6 +404,30 @@ class NewOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF-binary with all cells probed and full proposal equals exact top-k") {
+    // TRUE invariant: probing every cell removes the coarse cut and
+    // r = n keeps every Hamming candidate, so the exact re-rank IS
+    // brute force — the same degeneration contract the float IVF and
+    // flat-binary paths carry, here for the composed IndexBinaryIVF.
+    import graft.search.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id")).limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = Ann.ivfBinaryTopK(emb, queries, centroids,
+        Similarity.K, r = n, nprobe = 16)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.knnTopK(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("binary codes: sign bits round-trip and Hamming is layout-independent") {
     // The oracle packs 2×32-bit words, Spark packs 1×64 — equality of
     // the DISTANCES is what the replay rests on. Check the Scala side's
