@@ -105,8 +105,12 @@ object Similarity {
     * standalone (rather than widening `ann_recall`) so the established
     * 8-path meter's artifact stays comparable across rounds.
     */
-  def annRecallBinary(spark: SparkSession, dir: String): DataFrame =
-    recallRow(exactIds(spark, dir))("ann_binary", annBinary(spark, dir))
+  def annRecallBinary(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_binary", annBinary(spark, dir))
+      .unionAll(recallOf("ann_ivf_binary", annIvfBinary(spark, dir)))
+      .orderBy(col("algo"))
+  }
 
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
@@ -1063,6 +1067,48 @@ object Similarity {
     * tie), exact float re-rank. Requires the `q` CTE; ends at `brer`
     * (query_id, vec_id, sim).
     */
+  /** IVF-binary replay (the IndexBinaryIVF composition): the `ann_ivf`
+    * 16-cell sample/assignment/probe CTEs + the cell-restricted
+    * Hamming proposal + exact re-rank. Requires `q` and
+    * [[binaryCodesCtes]]; ends at `ibrer` (query_id, vec_id, sim).
+    */
+  private def ivfBinaryReplayCtes: String =
+    s"""ibcent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec
+       |  FROM embeddings
+       |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |ibassign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT e.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN ibcent c) WHERE rn = 1),
+       |ibprobes AS (
+       |  SELECT query_id, cent_id FROM (
+       |    SELECT q.query_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+       |    FROM q CROSS JOIN ibcent c) WHERE rn <= 4),
+       |ibham AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
+       |  FROM ibassign a
+       |  JOIN ibprobes p ON a.cent_id = p.cent_id
+       |  JOIN biw c ON c.vec_id = a.vec_id
+       |  JOIN bqw qc ON qc.query_id = p.query_id),
+       |ibcand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY ham ASC, vec_id ASC) AS rn
+       |    FROM ibham) WHERE rn <= 50),
+       |ibrer AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+       |  FROM ibcand c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN embeddings qe ON c.query_id = qe.vec_id)""".stripMargin
+
   /** Sign-bit code CTEs shared by every binary-quantization replay:
     * `biw` (index words) and `bqw` (query words).
     */
@@ -1202,41 +1248,7 @@ object Similarity {
     "ann_ivf_binary" ->
       s"""WITH $pqQCte,
          |$binaryCodesCtes,
-         |ibcent AS (
-         |  SELECT vec_id AS cent_id, embedding AS cvec
-         |  FROM embeddings
-         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |ibassign AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT e.vec_id, c.cent_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN ibcent c) WHERE rn = 1),
-         |ibprobes AS (
-         |  SELECT query_id, cent_id FROM (
-         |    SELECT q.query_id, c.cent_id,
-         |      row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
-         |    FROM q CROSS JOIN ibcent c) WHERE rn <= 4),
-         |ibham AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
-         |  FROM ibassign a
-         |  JOIN ibprobes p ON a.cent_id = p.cent_id
-         |  JOIN biw c ON c.vec_id = a.vec_id
-         |  JOIN bqw qc ON qc.query_id = p.query_id),
-         |ibcand AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |                    ORDER BY ham ASC, vec_id ASC) AS rn
-         |    FROM ibham) WHERE rn <= 50),
-         |ibrer AS (
-         |  SELECT c.query_id, c.vec_id,
-         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
-         |  FROM ibcand c
-         |  JOIN embeddings e ON c.vec_id = e.vec_id
-         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |$ivfBinaryReplayCtes,
          |ranked AS (
          |  SELECT query_id, vec_id,
          |    CAST(row_number() OVER (PARTITION BY query_id
@@ -1248,15 +1260,22 @@ object Similarity {
       s"""WITH $pqQCte,
          |$binaryReplayCtes,
          |${topKIdsCte("brer", "bink")},
+         |$ivfBinaryReplayCtes,
+         |${topKIdsCte("ibrer", "ibk")},
          |xsims AS (
          |  SELECT q.query_id, e.vec_id,
          |         ${duckDot("e.embedding", "q.qv")} AS sim
          |  FROM embeddings e CROSS JOIN q),
          |${topKIdsCte("xsims", "xk")}
-         |SELECT 'ann_binary' AS algo,
-         |  (SELECT count(*) FROM bink a JOIN xk x
-         |     ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
-         |  CAST(${NumQueries * K} AS BIGINT) AS n""".stripMargin,
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_binary' AS algo,
+         |    (SELECT count(*) FROM bink a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_ivf_binary' AS algo,
+         |    (SELECT count(*) FROM ibk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     // reduced to id sets, intersected with the exact top-k, counted —
     // integer-only output, one row per path.
     "ann_recall" ->
