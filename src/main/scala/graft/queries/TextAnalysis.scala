@@ -579,6 +579,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing under the TRAINED tokenizer — [[packSequences]]
+    * with real BPE token counts instead of the chars/4 heuristic: the
+    * budget a training run actually packs against is post-tokenizer,
+    * and the heuristic misallocates cut points whenever compression
+    * varies across documents. Composition: the [[bpeEncode]] counts
+    * (merge chain on the vocab frame, broadcast join back) feed the
+    * same per-bucket running-offset window — still no global sort.
+    */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val nb = 32
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bpeEncodeDocs(Tables.documents(spark, dir), iters = 5)
+      .select(col("doc_id"), (col("doc_id") % nb).as("bucket"),
+        col("n_bpe_tokens").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        col("bucket") * lit(1000000L) + expr(s"start_offset div $cap"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition quality signals (the Gopher-rule family): duplicate-word
     * fraction and top-bigram fraction per document — the standard
     * template/boilerplate detectors a curation pipeline runs alongside
@@ -759,6 +782,7 @@ object TextAnalysis {
     "dsir_select" -> (dsirSelect _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "pack_sequences_bpe" -> (packSequencesBpe _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -902,6 +926,31 @@ object TextAnalysis {
          |  SELECT doc_id, bucket, n_tokens,
          |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM toks)
+         |SELECT doc_id, bucket, n_tokens, start_offset,
+         |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
+         |FROM offs ORDER BY doc_id""".stripMargin,
+    "pack_sequences_bpe" ->
+      s"""WITH $duckBpeChain,
+         |pdw AS (
+         |  SELECT doc_id, word, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1, 2),
+         |vs AS (
+         |  SELECT word, len(string_split(substr(w, 2, length(w) - 2),
+         |                    chr(2)||chr(1))) AS ns
+         |  FROM w5),
+         |toks AS (
+         |  SELECT p.doc_id, p.doc_id % 32 AS bucket,
+         |         CAST(sum(p.c * v.ns) AS BIGINT) AS n_tokens
+         |  FROM pdw p JOIN vs v USING (word) GROUP BY 1, 2),
+         |offs AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_offset
          |  FROM toks)
          |SELECT doc_id, bucket, n_tokens, start_offset,
          |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
