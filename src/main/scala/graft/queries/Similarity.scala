@@ -112,6 +112,28 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** Recall@10 of flat binary as the proposal size r sweeps
+    * 10/20/50/100 — the OVERSAMPLING knob a binary-quantization
+    * deployment actually turns (Qdrant's BQ `oversampling`,
+    * `IndexRefineFlat.k_factor`): more Hamming candidates per query
+    * buy recall with exact-dot work. Monotone by construction — the
+    * top-r Hamming cuts nest, and an exact-top-k member among the
+    * candidates always survives the exact re-rank (only other
+    * exact-top-k members can outrank it), so hits(r) =
+    * |exact_topk ∩ C_r| over nested C_r; spec-asserted. The oracle
+    * runs the Hamming table once and four nested cuts share it.
+    */
+  def annRecallBinaryR(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    Seq(10, 20, 50, 100).map { r =>
+      recallOf(f"r_$r%03d", Ann.binaryTopKRefined(emb, queries, K, r))
+    }.reduce(_ unionAll _).orderBy(col("algo"))
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
     * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
@@ -806,6 +828,7 @@ object Similarity {
     "ann_binary" -> (annBinary _),
     "ann_ivf_binary" -> (annIvfBinary _),
     "ann_recall_binary" -> (annRecallBinary _),
+    "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
     "ann_recall_nprobe" -> (annRecallNprobe _),
@@ -1256,6 +1279,44 @@ object Similarity {
          |  FROM ibrer)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    "ann_recall_binary_r" -> {
+      val rs = Seq(10, 20, 50, 100)
+      val cuts = rs.map { r =>
+        s"""bc_$r AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                    ORDER BY ham ASC, vec_id ASC) AS rn
+           |    FROM bham) WHERE rn <= $r),
+           |br_$r AS (
+           |  SELECT c.query_id, c.vec_id,
+           |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+           |  FROM bc_$r c
+           |  JOIN embeddings e ON c.vec_id = e.vec_id
+           |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+           |${topKIdsCte(s"br_$r", s"bk_$r")}""".stripMargin
+      }.mkString(",\n")
+      val rows = rs.map { r =>
+        f"""  SELECT 'r_$r%03d' AS algo,
+           |    (SELECT count(*) FROM bk_$r a JOIN xk x
+           |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $pqQCte,
+         |$binaryCodesCtes,
+         |bham AS (
+         |  SELECT qc.query_id, c.vec_id,
+         |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
+         |  FROM biw c CROSS JOIN bqw qc),
+         |$cuts,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |$rows)
+         |ORDER BY algo""".stripMargin
+    },
     "ann_recall_binary" ->
       s"""WITH $pqQCte,
          |$binaryReplayCtes,

@@ -404,6 +404,28 @@ class NewOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("binary oversampling curve is monotone and full-index r is exact") {
+    // TRUE invariants: the top-r Hamming cuts nest, and an exact-top-k
+    // member among the candidates always survives the exact re-rank,
+    // so hits(r) = |exact_topk ∩ C_r| is non-decreasing in r; at r = n
+    // the candidate set is everything, so hits = n_queries × k.
+    val rows = Similarity.annRecallBinaryR(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val hits = rows.map(_._2)
+    assert(hits.sorted.sameElements(hits), s"curve not monotone: ${rows.toSeq}")
+    import graft.search.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val fullHits = Ann.binaryTopKRefined(emb, queries, Similarity.K, r = n)
+      .select(col("query_id"), col("vec_id"))
+      .join(Similarity.knnTopK(spark, dir).select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .count()
+    assert(fullHits == Similarity.NumQueries * Similarity.K)
+  }
+
   test("IVF-binary with all cells probed and full proposal equals exact top-k") {
     // TRUE invariant: probing every cell removes the coarse cut and
     // r = n keeps every Hamming candidate, so the exact re-rank IS
