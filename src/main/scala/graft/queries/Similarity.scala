@@ -134,6 +134,25 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("algo"))
   }
 
+  /** The oversampling curve turned into the serving decision —
+    * [[annTuneNprobe]]'s pattern for the binary index: the SMALLEST
+    * proposal size r whose measured recall on the query sample reaches
+    * the 70% target. Unlike the nprobe curve there is no
+    * guaranteed-exact sweep point, so on a corpus where even r=100
+    * misses the target the answer is legitimately "no qualifying r in
+    * the sweep" — zero rows on both engines, which the driver's
+    * rows/hash compare still matches (at the current fixtures r=50
+    * already clears it).
+    */
+  def annTuneR(spark: SparkSession, dir: String): DataFrame =
+    annRecallBinaryR(spark, dir)
+      .withColumn("r", substring(col("algo"), 3, 3).cast("int"))
+      .filter(col("hits") >= TuneTarget)
+      .orderBy(col("r").asc)
+      .limit(1)
+      .select(col("r"), col("hits"), col("n"),
+        lit(TuneTarget).as("target"))
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
     * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
@@ -829,6 +848,7 @@ object Similarity {
     "ann_ivf_binary" -> (annIvfBinary _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
+    "ann_tune_r" -> (annTuneR _),
     "ann_recall" -> (annRecall _),
     "ann_recall_filtered" -> (annRecallFiltered _),
     "ann_recall_nprobe" -> (annRecallNprobe _),
@@ -1090,6 +1110,47 @@ object Similarity {
     * tie), exact float re-rank. Requires the `q` CTE; ends at `brer`
     * (query_id, vec_id, sim).
     */
+  /** Binary oversampling-curve CTEs: one Hamming table, nested top-r
+    * cuts + exact re-ranks for r = 10/20/50/100, and the exact side —
+    * shared by `ann_recall_binary_r` and `ann_tune_r`.
+    */
+  private lazy val duckBinaryRCurveCtes: String = {
+    val cuts = Seq(10, 20, 50, 100).map { r =>
+      s"""bc_$r AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY ham ASC, vec_id ASC) AS rn
+         |    FROM bham) WHERE rn <= $r),
+         |br_$r AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM bc_$r c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |${topKIdsCte(s"br_$r", s"bk_$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""$pqQCte,
+       |$binaryCodesCtes,
+       |bham AS (
+       |  SELECT qc.query_id, c.vec_id,
+       |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
+       |  FROM biw c CROSS JOIN bqw qc),
+       |$cuts,
+       |xsims AS (
+       |  SELECT q.query_id, e.vec_id,
+       |         ${duckDot("e.embedding", "q.qv")} AS sim
+       |  FROM embeddings e CROSS JOIN q),
+       |${topKIdsCte("xsims", "xk")}""".stripMargin
+  }
+
+  private lazy val duckBinaryRHitsUnion: String =
+    Seq(10, 20, 50, 100).map { r =>
+      f"""  SELECT 'r_$r%03d' AS algo,
+         |    (SELECT count(*) FROM bk_$r a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+
   /** IVF-binary replay (the IndexBinaryIVF composition): the `ann_ivf`
     * 16-cell sample/assignment/probe CTEs + the cell-restricted
     * Hamming proposal + exact re-rank. Requires `q` and
@@ -1279,44 +1340,19 @@ object Similarity {
          |  FROM ibrer)
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
-    "ann_recall_binary_r" -> {
-      val rs = Seq(10, 20, 50, 100)
-      val cuts = rs.map { r =>
-        s"""bc_$r AS (
-           |  SELECT query_id, vec_id FROM (
-           |    SELECT query_id, vec_id,
-           |      row_number() OVER (PARTITION BY query_id
-           |                    ORDER BY ham ASC, vec_id ASC) AS rn
-           |    FROM bham) WHERE rn <= $r),
-           |br_$r AS (
-           |  SELECT c.query_id, c.vec_id,
-           |         ${duckDot("e.embedding", "qe.embedding")} AS sim
-           |  FROM bc_$r c
-           |  JOIN embeddings e ON c.vec_id = e.vec_id
-           |  JOIN embeddings qe ON c.query_id = qe.vec_id),
-           |${topKIdsCte(s"br_$r", s"bk_$r")}""".stripMargin
-      }.mkString(",\n")
-      val rows = rs.map { r =>
-        f"""  SELECT 'r_$r%03d' AS algo,
-           |    (SELECT count(*) FROM bk_$r a JOIN xk x
-           |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits""".stripMargin
-      }.mkString("\n  UNION ALL\n")
-      s"""WITH $pqQCte,
-         |$binaryCodesCtes,
-         |bham AS (
-         |  SELECT qc.query_id, c.vec_id,
-         |         bit_count(xor(qc.qw0, c.w0)) + bit_count(xor(qc.qw1, c.w1)) AS ham
-         |  FROM biw c CROSS JOIN bqw qc),
-         |$cuts,
-         |xsims AS (
-         |  SELECT q.query_id, e.vec_id,
-         |         ${duckDot("e.embedding", "q.qv")} AS sim
-         |  FROM embeddings e CROSS JOIN q),
-         |${topKIdsCte("xsims", "xk")}
+    "ann_recall_binary_r" ->
+      s"""WITH $duckBinaryRCurveCtes
          |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
-         |$rows)
-         |ORDER BY algo""".stripMargin
-    },
+         |$duckBinaryRHitsUnion)
+         |ORDER BY algo""".stripMargin,
+    "ann_tune_r" ->
+      s"""WITH $duckBinaryRCurveCtes
+         |SELECT CAST(substr(algo, 3) AS INTEGER) AS r, hits,
+         |  CAST(${NumQueries * K} AS BIGINT) AS n,
+         |  CAST($TuneTarget AS BIGINT) AS target
+         |FROM ($duckBinaryRHitsUnion)
+         |WHERE hits >= $TuneTarget
+         |ORDER BY r LIMIT 1""".stripMargin,
     "ann_recall_binary" ->
       s"""WITH $pqQCte,
          |$binaryReplayCtes,
