@@ -177,6 +177,19 @@ object Soak {
       val tBinary = time {
         graft.search.Ann.binaryTopKRefined(emb, qs, 10, r = 50).count()
       }
+      // BPE training at mult× documents: the duplicated corpus keeps
+      // the VOCAB constant, so per-iteration pair aggregates are flat
+      // and only the one-time word-count scan grows with rows — the
+      // measured form of "per-iteration cost is vocab-bounded"
+      val tBpe = time {
+        graft.queries.TextAnalysis.bpeMerges(corpus(m), iters = 5).count()
+      }
+      // DSIR at mult× documents: the (doc, bucket) combine is the only
+      // corpus-sized exchange; the ≤256-key lambda aggregates and the
+      // broadcast join are size-independent — expect ~linear in rows
+      val tDsir = time {
+        graft.queries.TextAnalysis.dsirScore(corpus(m)).count()
+      }
       // SemDeDup at mult× vectors with FIXED-OCCUPANCY clusters (k grows
       // with n, ~64 members per cell — the paper's configuration): total
       // pair work is Σ cluster² ≈ n×occupancy, so wall must track rows
@@ -196,7 +209,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
