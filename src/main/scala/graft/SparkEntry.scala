@@ -23,6 +23,7 @@ object SparkEntry {
     (DedupQueries.defs, DedupQueries.oracles),
     (Bm25.defs, Bm25.oracles),
     (Rag.defs, Rag.oracles),
+    (Quality.defs, Quality.oracles),
     (MultimodalQueries.defs, MultimodalQueries.oracles),
   )
 

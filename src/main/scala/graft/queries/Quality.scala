@@ -1,0 +1,270 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFns
+
+/** Distributed trained quality classifier — the supervised filter
+  * stage of an LLM data pipeline (the GPT-3 / LLaMA "quality
+  * classifier": train a linear model over cheap text features, score
+  * every raw document, keep the target-like ones; Brown et al. 2020
+  * §A, Touvron et al. 2023 §2). The model is logistic regression over
+  * hashed bag-of-words features (the fastText linear-classifier
+  * shape: Joulin et al. 2017), trained by full-batch gradient descent.
+  *
+  * Labels: the synthetic corpus carries no learnable human label (all
+  * five `lang` values share one 31-token vocabulary — measured, see
+  * SCALING.md), so supervision is a PLANTED deterministic teacher: a
+  * seeded md5-derived weight per hash bucket, centered to zero sum,
+  * labels y = 1[teacher margin > 0] computed in EXACT integer
+  * arithmetic in both engines. That turns the query into a trainer
+  * meter — the measured quantity is whether distributed GD RECOVERS a
+  * known decision boundary (the teacher-student protocol), exactly as
+  * `ann_recall` measures whether the index recovers exact top-k. On a
+  * real corpus the planted labels swap for curated ones; nothing else
+  * changes.
+  *
+  * Distributed-training shape (the scale story): the feature frame is
+  * one narrow explode → map-side-combined aggregate onto doc keys,
+  * cached; each of the 25 GD iterations is ONE aggregate whose
+  * partial sums combine map-side — per task the state is d+1 doubles,
+  * and the driver holds only the 17-double weight vector, the
+  * codebook-staging pattern of [[graft.search.Ann]]'s Lloyd trainer.
+  * Nothing corpus-sized ever shuffles: at 100 TB this is 25 scans of
+  * a cached/columnar feature projection plus a 17-double broadcast
+  * back for scoring. (A production run would checkpoint the feature
+  * frame to parquet; the cache is the local[32] stand-in.)
+  *
+  * Cross-engine float discipline: every updated weight is snapped to
+  * the shared 10⁻⁶ grid (floor(x·10⁶+0.5)/10⁶ — the
+  * [[graft.search.Ann.roundMean]] convention, kept in double), so the
+  * order-dependent gradient sums (~10⁻¹³ relative drift) cannot
+  * propagate between iterations; the oracle replays the identical
+  * 25-iteration chain as unrolled CTEs (the [[Similarity.lloydIter]]
+  * pattern), margins accumulate left-to-right in the same term order,
+  * and `selected` derives from the ROUNDED score so flag and score
+  * cannot disagree.
+  */
+object Quality {
+
+  private val B = 16
+  private val Iters = 25
+  private val Lr = 2.0
+
+  /** Teacher weights: md5Int("qlr|j") % 401 − 200 ∈ [−200, 200] — the
+    * seeded-md5 constant convention of [[graft.dedup.Dedup]]'s MinHash
+    * permutations (embedded into the oracle as VALUES the same way).
+    */
+  private[graft] val teacherRaw: IndexedSeq[Long] = (0 until B).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"qlr|$j".getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % 401 - 200
+  }
+  private val teacherSum: Long = teacherRaw.sum
+
+  /** Centered integer teacher weight per bucket: raw_j·B − Σraw. The
+    * teacher margin Σ_j centered_j·cnt_j is pure integer arithmetic —
+    * its sign (the label) is exact in both engines, no float anywhere.
+    */
+  private val centered: Array[Long] = teacherRaw.map(_ * B - teacherSum).toArray
+
+  /** floor(x·10⁶+0.5)/10⁶ in double — Ann.roundMean without the float
+    * cast (weights are scalars, not packed vectors).
+    */
+  private def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Doc features and teacher label in one pass: explode tokens, hash
+    * each into one of B buckets, aggregate per doc. Features are
+    * centered scaled fractions x_j = (cnt_j·B − n)/n (zero-mean across
+    * j by construction, O(1) dynamic range); x0 = 1 is the bias. The
+    * teacher margin rides the same aggregate as one extra integer sum.
+    */
+  private def feats(spark: SparkSession, dir: String): DataFrame = {
+    val bt = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (TextFns.md5Int(concat(lit("lr|"), col("tok"))) % B).as("b"))
+    val aggs =
+      (0 until B).map(j =>
+        sum(when(col("b") === j, 1L).otherwise(0L)).as(s"c$j")) ++ Seq(
+        count(lit(1)).as("n"),
+        sum(element_at(lit(centered), (col("b") + 1).cast("int"))).as("tm"))
+    bt.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(
+        Seq(col("doc_id"),
+          when(col("tm") > 0, lit(1.0)).otherwise(lit(0.0)).as("y"),
+          lit(1.0).as("x0")) ++
+        (0 until B).map(j =>
+          ((col(s"c$j") * B - col("n")).cast("double") / col("n")).as(s"x${j + 1}")): _*)
+  }
+
+  /** w·x accumulated left-to-right over the fixed term order — the
+    * identical association the oracle's generated margin string uses.
+    */
+  private def margin(w: Array[Double]): Column =
+    (1 to B).foldLeft(lit(w(0)) * col("x0"): Column)((acc, j) =>
+      acc + lit(w(j)) * col(s"x$j"))
+
+  private def sigmoid(m: Column): Column = lit(1.0) / (lit(1.0) + exp(-m))
+
+  /** Train once per (session, dir) — the train()/score() split the ANN
+    * family memoizes the same way. Returned weights sit on the 10⁻⁶
+    * grid.
+    */
+  private val trainedW = TrieMap.empty[(SparkSession, String), Array[Double]]
+
+  private[graft] def trainWeights(spark: SparkSession, dir: String): Array[Double] =
+    trainedW.getOrElseUpdate((spark, dir), {
+      val f = feats(spark, dir).cache()
+      var w = Array.fill(B + 1)(0.0)
+      for (_ <- 1 to Iters) {
+        val err = sigmoid(margin(w)) - col("y")
+        val gAggs = (0 to B).map(j => sum(err * col(s"x$j")).as(s"g$j")) :+
+          count(lit(1)).as("cnt")
+        val g = f.agg(gAggs.head, gAggs.tail: _*).head()
+        val n = g.getLong(B + 1).toDouble
+        w = Array.tabulate(B + 1)(j => snap(w(j) - Lr * g.getDouble(j) / n))
+      }
+      f.unpersist()
+      w
+    })
+
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainWeights(spark, dir)
+    feats(spark, dir)
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        round(sigmoid(margin(w)), 4).as("score"))
+      .withColumn("selected", col("score") > 0.5)
+  }
+
+  /** Per-document scores from the trained classifier: the planted
+    * teacher label, the rounded student sigmoid score, and the keep
+    * decision.
+    */
+  def qualityLr(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir).orderBy("doc_id")
+
+  /** The trained weight vector (idx, weight) — the model artifact a
+    * pipeline would persist, exposed the way [[TextAnalysis.bpeTrain]]
+    * exposes the merge table. idx 0 is the bias.
+    */
+  def qualityLrWeights(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainWeights(spark, dir)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(w.toIndexedSeq.zipWithIndex.map {
+        case (v, i) => Row(i, v)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .orderBy("idx")
+  }
+
+  /** The trainer meter: does distributed GD recover the planted
+    * boundary? One row — docs, correct predictions, positives — the
+    * measured-not-assumed contract of `ann_recall`.
+    */
+  def qualityLrRecovery(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("selected") === (col("label") === 1), 1L).otherwise(0L))
+        .as("n_correct"),
+      sum(col("label").cast("long")).as("n_pos"))
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Bucket + teacher-weight VALUES, bucketed tokens, and the feature
+    * frame — the shared WITH-body prefix of all three oracles.
+    */
+  private val duckFeats: String = {
+    val tw = centered.zipWithIndex
+      .map { case (c, j) => s"($j, $c)" }.mkString(", ")
+    val cnts = (0 until B)
+      .map(j => s"sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS c$j").mkString(", ")
+    val xs = (0 until B)
+      .map(j => s"CAST(c$j * $B - n AS DOUBLE) / n AS x${j + 1}").mkString(", ")
+    s"""tw(j, cw) AS (VALUES $tw),
+       |bt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5('lr|' || tok), 1, 8)) AS BIGINT) % $B AS b
+       |  FROM (SELECT doc_id, unnest($duckToks) AS tok FROM documents)),
+       |ag AS (
+       |  SELECT doc_id, count(*) AS n, sum(cw) AS tm, $cnts
+       |  FROM bt JOIN tw ON tw.j = bt.b GROUP BY doc_id),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN tm > 0 THEN 1.0 ELSE 0.0 END AS y,
+       |         1.0 AS x0, $xs
+       |  FROM ag)""".stripMargin
+  }
+
+  private def duckMargin(p: String): String =
+    (1 to B).foldLeft(s"$p.w0*f.x0")((acc, j) => s"$acc + $p.w$j*f.x$j")
+
+  /** One GD iteration as a CTE: weight update with the gradient sum,
+    * snapped to the 10⁻⁶ grid — [[Similarity.lloydIter]] for the
+    * logistic trainer. `max(p.wj)` is just wj (prev has one row); it
+    * dodges a GROUP BY over the cross join.
+    */
+  private def lrIter(prev: String, next: String): String = {
+    def upd(j: Int) =
+      s"CAST(floor((max(p.w$j) - $Lr * sum((1.0/(1.0+exp(-(${duckMargin("p")}))) - f.y) * f.x$j)" +
+        s" / count(*)) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS w$j"
+    // MATERIALIZED is load-bearing: without it DuckDB's single-reference
+    // CTE inlining multiplies the expression tree ~17× per iteration
+    // (17 updates each referencing all 17 prev columns) — the binder
+    // never returns on the 25-deep chain. Materializing each rung keeps
+    // the plan linear (measured 1.9 s for the full chain).
+    s"""$next AS MATERIALIZED (
+       |  SELECT ${(0 to B).map(upd).mkString(",\n    ")}
+       |  FROM feats f CROSS JOIN $prev p)""".stripMargin
+  }
+
+  private val duckChain: String = {
+    val w0 = (0 to B).map(j => s"0.0 AS w$j").mkString(", ")
+    (s"""WITH $duckFeats,
+        |w_0 AS (SELECT $w0)""".stripMargin +:
+      (1 to Iters).map(i => lrIter(s"w_${i - 1}", s"w_$i"))).mkString(",\n")
+  }
+
+  private val duckScore =
+    s"round(1.0/(1.0+exp(-(${duckMargin("p")}))), 4)"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_lr" -> (qualityLr _),
+    "quality_lr_weights" -> (qualityLrWeights _),
+    "quality_lr_recovery" -> (qualityLrRecovery _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "quality_lr" ->
+      s"""$duckChain
+         |SELECT f.doc_id, CAST(f.y AS INTEGER) AS label, $duckScore AS score,
+         |       $duckScore > 0.5 AS selected
+         |FROM feats f CROSS JOIN w_$Iters p
+         |ORDER BY doc_id""".stripMargin,
+    "quality_lr_weights" -> {
+      val cases = (0 to B).map(j => s"WHEN $j THEN w$j").mkString(" ")
+      s"""$duckChain
+         |SELECT CAST(i.i AS INTEGER) AS idx,
+         |       CASE i.i $cases END AS weight
+         |FROM w_$Iters, range(0, ${B + 1}) i(i)
+         |ORDER BY idx""".stripMargin
+    },
+    "quality_lr_recovery" ->
+      s"""$duckChain
+         |SELECT count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN ($duckScore > 0.5) = (f.y = 1.0)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       CAST(sum(CAST(f.y AS BIGINT)) AS BIGINT) AS n_pos
+         |FROM feats f CROSS JOIN w_$Iters p""".stripMargin,
+  )
+}

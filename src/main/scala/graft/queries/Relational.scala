@@ -161,6 +161,108 @@ object Relational {
       .agg(decSum(disc, 4).as("revenue"))
   }
 
+  /** TPC-H Q13-style customer order distribution: how many customers
+    * placed exactly k orders, for every k INCLUDING zero — the plan
+    * shape Q13 exists to test is the outer join feeding a double
+    * aggregation (per-customer count, then a histogram over the
+    * counts). The priority exclusion stands in for Q13's
+    * `o_comment NOT LIKE` (the fixture carries no comment column) and
+    * sits on the orders side BEFORE the join, so the outer join
+    * preserves customers whose every order was excluded (they count as
+    * zero, exactly like Q13). Scale: one shuffle on the join/group key
+    * (`custkey` — the second aggregate's key space is |distinct
+    * counts|, tiny); `count(o_orderkey)` counts non-null keys only, so
+    * the no-match row contributes 0, not 1.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_custkey", "o_orderkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    * whose quantity is below half that part's average quantity, summed
+    * as a yearly average. Q17's correlated per-part scalar average is
+    * expressed as a window aggregate over `l_partkey` rather than the
+    * textbook aggregate-then-rejoin — one exchange instead of two (the
+    * [[graft.queries.TextAnalysis.bigramLm]] c1 pattern), and at 100 TB
+    * the per-part average table for a brand is millions of rows, so the
+    * rejoin could not broadcast anyway. Float discipline: quantities
+    * are integral doubles (window sum/count exact), the 0.5 multiplier
+    * is exact, and revenue goes through the DECIMAL sum with one final
+    * double division + round.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val brand = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#11")
+      .select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(round(decSum(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume customers: orders whose total
+    * quantity across lineitems exceeds 300, with their customer, top
+    * 100 by total price. The lineitem aggregate filters hard (46 of
+    * 15k orders at sf0.01), so the orders join's build side is tiny at
+    * runtime — left un-hinted on purpose: AQE's runtime size check is
+    * the right mechanism for a data-dependent cardinality cliff,
+    * where a static broadcast hint would gamble on the threshold.
+    * The final top-100 is TakeOrderedAndProject (no global sort), tie
+    * broken by order key.
+    */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22-style dormant high-balance customers: above the
+    * positive-balance average, no order since 1999, counted and summed
+    * per nation (the fixture's stand-in for Q22's phone-prefix country
+    * code). Plan shape: a 1-row broadcast scalar (exact DECIMAL mean),
+    * then a left-anti join against the recent-orders key set — the
+    * anti side is date-pruned at the scan, so the shuffle carries only
+    * recent order keys, not order history. Money stays in DECIMAL
+    * until the final cast.
+    */
+  def q22Dormant(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((decSum(col("c_acctbal"), 2) / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), decSum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Semi/anti join: customers with ≥1 order vs none (SURVEY §2.6 joins). */
   def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -479,6 +581,10 @@ object Relational {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q19_disjunctive" -> (q19Disjunctive _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q18_large_volume" -> (q18LargeVolume _),
+    "q22_dormant" -> (q22Dormant _),
     "join_semi_anti" -> (joinSemiAnti _),
     "topk_orders" -> (topkOrders _),
     "global_stats" -> (globalStats _),
@@ -609,6 +715,48 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |                  AS DOUBLE) / 7.0, 4) AS avg_yearly
+        |FROM (
+        |  SELECT l_quantity, l_extendedprice,
+        |         CAST(sum(l_quantity) OVER (PARTITION BY l_partkey) AS DOUBLE) /
+        |         count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#11')
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0) big
+        |JOIN orders ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q22_dormant" ->
+      """WITH ab AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+        |         count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "q19_disjunctive" ->
       """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
         |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue

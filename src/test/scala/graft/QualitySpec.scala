@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Quality
+
+/** Behavior specs for the trained quality classifier (teacher-student
+  * logistic regression over hashed bag-of-words).
+  */
+class QualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("distributed GD recovers the planted teacher boundary above base rate") {
+    val r = Quality.qualityLrRecovery(spark, dir).head()
+    val n = r.getLong(0)
+    val correct = r.getLong(1)
+    val pos = r.getLong(2)
+    assert(n > 0)
+    // base rate = always predicting the majority class; the student
+    // must beat it with real margin, or training learned nothing
+    val base = math.max(pos, n - pos).toDouble / n
+    val acc = correct.toDouble / n
+    assert(acc > base + 0.05,
+      s"student acc $acc does not beat base rate $base (n=$n, pos=$pos)")
+    assert(acc >= 0.75, s"student acc $acc below the recovery floor")
+  }
+
+  test("trained weights sit on the 1e-6 grid and are memoized per (session, dir)") {
+    val w1 = Quality.trainWeights(spark, dir)
+    val w2 = Quality.trainWeights(spark, dir)
+    assert(w1 eq w2, "second call must hit the memo, not retrain")
+    w1.foreach { w =>
+      val snapped = math.floor(w * 1e6 + 0.5) / 1e6
+      assert(w == snapped, s"weight $w off the 1e-6 grid")
+    }
+    assert(w1.length == 17)
+    assert(w1.exists(_ != 0.0), "all-zero weights: training did not move")
+  }
+
+  test("scores and selection flags are consistent and complete") {
+    val df = Quality.qualityLr(spark, dir).cache()
+    val nDocs = Tables.documents(spark, dir)
+      .filter(length(trim(col("text"))) >= 0).count()
+    assert(df.count() == nDocs, "every document must be scored")
+    // selected must equal (score > 0.5) — the flag derives from the
+    // rounded score, never a second margin computation
+    assert(df.filter(col("selected") =!= (col("score") > 0.5)).count() == 0)
+    assert(df.filter(col("score") < 0.0 || col("score") > 1.0).count() == 0)
+    df.unpersist()
+  }
+}
