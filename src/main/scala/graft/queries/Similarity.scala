@@ -153,6 +153,49 @@ object Similarity {
       .select(col("r"), col("hits"), col("n"),
         lit(TuneTarget).as("target"))
 
+  private val RpR = 50
+
+  /** Random-projection pre-transform search — the Faiss
+    * `IndexPreTransform(RandomRotationMatrix, IndexFlat)` shape
+    * ([[graft.search.Ann.rpTopKRefined]]): 64 → 16 dims through the
+    * seeded ±0.25 Achlioptas sign matrix, top-50 proposal from the
+    * short-vector scan, exact re-rank to the top-10. The projection is
+    * the training-free complement of PQ: 4× fewer multiply-adds per
+    * scanned row with no codebook, and it composes in front of any
+    * downstream index. Rank-only output; the oracle regenerates the
+    * sign matrix from md5 parity (the knn_lsh hyperplane convention)
+    * and replays projection, proposal, and refine.
+    */
+  def annRp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.rpTopKRefined(emb, queries, K, r = RpR)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 as the retained dimensionality sweeps 4/16/64 at fixed
+    * proposal size — the JL-distortion knob measured, the way
+    * `ann_recall_binary_r` measures the oversampling knob. dOut values
+    * are the powers of four whose 1/√dOut scales (0.5/0.25/0.125) are
+    * exactly representable, keeping both engines' projections
+    * bit-identical. d_64 is a full-rank ±rotation (no information
+    * discarded beyond non-orthogonality), so the curve's ceiling is
+    * visible in the same artifact as its floor.
+    */
+  def annRecallRp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    Seq(4, 16, 64).map { dOut =>
+      recallOf(f"d_$dOut%02d", Ann.rpTopKRefined(emb, queries, K, RpR, dOut))
+    }.reduce(_ unionAll _).orderBy(col("algo"))
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
     * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
@@ -846,6 +889,8 @@ object Similarity {
     "ann_ivf_sq_trained" -> (annIvfSqTrained _),
     "ann_binary" -> (annBinary _),
     "ann_ivf_binary" -> (annIvfBinary _),
+    "ann_rp" -> (annRp _),
+    "ann_recall_rp" -> (annRecallRp _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -1230,6 +1275,44 @@ object Similarity {
        |  JOIN embeddings e ON c.vec_id = e.vec_id
        |  JOIN embeddings qe ON c.query_id = qe.vec_id)""".stripMargin
 
+  /** Random-projection replay for one retained dimensionality: sign
+    * matrix from md5 parity (knn_lsh's hyperplane convention, seed
+    * prefix "rp|"), per-row projection with duckDot's left-to-right
+    * accumulation, top-RpR proposal in the reduced space, exact refine
+    * sims. Ends at `cs_<tag>` (query_id, vec_id, sim). `scaleSql` must
+    * be the exact decimal literal of 1/√dOut.
+    */
+  private def rpReplayCtes(dOut: Int, scaleSql: String, tag: String): String =
+    s"""rp_$tag AS (
+       |  SELECT j.j, i.i,
+       |    CASE WHEN strpos('02468ace',
+       |           substr(md5('rp|' || CAST(j.j AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)), 2, 1)) > 0
+       |         THEN $scaleSql ELSE -$scaleSql END AS v
+       |  FROM range($dOut) j(j), range(64) i(i)),
+       |rpl_$tag AS (SELECT j, list(v ORDER BY i) AS pv FROM rp_$tag GROUP BY j),
+       |pc_$tag AS (
+       |  SELECT e.vec_id, r.j, ${duckDot("e.embedding", "r.pv")} AS c
+       |  FROM embeddings e CROSS JOIN rpl_$tag r),
+       |pv_$tag AS (
+       |  SELECT vec_id, list(c ORDER BY j) AS pv FROM pc_$tag GROUP BY vec_id),
+       |ps_$tag AS (
+       |  SELECT qq.query_id, p.vec_id, ${duckDot("p.pv", "qq.pv")} AS sim
+       |  FROM pv_$tag p CROSS JOIN
+       |    (SELECT vec_id AS query_id, pv FROM pv_$tag
+       |     WHERE vec_id < $NumQueries) qq),
+       |cand_$tag AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM ps_$tag) WHERE rn <= $RpR),
+       |cs_$tag AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+       |  FROM cand_$tag c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN embeddings qe ON c.query_id = qe.vec_id)""".stripMargin
+
   private def topKIdsCte(src: String, out: String): String =
     s"""$out AS (
        |  SELECT query_id, vec_id FROM (
@@ -1353,6 +1436,41 @@ object Similarity {
          |FROM ($duckBinaryRHitsUnion)
          |WHERE hits >= $TuneTarget
          |ORDER BY r LIMIT 1""".stripMargin,
+    "ann_rp" ->
+      s"""WITH ${rpReplayCtes(16, "0.25", "d16")},
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM cs_d16)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "ann_recall_rp" ->
+      s"""WITH $pqQCte,
+         |${rpReplayCtes(4, "0.5", "d04")},
+         |${topKIdsCte("cs_d04", "rk_d04")},
+         |${rpReplayCtes(16, "0.25", "d16")},
+         |${topKIdsCte("cs_d16", "rk_d16")},
+         |${rpReplayCtes(64, "0.125", "d64")},
+         |${topKIdsCte("cs_d64", "rk_d64")},
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'd_04' AS algo,
+         |    (SELECT count(*) FROM rk_d04 a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'd_16' AS algo,
+         |    (SELECT count(*) FROM rk_d16 a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'd_64' AS algo,
+         |    (SELECT count(*) FROM rk_d64 a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     "ann_recall_binary" ->
       s"""WITH $pqQCte,
          |$binaryReplayCtes,

@@ -1147,6 +1147,91 @@ object Ann {
     heapTopK(cands, k)
   }
 
+  /** Seeded ±(1/√dOut) random-projection planes (the Achlioptas sign
+    * matrix, Achlioptas 2003 "Database-friendly random projections";
+    * the Faiss `RandomRotationMatrix` pre-transform analog) — md5-parity
+    * signs, [[hyperplane]]'s convention under its own seed prefix.
+    * dOut = 16 keeps the 1/√dOut scale exactly representable (0.25), so
+    * both engines' projected components are bit-identical doubles.
+    */
+  private[graft] def rpPlanes(dOut: Int, dIn: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scale = 1.0 / math.sqrt(dOut.toDouble)
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val d = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) scale else -scale
+    }
+  }
+
+  /** Project rows into the reduced space: out(j) = Σ_i v(i)·p_j(i),
+    * left-to-right double accumulation per output dim (the oracle's
+    * duckDot order). One narrow typed map — the index never shuffles.
+    */
+  private[graft] def projectRows(df: DataFrame, vCol: String, idCol: String,
+      planes: Array[Array[Double]]): org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val out = new Array[Double](planes.length)
+        var j = 0
+        while (j < planes.length) {
+          val p = planes(j)
+          var s = 0.0
+          val n = math.min(v.length, p.length)
+          var i = 0
+          while (i < n) { s += v(i).toDouble * p(i); i += 1 }
+          out(j) = s
+          j += 1
+        }
+        (id, out)
+      }
+  }
+
+  /** Random-projection pre-transform search with exact re-ranking —
+    * the Faiss `IndexPreTransform(RandomRotationMatrix, IndexFlat)`
+    * shape: project index and queries 64 → dOut dims with the seeded
+    * sign matrix (JL lemma: inner products of unit vectors are
+    * preserved in expectation with O(1/√dOut) distortion), propose `r`
+    * candidates per query from a full scan of the SHORT vectors, fetch
+    * only those rows for the exact float re-rank. The dimensionality
+    * cut is the complement of PQ's code compression: 4× fewer
+    * multiply-adds per scanned row with zero codebook training.
+    *
+    * Scale shape: projection is one narrow map each side (the index
+    * never shuffles); the projected query block rides the closure
+    * (≤ queries × dOut doubles); the proposal scan uses per-partition
+    * bounded heaps so only P×Q×r survivors exchange before the
+    * bounded refine — [[binaryTopKRefined]]'s topology with dots in
+    * place of Hamming.
+    */
+  def rpTopKRefined(index: DataFrame, queries: DataFrame, k: Int, r: Int,
+      dOut: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val planes = rpPlanes(dOut, dim)
+    val pq: Array[(Long, Array[Double])] =
+      projectRows(queries, "qvec", "query_id", planes).collect().sortBy(_._1)
+    val sims = projectRows(index, "embedding", "vec_id", planes)
+      .mapPartitions { it =>
+        it.flatMap { case (id, pv) =>
+          pq.iterator.map { case (qid, qv) =>
+            var s = 0.0
+            var j = 0
+            while (j < pv.length) { s += pv(j) * qv(j); j += 1 }
+            (qid, id, s)
+          }
+        }
+      }
+    val candIds = Knn.topKOfSims(sims, r)
+      .select(col("query_id"), col("vec_id"))
+    val cands = index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candIds), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    heapTopK(cands, k)
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition,
     * completing the IVF × quantizer matrix (flat / SQ8 / PQ /
     * residual-PQ / binary): the float-space coarse quantizer bounds

@@ -450,6 +450,40 @@ class NewOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("random-projection search with full-index proposal degenerates to exact top-k") {
+    // TRUE invariant (the binary-path degeneration, for the
+    // pre-transform): when r covers the whole index the reduced-space
+    // proposal keeps every row, so the exact re-rank IS brute force —
+    // whatever the projection distorted, nothing was dropped.
+    import graft.search.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = Ann.rpTopKRefined(emb, queries, Similarity.K, r = n)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.knnTopK(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("RP recall rises with retained dimensionality (corpus-pinned slack)") {
+    // EXPECTED direction, not an invariant: the three sign matrices are
+    // independent draws, so their recalls do not nest the way the
+    // binary r-cuts do — a pathological corpus could invert a step.
+    // Slack n/10 catches the failure that matters (d_64 NOT clearly
+    // beating d_04 means the projection machinery is broken, e.g.
+    // every dOut collapsing to the same planes).
+    val rows = Similarity.annRecallRp(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq("d_04", "d_16", "d_64"))
+    val n = rows.head._3
+    val h = rows.map(r => r._1 -> r._2).toMap
+    assert(h("d_64") > h("d_04") + n / 10,
+      s"d_64 ${h("d_64")} not clearly above d_04 ${h("d_04")} (n=$n)")
+  }
+
   test("binary codes: sign bits round-trip and Hamming is layout-independent") {
     // The oracle packs 2×32-bit words, Spark packs 1×64 — equality of
     // the DISTANCES is what the replay rests on. Check the Scala side's
