@@ -439,6 +439,46 @@ object Streams {
       }
   }
 
+  /** Stream-STREAM interval join — the taxonomy cell the rest of this
+    * surface doesn't cover (windowed aggs, keyed state, and
+    * stream-static joins all keep one side bounded; here BOTH sides
+    * arrive unbounded): attribute each purchase to every click by the
+    * same user within the preceding `joinWindowSeconds`. The canonical
+    * ad-attribution join.
+    *
+    * State bounds (the 100 TB concern): Spark derives each side's
+    * state-eviction horizon from the OTHER side's watermark plus the
+    * time-range span of the join condition — a click can only match
+    * purchases in [click_ts, click_ts + window], so once the purchase
+    * watermark passes that, the buffered click is evicted; purchases
+    * are evicted at the click watermark directly. Both buffers are
+    * bounded by (event rate × (watermark + window)), never by stream
+    * length. Without the time-range condition the state would grow
+    * forever — the condition is load-bearing, not a filter.
+    *
+    * Batch equality: inner interval joins are micro-batch-invariant
+    * (every pair within the horizon is eventually co-buffered exactly
+    * once), spec-proven against the identical batch join on a
+    * shuffled multi-trigger feed.
+    */
+  def attributionStream(clicks: Dataset[Event], purchases: Dataset[Event],
+      watermark: String = "2 hours", joinWindowSeconds: Long = 3600): DataFrame = {
+    val c = clicks.toDF()
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("user_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.toDF()
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("user_id"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $joinWindowSeconds SECONDS") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(c("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   case class QueryArrival(query_id: Long, ts: Timestamp, qvec: Array[Float])
 
   /** Streaming vector search — the store's serving path lifted to

@@ -472,6 +472,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed cohorts differ from batch")
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    // BOTH sides unbounded: clicks and purchases arrive as independent
+    // streams in shuffled file order across many micro-batches; the
+    // inner interval join must emit exactly the batch join's pairs —
+    // co-buffering within the watermark horizon makes every qualifying
+    // pair meet exactly once, whatever the interleaving.
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val cdir = java.nio.file.Files.createTempDirectory("stream-attr-c").toString
+    val pdir = java.nio.file.Files.createTempDirectory("stream-attr-p").toString
+    ev.filter(col("event_type") === "click")
+      .orderBy(md5(col("event_id").cast("string"))).coalesce(4)
+      .write.mode("overwrite").parquet(cdir)
+    ev.filter(col("event_type") === "purchase")
+      .orderBy(md5(col("event_id").cast("string"))).coalesce(4)
+      .write.mode("overwrite").parquet(pdir)
+    def feed(dir: String) = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[Streams.Event]
+    val q = Streams.attributionStream(feed(cdir), feed(pdir))
+      .writeStream.format("memory").queryName("attrstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attrstream")
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"),
+        col("user_id").as("cu"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("user_id").as("pu"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 3600 SECONDS") &&
+        col("cts") <= col("pts"))
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no attribution pairs — widen the window")
+    assert(streamed == batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("streaming knn equals batch brute force under arbitrary micro-batching") {
     // The serving path as a stream-static join: query vectors arrive
     // as a stream (shuffled order, one watermark horizon), the index
