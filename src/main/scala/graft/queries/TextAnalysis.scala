@@ -338,6 +338,73 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): tokens are
+    * nodes, adjacent-co-occurrence edges (undirected, count-weighted),
+    * five damped PageRank iterations, top-10 by final score — the
+    * graph-centrality member of the text-analysis family beside the
+    * frequency ([[topTerms]]) and tf-idf ([[tfidfTop]]) rankers.
+    *
+    * Scale shape: edge and degree tables aggregate map-side onto token
+    * keys; each iteration is one equi-join (ranks onto edge sources) +
+    * one aggregate onto destinations. Unlike the Lloyd/GD trainers,
+    * whose models fit on the driver, PageRank's model IS |V|-sized —
+    * the rank table stays distributed and only its token-keyed
+    * shuffles move (5 chained, AQE-coalesced); nothing is collected.
+    *
+    * Float discipline: damping constants are the LITERALS 0.15/0.85 on
+    * both engines (never 1−d — Spark's `1 - 0.85` and DuckDB's `0.15`
+    * parse to different doubles); per-iteration scores snap to a 1e-8
+    * grid (the roundMean convention at PR magnitude ~1/|V|, drift
+    * headroom ~10⁷) so neighbor-sum accumulation order cannot
+    * compound; ties in the final ranking break on token asc.
+    */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    def snap8(c: Column): Column = floor(c * 1e8 + 0.5) / 1e8
+    val docs = Tables.documents(spark, dir)
+    val bi = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val edges = bi.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionAll(bi.select(col("w2").as("src"), col("w1").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val wdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    // every iteration re-reads the graph — cache it once (plan-keyed,
+    // the verifiedNearDupPairs lifecycle: caller clears via
+    // spark.catalog.clearCache()) so the tokenize→explode→aggregate
+    // chain doesn't replay five times in the final DAG
+    val ew = edges.join(wdeg, "src").cache()
+    val nodes = wdeg.select(col("src").as("token")).cache()
+    val nDf = nodes.agg(count(lit(1)).as("nn"))
+    var pr = nodes.crossJoin(broadcast(nDf))
+      .select(col("token"), snap8(lit(1.0) / col("nn")).as("pr"))
+    for (_ <- 1 to 5) {
+      val contrib = ew.join(pr, ew("src") === pr("token"))
+        .select(col("dst").as("token"),
+          (col("w").cast("double") / col("wdeg") * col("pr")).as("c"))
+        .groupBy(col("token")).agg(sum(col("c")).as("s"))
+      // symmetric edges make every node a dst, so the left join never
+      // nulls on this graph — the coalesce is the formula's general
+      // form (isolated nodes keep the (1-d)/N floor), mirrored in SQL
+      pr = nodes.crossJoin(broadcast(nDf))
+        .join(contrib, Seq("token"), "left")
+        .select(col("token"),
+          snap8(lit(0.15) / col("nn") +
+            lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    // top-10 via TakeOrderedAndProject FIRST (no global sort/window at
+    // |V| scale); the row_number window then ranks only 10 rows
+    pr.orderBy(col("pr").desc, col("token").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr").desc, col("token").asc)).cast("int"))
+      .select(col("rank"), col("token"), col("pr").as("score"))
+      .orderBy("rank")
+  }
+
   /** Quality-gated sampling (the CCNet pattern): documents are bucketed
     * by their bigram-LM score against the corpus mean and sampled at
     * per-bucket rates (head = above-mean quality kept at 100%, tail at
@@ -783,6 +850,7 @@ object TextAnalysis {
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
+    "textrank_keywords" -> (textrankKeywords _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1084,6 +1152,42 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    "textrank_keywords" -> {
+      // one PageRank iteration: neighbor-weighted sums onto dst, damped
+      // and snapped to the 1e-8 grid — same structure as the Spark loop
+      def prIter(prev: String, next: String): String =
+        s"""$next AS MATERIALIZED (
+           |  SELECT n.token,
+           |    floor((0.15/n.nn + 0.85 * coalesce(c.s, 0.0)) * 1e8 + 0.5)/1e8 AS pr
+           |  FROM (SELECT src AS token, nn FROM wd CROSS JOIN nn) n
+           |  LEFT JOIN (
+           |    SELECT e.dst AS token, sum(CAST(e.w AS DOUBLE)/w2.wdeg * p.pr) AS s
+           |    FROM ed e JOIN wd w2 ON e.src = w2.src
+           |    JOIN $prev p ON e.src = p.token
+           |    GROUP BY e.dst) c ON n.token = c.token)""".stripMargin
+      val iters = (1 to 5).map(i => prIter(s"pr_${i - 1}", s"pr_$i")).mkString(",\n")
+      s"""WITH bi AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT $duckToks AS t FROM documents),
+         |       unnest(range(1, len(t))) u(i)
+         |  WHERE t[i] <> t[i + 1]),
+         |ed AS MATERIALIZED (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT w1 AS src, w2 AS dst FROM bi
+         |    UNION ALL SELECT w2 AS src, w1 AS dst FROM bi)
+         |  GROUP BY 1, 2),
+         |wd AS MATERIALIZED (SELECT src, sum(w) AS wdeg FROM ed GROUP BY 1),
+         |nn AS (SELECT count(*) AS nn FROM wd),
+         |pr_0 AS MATERIALIZED (
+         |  SELECT src AS token, floor(1.0/nn * 1e8 + 0.5)/1e8 AS pr
+         |  FROM wd CROSS JOIN nn),
+         |$iters
+         |SELECT rank, token, pr AS score FROM (
+         |  SELECT token, pr,
+         |    CAST(row_number() OVER (ORDER BY pr DESC, token ASC) AS INTEGER) AS rank
+         |  FROM pr_5)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     "sample_quality" ->
       s"""WITH $duckLmScore,
          |scaled AS (

@@ -38,6 +38,17 @@ class QualitySpec extends SparkSpec {
     assert(w1.exists(_ != 0.0), "all-zero weights: training did not move")
   }
 
+  test("textrank: 10 ranked keywords, scores positive and non-increasing") {
+    val rows = graft.queries.TextAnalysis.textrankKeywords(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    assert(rows.map(_.getString(1)).distinct.length == 10)
+  }
+
   test("scores and selection flags are consistent and complete") {
     val df = Quality.qualityLr(spark, dir).cache()
     val nDocs = Tables.documents(spark, dir)
