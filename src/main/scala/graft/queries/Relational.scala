@@ -438,6 +438,46 @@ object Relational {
         expr("percentile(l_quantity, 0.99)").as("p99_qty"))
       .orderBy("l_returnflag")
 
+  /** Histogram-sketch percentiles — the 100 TB path beside [[quantiles]]'
+    * exact interpolation: exact percentiles need a global sort (or an
+    * engine-internal equivalent), but a fixed 1000-bin histogram is one
+    * scan + a map-side-combined aggregate onto ≤1000 keys, mergeable
+    * across any partitioning, with error bounded by one bin width —
+    * the same accuracy/cost trade `percentile_approx` makes, here in a
+    * form both engines replay bit-identically (Spark's and DuckDB's
+    * built-in sketches differ, so the SKETCH ITSELF is the portable
+    * contract). Estimates report each quantile bin's upper edge; all
+    * binning arithmetic is written with identical operator order on
+    * both sides.
+    */
+  def quantilesHist(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000
+    val o = Tables.orders(spark, dir).select(col("o_totalprice").as("x"))
+    val mm = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = o.crossJoin(broadcast(mm))
+      .select(least(floor((col("x") - col("mn")) * lit(1000.0) /
+        (col("mx") - col("mn"))).cast("long"), lit((B - 1).toLong)).as("b"),
+        col("mn"), col("mx"), col("n"))
+      .groupBy(col("b"), col("mn"), col("mx"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    // the window runs over ≤1000 sketch rows — sketch-merge scale, not
+    // data scale
+    val cum = binned.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("b"))))
+    val qdf = spark.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+    qdf.crossJoin(cum)
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy(col("q"), col("mn"), col("mx"), col("n"))
+      .agg(min(col("b")).as("b"))
+      .select(col("q"),
+        round(col("mn") + (col("b") + 1) * (col("mx") - col("mn")) / lit(1000.0), 4)
+          .as("est"),
+        col("n"))
+      .orderBy("q")
+  }
+
   /** Mean/variance/stddev computed from EXACT integer power sums rather
     * than the engines' (order-dependent, mutually different) streaming
     * moment kernels — bit-identical cross-engine by construction.
@@ -585,6 +625,7 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q22_dormant" -> (q22Dormant _),
+    "quantiles_hist" -> (quantilesHist _),
     "join_semi_anti" -> (joinSemiAnti _),
     "topk_orders" -> (topkOrders _),
     "global_stats" -> (globalStats _),
@@ -715,6 +756,29 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "quantiles_hist" ->
+      """WITH mm AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+        |         count(*) AS n
+        |  FROM orders),
+        |binned AS (
+        |  SELECT LEAST(CAST(floor((o_totalprice - mn) * 1000.0 / (mx - mn))
+        |                    AS BIGINT), 999) AS b,
+        |         mn, mx, n
+        |  FROM orders CROSS JOIN mm),
+        |cnt AS (
+        |  SELECT b, mn, mx, n, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4),
+        |cum AS (
+        |  SELECT b, mn, mx, n, sum(c) OVER (ORDER BY b) AS cum FROM cnt),
+        |qs(q) AS (VALUES (0.5), (0.9), (0.99))
+        |SELECT q,
+        |       round(mn + (b + 1) * (mx - mn) / 1000.0, 4) AS est, n
+        |FROM (
+        |  SELECT q, mn, mx, n, min(b) AS b
+        |  FROM qs CROSS JOIN cum
+        |  WHERE cum >= ceil(q * n)
+        |  GROUP BY q, mn, mx, n)
+        |ORDER BY q""".stripMargin,
     "q13_order_distribution" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (

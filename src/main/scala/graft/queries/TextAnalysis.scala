@@ -405,6 +405,73 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** PMI collocation extraction: adjacent bigrams scored by pointwise
+    * mutual information ln(c12·N / (c1·c2)) over the pair
+    * distribution's own marginals, min support 5, top-15 — the phrase
+    * mining step a tokenizer/vocab pipeline runs before merging
+    * multiword units. The marginals ride the bigram-count table as two
+    * window sums (bigramLm's c1 pattern — no rebuild per marginal);
+    * all four counts cast to double BEFORE multiplying so the ratio
+    * cannot overflow long at corpus scale. One scan, two narrow
+    * windows, TakeOrderedAndProject.
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w1w = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val w2w = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val bi = Tables.documents(spark, dir)
+      .select(TextFns.tokens(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(w1w))
+      .withColumn("c2", sum(col("c12")).over(w2w))
+    val nDf = bi.agg(count(lit(1)).as("nb"))
+    c12.crossJoin(broadcast(nDf))
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12").as("pair_count"),
+        round(log(col("c12").cast("double") * col("nb").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(15)
+  }
+
+  /** Per-language Jensen-Shannon divergence from the corpus unigram
+    * distribution — the data-mixture monitor an LLM pipeline runs per
+    * ingest slice (is this shard's vocabulary drifting from the blend?).
+    * JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, over the FULL
+    * (lang × vocab) grid (a token absent from a language contributes
+    * its ½q·ln(q/m) mass — dropping absent terms underestimates
+    * divergence, so the grid is built explicitly: langs × vocab is
+    * |L|·|V|, small because L is). Probabilities are one-division
+    * exact ratios; the per-lang sum rounds to 4 decimals (the
+    * bigram_lm accumulation contract).
+    */
+  def langJs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val lt = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cl"))
+    val langTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val tokTot = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val nDf = toks.agg(count(lit(1)).as("nt"))
+    val grid = langTot.crossJoin(tokTot.crossJoin(broadcast(nDf)))
+      .join(lt, Seq("lang", "tok"), "left")
+      .select(col("lang"), col("nl"),
+        (coalesce(col("cl"), lit(0L)).cast("double") / col("nl")).as("p"),
+        (col("ct").cast("double") / col("nt")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    grid
+      .select(col("lang"), col("nl"),
+        (when(col("p") > 0, lit(0.5) * col("p") * log(col("p") / col("m")))
+          .otherwise(lit(0.0)) +
+          lit(0.5) * col("q") * log(col("q") / col("m"))).as("term"))
+      .groupBy(col("lang"), col("nl"))
+      .agg(round(sum(col("term")), 4).as("js"))
+      .select(col("lang"), col("nl").as("n_toks"), col("js"))
+      .orderBy("lang")
+  }
+
   /** Quality-gated sampling (the CCNet pattern): documents are bucketed
     * by their bigram-LM score against the corpus mean and sampled at
     * per-bucket rates (head = above-mean quality kept at 100%, tail at
@@ -851,6 +918,8 @@ object TextAnalysis {
     "bpe_encode" -> (bpeEncode _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "textrank_keywords" -> (textrankKeywords _),
+    "pmi_bigrams" -> (pmiBigrams _),
+    "lang_js" -> (langJs _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1152,6 +1221,45 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    "pmi_bigrams" ->
+      s"""WITH bi AS (
+         |  SELECT t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT $duckToks AS t FROM documents),
+         |       unnest(range(1, len(t))) u(i)),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+         |mar AS (
+         |  SELECT w1, w2, c12,
+         |    sum(c12) OVER (PARTITION BY w1) AS c1,
+         |    sum(c12) OVER (PARTITION BY w2) AS c2
+         |  FROM c12),
+         |nb AS (SELECT count(*) AS nb FROM bi)
+         |SELECT w1, w2, c12 AS pair_count,
+         |  round(ln(CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE) /
+         |           (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 4) AS pmi
+         |FROM mar CROSS JOIN nb
+         |WHERE c12 >= 5
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC
+         |LIMIT 15""".stripMargin,
+    "lang_js" ->
+      s"""WITH tk AS (SELECT lang, unnest($duckToks) AS tok FROM documents),
+         |lt AS (SELECT lang, tok, count(*) AS cl FROM tk GROUP BY 1, 2),
+         |lg AS (SELECT lang, count(*) AS nl FROM tk GROUP BY 1),
+         |tt AS (SELECT tok, count(*) AS ct FROM tk GROUP BY 1),
+         |ntot AS (SELECT count(*) AS nt FROM tk),
+         |grid AS (
+         |  SELECT lg.lang, lg.nl,
+         |    CAST(coalesce(lt.cl, 0) AS DOUBLE) / lg.nl AS p,
+         |    CAST(tt.ct AS DOUBLE) / ntot.nt AS q
+         |  FROM lg CROSS JOIN tt CROSS JOIN ntot
+         |  LEFT JOIN lt ON lt.lang = lg.lang AND lt.tok = tt.tok),
+         |terms AS (
+         |  SELECT lang, nl,
+         |    CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+         |         ELSE 0.0 END
+         |      + 0.5 * q * ln(q / ((p + q) / 2)) AS term
+         |  FROM grid)
+         |SELECT lang, nl AS n_toks, round(sum(term), 4) AS js
+         |FROM terms GROUP BY lang, nl ORDER BY lang""".stripMargin,
     "textrank_keywords" -> {
       // one PageRank iteration: neighbor-weighted sums onto dst, damped
       // and snapped to the 1e-8 grid — same structure as the Spark loop

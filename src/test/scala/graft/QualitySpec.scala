@@ -49,6 +49,38 @@ class QualitySpec extends SparkSpec {
     assert(rows.map(_.getString(1)).distinct.length == 10)
   }
 
+  test("histogram quantile estimates land within one bin width above exact") {
+    // TRUE invariant of the upper-edge estimator: the exact q-quantile
+    // value lies inside the reported bin, so est ∈ [exact, exact + w)
+    val rows = graft.queries.Relational.quantilesHist(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val o = Tables.orders(spark, dir)
+    val mm = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val w = (mm.getDouble(1) - mm.getDouble(0)) / 1000.0
+    val exact = o.agg(
+      expr("percentile(o_totalprice, 0.5)"),
+      expr("percentile(o_totalprice, 0.9)"),
+      expr("percentile(o_totalprice, 0.99)")).head()
+    Seq(0.5 -> exact.getDouble(0), 0.9 -> exact.getDouble(1),
+      0.99 -> exact.getDouble(2)).foreach { case (q, ex) =>
+      val est = rows(q)
+      assert(est >= ex - w - 1e-6 && est <= ex + w + 1e-6,
+        s"q=$q est=$est exact=$ex binw=$w")
+    }
+  }
+
+  test("lang_js divergences sit in [0, ln 2] and pmi pairs clear min support") {
+    val js = graft.queries.TextAnalysis.langJs(spark, dir).collect()
+    assert(js.nonEmpty)
+    js.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= 0.0 && v <= math.log(2.0) + 1e-6, s"js out of range: $r")
+    }
+    val pmi = graft.queries.TextAnalysis.pmiBigrams(spark, dir).collect()
+    assert(pmi.length <= 15)
+    assert(pmi.forall(_.getLong(2) >= 5))
+  }
+
   test("scores and selection flags are consistent and complete") {
     val df = Quality.qualityLr(spark, dir).cache()
     val nDocs = Tables.documents(spark, dir)
