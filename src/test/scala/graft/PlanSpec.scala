@@ -72,6 +72,42 @@ class PlanSpec extends SparkSpec {
       s"bucketed join should not shuffle its inputs:\n$plan")
   }
 
+  test("q17: the correlated per-part average is ONE exchange (window, not rejoin)") {
+    val df = Relational.q17SmallQtyRevenue(spark, dir)
+    df.collect()
+    val whole = planOf(df)
+    val plan = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    assert(plan.contains("Window"), plan)
+    // aggregate-then-rejoin would hash-partition twice on l_partkey;
+    // the window formulation pays exactly one
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q22: anti join broadcasts the pruned recent-order keys, scalar mean is 1-row") {
+    val df = Relational.q22Dormant(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("LeftAnti"), plan)
+    // the date-pruned key set must reach the anti join as a broadcast,
+    // not shuffle the customer side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q13: outer join preserves zero-order customers through the double aggregation") {
+    val df = Relational.q13OrderDistribution(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("LeftOuter"), plan)
+    // two aggregations (per-customer count, then the histogram), both
+    // partial+final
+    assert("partial_count".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("decontaminate broadcasts the eval-shingle side, never a shuffle join") {
     val df = graft.queries.DedupQueries.decontaminate(spark, dir)
     df.collect() // finalize adaptive plan
