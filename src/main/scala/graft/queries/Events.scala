@@ -51,6 +51,35 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Exponentially-weighted daily volume per event type (α = 0.25) —
+    * the smoothing baseline an alerting pipeline holds per series,
+    * beside [[eventsAnomaly]]'s median flags. The fold runs inside the
+    * engines' higher-order list functions over the day-ORDERED series,
+    * so accumulation order is pinned by construction (Spark
+    * `aggregate` and DuckDB `list_reduce` both fold left with the
+    * first element as init — the lambda `s·0.75 + x·0.25` uses only
+    * exact binary fractions, so every intermediate is the identical
+    * double). Scale: per-(type, day) counts combine map-side; the
+    * per-type series is calendar-bounded (≤ days rows), so the
+    * collect-and-fold state is O(days) per group, never O(events).
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ser"))
+      .select(col("event_type"),
+        size(col("ser")).as("n_days"),
+        expr("element_at(ser, -1).n").as("last_n"),
+        round(expr(
+          """aggregate(
+            |  slice(transform(ser, s -> CAST(s.n AS DOUBLE)), 2, size(ser) - 1),
+            |  CAST(ser[0].n AS DOUBLE),
+            |  (s, x) -> s * 0.75 + x * 0.25)""".stripMargin), 4).as("ewma"))
+      .orderBy("event_type")
+  }
+
   /** JSON extraction from the `props` column + aggregate. */
   def eventsJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -449,6 +478,7 @@ object Events {
     "events_pivot" -> (eventsPivot _),
     "events_hourly" -> (eventsHourly _),
     "events_anomaly" -> (eventsAnomaly _),
+    "events_ewma" -> (eventsEwma _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
@@ -585,6 +615,19 @@ object Events {
         |       d.n > 2.0 * m.med_daily AS is_anomaly
         |FROM daily d JOIN med m USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+    "events_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(n ORDER BY day) AS l
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type,
+        |       CAST(len(l) AS INTEGER) AS n_days,
+        |       l[-1] AS last_n,
+        |       round(list_reduce(list_transform(l, x -> CAST(x AS DOUBLE)),
+        |                         (a, b) -> a * 0.75 + b * 0.25), 4) AS ewma
+        |FROM ser ORDER BY event_type""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,

@@ -153,6 +153,67 @@ object Similarity {
       .select(col("r"), col("hits"), col("n"),
         lit(TuneTarget).as("target"))
 
+  /** Greedy k-center coreset selection (Gonzalez 1985) — the
+    * representative-subset step of a data-curation pipeline (pick k
+    * diverse exemplars for labeling / eval seeding / distillation;
+    * the diversity counterpart of [[retrieveMmr]]'s per-query
+    * relevance+diversity mix, run corpus-global): seed at the lowest
+    * vec_id, then repeatedly add the point FARTHEST from the selected
+    * set — minimal max-cosine to any selected center, ties to the
+    * lowest vec_id.
+    *
+    * Scale shape: each step is one narrow pass with the ≤k selected
+    * centers riding the closure, reduced by a struct-min aggregate
+    * (map-side combinable — lexicographic (maxsim, vec_id) min IS the
+    * tie rule); the corpus never shuffles and the driver holds k rows
+    * (codebook staging). The oracle unrolls the greedy steps as
+    * chained MATERIALIZED CTEs (the retrieve_mmr pattern); same
+    * corpus-pinned argmin float exposure — a flip surfaces as a CI
+    * hash mismatch, never silent wrongness.
+    */
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8
+    val emb = Tables.embeddings(spark, dir)
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val seed = vecs.orderBy(col("vec_id").asc).head()
+    var centers = Vector(seed._2)
+    var selIds = Vector(seed._1)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()
+    out += ((1, seed._1, None))
+    for (step <- 2 to k) {
+      val cs = centers
+      val ids = selIds.toSet
+      val picked = vecs
+        .filter(t => !ids.contains(t._1))
+        .map { case (id, v) =>
+          var mx = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var s = 0.0
+            val n = math.min(v.length, cv.length)
+            var i = 0
+            while (i < n) { s += v(i).toDouble * cv(i).toDouble; i += 1 }
+            if (s > mx) mx = s
+            c += 1
+          }
+          (mx, id)
+        }
+        .toDF("maxsim", "vec_id")
+        .agg(min(struct(col("maxsim"), col("vec_id"))).as("m"))
+        .select(col("m.maxsim"), col("m.vec_id")).head()
+      val (mx, id) = (picked.getDouble(0), picked.getLong(1))
+      out += ((step, id, Some(mx)))
+      centers :+= vecs.filter(col("vec_id") === id).head()._2
+      selIds :+= id
+    }
+    out.toSeq.toDF("step", "vec_id", "maxsim")
+      .select(col("step"), col("vec_id"), round(col("maxsim"), 4).as("maxsim"))
+      .orderBy("step")
+  }
+
   private val RpR = 50
 
   /** Random-projection pre-transform search — the Faiss
@@ -891,6 +952,7 @@ object Similarity {
     "ann_ivf_binary" -> (annIvfBinary _),
     "ann_rp" -> (annRp _),
     "ann_recall_rp" -> (annRecallRp _),
+    "coreset_kcenter" -> (coresetKcenter _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -1436,6 +1498,26 @@ object Similarity {
          |FROM ($duckBinaryRHitsUnion)
          |WHERE hits >= $TuneTarget
          |ORDER BY r LIMIT 1""".stripMargin,
+    "coreset_kcenter" -> {
+      def stepCtes(s: Int): String =
+        s"""ms_$s AS (
+           |  SELECT e.vec_id, max(${duckDot("e.embedding", "s.embedding")}) AS mx
+           |  FROM embeddings e
+           |  JOIN embeddings s ON s.vec_id IN (SELECT vec_id FROM selall_${s - 1})
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM selall_${s - 1})
+           |  GROUP BY e.vec_id),
+           |pick_$s AS (
+           |  SELECT vec_id, $s AS step, mx AS maxsim
+           |  FROM ms_$s ORDER BY mx ASC, vec_id ASC LIMIT 1),
+           |selall_$s AS MATERIALIZED (
+           |  SELECT * FROM selall_${s - 1} UNION ALL SELECT * FROM pick_$s)""".stripMargin
+      s"""WITH selall_1 AS MATERIALIZED (
+         |  SELECT vec_id, 1 AS step, CAST(NULL AS DOUBLE) AS maxsim
+         |  FROM embeddings ORDER BY vec_id LIMIT 1),
+         |${(2 to 8).map(stepCtes).mkString(",\n")}
+         |SELECT CAST(step AS INTEGER) AS step, vec_id, round(maxsim, 4) AS maxsim
+         |FROM selall_8 ORDER BY step""".stripMargin
+    },
     "ann_rp" ->
       s"""WITH ${rpReplayCtes(16, "0.25", "d16")},
          |ranked AS (

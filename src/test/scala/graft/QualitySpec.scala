@@ -81,6 +81,35 @@ class QualitySpec extends SparkSpec {
     assert(pmi.forall(_.getLong(2) >= 5))
   }
 
+  test("k-center picks have non-decreasing max-similarity (true invariant)") {
+    // more centers ⇒ every point's max-sim grows pointwise, and the
+    // candidate set shrinks, so the picked minimum cannot decrease
+    val rows = graft.queries.Similarity.coresetKcenter(spark, dir)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 8)
+    assert(rows.head.isNullAt(2), "seed row carries no maxsim")
+    assert(rows.map(_.getLong(1)).distinct.length == 8, "centers must be distinct")
+    val sims = rows.tail.map(_.getDouble(2)).toSeq
+    assert(sims.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true },
+      s"picked max-sims must be non-decreasing: $sims")
+  }
+
+  test("ewma is a convex combination: bounded by the daily min and max") {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min(col("n")).as("lo"), max(col("n")).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = graft.queries.Events.eventsEwma(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = daily(r.getString(0))
+      val e = r.getDouble(3)
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"ewma $e outside [$lo, $hi]: $r")
+    }
+  }
+
   test("scores and selection flags are consistent and complete") {
     val df = Quality.qualityLr(spark, dir).cache()
     val nDocs = Tables.documents(spark, dir)
