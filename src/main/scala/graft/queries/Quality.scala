@@ -84,8 +84,15 @@ object Quality {
     * j by construction, O(1) dynamic range); x0 = 1 is the bias. The
     * teacher margin rides the same aggregate as one extra integer sum.
     */
-  private def feats(spark: SparkSession, dir: String): DataFrame = {
-    val bt = Tables.documents(spark, dir)
+  private def feats(spark: SparkSession, dir: String): DataFrame =
+    featsOf(Tables.documents(spark, dir))
+
+  /** [[feats]] over an explicit (doc_id, text, ...) frame — split out so
+    * specs can drive constructed/degenerate corpora (dsirScore's
+    * convention).
+    */
+  private[graft] def featsOf(docs: DataFrame): DataFrame = {
+    val bt = docs
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         (TextFns.md5Int(concat(lit("lr|"), col("tok"))) % B).as("b"))
@@ -119,20 +126,29 @@ object Quality {
   private val trainedW = TrieMap.empty[(SparkSession, String), Array[Double]]
 
   private[graft] def trainWeights(spark: SparkSession, dir: String): Array[Double] =
-    trainedW.getOrElseUpdate((spark, dir), {
-      val f = feats(spark, dir).cache()
-      var w = Array.fill(B + 1)(0.0)
-      for (_ <- 1 to Iters) {
-        val err = sigmoid(margin(w)) - col("y")
-        val gAggs = (0 to B).map(j => sum(err * col(s"x$j")).as(s"g$j")) :+
-          count(lit(1)).as("cnt")
-        val g = f.agg(gAggs.head, gAggs.tail: _*).head()
-        val n = g.getLong(B + 1).toDouble
-        w = Array.tabulate(B + 1)(j => snap(w(j) - Lr * g.getDouble(j) / n))
-      }
-      f.unpersist()
-      w
-    })
+    trainedW.getOrElseUpdate((spark, dir), trainWeightsOf(feats(spark, dir)))
+
+  /** Unmemoized trainer over an explicit feature frame (spec entry
+    * point). An EMPTY corpus returns the zero vector instead of
+    * NPE-ing on the null gradient row — read the count before any
+    * double column.
+    */
+  private[graft] def trainWeightsOf(featFrame: DataFrame): Array[Double] = {
+    val f = featFrame.cache()
+    var w = Array.fill(B + 1)(0.0)
+    var live = true
+    for (_ <- 1 to Iters if live) {
+      val err = sigmoid(margin(w)) - col("y")
+      val gAggs = (0 to B).map(j => sum(err * col(s"x$j")).as(s"g$j")) :+
+        count(lit(1)).as("cnt")
+      val g = f.agg(gAggs.head, gAggs.tail: _*).head()
+      val n = g.getLong(B + 1).toDouble
+      if (n == 0) live = false
+      else w = Array.tabulate(B + 1)(j => snap(w(j) - Lr * g.getDouble(j) / n))
+    }
+    f.unpersist()
+    w
+  }
 
   private def scored(spark: SparkSession, dir: String): DataFrame = {
     val w = trainWeights(spark, dir)

@@ -171,10 +171,15 @@ object Similarity {
     * corpus-pinned argmin float exposure — a flip surfaces as a CI
     * hash mismatch, never silent wrongness.
     */
-  def coresetKcenter(spark: SparkSession, dir: String): DataFrame = {
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame =
+    coresetKcenterOf(spark, Tables.embeddings(spark, dir), 8)
+
+  /** [[coresetKcenter]] over an explicit (vec_id, embedding) frame —
+    * spec entry point for constructed/degenerate corpora.
+    */
+  private[graft] def coresetKcenterOf(spark: SparkSession,
+      emb: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    val k = 8
-    val emb = Tables.embeddings(spark, dir)
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
     val seed = vecs.orderBy(col("vec_id").asc).head()
@@ -182,7 +187,8 @@ object Similarity {
     var selIds = Vector(seed._1)
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()
     out += ((1, seed._1, None))
-    for (step <- 2 to k) {
+    var live = true
+    for (step <- 2 to k if live) {
       val cs = centers
       val ids = selIds.toSet
       val picked = vecs
@@ -204,10 +210,16 @@ object Similarity {
         .toDF("maxsim", "vec_id")
         .agg(min(struct(col("maxsim"), col("vec_id"))).as("m"))
         .select(col("m.maxsim"), col("m.vec_id")).head()
-      val (mx, id) = (picked.getDouble(0), picked.getLong(1))
-      out += ((step, id, Some(mx)))
-      centers :+= vecs.filter(col("vec_id") === id).head()._2
-      selIds :+= id
+      // a corpus smaller than k exhausts candidates: the min over an
+      // empty set is a null struct — stop with the centers found, the
+      // oracle's empty pick_k CTEs degrade identically
+      if (picked.isNullAt(0)) live = false
+      else {
+        val (mx, id) = (picked.getDouble(0), picked.getLong(1))
+        out += ((step, id, Some(mx)))
+        centers :+= vecs.filter(col("vec_id") === id).head()._2
+        selIds :+= id
+      }
     }
     out.toSeq.toDF("step", "vec_id", "maxsim")
       .select(col("step"), col("vec_id"), round(col("maxsim"), 4).as("maxsim"))

@@ -189,6 +189,31 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(enc.toSeq == Seq((0L, 5L, 5L)))
   }
 
+  test("LR trainer returns zero weights on an empty corpus, never NPEs") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val w = graft.queries.Quality.trainWeightsOf(
+      graft.queries.Quality.featsOf(empty))
+    assert(w.length == 17 && w.forall(_ == 0.0))
+    // single-doc corpus: trains without error, weights move
+    val one = Seq((1L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+    val w1 = graft.queries.Quality.trainWeightsOf(
+      graft.queries.Quality.featsOf(one))
+    assert(w1.exists(_ != 0.0))
+  }
+
+  test("k-center with fewer vectors than k stops at exhaustion, seed-only at n=1") {
+    val two = Seq(
+      (5L, Array(1f, 0f, 0f, 0f)),
+      (9L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val rows = graft.queries.Similarity.coresetKcenterOf(spark, two, 8)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.length == 2, s"expected 2 rows: ${rows.toSeq}")
+    assert(rows.map(_.getLong(1)).toSeq == Seq(5L, 9L))
+    val single = Seq((3L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val solo = graft.queries.Similarity.coresetKcenterOf(spark, single, 8).collect()
+    assert(solo.length == 1 && solo.head.getLong(1) == 3L)
+  }
+
   test("nearest-neighbor resize: identity at source dims, top-left at 1x1") {
     import graft.multimodal.{MediaFixtures, Multimodal}
     val docs = Seq((6L, "x"), (7L, "y")).toDF("doc_id", "text")
