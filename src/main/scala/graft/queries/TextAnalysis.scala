@@ -358,9 +358,14 @@ object TextAnalysis {
     * headroom ~10⁷) so neighbor-sum accumulation order cannot
     * compound; ties in the final ranking break on token asc.
     */
-  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame =
+    textrankKeywordsOf(Tables.documents(spark, dir))
+
+  /** [[textrankKeywords]] over an explicit (doc_id, text) frame — the
+    * Soak/spec entry point.
+    */
+  private[graft] def textrankKeywordsOf(docs: DataFrame): DataFrame = {
     def snap8(c: Column): Column = floor(c * 1e8 + 0.5) / 1e8
-    val docs = Tables.documents(spark, dir)
     val bi = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(explode(expr(
@@ -435,6 +440,40 @@ object TextAnalysis {
           (col("c1").cast("double") * col("c2").cast("double"))), 4).as("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(15)
+  }
+
+  /** Zipf least-squares fit over the token frequency spectrum — the
+    * corpus-health check a data pipeline runs per ingest batch (natural
+    * text sits near slope −1 in log-rank/log-frequency; spam, template
+    * boilerplate, and synthetic soup bend the line). Ranks by (freq
+    * desc, token asc); the closed-form fit uses the five power sums,
+    * computed once and combined with the identical expression tree on
+    * both engines, outputs rounded to 4 decimals (the sums are
+    * vocab-sized, so the accumulation-order drift is ~1e-14 against a
+    * 1e-4 grid). Scale note: the ranking window is VOCAB-sized, not
+    * corpus-sized — at a 100 M-type vocabulary the row_number becomes
+    * a sort-based zipWithIndex, but the power-sum fit is unchanged.
+    */
+  def tokZipf(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    val pts = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val sums = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    sums
+      .select(col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      .select(col("n").cast("long").as("n_types"),
+        round(col("slope"), 4).as("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 4).as("intercept"))
   }
 
   /** Per-language Jensen-Shannon divergence from the corpus unigram
@@ -920,6 +959,7 @@ object TextAnalysis {
     "textrank_keywords" -> (textrankKeywords _),
     "pmi_bigrams" -> (pmiBigrams _),
     "lang_js" -> (langJs _),
+    "tok_zipf" -> (tokZipf _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1221,6 +1261,29 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    "tok_zipf" ->
+      s"""WITH tf AS (
+         |  SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY tok),
+         |pts AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC)
+         |                 AS DOUBLE)) AS x,
+         |         ln(CAST(c AS DOUBLE)) AS y
+         |  FROM tf),
+         |sums AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         sum(x) AS sx, sum(y) AS sy,
+         |         sum(x * x) AS sxx, sum(x * y) AS sxy
+         |  FROM pts),
+         |fit AS (
+         |  SELECT n, sx, sy,
+         |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+         |  FROM sums)
+         |SELECT CAST(n AS BIGINT) AS n_types,
+         |       round(slope, 4) AS slope,
+         |       round((sy - slope * sx) / n, 4) AS intercept
+         |FROM fit""".stripMargin,
     "pmi_bigrams" ->
       s"""WITH bi AS (
          |  SELECT t[i] AS w1, t[i + 1] AS w2

@@ -439,6 +439,59 @@ object Streams {
       }
   }
 
+  case class EwmaState(pending: Map[Long, Long], ewma: Option[Double], nDays: Int)
+  case class EwmaUpdate(event_type: String, day: java.sql.Date, n: Long,
+      n_days: Int, ewma: Double)
+
+  /** Streaming EWMA volume baseline — `events_ewma` lifted to
+    * Structured Streaming with [[funnelStream]]'s ordered-replay
+    * discipline: a day's count folds into the baseline only once the
+    * watermark passes the day's END (the count is then complete by the
+    * watermark contract — no later event may land in it), days fold in
+    * day order, and the lambda s·0.75 + x·0.25 is the batch fold
+    * BIT-FOR-BIT (same init, same exact binary constants), so the
+    * streamed baseline equals the batch one under any micro-batching
+    * and any arrival order. State per event type is the pending
+    * day→count map — bounded by days inside the watermark horizon,
+    * never by stream length — plus one double; a per-key event-time
+    * timer re-fires at the next pending day boundary so a quiet stream
+    * still finalizes its buffered days.
+    */
+  def ewmaStream(events: Dataset[Event], watermark: String = "2 hours")
+      : Dataset[EwmaUpdate] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, batch: Iterator[Event], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(Map.empty, None, 0))
+          var pending = prev.pending
+          batch.foreach { e =>
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            pending += d -> (pending.getOrElse(d, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs
+          val (ready, rest) = pending.partition { case (d, _) =>
+            (d + 1) * dayMs <= wm
+          }
+          var ew = prev.ewma
+          var nd = prev.nDays
+          val out = Seq.newBuilder[EwmaUpdate]
+          for ((d, n) <- ready.toSeq.sortBy(_._1)) {
+            ew = Some(ew.fold(n.toDouble)(s => s * 0.75 + n * 0.25))
+            nd += 1
+            out += EwmaUpdate(typ, new java.sql.Date(d * dayMs), n, nd, ew.get)
+          }
+          state.update(EwmaState(rest, ew, nd))
+          if (rest.nonEmpty)
+            state.setTimeoutTimestamp(math.max((rest.keys.min + 1) * dayMs, wm + 1))
+          out.result().iterator
+      }
+  }
+
   /** Stream-STREAM interval join — the taxonomy cell the rest of this
     * surface doesn't cover (windowed aggs, keyed state, and
     * stream-static joins all keep one side bounded; here BOTH sides

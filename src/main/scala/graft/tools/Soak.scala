@@ -190,6 +190,34 @@ object Soak {
       val tDsir = time {
         graft.queries.TextAnalysis.dsirScore(corpus(m)).count()
       }
+      // LR quality training at mult× documents: the feature aggregate is
+      // the only corpus-sized exchange; each of the 25 GD iterations is
+      // a scan of the cached features with d+1 doubles of task state —
+      // expect ~linear in rows with a constant iteration factor
+      val tQualityLr = time {
+        graft.queries.Quality.trainWeightsOf(
+          graft.queries.Quality.featsOf(corpus(m)))
+      }
+      // TextRank at mult× documents: the duplicated corpus keeps the
+      // VOCAB constant — edge WEIGHTS scale m× but node/edge COUNTS
+      // don't, so per-iteration joins are flat and only the tokenize
+      // scan grows (the bpe_train shape for graph centrality)
+      val tTextrank = time {
+        graft.queries.TextAnalysis.textrankKeywordsOf(corpus(m)).count()
+        spark.sharedState.cacheManager.clearCache()
+      }
+      // k-center at mult× vectors: each greedy step is one narrow pass
+      // + a struct-min aggregate with the ≤k centers in the closure —
+      // expect ~linear in rows × k steps, the corpus never shuffles
+      val tCoreset = time {
+        graft.queries.Similarity.coresetKcenterOf(spark, emb, 8).count()
+      }
+      // Random projection at mult× vectors: the projection map emits 16
+      // doubles/row, the proposal scan uses bounded heaps — the next
+      // flat ANN line (4× less arithmetic per scanned row than float64)
+      val tRp = time {
+        graft.search.Ann.rpTopKRefined(emb, qs, 10, r = 50).count()
+      }
       // SemDeDup at mult× vectors with FIXED-OCCUPANCY clusters (k grows
       // with n, ~64 members per cell — the paper's configuration): total
       // pair work is Σ cluster² ≈ n×occupancy, so wall must track rows
@@ -209,7 +237,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -472,6 +472,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed cohorts differ from batch")
   }
 
+  test("ewmaStream: watermark-finalized daily folds equal the batch EWMA exactly") {
+    // arrival order is shuffled across micro-batches; a day only folds
+    // once the watermark passes its end, days fold in order, and the
+    // fold arithmetic is the batch lambda bit-for-bit — so the final
+    // per-type baseline must match events_ewma on the same days
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val tmp = java.nio.file.Files.createTempDirectory("stream-ewma").toString
+    val flusher = spark.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_millis(lit(maxTs + 40L * 86400000L)).as("ts"),
+      lit(-1L).as("user_id"), lit("zzz_flush").as("event_type"),
+      lit(0.0).as("value"))
+    ev.unionByName(flusher)
+      .orderBy(md5(col("event_id").cast("string"))).coalesce(5)
+      .write.mode("overwrite").parquet(tmp)
+    val q = Streams.ewmaStream(spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp).as[Streams.Event])
+      .writeStream.format("memory").queryName("ewmastream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ewmastream")
+      .filter(col("event_type") =!= "zzz_flush")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("n_days").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), round(col("ewma"), 4).as("e"))
+      .as[(String, Int, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val batch = graft.queries.Events.eventsEwma(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("n_days"), col("ewma"))
+      .as[(String, Int, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(streamed.keySet == batch.keySet,
+      s"types differ: ${streamed.keySet} vs ${batch.keySet}")
+    streamed.foreach { case (t, v) =>
+      assert(v == batch(t), s"$t: streamed $v vs batch ${batch(t)}")
+    }
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     // BOTH sides unbounded: clicks and purchases arrive as independent
     // streams in shuffled file order across many micro-batches; the
