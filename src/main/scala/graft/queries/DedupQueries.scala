@@ -174,6 +174,46 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Method-agreement matrix over the three TEXT near-dup pair
+    * generators at one semantic point: exact Jaccard ≥ 0.7 (uncapped
+    * ground truth), banded MinHash-LSH verified at 0.7 (the scale
+    * path), and SimHash signature equality (the one-permutation
+    * sketch). Three rows (method_a, method_b, common, only_a, only_b)
+    * — the cross-validation a curation team runs before trusting one
+    * method's drop list: only_a on the (exact, lsh) row is the banding
+    * miss the 1−(1−s⁴)⁴ theory prices (`dedup_minhash_recall`'s
+    * n−hits, here with the disagreement DIRECTION split out), and the
+    * simhash rows measure how conservative hamming-0 signature
+    * equality is against set-overlap truth. Scale: three bounded pair
+    * sets joined on (a, b) keys; every count is a map-side-combined
+    * aggregate; the n² exact side is the documented oracle baseline —
+    * at scale the matrix would compare the bounded generators only.
+    */
+  def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingleSet(docs, "doc_id", "text").cache()
+    val ex = Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
+      .filter(col("jac") >= 0.7).select(col("a"), col("b")).cache()
+    val mh = verifiedNearDupPairs(spark, dir).select(col("a"), col("b")).cache()
+    val sg = Dedup.simhash(docs, "doc_id", "text")
+    val sim = sg.select(col("id").as("a"), col("simhash").as("ha"))
+      .join(sg.select(col("id").as("b"), col("simhash").as("hb")),
+        col("ha") === col("hb") && col("a") < col("b"))
+      .select(col("a"), col("b")).cache()
+    def rowFor(na: String, nb: String, da: DataFrame, db: DataFrame): DataFrame =
+      da.join(db, Seq("a", "b"), "left_semi").agg(count(lit(1)).as("common"))
+        .crossJoin(da.join(db, Seq("a", "b"), "left_anti")
+          .agg(count(lit(1)).as("only_a")))
+        .crossJoin(db.join(da, Seq("a", "b"), "left_anti")
+          .agg(count(lit(1)).as("only_b")))
+        .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+          col("common"), col("only_a"), col("only_b"))
+    rowFor("exact_jac", "minhash_lsh", ex, mh)
+      .unionAll(rowFor("exact_jac", "simhash", ex, sim))
+      .unionAll(rowFor("minhash_lsh", "simhash", mh, sim))
+      .orderBy("method_a", "method_b")
+  }
+
   /** Embedding near-dup: top-20 most-similar pairs by cosine.
     *
     * ORACLE BASELINE ONLY — this is a deliberate n² crossJoin, kept
@@ -327,6 +367,7 @@ object DedupQueries {
     "decontaminate" -> (decontaminate _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ensemble" -> (dedupEnsemble _),
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dup_clusters" -> (dupClusters _),
@@ -363,6 +404,22 @@ object DedupQueries {
 
   // Full (uncapped) Jaccard — the LSH verify stage checks candidates
   // against true Jaccard over the complete shingle set.
+  // SimHash signature CTEs ending in `sig(id, simhash)` — shared by the
+  // dedup_simhash and dedup_ensemble oracles.
+  private lazy val duckSimhashSig =
+    s"""tf AS (
+       |  SELECT doc_id AS id, t AS tok, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT id, b,
+       |    sum(CASE WHEN substr(md5(tok), CAST(b + 1 AS INTEGER), 1) >= '8'
+       |             THEN cnt ELSE -cnt END) AS s
+       |  FROM tf, range(32) t(b) GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+       |  FROM bits GROUP BY id)""".stripMargin
+
   private val duckPairJaccard =
     s"""sh AS ($duckShingleSet),
        |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -518,6 +575,36 @@ object DedupQueries {
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    "dedup_ensemble" -> {
+      def agRow(na: String, nb: String, ta: String, tb: String): String =
+        s"""  SELECT '$na' AS method_a, '$nb' AS method_b,
+           |    CAST((SELECT count(*) FROM $ta x
+           |          WHERE EXISTS (SELECT 1 FROM $tb y
+           |                        WHERE y.a = x.a AND y.b = x.b)) AS BIGINT) AS common,
+           |    CAST((SELECT count(*) FROM $ta x
+           |          WHERE NOT EXISTS (SELECT 1 FROM $tb y
+           |                            WHERE y.a = x.a AND y.b = x.b)) AS BIGINT) AS only_a,
+           |    CAST((SELECT count(*) FROM $tb y
+           |          WHERE NOT EXISTS (SELECT 1 FROM $ta x
+           |                            WHERE x.a = y.a AND x.b = y.b)) AS BIGINT) AS only_b""".stripMargin
+      s"""WITH $duckPairJaccard,
+         |$duckMinhashCands,
+         |ex AS MATERIALIZED (SELECT a, b FROM jacs WHERE jac >= 0.7),
+         |mlp AS MATERIALIZED (
+         |  SELECT j.a, j.b FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7),
+         |$duckSimhashSig,
+         |sp AS MATERIALIZED (
+         |  SELECT x.id AS a, y.id AS b FROM sig x JOIN sig y
+         |    ON x.simhash = y.simhash AND x.id < y.id)
+         |SELECT method_a, method_b, common, only_a, only_b FROM (
+         |${agRow("exact_jac", "minhash_lsh", "ex", "mlp")}
+         |  UNION ALL
+         |${agRow("exact_jac", "simhash", "ex", "sp")}
+         |  UNION ALL
+         |${agRow("minhash_lsh", "simhash", "mlp", "sp")})
+         |ORDER BY method_a, method_b""".stripMargin
+    },
     "dedup_recall_bands" -> {
       val bandCtes = Seq(2, 4, 8).map { r =>
         s"""bands_$r AS (
@@ -581,18 +668,7 @@ object DedupQueries {
          |FROM labels l JOIN csizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id AS id, t AS tok, count(*) AS cnt
-         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
-         |  GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT id, b,
-         |    sum(CASE WHEN substr(md5(tok), CAST(b + 1 AS INTEGER), 1) >= '8'
-         |             THEN cnt ELSE -cnt END) AS s
-         |  FROM tf, range(32) t(b) GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-         |  FROM bits GROUP BY id)
+      s"""WITH $duckSimhashSig
          |SELECT id AS doc_id, simhash,
          |  min(id) OVER (PARTITION BY simhash) AS dup_of,
          |  CAST(id <> min(id) OVER (PARTITION BY simhash) AS INTEGER) AS is_dup

@@ -51,6 +51,28 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Per-group top-k: the three most active users per event type —
+    * the rank-filter window shape Spark 4's `WindowGroupLimit` rewrite
+    * exists for: the filter `rn <= 3` is pushed INTO the window
+    * operator, so each partition keeps a bounded per-group buffer
+    * instead of ranking every user and filtering after (PlanSpec
+    * asserts the rewrite fires). Ties break to the lower user_id —
+    * pinned on both engines.
+    */
+  def eventsTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn").cast("int").as("rank"),
+        col("user_id"), col("n"))
+      .orderBy("event_type", "rank")
+  }
+
   /** Exponentially-weighted daily volume per event type (α = 0.25) —
     * the smoothing baseline an alerting pipeline holds per series,
     * beside [[eventsAnomaly]]'s median flags. The fold runs inside the
@@ -479,6 +501,7 @@ object Events {
     "events_hourly" -> (eventsHourly _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_ewma" -> (eventsEwma _),
+    "events_top_users" -> (eventsTopUsers _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
@@ -615,6 +638,28 @@ object Events {
         |       d.n > 2.0 * m.med_daily AS is_anomaly
         |FROM daily d JOIN med m USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+    "events_top_users" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(rn AS INTEGER) AS rank, user_id, n FROM (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                  ORDER BY n DESC, user_id ASC) AS rn
+        |  FROM pu)
+        |WHERE rn <= 3
+        |ORDER BY event_type, rank""".stripMargin,
+    "events_top_users" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(rn AS INTEGER) AS rank, user_id, n FROM (
+        |  SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                  ORDER BY n DESC, user_id ASC) AS rn
+        |  FROM pu)
+        |WHERE rn <= 3
+        |ORDER BY event_type, rank""".stripMargin,
     "events_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

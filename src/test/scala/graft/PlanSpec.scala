@@ -108,6 +108,15 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("events_top_users: the rank filter is pushed into WindowGroupLimit") {
+    val df = graft.queries.Events.eventsTopUsers(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // Spark 4 rewrites rank-filter windows so each partition keeps a
+    // bounded per-group buffer instead of ranking everything first
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("decontaminate broadcasts the eval-shingle side, never a shuffle join") {
     val df = graft.queries.DedupQueries.decontaminate(spark, dir)
     df.collect() // finalize adaptive plan
