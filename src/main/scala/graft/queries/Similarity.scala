@@ -269,6 +269,35 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy(col("algo"))
   }
 
+  /** Random projection composed with IVF
+    * ([[graft.search.Ann.rpIvfTopK]]) — the Faiss
+    * `IndexPreTransform(RandomRotationMatrix, IVF)` shape: the same 16
+    * md5-sampled coarse cells as `ann_ivf`, but assignment, probing,
+    * and the in-cell proposal all run in the 16-dim projected space
+    * (4× less arithmetic per row at every stage, as Faiss applies a
+    * pre-transform to everything downstream), with the top-50 proposal
+    * exactly re-ranked in full space. Rank-only output; the oracle
+    * projects index/centroids/queries once (the `pv` table serves all
+    * three — centroids ARE sampled index rows) and replays the
+    * reduced-space assignment, probing, proposal cut, and exact
+    * refine.
+    */
+  def annRpIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id"))
+      .limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Ann.rpIvfTopK(emb, queries, centroids, K, r = RpR, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
     * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
@@ -963,6 +992,7 @@ object Similarity {
     "ann_binary" -> (annBinary _),
     "ann_ivf_binary" -> (annIvfBinary _),
     "ann_rp" -> (annRp _),
+    "ann_rp_ivf" -> (annRpIvf _),
     "ann_recall_rp" -> (annRecallRp _),
     "coreset_kcenter" -> (coresetKcenter _),
     "ann_recall_binary" -> (annRecallBinary _),
@@ -1356,7 +1386,12 @@ object Similarity {
     * sims. Ends at `cs_<tag>` (query_id, vec_id, sim). `scaleSql` must
     * be the exact decimal literal of 1/√dOut.
     */
-  private def rpReplayCtes(dOut: Int, scaleSql: String, tag: String): String =
+  /** Just the projection half of [[rpReplayCtes]] — plane generation +
+    * per-row projected vectors, ending at `pv_<tag>` (vec_id, pv).
+    * Shared with the IVF composition, whose probing/assignment replace
+    * the flat proposal.
+    */
+  private def rpProjCtes(dOut: Int, scaleSql: String, tag: String): String =
     s"""rp_$tag AS (
        |  SELECT j.j, i.i,
        |    CASE WHEN strpos('02468ace',
@@ -1368,7 +1403,10 @@ object Similarity {
        |  SELECT e.vec_id, r.j, ${duckDot("e.embedding", "r.pv")} AS c
        |  FROM embeddings e CROSS JOIN rpl_$tag r),
        |pv_$tag AS (
-       |  SELECT vec_id, list(c ORDER BY j) AS pv FROM pc_$tag GROUP BY vec_id),
+       |  SELECT vec_id, list(c ORDER BY j) AS pv FROM pc_$tag GROUP BY vec_id)""".stripMargin
+
+  private def rpReplayCtes(dOut: Int, scaleSql: String, tag: String): String =
+    s"""${rpProjCtes(dOut, scaleSql, tag)},
        |ps_$tag AS (
        |  SELECT qq.query_id, p.vec_id, ${duckDot("p.pv", "qq.pv")} AS sim
        |  FROM pv_$tag p CROSS JOIN
@@ -1530,6 +1568,53 @@ object Similarity {
          |SELECT CAST(step AS INTEGER) AS step, vec_id, round(maxsim, 4) AS maxsim
          |FROM selall_8 ORDER BY step""".stripMargin
     },
+    "ann_rp_ivf" ->
+      s"""WITH ${rpProjCtes(16, "0.25", "d16")},
+         |cent AS (
+         |  SELECT vec_id AS cent_id
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |pcent AS (
+         |  SELECT c.cent_id, p.pv AS cpv
+         |  FROM cent c JOIN pv_d16 p ON p.vec_id = c.cent_id),
+         |qp AS (
+         |  SELECT vec_id AS query_id, pv AS qpv
+         |  FROM pv_d16 WHERE vec_id < $NumQueries),
+         |passign AS (
+         |  SELECT vec_id, pv, cent_id FROM (
+         |    SELECT e.vec_id, e.pv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.pv", "c.cpv")} DESC, c.cent_id ASC) AS rn
+         |    FROM pv_d16 e CROSS JOIN pcent c) WHERE rn = 1),
+         |pprobes AS (
+         |  SELECT query_id, qpv, cent_id FROM (
+         |    SELECT q.query_id, q.qpv, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qpv", "c.cpv")} DESC, c.cent_id ASC) AS rn
+         |    FROM qp q CROSS JOIN pcent c) WHERE rn <= 4),
+         |pcands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.pv", "p.qpv")} AS sim
+         |  FROM passign a JOIN pprobes p ON a.cent_id = p.cent_id),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM pcands) WHERE rn <= $RpR),
+         |csims AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM cand c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM csims)
+         |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "ann_rp" ->
       s"""WITH ${rpReplayCtes(16, "0.25", "d16")},
          |ranked AS (

@@ -1232,6 +1232,73 @@ object Ann {
     heapTopK(cands, k)
   }
 
+  /** Random-projection pre-transform composed with IVF — the Faiss
+    * `IndexPreTransform(RandomRotationMatrix, IVF)` shape, completing
+    * the IVF × quantizer matrix (flat / SQ8 / PQ / residual-PQ /
+    * binary / RP): EVERYTHING downstream of the transform operates in
+    * the reduced space, exactly as Faiss applies the pre-transform —
+    * coarse assignment, probing, and the in-cell proposal scan all use
+    * the 16-dim projections (4× less arithmetic per row at every
+    * stage), and only the `r` proposal survivors are fetched for the
+    * exact full-space re-rank.
+    *
+    * Scale shape: projection and reduced-space assignment fuse into
+    * one narrow map (the index never shuffles); projected centroids
+    * and queries ride the closure; the probe join is queries×nprobe
+    * broadcast rows; only P×Q×r survivors exchange before the bounded
+    * refine.
+    */
+  def rpIvfTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, r: Int, nprobe: Int, dOut: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val planes = rpPlanes(dOut, dim)
+    def dotDD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; val n = math.min(a.length, b.length); var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val pCents: Array[(Long, Array[Double])] =
+      projectRows(centroids, "cvec", "cent_id", planes).collect().sortBy(_._1)
+    val pQs: Array[(Long, Array[Double])] =
+      projectRows(queries, "qvec", "query_id", planes).collect().sortBy(_._1)
+    // reduced-space assignment: strict > scan from the lowest cent_id —
+    // the assignCells tie rule, in the transformed space
+    val assigned = projectRows(index, "embedding", "vec_id", planes)
+      .mapPartitions { it =>
+        it.map { case (id, pv) =>
+          var best = 0; var bs = Double.NegativeInfinity
+          var ci = 0
+          while (ci < pCents.length) {
+            val s = dotDD(pv, pCents(ci)._2)
+            if (s > bs) { bs = s; best = ci }
+            ci += 1
+          }
+          (id, pv, pCents(best)._1)
+        }
+      }.toDF("vec_id", "pv", "cent_id")
+    val probes = pQs.toSeq.flatMap { case (qid, qpv) =>
+      pCents.map { case (cid, cv) => (cid, dotDD(qpv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid) }
+    }.toDF("query_id", "cent_id")
+    val qMap: Map[Long, Array[Double]] = pQs.toMap
+    val sims = assigned.join(broadcast(probes), "cent_id")
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("pv"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (qid, id, pv) => (qid, id, dotDD(pv, qMap(qid))) }
+      }
+    val candIds = Knn.topKOfSims(sims, r)
+      .select(col("query_id"), col("vec_id"))
+    val cands = index.select(col("vec_id"), col("embedding"))
+      .join(broadcast(candIds), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+    heapTopK(cands, k)
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition,
     * completing the IVF × quantizer matrix (flat / SQ8 / PQ /
     * residual-PQ / binary): the float-space coarse quantizer bounds

@@ -468,6 +468,30 @@ class NewOpsSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("RP-IVF with full probe + full proposal degenerates to exact top-k") {
+    // TRUE invariant: probing every cell makes the reduced-space cut
+    // vacuous, r = n keeps every proposal, so the exact full-space
+    // re-rank IS brute force — whatever the projection scrambled in
+    // assignment or proposal order, nothing was dropped.
+    import graft.search.Ann
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val centroids = emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        md5(concat(lit("ivf|"), col("vec_id"))).as("r"))
+      .orderBy(col("r"), col("cent_id")).limit(16)
+      .select(col("cent_id"), col("cvec"))
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val full = Ann.rpIvfTopK(emb, queries, centroids, Similarity.K,
+        r = n, nprobe = 16)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.knnTopK(spark, dir)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+  }
+
   test("RP recall rises with retained dimensionality (corpus-pinned slack)") {
     // EXPECTED direction, not an invariant: the three sign matrices are
     // independent draws, so their recalls do not nest the way the
