@@ -298,6 +298,20 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@10 of the pre-transform pair vs exact — flat `ann_rp`
+    * beside the `ann_rp_ivf` composition, the
+    * [[annRecallBinary]] row-pair shape for the transform axis: the
+    * delta isolates what the reduced-space COARSE CUT (assignment +
+    * probing both in 16 dims) costs on top of the reduced-space
+    * proposal both paths share.
+    */
+  def annRecallRpIvf(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_rp", annRp(spark, dir))
+      .unionAll(recallOf("ann_rp_ivf", annRpIvf(spark, dir)))
+      .orderBy(col("algo"))
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
     * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
@@ -994,6 +1008,7 @@ object Similarity {
     "ann_rp" -> (annRp _),
     "ann_rp_ivf" -> (annRpIvf _),
     "ann_recall_rp" -> (annRecallRp _),
+    "ann_recall_rp_ivf" -> (annRecallRpIvf _),
     "coreset_kcenter" -> (coresetKcenter _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
@@ -1568,6 +1583,63 @@ object Similarity {
          |SELECT CAST(step AS INTEGER) AS step, vec_id, round(maxsim, 4) AS maxsim
          |FROM selall_8 ORDER BY step""".stripMargin
     },
+    "ann_recall_rp_ivf" ->
+      s"""WITH $pqQCte,
+         |${rpReplayCtes(16, "0.25", "d16")},
+         |${topKIdsCte("cs_d16", "rpk")},
+         |cent AS (
+         |  SELECT vec_id AS cent_id
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |pcent AS (
+         |  SELECT c.cent_id, p.pv AS cpv
+         |  FROM cent c JOIN pv_d16 p ON p.vec_id = c.cent_id),
+         |qp AS (
+         |  SELECT vec_id AS query_id, pv AS qpv
+         |  FROM pv_d16 WHERE vec_id < $NumQueries),
+         |passign AS (
+         |  SELECT vec_id, pv, cent_id FROM (
+         |    SELECT e.vec_id, e.pv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.pv", "c.cpv")} DESC, c.cent_id ASC) AS rn
+         |    FROM pv_d16 e CROSS JOIN pcent c) WHERE rn = 1),
+         |pprobes AS (
+         |  SELECT query_id, qpv, cent_id FROM (
+         |    SELECT q.query_id, q.qpv, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qpv", "c.cpv")} DESC, c.cent_id ASC) AS rn
+         |    FROM qp q CROSS JOIN pcent c) WHERE rn <= 4),
+         |pci AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.pv", "p.qpv")} AS sim
+         |  FROM passign a JOIN pprobes p ON a.cent_id = p.cent_id),
+         |candi AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM pci) WHERE rn <= $RpR),
+         |csi AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM candi c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |${topKIdsCte("csi", "rpik")},
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_rp' AS algo,
+         |    (SELECT count(*) FROM rpk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_rp_ivf' AS algo,
+         |    (SELECT count(*) FROM rpik a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     "ann_rp_ivf" ->
       s"""WITH ${rpProjCtes(16, "0.25", "d16")},
          |cent AS (
