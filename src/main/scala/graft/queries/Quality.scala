@@ -47,7 +47,13 @@ import graft.text.TextFns
   * 25-iteration chain as unrolled CTEs (the [[Similarity.lloydIter]]
   * pattern), margins accumulate left-to-right in the same term order,
   * and `selected` derives from the ROUNDED score so flag and score
-  * cannot disagree.
+  * cannot disagree. The remaining cross-engine class is libm: Java
+  * `Math.exp` and DuckDB `exp` may differ by 1 ulp — per-term ~1e-16
+  * noise that the per-iteration grid snap absorbs exactly like
+  * summation-order drift, and that the 4-decimal score rounding makes
+  * a ~1-in-10^12 boundary event per value (the accepted bigram_lm
+  * ln+round class, named here so a future flip reads as this, not as
+  * silent wrongness).
   */
 object Quality {
 

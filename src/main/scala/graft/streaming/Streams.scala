@@ -440,7 +440,7 @@ object Streams {
   }
 
   case class EwmaState(pending: Map[Long, Long], ewma: Option[Double], nDays: Int)
-  case class EwmaUpdate(event_type: String, day: java.sql.Date, n: Long,
+  case class EwmaUpdate(event_type: String, day: String, n: Long,
       n_days: Int, ewma: Double)
 
   /** Streaming EWMA volume baseline — `events_ewma` lifted to
@@ -483,7 +483,11 @@ object Streams {
           for ((d, n) <- ready.toSeq.sortBy(_._1)) {
             ew = Some(ew.fold(n.toDouble)(s => s * 0.75 + n * 0.25))
             nd += 1
-            out += EwmaUpdate(typ, new java.sql.Date(d * dayMs), n, nd, ew.get)
+            // ISO string via LocalDate.ofEpochDay — the cohortStream
+            // convention: no java.sql.Date, whose Catalyst conversion
+            // reads the JVM default timezone
+            out += EwmaUpdate(typ, java.time.LocalDate.ofEpochDay(d).toString,
+              n, nd, ew.get)
           }
           state.update(EwmaState(rest, ew, nd))
           if (rest.nonEmpty)
