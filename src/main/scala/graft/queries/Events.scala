@@ -51,6 +51,31 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Seasonality-adjusted volume anomalies — [[eventsAnomaly]] with the
+    * day-of-week profile subtracted: a Saturday is judged against
+    * Saturdays (the weekly cycle every product metric has), not the
+    * all-days median that flags every weekend as anomalous or buries a
+    * weekday spike. The flag is INTEGER-EXACT by cross-multiplication:
+    * n > 2·mean(dow) ⟺ n·d_cnt > 2·d_sum — no division, no float
+    * anywhere (the [[Relational.aggMoments]] discipline taken all the
+    * way to the comparison). Day-of-week is ISO (1 = Monday) on both
+    * engines: Spark `weekday()+1` ≡ DuckDB `isodow()`. Scale: the
+    * (type, dow) profile is ≤ types×7 rows — a broadcast by
+    * construction.
+    */
+  def eventsSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (expr("weekday(day)") + 1).cast("int"))
+    val prof = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("d_sum"), count(lit(1)).as("d_cnt"))
+    daily.join(broadcast(prof), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        (col("n") * col("d_cnt") > lit(2) * col("d_sum")).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** Per-group top-k: the three most active users per event type —
     * the rank-filter window shape Spark 4's `WindowGroupLimit` rewrite
     * exists for: the filter `rn <= 3` is pushed INTO the window
@@ -502,6 +527,7 @@ object Events {
     "events_anomaly" -> (eventsAnomaly _),
     "events_ewma" -> (eventsEwma _),
     "events_top_users" -> (eventsTopUsers _),
+    "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "events_json" -> (eventsJson _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
@@ -638,6 +664,20 @@ object Events {
         |       d.n > 2.0 * m.med_daily AS is_anomaly
         |FROM daily d JOIN med m USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+    "events_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type, day, n, CAST(isodow(day) AS INTEGER) AS dow
+        |  FROM daily),
+        |prof AS (
+        |  SELECT event_type, dow, sum(n) AS d_sum, count(*) AS d_cnt
+        |  FROM d2 GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.dow, d.n,
+        |       d.n * p.d_cnt > 2 * p.d_sum AS is_anomaly
+        |FROM d2 d JOIN prof p ON d.event_type = p.event_type AND d.dow = p.dow
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "events_top_users" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, count(*) AS n

@@ -455,9 +455,13 @@ object Relational {
     val o = Tables.orders(spark, dir).select(col("o_totalprice").as("x"))
     val mm = o.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
       count(lit(1)).as("n"))
+    // mx = mn (a constant column) would divide by zero and NULL every
+    // bin — route the degenerate case to bin 0, where the upper-edge
+    // estimate collapses to the constant itself
     val binned = o.crossJoin(broadcast(mm))
-      .select(least(floor((col("x") - col("mn")) * lit(1000.0) /
-        (col("mx") - col("mn"))).cast("long"), lit((B - 1).toLong)).as("b"),
+      .select(when(col("mx") === col("mn"), lit(0L))
+        .otherwise(least(floor((col("x") - col("mn")) * lit(1000.0) /
+          (col("mx") - col("mn"))).cast("long"), lit((B - 1).toLong))).as("b"),
         col("mn"), col("mx"), col("n"))
       .groupBy(col("b"), col("mn"), col("mx"), col("n"))
       .agg(count(lit(1)).as("c"))
@@ -762,8 +766,9 @@ object Relational {
         |         count(*) AS n
         |  FROM orders),
         |binned AS (
-        |  SELECT LEAST(CAST(floor((o_totalprice - mn) * 1000.0 / (mx - mn))
-        |                    AS BIGINT), 999) AS b,
+        |  SELECT CASE WHEN mx = mn THEN 0
+        |              ELSE LEAST(CAST(floor((o_totalprice - mn) * 1000.0 / (mx - mn))
+        |                         AS BIGINT), 999) END AS b,
         |         mn, mx, n
         |  FROM orders CROSS JOIN mm),
         |cnt AS (
