@@ -263,6 +263,128 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q7-style two-nation trade volume: discounted revenue per
+    * (supplier nation, customer nation, ship year) for the two-way
+    * trade between NATION_0 and NATION_1 — the plan shape where ONE
+    * dimension table (nation) joins the fact chain in TWO ROLES, each
+    * broadcast independently. The nation filters push into both
+    * broadcast sides, so the five-table join prunes before the fact
+    * scan's one real shuffle (lineitem ⋈ orders on the order key).
+    */
+  def q7TradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_0", "NATION_1")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(decSum(disc, 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10-style returned-item reporting: the top-20 customers by
+    * revenue lost to returns in one quarter — the
+    * top-k-after-aggregation shape over a selective fact filter
+    * (returnflag = 'R' pushes to the scan). Customer and nation
+    * broadcast; TakeOrderedAndProject caps the output without a global
+    * sort; ties cannot occur on the DECIMAL-exact revenue sum except
+    * for identical values, broken by c_custkey.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(decSum(disc, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q15-style top supplier: the argmax-over-aggregated-view
+    * shape — per-supplier quarterly revenue, then the supplier(s)
+    * achieving the maximum (ties KEPT, as Q15 specifies). The 1-row
+    * max broadcasts back onto the revenue view; revenue is
+    * DECIMAL-exact, so the equality join is exact (no float-max
+    * tolerance needed).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(decSum(disc, 4).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-style sole late supplier: suppliers who were the ONLY
+    * late supplier on a multi-supplier order — the double-correlation
+    * shape (EXISTS another supplier on the order, NOT EXISTS another
+    * LATE supplier), decorrelated to a semi join and an anti join over
+    * the same lineitem table with different conditions. Lateness is
+    * the fixture convention from q4 (shipped > 30 days after the order
+    * date); per-order supplier participation is deduplicated BEFORE
+    * either join so the correlation keys carry no duplicate inflation.
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val participants = li.select(col("l_orderkey").as("p_okey"),
+      col("l_suppkey").as("p_skey")).distinct()
+    val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .select(col("l_orderkey").as("w_okey"), col("l_suppkey").as("w_skey"))
+      .distinct()
+    val withOthers = late.join(participants,
+      col("w_okey") === col("p_okey") && col("w_skey") =!= col("p_skey"),
+      "left_semi")
+    val lateOthers = late.select(col("w_okey").as("x_okey"),
+      col("w_skey").as("x_skey"))
+    val sole = withOthers.join(lateOthers,
+      col("w_okey") === col("x_okey") && col("w_skey") =!= col("x_skey"),
+      "left_anti")
+    sole.join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("w_skey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
   /** Semi/anti join: customers with ≥1 order vs none (SURVEY §2.6 joins). */
   def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -629,6 +751,10 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q22_dormant" -> (q22Dormant _),
+    "q7_trade_volume" -> (q7TradeVolume _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
     "quantiles_hist" -> (quantilesHist _),
     "join_semi_anti" -> (joinSemiAnti _),
     "topk_orders" -> (topkOrders _),
@@ -760,6 +886,67 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q7_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+        |  AND n2.n_name IN ('NATION_0', 'NATION_1')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                       AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY),
+        |participants AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey FROM lineitem)
+        |SELECT s_name, count(*) AS numwait FROM late w
+        |JOIN supplier ON w.skey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM participants p
+        |    WHERE p.okey = w.okey AND p.skey <> w.skey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM late x
+        |    WHERE x.okey = w.okey AND x.skey <> w.skey)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 10""".stripMargin,
     "quantiles_hist" ->
       """WITH mm AS (
         |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
