@@ -117,6 +117,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q7: nation broadcasts twice (two roles), one fact-side hash shuffle family") {
+    val df = Relational.q7TradeVolume(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // both nation roles (and supplier/customer) arrive via broadcast —
+    // the fact chain never shuffles for a dimension
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q21: the double correlation is one semi join and one anti join") {
+    val df = Relational.q21SoleLateSupplier(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q10/q15: top-k via TakeOrdered; argmax equality join stays broadcast") {
+    val d10 = Relational.q10ReturnedItems(spark, dir)
+    d10.collect()
+    assert(planOf(d10).contains("TakeOrderedAndProject"), planOf(d10))
+    val d15 = Relational.q15TopSupplier(spark, dir)
+    d15.collect()
+    val p15 = planOf(d15)
+    assert(p15.contains("BroadcastHashJoin") || p15.contains("BroadcastNestedLoopJoin"), p15)
+    assert(!p15.contains("SortMergeJoin"), p15)
+  }
+
   test("decontaminate broadcasts the eval-shingle side, never a shuffle join") {
     val df = graft.queries.DedupQueries.decontaminate(spark, dir)
     df.collect() // finalize adaptive plan
