@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HammingDistance}
 
 /** Session extension point: registers the engine's native expressions for
   * SQL use. Activate with
@@ -13,6 +13,7 @@ import graft.functions.DotProduct
   *
   * {{{
   *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_hamming(a.code, b.code) FROM ...
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -21,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
   }
 }

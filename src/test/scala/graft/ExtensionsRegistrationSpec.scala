@@ -23,4 +23,38 @@ class ExtensionsRegistrationSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("graft_dot"))
   }
+
+  test("graft_hamming is callable from SQL and matches packed popcount") {
+    val row = spark.sql(
+      """SELECT graft_hamming(array(CAST(5 AS BIGINT), CAST(-1 AS BIGINT)),
+        |                     array(CAST(3 AS BIGINT), CAST(0 AS BIGINT))) AS h
+        |""".stripMargin).collect().head
+    // 5^3 = 6 (2 bits) + (-1)^0 = all 64 bits
+    assert(row.getInt(0) == 66)
+  }
+
+  test("graft_hamming agrees with Ann.binaryCodes' scan arithmetic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val codes = graft.search.Ann
+      .binaryCodes(emb, "embedding", "vec_id", 64).toDF("id", "w")
+    val a = codes.select(col("id").as("ia"), col("w").as("wa"))
+    val b = codes.select(col("id").as("ib"), col("w").as("wb"))
+    val viaExpr = a.crossJoin(b).filter(col("ia") < col("ib")).limit(200)
+      .select(col("ia"), col("ib"),
+        expr("graft_hamming(wa, wb)").as("h"))
+      .as[(Long, Long, Int)].collect().toMap2
+    val direct = codes.as[(Long, Array[Long])].collect().toMap
+    viaExpr.foreach { case ((x, y), h) =>
+      val d = direct(x).zip(direct(y))
+        .map { case (u, v) => java.lang.Long.bitCount(u ^ v) }.sum
+      assert(h == d, s"($x,$y): expr $h direct $d")
+    }
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Long, Int)]) {
+    def toMap2: Map[(Long, Long), Int] =
+      rows.map { case (a, b, h) => (a, b) -> h }.toMap
+  }
 }

@@ -117,6 +117,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("graft_hamming runs inside whole-stage codegen like graft_dot") {
+    val emb = Tables.embeddings(spark, dir)
+    val codes = graft.search.Ann
+      .binaryCodes(emb, "embedding", "vec_id", 64).toDF("id", "w")
+    val q = codes.limit(3).select(col("id").as("qid"), col("w").as("qw"))
+    val sims = codes.crossJoin(broadcast(q))
+      .select(expr("graft_hamming(w, qw)").as("h"))
+    sims.collect()
+    val plan = planOf(sims)
+    assert(plan.linesIterator.exists(l => l.contains("graft_hamming") && l.contains("*(")),
+      s"graft_hamming not inside a codegen stage:\n$plan")
+  }
+
   test("q7: nation broadcasts twice (two roles), one fact-side hash shuffle family") {
     val df = Relational.q7TradeVolume(spark, dir)
     df.collect()
