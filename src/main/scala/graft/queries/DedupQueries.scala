@@ -200,12 +200,16 @@ object DedupQueries {
       .join(sg.select(col("id").as("b"), col("simhash").as("hb")),
         col("ha") === col("hb") && col("a") < col("b"))
       .select(col("a"), col("b")).cache()
+    // one full outer join + one aggregate per method pair (three set
+    // counts in a single pass — not three separate semi/anti jobs)
     def rowFor(na: String, nb: String, da: DataFrame, db: DataFrame): DataFrame =
-      da.join(db, Seq("a", "b"), "left_semi").agg(count(lit(1)).as("common"))
-        .crossJoin(da.join(db, Seq("a", "b"), "left_anti")
-          .agg(count(lit(1)).as("only_a")))
-        .crossJoin(db.join(da, Seq("a", "b"), "left_anti")
-          .agg(count(lit(1)).as("only_b")))
+      da.withColumn("ina", lit(1))
+        .join(db.withColumn("inb", lit(1)), Seq("a", "b"), "full")
+        .agg(
+          sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+            .otherwise(0L)).as("common"),
+          sum(when(col("inb").isNull, 1L).otherwise(0L)).as("only_a"),
+          sum(when(col("ina").isNull, 1L).otherwise(0L)).as("only_b"))
         .select(lit(na).as("method_a"), lit(nb).as("method_b"),
           col("common"), col("only_a"), col("only_b"))
     rowFor("exact_jac", "minhash_lsh", ex, mh)
