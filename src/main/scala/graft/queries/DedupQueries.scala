@@ -64,12 +64,23 @@ object DedupQueries {
     * one entry across repeated calls (CacheLifecycleSpec); the caller
     * evicts via `spark.catalog.clearCache()` when done.
     */
-  private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
-    val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4),
-      droppedBuckets = Some(droppedBucketsAcc(spark)))
-    Dedup.candidateJaccard(sh, cands).filter(col("jac") >= 0.7)
-  }
+  private val vndMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    // memoize the FRAME, not just rely on plan-keyed caching:
+    // lshCandidates embeds a typed mapPartitions closure (the dropped-
+    // bucket audit), and a fresh lambda instance per call means a fresh
+    // non-canonical plan — a caller that caches the result would leak
+    // one entry per call (CacheLifecycleSpec catches exactly this).
+    // Returning the same DataFrame object makes every downstream
+    // .cache() hit one entry — the exactIds memo pattern.
+    vndMemo.computeIfAbsent((spark, dir), _ => {
+      val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
+      val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4),
+        droppedBuckets = Some(droppedBucketsAcc(spark)))
+      Dedup.candidateJaccard(sh, cands).filter(col("jac") >= 0.7)
+    })
 
   /** MinHash(16) + LSH(4 bands × 4 rows) candidates, verified at true
     * Jaccard ≥ 0.7 — the scale path for near-dedup.

@@ -24,6 +24,12 @@ class CacheLifecycleSpec extends SparkSpec {
     graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
     graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
     graft.queries.Similarity.annRecall(spark, dir).count()
+    // the round-11 cached subplans: ensemble pair sets, the uncapped
+    // true-pair side, and TextRank's graph tables — same plan-keyed
+    // contract
+    graft.queries.DedupQueries.dedupEnsemble(spark, dir).count()
+    graft.queries.DedupQueries.dedupMinhashRecall(spark, dir).count()
+    graft.queries.TextAnalysis.textrankKeywords(spark, dir).count()
     val afterFirst = cachedRddCount
     assert(afterFirst > 0, "the shared subplans should be cached at all")
 
@@ -32,6 +38,9 @@ class CacheLifecycleSpec extends SparkSpec {
       graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
       graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
       graft.queries.Similarity.annRecall(spark, dir).count()
+      graft.queries.DedupQueries.dedupEnsemble(spark, dir).count()
+      graft.queries.DedupQueries.dedupMinhashRecall(spark, dir).count()
+      graft.queries.TextAnalysis.textrankKeywords(spark, dir).count()
     }
     assert(cachedRddCount == afterFirst,
       s"cache grew across repeated calls: $afterFirst -> $cachedRddCount")
