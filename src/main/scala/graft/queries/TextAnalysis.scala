@@ -693,7 +693,20 @@ object TextAnalysis {
     * lookup, never re-run merges per document.
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncodeDocs(Tables.documents(spark, dir), iters = 5)
+    bpeEncodedMemo(spark, dir)
+
+  /** Memoized encoded frame per (session, dir) — bpeLoop's per-iteration
+    * typed `map` closures make every fresh build a fresh non-canonical
+    * plan, so the eager cache inside [[bpeEncodeDocs]] would register a
+    * NEW entry per call (the library-leak class CacheLifecycleSpec
+    * pins); both consumers (bpe_encode, pack_sequences_bpe) share this
+    * one frame instead.
+    */
+  private val bpeEncMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def bpeEncodedMemo(spark: SparkSession, dir: String): DataFrame =
+    bpeEncMemo.computeIfAbsent((spark, dir), _ =>
+      bpeEncodeDocs(Tables.documents(spark, dir), iters = 5))
 
   /** [[bpeEncode]] over an explicit documents frame (spec hook). */
   private[graft] def bpeEncodeDocs(docs: DataFrame, iters: Int): DataFrame = {
@@ -766,7 +779,7 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    bpeEncodeDocs(Tables.documents(spark, dir), iters = 5)
+    bpeEncodedMemo(spark, dir)
       .select(col("doc_id"), (col("doc_id") % nb).as("bucket"),
         col("n_bpe_tokens").as("n_tokens"))
       .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))

@@ -179,14 +179,20 @@ object Pipeline {
   /** Full experiment: documents + queries → ranked per-config metrics. */
   def run(spark: SparkSession, docs: Dataset[Document], queries: DataFrame,
       models: Seq[HashingEmbedder.Model] = HashingEmbedder.models,
-      strategies: Seq[String] = Chunkers.strategyNames, k: Int = 10): DataFrame = {
+      strategies: Seq[String] = Chunkers.strategyNames, k: Int = 10,
+      prebuilt: Option[DataFrame] = None): DataFrame = {
     // The fused chunk+embed index feeds three consumers (retrieval, hit
     // payload, source resolution) — cache it; partition-level cache
     // locking computes each partition once even when broadcast branches
     // race (verified — an eager count() barrier adds a full extra scan
     // for no benefit). This mirrors the reference persisting the index
-    // before retrieval (main.py:224).
-    val embedded = chunkEmbed(docs, strategies, models).cache()
+    // before retrieval (main.py:224). `prebuilt` lets a repeated caller
+    // pass a MEMOIZED index frame: chunkEmbed's plan embeds typed
+    // chunker closures, so a fresh build per call is a fresh
+    // non-canonical plan and this cache() would register a new entry
+    // every call (the leak CacheLifecycleSpec pins — graft.queries.Rag
+    // memoizes and passes the frame in).
+    val embedded = prebuilt.getOrElse(chunkEmbed(docs, strategies, models)).cache()
     // chunk-grain view (payload, source resolution): one model's slice
     // of the cache — a narrow filter, not a second materialization
     val chunks = embedded.filter(col("model") === models.head.name)

@@ -30,6 +30,12 @@ class CacheLifecycleSpec extends SparkSpec {
     graft.queries.DedupQueries.dedupEnsemble(spark, dir).count()
     graft.queries.DedupQueries.dedupMinhashRecall(spark, dir).count()
     graft.queries.TextAnalysis.textrankKeywords(spark, dir).count()
+    // the closure-plan class (typed chunker/heap/BPE lambdas): these
+    // leak one entry per call unless the frame instance is memoized
+    graft.queries.Rag.ragEval(spark, dir).count()
+    graft.queries.Rag.ragRetrieval(spark, dir).count()
+    graft.queries.Rag.ragSummary(spark, dir).count()
+    graft.queries.TextAnalysis.bpeEncode(spark, dir).count()
     val afterFirst = cachedRddCount
     assert(afterFirst > 0, "the shared subplans should be cached at all")
 
@@ -41,6 +47,10 @@ class CacheLifecycleSpec extends SparkSpec {
       graft.queries.DedupQueries.dedupEnsemble(spark, dir).count()
       graft.queries.DedupQueries.dedupMinhashRecall(spark, dir).count()
       graft.queries.TextAnalysis.textrankKeywords(spark, dir).count()
+      graft.queries.Rag.ragEval(spark, dir).count()
+      graft.queries.Rag.ragRetrieval(spark, dir).count()
+      graft.queries.Rag.ragSummary(spark, dir).count()
+      graft.queries.TextAnalysis.bpeEncode(spark, dir).count()
     }
     assert(cachedRddCount == afterFirst,
       s"cache grew across repeated calls: $afterFirst -> $cachedRddCount")
