@@ -302,6 +302,26 @@ object Events {
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
       .orderBy("day")
 
+  /** HOPPING (sliding) window aggregate — the overlap cell of the
+    * window-TVF taxonomy beside [[eventsHourly]]'s tumbling case: 2-hour
+    * windows advancing every hour, so each event lands in exactly two
+    * windows (Spark's `window(ts, '2 hours', '1 hour')` TVF expands
+    * rows before the hash aggregate — no self-union, no range join).
+    * The oracle expands each event to its two covering window starts
+    * explicitly (hour-truncated ts and one hour earlier), which IS the
+    * TVF's expansion for this duration/slide pair. Money stays in
+    * DECIMAL; first 48 windows keep the output calendar-bounded.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+      .limit(48)
+
   /** HyperLogLog distinct-count sketch per event type — the fixed-memory
     * (m=256 registers) cardinality estimator every large-scale pipeline
     * pairs with count-min (Flajolet et al. 2007, with the standard
@@ -523,6 +543,7 @@ object Events {
     "events_retention" -> (eventsRetention _),
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
+    "events_sliding" -> (eventsSliding _),
     "events_hourly" -> (eventsHourly _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_ewma" -> (eventsEwma _),
@@ -678,6 +699,20 @@ object Events {
         |       d.n * p.d_cnt > 2 * p.d_sum AS is_anomaly
         |FROM d2 d JOIN prof p ON d.event_type = p.event_type AND d.dow = p.dow
         |ORDER BY d.event_type, d.day""".stripMargin,
+    "events_sliding" ->
+      """WITH ex AS (
+        |  SELECT event_type, value,
+        |         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value, h AS w_start FROM ex
+        |  UNION ALL
+        |  SELECT event_type, value, h - INTERVAL 1 HOUR FROM ex)
+        |SELECT w_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2
+        |ORDER BY w_start, event_type
+        |LIMIT 48""".stripMargin,
     "events_top_users" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, count(*) AS n
