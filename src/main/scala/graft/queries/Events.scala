@@ -302,6 +302,22 @@ object Events {
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
       .orderBy("day")
 
+  /** UNPIVOT (melt) — the inverse taxonomy cell of [[eventsPivot]],
+    * expressed as the pivot's own output melted back through `stack`:
+    * the roundtrip must equal the direct per-(day, type) aggregate,
+    * which is exactly what the oracle states — a self-validating
+    * identity (pivot ∘ unpivot = groupBy), not just syntax coverage.
+    * Null cells (type absent that day) drop on the way back, matching
+    * the direct aggregate's absent rows.
+    */
+  def eventsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    eventsPivot(spark, dir)
+      .select(col("day"), expr(
+        "stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+          "'signup', signup, 'view', view) AS (event_type, sum_value)"))
+      .filter(col("sum_value").isNotNull)
+      .orderBy("day", "event_type")
+
   /** HOPPING (sliding) window aggregate — the overlap cell of the
     * window-TVF taxonomy beside [[eventsHourly]]'s tumbling case: 2-hour
     * windows advancing every hour, so each event lands in exactly two
@@ -544,6 +560,7 @@ object Events {
     "hll_distinct" -> (hllDistinct _),
     "events_pivot" -> (eventsPivot _),
     "events_sliding" -> (eventsSliding _),
+    "events_unpivot" -> (eventsUnpivot _),
     "events_hourly" -> (eventsHourly _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_ewma" -> (eventsEwma _),
@@ -699,6 +716,11 @@ object Events {
         |       d.n * p.d_cnt > 2 * p.d_sum AS is_anomaly
         |FROM d2 d JOIN prof p ON d.event_type = p.event_type AND d.dow = p.dow
         |ORDER BY d.event_type, d.day""".stripMargin,
+    "events_unpivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "events_sliding" ->
       """WITH ex AS (
         |  SELECT event_type, value,
