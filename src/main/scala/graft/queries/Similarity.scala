@@ -182,7 +182,14 @@ object Similarity {
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-    val seed = vecs.orderBy(col("vec_id").asc).head()
+    val seedArr = vecs.orderBy(col("vec_id").asc).take(1)
+    if (seedArr.isEmpty) {
+      // empty corpus: no seed to plant — empty result with the schema
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("step", "vec_id", "maxsim")
+        .select(col("step"), col("vec_id"), round(col("maxsim"), 4).as("maxsim"))
+    }
+    val seed = seedArr.head
     var centers = Vector(seed._2)
     var selIds = Vector(seed._1)
     val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])]()

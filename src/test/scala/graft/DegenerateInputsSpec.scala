@@ -212,6 +212,8 @@ class DegenerateInputsSpec extends SparkSpec {
     val single = Seq((3L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     val solo = graft.queries.Similarity.coresetKcenterOf(spark, single, 8).collect()
     assert(solo.length == 1 && solo.head.getLong(1) == 3L)
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.queries.Similarity.coresetKcenterOf(spark, none, 8).collect().isEmpty)
   }
 
   test("nearest-neighbor resize: identity at source dims, top-left at 1x1") {
