@@ -61,6 +61,57 @@ class TrainerFuzzSpec extends SparkSpec {
     }
   }
 
+  test("TextRank: distributed PageRank equals the naive adjacency loop") {
+    val rnd = new scala.util.Random(47)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 10) {
+      val nDocs = 3 + rnd.nextInt(8)
+      val docs = (0 until nDocs).map { i =>
+        val len = 2 + rnd.nextInt(15)
+        (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val got = graft.queries.TextAnalysis
+        .textrankKeywordsOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+
+      // naive reference: build the undirected count-weighted adjacency
+      // from scratch, run the same 5 snapped damped iterations
+      val pairs = docs.flatMap { case (_, text) =>
+        val t = text.trim.split("\\s+").toSeq
+        t.zip(t.drop(1)).filter { case (x, y) => x != y }
+      }
+      val w = scala.collection.mutable.Map.empty[(String, String), Long]
+      pairs.foreach { case (x, y) =>
+        w((x, y)) = w.getOrElse((x, y), 0L) + 1
+        w((y, x)) = w.getOrElse((y, x), 0L) + 1
+      }
+      val nodes = w.keys.map(_._1).toSeq.distinct.sorted
+      if (nodes.isEmpty) assert(got.isEmpty)
+      else {
+        val wdeg = nodes.map(n => n -> w.collect {
+          case ((s, _), c) if s == n => c
+        }.sum).toMap
+        def snap8(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+        var pr = nodes.map(n => n -> snap8(1.0 / nodes.length)).toMap
+        for (_ <- 1 to 5) {
+          pr = nodes.map { n =>
+            val s = w.collect {
+              case ((src, dst), c) if dst == n =>
+                c.toDouble / wdeg(src) * pr(src)
+            }.sum
+            n -> snap8(0.15 / nodes.length + 0.85 * s)
+          }.toMap
+        }
+        val expect = pr.toSeq.sortBy { case (t, p) => (-p, t) }.take(10)
+          .zipWithIndex.map { case ((t, p), i) => (i + 1, t, p) }
+        // the naive neighbor sums accumulate in a DIFFERENT order than
+        // the distributed aggregate; the per-iteration 1e-8 snap must
+        // erase that, so equality here is exact (the LR-fuzz argument)
+        assert(got == expect, s"trial $trial: $got vs $expect")
+      }
+    }
+  }
+
   test("LR trainer: distributed gradient descent equals the naive in-memory loop") {
     val rnd = new scala.util.Random(43)
     val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
