@@ -233,6 +233,28 @@ object Similarity {
       .orderBy("step")
   }
 
+  /** Vector-store ingest contract check — the validation every serving
+    * system runs before accepting a batch (Qdrant/pgvector reject on
+    * dim mismatch; unit-norm is the cosine-index precondition): one
+    * row of corpus-wide counts — total, dimension conformance, unit
+    * norms within 1e-3 of 1 (norm² via the shared left-to-right dot,
+    * so the threshold compares identical doubles), nulls, and the
+    * observed dim range. One narrow scan, one map-side-combined
+    * aggregate — the profile an ingest job emits per shard at 100 TB.
+    */
+  def embedContract(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vec
+    val e = Tables.embeddings(spark, dir)
+    val n2 = Vec.dot(col("embedding"), col("embedding"))
+    e.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(col("embedding").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(size(col("embedding")) === 64, 1L).otherwise(0L)).as("n_dim_ok"),
+      sum(when(abs(n2 - 1.0) <= 0.001, 1L).otherwise(0L)).as("n_unit_norm"),
+      min(size(col("embedding"))).as("min_dim"),
+      max(size(col("embedding"))).as("max_dim"))
+  }
+
   private val RpR = 50
 
   /** Random-projection pre-transform search — the Faiss
@@ -1017,6 +1039,7 @@ object Similarity {
     "ann_recall_rp" -> (annRecallRp _),
     "ann_recall_rp_ivf" -> (annRecallRpIvf _),
     "coreset_kcenter" -> (coresetKcenter _),
+    "embed_contract" -> (embedContract _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -1570,6 +1593,18 @@ object Similarity {
          |FROM ($duckBinaryRHitsUnion)
          |WHERE hits >= $TuneTarget
          |ORDER BY r LIMIT 1""".stripMargin,
+    "embed_contract" ->
+      s"""SELECT count(*) AS n_vectors,
+         |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dim_ok,
+         |  CAST(sum(CASE WHEN abs(${duckDot("embedding", "embedding")} - 1.0)
+         |                     <= 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unit_norm,
+         |  CAST(min(len(embedding)) AS INTEGER) AS min_dim,
+         |  CAST(max(len(embedding)) AS INTEGER) AS max_dim
+         |FROM embeddings""".stripMargin,
     "coreset_kcenter" -> {
       def stepCtes(s: Int): String =
         s"""ms_$s AS (

@@ -442,6 +442,28 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** Ingest profile of the documents table — the per-shard
+    * data-quality row a pipeline's contract gate inspects before
+    * admitting a batch: row/id/blank counts, domain cardinalities,
+    * extremes, and a CROSS-COLUMN contract (`n_chars` must equal
+    * `length(text)` — both engines count code points). Pure counts and
+    * min/max in one map-side-combined aggregate; the exact distincts
+    * swap for the HLL sketch (`hll_distinct`) at 100 TB without
+    * changing the contract shape.
+    */
+  def docsProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("doc_id")).as("n_distinct_ids"),
+      sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+        .otherwise(0L)).as("n_blank"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+        .as("n_chars_mismatch"))
+
   /** Zipf least-squares fit over the token frequency spectrum — the
     * corpus-health check a data pipeline runs per ingest batch (natural
     * text sits near slope −1 in log-rank/log-frequency; spam, template
@@ -973,6 +995,7 @@ object TextAnalysis {
     "pmi_bigrams" -> (pmiBigrams _),
     "lang_js" -> (langJs _),
     "tok_zipf" -> (tokZipf _),
+    "docs_profile" -> (docsProfile _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1274,6 +1297,18 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    "docs_profile" ->
+      s"""SELECT count(*) AS n_docs,
+         |  count(DISTINCT doc_id) AS n_distinct_ids,
+         |  CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  min(n_chars) AS min_chars,
+         |  max(n_chars) AS max_chars,
+         |  CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_chars_mismatch
+         |FROM documents""".stripMargin,
     "tok_zipf" ->
       s"""WITH tf AS (
          |  SELECT tok, count(*) AS c
