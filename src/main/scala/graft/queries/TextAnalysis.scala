@@ -442,6 +442,41 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** Fuzzy string join over the vocabulary — typo-tolerant matching
+    * (query expansion, entity blocking): distinct token pairs within
+    * Levenshtein distance 2, found WITHOUT the n² distance matrix.
+    * The blocking key is the character 2-gram (padded with sentinels):
+    * two strings within edit distance d share at least one 2-gram when
+    * max(len)+1 > 2·d, so for d ≤ 2 every true pair of tokens longer
+    * than 3 chars collides on some block — the LSH philosophy applied
+    * to strings (q-gram filtering, Gravano et al. 2001). Cost is
+    * Σ block² over 2-gram groups, never |vocab|²; the expensive
+    * `levenshtein` runs only on blocked candidates. Both engines
+    * implement unit-cost Levenshtein identically, so distances
+    * hash-compare exactly. Short tokens (< 4 chars) are excluded —
+    * below the q-gram guarantee, and edit-distance-2 on them is
+    * meaningless for typo matching anyway.
+    */
+  def vocabFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .distinct()
+    val grams = vocab
+      .select(col("tok"), concat(lit("\u0001"), col("tok"), lit("\u0002")).as("p"))
+      .select(col("tok"), explode(expr(
+        "transform(sequence(1, length(p) - 1), i -> substring(p, i, 2))")).as("g"))
+      .distinct()
+    val cand = grams.select(col("tok").as("a"), col("g"))
+      .join(grams.select(col("tok").as("b"), col("g")), "g")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .withColumn("dist", levenshtein(col("a"), col("b")))
+      .filter(col("dist") <= 2)
+      .orderBy("a", "b")
+  }
+
   /** Ingest profile of the documents table — the per-shard
     * data-quality row a pipeline's contract gate inspects before
     * admitting a batch: row/id/blank counts, domain cardinalities,
@@ -996,6 +1031,7 @@ object TextAnalysis {
     "lang_js" -> (langJs _),
     "tok_zipf" -> (tokZipf _),
     "docs_profile" -> (docsProfile _),
+    "vocab_fuzzy_pairs" -> (vocabFuzzyPairs _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1297,6 +1333,22 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    "vocab_fuzzy_pairs" ->
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT tok
+         |  FROM (SELECT unnest($duckToks) AS tok FROM documents)
+         |  WHERE length(tok) >= 4),
+         |grams AS (
+         |  SELECT DISTINCT tok, g FROM (
+         |    SELECT tok, unnest(list_transform(range(1, length(p)),
+         |                       i -> substring(p, CAST(i AS INTEGER), 2))) AS g
+         |    FROM (SELECT tok, chr(1) || tok || chr(2) AS p FROM vocab))),
+         |cand AS (
+         |  SELECT DISTINCT x.tok AS a, y.tok AS b
+         |  FROM grams x JOIN grams y ON x.g = y.g AND x.tok < y.tok)
+         |SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
+         |FROM cand WHERE levenshtein(a, b) <= 2
+         |ORDER BY a, b""".stripMargin,
     "docs_profile" ->
       s"""SELECT count(*) AS n_docs,
          |  count(DISTINCT doc_id) AS n_distinct_ids,

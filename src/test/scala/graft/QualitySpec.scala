@@ -110,6 +110,32 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("fuzzy vocab join: q-gram blocking loses NO pair vs brute force (true invariant)") {
+    // padded 2-grams: d ≤ 2 edits destroy at most 4 grams, and a token
+    // of length ≥ 4 has ≥ 5 padded grams — every true pair shares one,
+    // so the blocked candidate set must contain the full n² answer
+    val rows = graft.queries.TextAnalysis.vocabFuzzyPairs(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= 4).distinct()
+      .collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- vocab; b <- vocab if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b, dd)).toSet
+    assert(rows == brute, s"blocked ${rows.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture vocabulary produced no fuzzy pairs at all")
+  }
+
   test("scores and selection flags are consistent and complete") {
     val df = Quality.qualityLr(spark, dir).cache()
     val nDocs = Tables.documents(spark, dir)
