@@ -746,17 +746,6 @@ object Events {
         |  FROM pu)
         |WHERE rn <= 3
         |ORDER BY event_type, rank""".stripMargin,
-    "events_top_users" ->
-      """WITH pu AS (
-        |  SELECT event_type, user_id, count(*) AS n
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(rn AS INTEGER) AS rank, user_id, n FROM (
-        |  SELECT event_type, user_id, n,
-        |    row_number() OVER (PARTITION BY event_type
-        |                  ORDER BY n DESC, user_id ASC) AS rn
-        |  FROM pu)
-        |WHERE rn <= 3
-        |ORDER BY event_type, rank""".stripMargin,
     "events_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

@@ -316,7 +316,10 @@ object TextAnalysis {
     val bi = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        """CASE WHEN size(t) >= 2
+           |  THEN transform(sequence(1, size(t) - 1),
+           |         i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
+           |  ELSE array() END""".stripMargin))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // c1 = Σ_w2 c12 as a window sum over the bigram-count table already
@@ -369,7 +372,10 @@ object TextAnalysis {
     val bi = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        """CASE WHEN size(t) >= 2
+           |  THEN transform(sequence(1, size(t) - 1),
+           |         i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
+           |  ELSE array() END""".stripMargin))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
@@ -426,7 +432,10 @@ object TextAnalysis {
     val bi = Tables.documents(spark, dir)
       .select(TextFns.tokens(col("text")).as("t"))
       .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        """CASE WHEN size(t) >= 2
+           |  THEN transform(sequence(1, size(t) - 1),
+           |         i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))
+           |  ELSE array() END""".stripMargin))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -863,7 +872,10 @@ object TextAnalysis {
     val biStats = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        """CASE WHEN size(t) >= 2
+           |  THEN transform(sequence(1, size(t) - 1),
+           |         i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+           |  ELSE array() END""".stripMargin))
         .as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_bi"), max(col("c")).as("max_bi"))
