@@ -451,6 +451,39 @@ object TextAnalysis {
       .limit(15)
   }
 
+  /** df cap for [[vocabFuzzyPairs]]' 2-gram blocks. Frequent grams
+    * ("er", "in", "th") put a large fraction of any natural-language
+    * vocabulary into one block, so uncapped Σ block² approaches
+    * |vocab|² — the same blowup `dedup_ngram_jaccard` guards with
+    * `maxDf` and `dedup_embedding_lsh` with `maxBucket`. The fixture
+    * vocabulary's largest block is 6 members at every scale factor, so
+    * 64 never triggers there (the Dedup.DefaultMaxDf convention:
+    * correctness specs see the uncapped behavior, scale gets the
+    * guard); dropped blocks are counted on
+    * [[vocabFuzzyDroppedBlocksAcc]]. A pair ALL of whose shared grams
+    * are capped is lost — the audited trade, exactly
+    * dedup_embedding_lsh's.
+    */
+  val VocabGramMaxDf = 64
+
+  /** One dropped-block accumulator per session for the fuzzy-join cap —
+    * the [[graft.queries.DedupQueries.droppedBucketsAcc]] telemetry
+    * shape (weakly keyed; task retries can over-count; the RESULT is
+    * exact either way).
+    */
+  private val fuzzyDropAccs =
+    new java.util.WeakHashMap[SparkSession, org.apache.spark.util.LongAccumulator]
+  def vocabFuzzyDroppedBlocksAcc(
+      spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    fuzzyDropAccs.synchronized {
+      var acc = fuzzyDropAccs.get(spark)
+      if (acc == null) {
+        acc = spark.sparkContext.longAccumulator("graft.fuzzy.dropped_blocks")
+        fuzzyDropAccs.put(spark, acc)
+      }
+      acc
+    }
+
   /** Fuzzy string join over the vocabulary — typo-tolerant matching
     * (query expansion, entity blocking): distinct token pairs within
     * Levenshtein distance 2, found WITHOUT the n² distance matrix.
@@ -458,31 +491,77 @@ object TextAnalysis {
     * two strings within edit distance d share at least one 2-gram when
     * max(len)+1 > 2·d, so for d ≤ 2 every true pair of tokens longer
     * than 3 chars collides on some block — the LSH philosophy applied
-    * to strings (q-gram filtering, Gravano et al. 2001). Cost is
-    * Σ block² over 2-gram groups, never |vocab|²; the expensive
-    * `levenshtein` runs only on blocked candidates. Both engines
-    * implement unit-cost Levenshtein identically, so distances
-    * hash-compare exactly. Short tokens (< 4 chars) are excluded —
-    * below the q-gram guarantee, and edit-distance-2 on them is
-    * meaningless for typo matching anyway.
+    * to strings (q-gram filtering, Gravano et al. 2001). Two scale
+    * guards on top of the blocking:
+    *
+    *   - blocks are df-capped at [[VocabGramMaxDf]] (audited on the
+    *     dropped-block accumulator), bounding the candidate join at
+    *     Σ min(block, cap)² instead of Σ block²;
+    *   - Gravano COUNT FILTERING prunes candidates before the
+    *     expensive `levenshtein`: one edit destroys at most q = 2
+    *     grams, so a true d ≤ 2 pair shares ≥ max(|Ga|, |Gb|) − 4
+    *     distinct grams. The cap keeps the lemma intact because it
+    *     drops grams GLOBALLY (each capped set is Gx ∩ keep, so the
+    *     capped a∖b difference is a subset of Ga∖Gb and the ≤ 2d
+    *     bound transfers to the capped counts) — the filter
+    *     never drops a true pair, spec-proved against brute force.
+    *
+    * Cost: the blocked join emits shared-gram counts (one row per
+    * candidate, map-side combined), the count filter discards the
+    * frequent-gram junk pairs, and `levenshtein` runs only on
+    * survivors. Both engines implement unit-cost Levenshtein
+    * identically, so distances hash-compare exactly. Short tokens
+    * (< 4 chars) are excluded — below the q-gram guarantee, and
+    * edit-distance-2 on them is meaningless for typo matching anyway.
     */
   def vocabFuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 4)
       .distinct()
+    vocabFuzzyPairsOf(vocab, VocabGramMaxDf)
+  }
+
+  /** [[vocabFuzzyPairs]] over an explicit single-column vocabulary
+    * frame with a configurable block cap — Soak/spec entry point (the
+    * spec drives a cap of 1 to prove the drop audit fires; Soak grows
+    * a synthetic vocabulary to measure sub-quadratic candidate
+    * growth).
+    */
+  private[graft] def vocabFuzzyPairsOf(vocab: DataFrame,
+      maxDf: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val acc = vocabFuzzyDroppedBlocksAcc(spark)
     val grams = vocab
       .select(col("tok"), concat(lit("\u0001"), col("tok"), lit("\u0002")).as("p"))
       .select(col("tok"), explode(expr(
         "transform(sequence(1, length(p) - 1), i -> substring(p, i, 2))")).as("g"))
       .distinct()
-    val cand = grams.select(col("tok").as("a"), col("g"))
-      .join(grams.select(col("tok").as("b"), col("g")), "g")
+    // keep-list of grams under the df cap: |distinct grams| is
+    // alphabet²-bounded (tiny next to the vocab), so it broadcasts; the
+    // audit hook is the lshCandidates mapPartitions shape
+    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .select(col("g"), col("df")).as[(String, Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (g, d) =>
+          if (d <= maxDf) Iterator(g)
+          else { acc.add(1L); Iterator.empty }
+        }
+      }
+      .toDF("g")
+    val capped = grams.join(broadcast(keep), "g")
+    val ng = capped.groupBy(col("tok")).agg(count(lit(1)).as("ng"))
+    capped.select(col("tok").as("a"), col("g"))
+      .join(capped.select(col("tok").as("b"), col("g")), "g")
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-    cand
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+      .join(broadcast(ng.select(col("tok").as("a"), col("ng").as("na"))), "a")
+      .join(broadcast(ng.select(col("tok").as("b"), col("ng").as("nb"))), "b")
+      .filter(col("shared") >= greatest(col("na"), col("nb")) - lit(4))
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= 2)
+      .select(col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
   }
 
@@ -1345,6 +1424,9 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    // mirrors the Spark side's two scale guards: the df cap on gram
+    // blocks (never triggers on fixtures, mirrored so the engines agree
+    // if it ever does) and the Gravano count filter before levenshtein
     "vocab_fuzzy_pairs" ->
       s"""WITH vocab AS (
          |  SELECT DISTINCT tok
@@ -1355,11 +1437,22 @@ object TextAnalysis {
          |    SELECT tok, unnest(list_transform(range(1, length(p)),
          |                       i -> substring(p, CAST(i AS INTEGER), 2))) AS g
          |    FROM (SELECT tok, chr(1) || tok || chr(2) AS p FROM vocab))),
+         |keepg AS (
+         |  SELECT g FROM (SELECT g, count(*) AS df FROM grams GROUP BY g)
+         |  WHERE df <= $VocabGramMaxDf),
+         |cg AS (SELECT tok, grams.g AS g FROM grams JOIN keepg USING (g)),
+         |ng AS (SELECT tok, count(*) AS n FROM cg GROUP BY tok),
          |cand AS (
-         |  SELECT DISTINCT x.tok AS a, y.tok AS b
-         |  FROM grams x JOIN grams y ON x.g = y.g AND x.tok < y.tok)
+         |  SELECT x.tok AS a, y.tok AS b, count(*) AS shared
+         |  FROM cg x JOIN cg y ON x.g = y.g AND x.tok < y.tok
+         |  GROUP BY 1, 2),
+         |flt AS (
+         |  SELECT a, b FROM cand
+         |  JOIN ng na ON na.tok = cand.a
+         |  JOIN ng nb ON nb.tok = cand.b
+         |  WHERE shared >= greatest(na.n, nb.n) - 4)
          |SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS dist
-         |FROM cand WHERE levenshtein(a, b) <= 2
+         |FROM flt WHERE levenshtein(a, b) <= 2
          |ORDER BY a, b""".stripMargin,
     "docs_profile" ->
       s"""SELECT count(*) AS n_docs,

@@ -24,9 +24,10 @@ import org.w3c.dom.{Element, Node}
   *    CCITTFaxDecode/JBIG2Decode) are detected and yield NO text rather
   *    than garbled bytes. PDF 1.5+ object streams (/ObjStm — the
   *    compressed container modern writers pack catalog/page dicts into)
-  *    are unpacked. Standard-security (RC4, empty user password) PDFs
-  *    decrypt in place — the same class PyPDF2 opens; AES and
-  *    password-protected documents extract as "" and are COUNTED via
+  *    are unpacked. Standard-security (RC4 or AES-128, empty user
+  *    password) PDFs decrypt in place — a superset of the class PyPDF2
+  *    opens without pycryptodome; AES-256 (V5) and password-protected
+  *    documents extract as "" and are COUNTED via
   *    the loader's audit accumulators, so the loss is measured, never
   *    silent. Exotic text encodings remain out of scope (a cluster
   *    deployment swaps in pdfbox here, same signature).
@@ -187,6 +188,34 @@ object Codecs {
 
   // ---- PDF (document_loader.py:86-102) ------------------------------
 
+  /** AES-CBC decrypt for /CFM /AESV2 payloads (ISO 32000-1 §7.6.2):
+    * the first 16 bytes of the stored data are the IV, the rest is the
+    * CBC ciphertext, and the plaintext carries RFC 2898 (PKCS#7)
+    * padding — always 1–16 bytes, stripped here with a tolerance
+    * clause (an out-of-range pad byte means a corrupt tail; keep the
+    * bytes rather than throw, per the drop-not-fail contract).
+    * Malformed lengths (no room for an IV, ragged blocks) decrypt to
+    * empty for the same reason.
+    */
+  private[graft] def aesCbcDecrypt(key: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || (data.length - 16) % 16 != 0)
+      return Array.emptyByteArray
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(data, 0, 16))
+    val out = c.doFinal(data, 16, data.length - 16)
+    val pad = out(out.length - 1) & 0xff
+    if (pad >= 1 && pad <= 16 && pad <= out.length) out.dropRight(pad) else out
+  }
+
+  /** Per-object key salt for AESV2 — the literal bytes "sAlT"
+    * (§7.6.2 Algorithm 1 step b).
+    */
+  private val AesSalt: Array[Byte] =
+    Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte)
+
   private val Latin1 = StandardCharsets.ISO_8859_1 // byte-faithful round-trip
 
   /** Outcome of the per-document encryption check, reported to the
@@ -196,18 +225,21 @@ object Codecs {
     */
   sealed trait PdfEncryption
   case object PdfNotEncrypted extends PdfEncryption
-  /** RC4 standard security, empty user password — decrypted in place. */
+  /** Standard security (RC4 V1/V2 or AES-128 V4/AESV2), empty user
+    * password — decrypted in place.
+    */
   case object PdfDecrypted extends PdfEncryption
-  /** AES (V≥4), a set user password, or a malformed /Encrypt dict —
+  /** AES-256 (V5), a set user password, or a malformed /Encrypt dict —
     * extracts as "" under the drop-not-fail contract.
     *
-    * AES stays a deliberate, audited boundary (round-9 decision): the
-    * reference's PyPDF2 has the same practical limit without
-    * pycryptodome, so this is parity-neutral, and the
+    * Round 12 closed the AES-128 gap (V4/R4 with /CFM /AESV2 or /V2 —
+    * the key schedule is RC4's Algorithm 2 plus the sAlT suffix, and
+    * JDK javax.crypto covers the CBC layer), so the remaining audited
+    * boundary is AES-256 (V5/R6: a different, SHA-2-based handler).
+    * The reference's PyPDF2 can read NEITHER without pycryptodome
+    * (document_loader.py:86-102), so this is parity-plus; the
     * `pdf_encrypted_unsupported` accumulator (surfaced per Bench/Soak
-    * run) has read zero on every corpus to date. Implement AES-128-CBC
-    * (V4/R4, JDK javax.crypto covers it) only if that counter ever
-    * reads nonzero on a real corpus.
+    * run) still measures any V5 losses.
     */
   case object PdfEncryptedUnsupported extends PdfEncryption
 
@@ -470,9 +502,14 @@ object Codecs {
     * password; `n` = key length in bytes.
     */
   private def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int,
-      n: Int): Array[Byte] = {
+      n: Int, encryptMetadata: Boolean = true): Array[Byte] = {
     val pB = Array(p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
-    var h = md5(PasswordPad, o.padTo(32, 0.toByte).take(32), pB, id0)
+    // step f: for R ≥ 4 with /EncryptMetadata false, four 0xFF bytes
+    // join the hash input
+    val noMeta =
+      if (r >= 4 && !encryptMetadata) Array.fill(4)(0xff.toByte)
+      else Array.emptyByteArray
+    var h = md5(PasswordPad, o.padTo(32, 0.toByte).take(32), pB, id0, noMeta)
     if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
     h.take(n)
   }
@@ -490,9 +527,10 @@ object Codecs {
     }
 
   /** Encryption probe + decryptor builder. None = encrypted but out of
-    * scope (AES, set password, malformed); Some(None) = not encrypted;
-    * Some(Some(fn)) = RC4 per-object decryptor for the empty user
-    * password.
+    * scope (AES-256/V5, set password, malformed); Some(None) = not
+    * encrypted; Some(Some(fn)) = per-object decryptor (RC4 for
+    * V1/V2/R2-3 and V4+/CFM /V2, AES-128-CBC for V4+/CFM /AESV2) for
+    * the empty user password.
     */
   private def emptyPasswordDecryptor(s: String,
       objs: mutable.LinkedHashMap[Int, (Int, String, Option[Array[Byte]])])
@@ -523,24 +561,41 @@ object Codecs {
           if """/Filter\s*/Standard""".r.findFirstIn(dict).isDefined
           v = intVal(dict, "V").getOrElse(0)
           r <- intVal(dict, "R")
-          if (v == 1 || v == 2) && (r == 2 || r == 3)
+          if ((v == 1 || v == 2) && (r == 2 || r == 3)) || (v == 4 && r == 4)
+          // V4 introduces crypt filters: the method name decides the
+          // stream cipher (AESV2 = AES-128-CBC, V2 = RC4 under the V4
+          // key schedule); pre-V4 documents are always RC4
+          cfm <- if (v < 4) Some("V2")
+                 else """/CFM\s*/(AESV2|V2)(?![A-Za-z0-9])""".r
+                   .findFirstMatchIn(dict).map(_.group(1))
+          encMeta = """/EncryptMetadata\s+false""".r.findFirstIn(dict).isEmpty
           o <- pdfString(dict, "/O")
           u <- pdfString(dict, "/U")
           p <- intVal(dict, "P")
-          n = if (r == 2) 5 else intVal(dict, "Length").getOrElse(40) / 8
           // Spec range is 40–128 bits (5–16 bytes); a malformed /Length 0
           // would make rc4 divide by key.length — degrade to the
           // PdfEncryptedUnsupported path like other malformed variants so
-          // the "all extractors are total" contract holds.
+          // the "all extractors are total" contract holds. V4 dicts may
+          // carry /Length only inside the crypt-filter subdictionary
+          // (and there in BYTES) — accept a top-level bits value when
+          // plausible, else AESV2's defined 128 bits.
+          n = if (r == 2) 5
+              else if (v == 4) intVal(dict, "Length").filter(_ >= 40)
+                .map(_ / 8).getOrElse(16)
+              else intVal(dict, "Length").getOrElse(40) / 8
           if n >= 5 && n <= 16
-          key = fileKey(o, p, docId(s).getOrElse(Array.emptyByteArray), r, n)
+          key = fileKey(o, p, docId(s).getOrElse(Array.emptyByteArray), r, n,
+            encMeta)
           if emptyPasswordMatches(key, u, docId(s).getOrElse(Array.emptyByteArray), r)
         } yield (objNum: Int, gen: Int, data: Array[Byte]) => {
-          // Algorithm 1: per-object key = MD5(file key + low obj/gen bytes)
-          val objKey = md5(key, Array(objNum.toByte, (objNum >> 8).toByte,
-            (objNum >> 16).toByte, gen.toByte, (gen >> 8).toByte))
-            .take(math.min(n + 5, 16))
-          rc4(objKey, data)
+          // Algorithm 1: per-object key = MD5(file key + low obj/gen
+          // bytes [+ sAlT for AESV2])
+          val objNumGen = Array(objNum.toByte, (objNum >> 8).toByte,
+            (objNum >> 16).toByte, gen.toByte, (gen >> 8).toByte)
+          val salt = if (cfm == "AESV2") AesSalt else Array.emptyByteArray
+          val objKey = md5(key, objNumGen, salt).take(math.min(n + 5, 16))
+          if (cfm == "AESV2") aesCbcDecrypt(objKey, data)
+          else rc4(objKey, data)
         }
         supported.map(fn => Some(fn))
     }

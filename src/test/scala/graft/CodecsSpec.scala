@@ -312,6 +312,71 @@ object CodecFixtures {
     out.toByteArray
   }
 
+  /** V4/R4 standard-security encrypted single-page PDF with empty
+    * user+owner passwords and a crypt filter — `cfm` = "AESV2"
+    * (AES-128-CBC: IV-prefixed, PKCS#7-padded) or "V2" (RC4 under the
+    * V4 key schedule). Key derivation shares the R3 fixture algebra
+    * (R4's Algorithm 2/3/5 are identical for the empty password with
+    * /EncryptMetadata true); the AES layer is built FORWARD with
+    * javax.crypto ENCRYPT_MODE against the reader's DECRYPT_MODE, so a
+    * sAlT/objKey transcription error on either side breaks the
+    * round-trip.
+    */
+  def encryptedPdfV4(text: String, cfm: String): Array[Byte] = {
+    val latin1 = StandardCharsets.ISO_8859_1
+    val n = 16
+    val p = -44
+    val id0 = Array.tabulate(16)(i => (i * 7 + 3).toByte)
+    // Algorithm 3: O entry (owner password empty -> the pad itself)
+    var oh = md5f(padF)
+    for (_ <- 0 until 50) oh = md5f(oh)
+    val oKey = oh.take(n)
+    var o = rc4Fixture(oKey, padF)
+    for (i <- 1 to 19) o = rc4Fixture(oKey.map(b => (b ^ i).toByte), o)
+    // Algorithm 2: file key
+    val pB = Array(p.toByte, (p >> 8).toByte, (p >> 16).toByte, (p >> 24).toByte)
+    var fk = md5f(padF, o, pB, id0)
+    for (_ <- 0 until 50) fk = md5f(fk.take(n))
+    val key = fk.take(n)
+    // Algorithm 5: U entry
+    var u = rc4Fixture(key, md5f(padF, id0))
+    for (i <- 1 to 19) u = rc4Fixture(key.map(b => (b ^ i).toByte), u)
+    val uFull = u ++ new Array[Byte](16)
+    // Algorithm 1: per-object key for the content stream (obj 4 gen 0),
+    // with the sAlT suffix for AESV2
+    val salt =
+      if (cfm == "AESV2") Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte)
+      else Array.emptyByteArray
+    val objKey = md5f(key, Array[Byte](4, 0, 0, 0, 0), salt)
+      .take(math.min(n + 5, 16))
+    val stream = s"BT /F1 12 Tf 72 720 Td ($text) Tj ET"
+    val plain = deflate(stream.getBytes(latin1))
+    val enc =
+      if (cfm == "AESV2") {
+        val iv = Array.tabulate(16)(i => (i * 13 + 5).toByte) // fixed test IV
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(plain)
+      } else rc4Fixture(objKey, plain)
+    val out = new ByteArrayOutputStream
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-1.6\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode >> stream\n")
+    out.write(enc)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Filter /Standard /V 4 /R 4 /Length 128 " +
+      s"/CF << /StdCF << /CFM /$cfm /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hexF(o)}> /U <${hexF(uFull)}> /P $p >> endobj\n")
+    w(s"trailer << /Root 1 0 R /Encrypt 5 0 R /ID [<${hexF(id0)}> <${hexF(id0)}>] >>\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   /** DOCX with caller-supplied body paragraphs (XML-safe text only). */
   def docx(paragraphs: Seq[String]): Array[Byte] = zip(
     "[Content_Types].xml" -> "<Types/>",
@@ -569,14 +634,48 @@ class CodecsSpec extends AnyFunSuite {
     assert(status.contains(Codecs.PdfEncryptedUnsupported))
   }
 
-  test("PDF: AES (V4) encryption is out of scope — counted, not garbled") {
-    // take a valid R3 doc and rewrite its encrypt dict to V4/R4
+  test("PDF: AES-128 (V4/R4, /CFM /AESV2) empty-password document decrypts and extracts") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(encryptedPdfV4("AES one two eight body.", "AESV2"),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nAES one two eight body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: RC4 under V4 crypt filters (/CFM /V2) decrypts and extracts") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(encryptedPdfV4("V two in V four body.", "V2"),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nV two in V four body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: V4 without a recognizable /CFM is counted unsupported, not garbled") {
+    // take a valid R3 doc and rewrite its encrypt dict to V4/R4 with no
+    // crypt-filter dictionary — the method is unknown, so the reader
+    // must refuse rather than guess a cipher
     val pdf = new String(encryptedPdf("AES body.", r = 3),
       StandardCharsets.ISO_8859_1)
       .replace("/V 2 /R 3", "/V 4 /R 4").getBytes(StandardCharsets.ISO_8859_1)
     var status: Option[Codecs.PdfEncryption] = None
     assert(Codecs.extractPdf(pdf, s => status = Some(s)) == "")
     assert(status.contains(Codecs.PdfEncryptedUnsupported))
+  }
+
+  test("PDF: AES-256 (V5/R6) stays the audited unsupported boundary") {
+    val pdf = new String(encryptedPdfV4("Body.", "AESV2"),
+      StandardCharsets.ISO_8859_1)
+      .replace("/V 4 /R 4", "/V 5 /R 6")
+      .replace("/CFM /AESV2", "/CFM /AESV3")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    var status: Option[Codecs.PdfEncryption] = None
+    assert(Codecs.extractPdf(pdf, s => status = Some(s)) == "")
+    assert(status.contains(Codecs.PdfEncryptedUnsupported))
+  }
+
+  test("PDF: AES payloads too short for an IV decrypt to empty, not throw") {
+    assert(Codecs.aesCbcDecrypt(new Array[Byte](16), Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codecs.aesCbcDecrypt(new Array[Byte](16), new Array[Byte](17)).isEmpty)
   }
 
   test("PDF: malformed /Encrypt dicts degrade to counted-unsupported, never throw") {

@@ -136,6 +136,45 @@ class QualitySpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture vocabulary produced no fuzzy pairs at all")
   }
 
+  test("fuzzy vocab join: Gravano count filter is lossless; df cap audits drops") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // engineered vocabulary: heavy shared-gram collisions ("er"-class
+    // junk candidates the count filter must prune) plus true pairs at
+    // d = 1 and d = 2, repeats inside tokens (distinct-gram sets
+    // smaller than length+1 — the set-semantics case the lemma must
+    // survive), and isolated tokens
+    val toks = Seq("walker", "talker", "walken", "banner", "runner",
+      "winner", "winter", "sinner", "different", "difference",
+      "differing", "aaaaaa", "aaaaab", "aabbaa", "zzzzqqqq", "qqqqzzzz")
+    val vocab = toks.toDF("tok")
+    val out = graft.queries.TextAnalysis
+      .vocabFuzzyPairsOf(vocab, graft.queries.TextAnalysis.VocabGramMaxDf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val brute = (for {
+      a <- toks; b <- toks if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "constructed vocab must contain true pairs")
+    assert(out == brute, s"count filter changed the answer: ${out.size} vs ${brute.size}")
+
+    // cap = 1 drops every block shared by two or more tokens, so no
+    // candidate survives blocking AND the audit accumulator counts the
+    // dropped blocks — the dedup_embedding_lsh telemetry contract
+    val acc = graft.queries.TextAnalysis.vocabFuzzyDroppedBlocksAcc(spark)
+    val before = acc.value
+    val capped = graft.queries.TextAnalysis.vocabFuzzyPairsOf(vocab, 1).count()
+    assert(capped == 0, s"cap=1 should leave no blocked pairs, got $capped")
+    assert(acc.value > before, "dropped-block accumulator did not fire")
+  }
+
   test("scores and selection flags are consistent and complete") {
     val df = Quality.qualityLr(spark, dir).cache()
     val nDocs = Tables.documents(spark, dir)
