@@ -24,10 +24,10 @@ import org.w3c.dom.{Element, Node}
   *    CCITTFaxDecode/JBIG2Decode) are detected and yield NO text rather
   *    than garbled bytes. PDF 1.5+ object streams (/ObjStm — the
   *    compressed container modern writers pack catalog/page dicts into)
-  *    are unpacked. Standard-security (RC4 or AES-128, empty user
-  *    password) PDFs decrypt in place — a superset of the class PyPDF2
-  *    opens without pycryptodome; AES-256 (V5) and password-protected
-  *    documents extract as "" and are COUNTED via
+  *    are unpacked. Standard-security (RC4, AES-128, or AES-256; empty
+  *    user password) PDFs decrypt in place — a superset of the class
+  *    PyPDF2 opens without pycryptodome; password-protected and
+  *    public-key-encrypted documents extract as "" and are COUNTED via
   *    the loader's audit accumulators, so the loss is measured, never
   *    silent. Exotic text encodings remain out of scope (a cluster
   *    deployment swaps in pdfbox here, same signature).
@@ -216,6 +216,63 @@ object Codecs {
   private val AesSalt: Array[Byte] =
     Array(0x73, 0x41, 0x6c, 0x54).map(_.toByte)
 
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the SHA-2 password hash of
+    * the AES-256 handler. R5 (the deprecated Adobe extension) is the
+    * plain SHA-256 of password+salt+udata; R6 adds the hardening loop:
+    * encrypt 64 repetitions of (password ‖ K ‖ udata) with
+    * AES-128-CBC keyed from K, pick SHA-256/384/512 by the first
+    * 16 bytes of the ciphertext mod 3, and stop after ≥64 rounds once
+    * the last ciphertext byte ≤ rounds − 32. Returns 32 bytes.
+    */
+  private[graft] def hash2B(password: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r: Int): Array[Byte] = {
+    def sha(name: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(name)
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha("SHA-256", password, salt, udata)
+    if (r == 5) return k
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1
+      }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k, 0, 16, "AES"),
+        new javax.crypto.spec.IvParameterSpec(k, 16, 16))
+      val e = c.doFinal(k1)
+      // first 16 bytes as a big-endian integer mod 3 ≡ byte sum mod 3
+      // (256 ≡ 1 mod 3)
+      val mod = e.take(16).foldLeft(0)((a, b) => (a + (b & 0xff)) % 3)
+      k = sha(mod match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }, e)
+      rounds += 1
+      if (rounds >= 64 && (e(e.length - 1) & 0xff) <= rounds - 32) done = true
+    }
+    k.take(32)
+  }
+
+  /** Raw AES-CBC-NoPadding decrypt with an explicit IV — the /UE → file
+    * key unwrap of the AES-256 handler (32-byte ciphertext, zero IV, no
+    * padding layer).
+    */
+  private[graft] def aesCbcRawDecrypt(key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty || data.length % 16 != 0) return Array.emptyByteArray
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
   private val Latin1 = StandardCharsets.ISO_8859_1 // byte-faithful round-trip
 
   /** Outcome of the per-document encryption check, reported to the
@@ -225,21 +282,25 @@ object Codecs {
     */
   sealed trait PdfEncryption
   case object PdfNotEncrypted extends PdfEncryption
-  /** Standard security (RC4 V1/V2 or AES-128 V4/AESV2), empty user
-    * password — decrypted in place.
+  /** Standard security, empty user password — decrypted in place.
+    * Covers the full standard-handler ladder: RC4 40/128-bit (V1/V2,
+    * R2/R3), AES-128 (V4/R4, /CFM /AESV2 or RC4-under-V4 /V2), and
+    * AES-256 (V5, R5 and R6 — the SHA-2 Algorithm 2.B handler).
     */
   case object PdfDecrypted extends PdfEncryption
-  /** AES-256 (V5), a set user password, or a malformed /Encrypt dict —
-    * extracts as "" under the drop-not-fail contract.
+  /** A set user password, a public-key (PubSec) handler, or a
+    * malformed /Encrypt dict — extracts as "" under the drop-not-fail
+    * contract.
     *
-    * Round 12 closed the AES-128 gap (V4/R4 with /CFM /AESV2 or /V2 —
-    * the key schedule is RC4's Algorithm 2 plus the sAlT suffix, and
-    * JDK javax.crypto covers the CBC layer), so the remaining audited
-    * boundary is AES-256 (V5/R6: a different, SHA-2-based handler).
-    * The reference's PyPDF2 can read NEITHER without pycryptodome
-    * (document_loader.py:86-102), so this is parity-plus; the
+    * Round 12 closed both AES gaps (AES-128 V4/AESV2 = RC4's Algorithm
+    * 2 key schedule plus the sAlT suffix; AES-256 V5/R5-R6 = the SHA-2
+    * Algorithm 2.B hash with the /UE file-key unwrap — JDK javax.crypto
+    * covers every CBC layer). The reference's PyPDF2 can read NONE of
+    * the AES variants without pycryptodome (document_loader.py:86-102),
+    * so this is parity-plus; what remains out of scope is genuinely
+    * unreadable without credentials or certificates, and the
     * `pdf_encrypted_unsupported` accumulator (surfaced per Bench/Soak
-    * run) still measures any V5 losses.
+    * run) still measures those losses.
     */
   case object PdfEncryptedUnsupported extends PdfEncryption
 
@@ -597,7 +658,33 @@ object Codecs {
           if (cfm == "AESV2") aesCbcDecrypt(objKey, data)
           else rc4(objKey, data)
         }
-        supported.map(fn => Some(fn))
+        // AES-256 (V5/R5-R6, /CFM /AESV3): a different handler — SHA-2
+        // password hash (Algorithm 2.B), file key unwrapped from /UE
+        // with a zero IV, and NO per-object key derivation (§7.6.4: the
+        // file key encrypts every string and stream directly)
+        val supportedV5 = for {
+          (_, dict, _) <- objs.get(num)
+          if """/Filter\s*/Standard""".r.findFirstIn(dict).isDefined
+          v = intVal(dict, "V").getOrElse(0)
+          r <- intVal(dict, "R")
+          if v == 5 && (r == 5 || r == 6)
+          if """/CFM\s*/AESV3(?![A-Za-z0-9])""".r.findFirstIn(dict).isDefined
+          u <- pdfString(dict, "/U")
+          ue <- pdfString(dict, "/UE")
+          if u.length >= 48 && ue.length >= 32
+          // Algorithm 6: validate the empty user password against
+          // U[0:32] with U[32:40] as the validation salt
+          if java.util.Arrays.equals(
+            hash2B(Array.emptyByteArray, u.slice(32, 40),
+              Array.emptyByteArray, r), u.take(32))
+          // Algorithm 8 (read side): intermediate key from the key salt
+          // U[40:48], file key = AES-256-CBC-NoPadding(UE, iv = 0)
+          fk = aesCbcRawDecrypt(
+            hash2B(Array.emptyByteArray, u.slice(40, 48),
+              Array.emptyByteArray, r),
+            new Array[Byte](16), ue.take(32))
+        } yield (_: Int, _: Int, data: Array[Byte]) => aesCbcDecrypt(fk, data)
+        supported.orElse(supportedV5).map(fn => Some(fn))
     }
   }
 

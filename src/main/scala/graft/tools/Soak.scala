@@ -240,10 +240,89 @@ object Soak {
           .select(col("cent_id"), col("cvec"))
         graft.dedup.Dedup.semanticDedup(emb, cents, tau = 0.35).count()
       }
+      // --- meter-class envelopes (round 12): the recall meters were
+      // previously asserted "fixture-bounded" in prose; these columns
+      // measure their growth law directly.
+
+      // ann_recall meter shape at mult× vectors: exact side (brute
+      // force, linear per query) + three path replays (IVF probe, PQ
+      // ADC, binary Hamming — all linear scans) + queries×k semi-joins.
+      // Expect ~linear in rows: every stage is a bounded-heap scan.
+      val tAnnRecall = time {
+        val exact = graft.search.Knn.bruteForceTopK(emb, qs, 10)
+          .select(col("query_id"), col("vec_id")).cache()
+        exact.count()
+        val cents = emb.filter(col("vec_id") % 31 === 0).limit(32)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        Seq(
+          graft.search.Ann.ivfTopK(emb, qs, cents, 10, nprobe = 4),
+          graft.search.Ann.pqTopK(emb, qs, 10),
+          graft.search.Ann.binaryTopKRefined(emb, qs, 10, r = 50)
+        ).foreach { path =>
+          path.select(col("query_id"), col("vec_id"))
+            .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+        }
+        exact.unpersist()
+      }
+
+      // dedup_minhash_recall meter at mult× DISJOINT replicas: every
+      // token carries its replica id, so shingle dfs stay CONSTANT as
+      // rows grow and the uncapped true-pair join's Σdf² cost is linear
+      // in rows — the envelope under which the meter is viable on a
+      // validation sample. (The duplicated-corpus adversary inflates
+      // dfs m×, making the same join quadratic by design — that case is
+      // the documented reason the meter is oracle/sample-only, and it
+      // is deliberately not run at 64×.)
+      // the uncapped true-pair join carries heavy-hitter shingles
+      // (shared boilerplate), so even at constant dfs its absolute cost
+      // is the n²-class baseline's — measured to 16× (7.5/43/~170 s,
+      // ~linear in rows as predicted); 64× would add ~12 idle minutes
+      // to every soak run for a fourth point on an established line
+      val tMinhashRecall = if (m > 16) -1.0 else time {
+        val disjoint = corpus(m).select(col("doc_id"),
+          concat_ws(" ", expr(
+            "transform(split(trim(text), '\\s+'), t -> concat(t, '_r', doc_id % " + m + "))"))
+            .as("text"))
+        val sh = graft.dedup.Dedup.shingleSet(disjoint, "doc_id", "text").cache()
+        sh.count()
+        val tp = graft.dedup.Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
+          .filter(col("jac") >= 0.7).select(col("a"), col("b")).cache()
+        val cands = graft.dedup.Dedup.lshCandidates(
+          graft.dedup.Dedup.lshBands(graft.dedup.Dedup.minhash(sh, 16), 4),
+          droppedBuckets = Some(dropAcc))
+        graft.dedup.Dedup.candidateJaccard(sh, cands)
+          .filter(col("jac") >= 0.7).select(col("a"), col("b"))
+          .join(tp, Seq("a", "b"), "left_semi").count()
+        spark.sharedState.cacheManager.clearCache()
+      }
+
+      // fuzzy vocab join at mult×2000 synthetic tokens (4-syllable
+      // pseudo-words): most 2-gram blocks exceed the df cap on this
+      // dense vocabulary, so the measured growth is the CAPPED path —
+      // sub-quadratic by construction, with the drop audit counting
+      // what the cap discarded. An uncapped run would be Σ block².
+      val fuzzyDropAcc = graft.queries.TextAnalysis.vocabFuzzyDroppedBlocksAcc(spark)
+      val fuzzyDropBefore = fuzzyDropAcc.value
+      val tFuzzy = time {
+        val syl = "ba,be,bi,bo,bu,da,de,di,do,du,ka,ke,ki,ko,ku,ma,me,mi,mo,mu"
+        val vocab = spark.range(m.toLong * 2000)
+          .select(expr(
+            s"""concat(
+               |  split('$syl', ',')[CAST(id / 8000 AS INT) % 20],
+               |  split('$syl', ',')[CAST(id / 400 AS INT) % 20],
+               |  split('$syl', ',')[CAST(id / 20 AS INT) % 20],
+               |  split('$syl', ',')[CAST(id AS INT) % 20],
+               |  CAST(id AS STRING))""".stripMargin).as("tok"))
+        graft.queries.TextAnalysis
+          .vocabFuzzyPairsOf(vocab, graft.queries.TextAnalysis.VocabGramMaxDf)
+          .count()
+      }
+      val fuzzyDrops = fuzzyDropAcc.value - fuzzyDropBefore
+
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

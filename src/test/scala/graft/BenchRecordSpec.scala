@@ -70,8 +70,8 @@ class BenchRecordSpec extends AnyFunSuite {
   private def mkRecord(fmt: Double => String, prov: String, qs: String,
       lean: Boolean): String = {
     val tele =
-      if (lean) """"pass1_total":152.3,"pass2_total":231.8,"pass3_total":78.7,"load_avg":[9.6,11.9]"""
-      else """"pass1_total":152.312,"pass2_total":231.841,"pass3_total":78.702,"gc_ms":48231,"codegen_compiles":412,"load_avg":[9.61,11.92]"""
+      if (lean) """"pass1_total":152.3,"pass2_total":231.8,"pass3_total":78.7,"load_avg":[9.6,11.9],"clean_ref_total":70.8,"clean_ref_nq":155"""
+      else """"pass1_total":152.312,"pass2_total":231.841,"pass3_total":78.702,"gc_ms":48231,"codegen_compiles":412,"load_avg":[9.61,11.92],"clean_ref_total":70.8,"clean_ref_nq":155"""
     s"""{"metric":"total","value":462.855,"unit":"sec",$tele,$prov"queries":$qs,"sf":"sf0.1"}"""
   }
 

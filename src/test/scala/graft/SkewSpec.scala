@@ -108,6 +108,34 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("textrank: hub-token raw bigram volume is combined before any exchange") {
+    // One stop-word-like hub co-occurs with every other token, carrying
+    // ~100x any cold token's edges — the Zipf hub the round-11 verdict
+    // flagged for textrank's token-keyed joins. The defense is the same
+    // as the events family's: the raw multiplicity is reduced BEFORE
+    // the exchange (groupBy(src, dst) partial-combines duplicate
+    // bigrams map-side; per-iteration contributions combine on dst the
+    // same way), so no task ever receives the hub's raw bigram volume —
+    // only partial rows bounded by distinct degree x mappers. The
+    // residual distinct-degree concentration (a hub with 10^6 distinct
+    // neighbors) is the class AQE skew-join splits at the scale
+    // SCALING.md models; the invariant THIS spec pins is that raw
+    // volume never rides a shuffle.
+    import spark.implicits._
+    val nDocs = 400
+    val docs = (0 until nDocs).map { d =>
+      val w1 = s"tok${d % 50}a"
+      val w2 = s"tok${d % 50}b"
+      (d.toLong, Seq.fill(25)(s"hub $w1 hub $w2").mkString(" "))
+    }.toDF("doc_id", "text")
+    val rawHubBigrams = nDocs.toLong * 25 * 4 // every bigram touches the hub
+    val mx = maxShuffleReadPerTask(
+      graft.queries.TextAnalysis.textrankKeywordsOf(docs).collect())
+    assert(mx > 0, "listener saw no shuffle at all")
+    assert(mx < rawHubBigrams / 2,
+      s"textrank: a task read $mx shuffle records (hub bigrams not combined; raw = $rawHubBigrams)")
+  }
+
   test("skewed sessionize result is itself sane") {
     val rows = Events.eventsSessionize(spark, skewDir)
       .as[(Long, Long, Long)].collect()
