@@ -51,21 +51,49 @@ object DedupQueries {
   // per report that cites it. At 100 TB the meters themselves run on a
   // validation sample, so the driver-side bound is the sample's
   // near-dup count, not the corpus's.
-  private val truthMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]
+  // Weakly keyed by session (the accumulator maps' WeakHashMap
+  // convention — ADVICE r12): a stopped-and-dropped session's truth
+  // arrays must not outlive it in a long-running multi-session library
+  // caller. Inner map is per-dir, ConcurrentHashMap for the same
+  // computeIfAbsent discipline as before.
+  private val truthMemo = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]
+
+  private def truthEntries(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
+    truthMemo.synchronized {
+      var m = truthMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+        truthMemo.put(spark, m)
+      }
+      m
+    }
 
   /** ALL (a, b) pairs at uncapped true Jaccard ≥ 0.7, as a local frame
-    * rebuilt from the per-(session, dir) collected ids.
+    * rebuilt from the per-(session, dir) collected ids. `private[graft]`
+    * so CacheLifecycleSpec can prove the build itself retains nothing.
     */
-  private def truePairs07(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def truePairs07(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val arr = truthMemo.computeIfAbsent((spark, dir), _ => {
+    val arr = truthEntries(spark).computeIfAbsent(dir, _ => {
       val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
         .cache()
-      Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
+      val res = Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
         .filter(col("jac") >= 0.7)
         .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()
+      // the whole build pipeline is fully consumed by the collect above
+      // — release its storage now rather than leaking entries per
+      // (session, dir) into a library caller's cache (Bench's per-query
+      // clearCache masked this on the bench path only). CASCADE: the
+      // pairJaccard internals cache a `kept` frame derived from sh, and
+      // a plain unpersist would strand it (CacheLifecycleSpec pins
+      // zero retained entries after a fresh build).
+      spark.sharedState.cacheManager.uncacheQuery(
+        sh.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+        cascade = true, blocking = false)
+      res
     }).asInstanceOf[Array[(Long, Long)]]
     arr.toSeq.toDF("a", "b")
   }
@@ -76,7 +104,7 @@ object DedupQueries {
     */
   private def exactEmbPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val arr = truthMemo.computeIfAbsent((spark, dir + "#emb"), _ =>
+    val arr = truthEntries(spark).computeIfAbsent(dir + "#emb", _ =>
       dedupEmbeddingTopk(spark, dir)
         .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()

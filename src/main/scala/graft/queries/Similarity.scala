@@ -641,19 +641,36 @@ object Similarity {
   // computeIfAbsent on a shared ConcurrentHashMap risks recursive-
   // update faults; a racing duplicate build is deterministic and
   // harmless.
-  private val replayMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), Array[(Long, Long)]]()
+  // Weakly keyed by session (the accumulator maps' WeakHashMap
+  // convention — ADVICE r12): a dropped session's replay arrays must
+  // not be retained by a strong map key in multi-session library use.
+  // The inner per-(dir, tag) map keeps the putIfAbsent discipline.
+  private val replayMemo = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), Array[(Long, Long)]]]()
+
+  private def replayEntries(spark: SparkSession): java.util.concurrent
+      .ConcurrentHashMap[(String, String), Array[(Long, Long)]] =
+    replayMemo.synchronized {
+      var m = replayMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (String, String), Array[(Long, Long)]]
+        replayMemo.put(spark, m)
+      }
+      m
+    }
 
   private def replayIds(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     import spark.implicits._
-    val key = (spark, dir, tag)
-    var arr = replayMemo.get(key)
+    val entries = replayEntries(spark)
+    val key = (dir, tag)
+    var arr = entries.get(key)
     if (arr == null) {
       arr = build
         .select(col("query_id").cast("long"), col("vec_id").cast("long"))
         .as[(Long, Long)].collect()
-      val prev = replayMemo.putIfAbsent(key, arr)
+      val prev = entries.putIfAbsent(key, arr)
       if (prev != null) arr = prev
     }
     arr.toSeq.toDF("query_id", "vec_id")

@@ -550,14 +550,25 @@ object TextAnalysis {
         }
       }
       .toDF("g")
+    // per-token capped gram count for the count filter, computed as a
+    // window over the capped gram frame and CARRIED through the pair
+    // groupBy (constant per token, so max() recovers it) — never a join
+    // against a per-token aggregate. The round-12 shape broadcast that
+    // aggregate explicitly, and one row per vocabulary token is
+    // 10⁸–10⁹ rows on a web corpus (typos and junk ARE the vocabulary
+    // this query exists for): a forced |vocab|-sized broadcast is a
+    // driver OOM at exactly the scale the df cap guards. `keep` stays a
+    // broadcast — the gram space is alphabet²-bounded, independent of
+    // the corpus.
     val capped = grams.join(broadcast(keep), "g")
-    val ng = capped.groupBy(col("tok")).agg(count(lit(1)).as("ng"))
-    capped.select(col("tok").as("a"), col("g"))
-      .join(capped.select(col("tok").as("b"), col("g")), "g")
+      .withColumn("ng", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    capped.select(col("tok").as("a"), col("g"), col("ng").as("na"))
+      .join(capped.select(col("tok").as("b"), col("g"), col("ng").as("nb")), "g")
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-      .join(broadcast(ng.select(col("tok").as("a"), col("ng").as("na"))), "a")
-      .join(broadcast(ng.select(col("tok").as("b"), col("ng").as("nb"))), "b")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
       .filter(col("shared") >= greatest(col("na"), col("nb")) - lit(4))
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= 2)

@@ -293,8 +293,13 @@ object Soak {
         graft.dedup.Dedup.candidateJaccard(sh, cands)
           .filter(col("jac") >= 0.7).select(col("a"), col("b"))
           .join(tp, Seq("a", "b"), "left_semi").count()
-        spark.sharedState.cacheManager.clearCache()
       }
+      // cache teardown OUTSIDE the timed window (the textrank-fix
+      // pattern): charging clearCache — including the shared emb entry —
+      // to the minhash-recall number was the same mischarge. No later
+      // block reads emb through the cache (tFuzzy is synthetic; emb
+      // unpersists below).
+      spark.sharedState.cacheManager.clearCache()
 
       // fuzzy vocab join at mult×2000 synthetic tokens (4-syllable
       // pseudo-words): most 2-gram blocks exceed the df cap on this

@@ -142,4 +142,16 @@ class BenchRecordSpec extends AnyFunSuite {
       """"min_pass2_hex":"0","""", """"min_pass_wins":[101],""", guard = 10)
     assert(line.contains("\"queries\":{}"))
   }
+
+  test("clean-host reference constants track the live query surface") {
+    // CleanRefTotal/CleanRefQueries are hand-maintained measurement
+    // constants stamped into every bench record; if the query surface
+    // grows or shrinks without re-measuring the clean band, the record
+    // would silently carry a stale normalization baseline (ADVICE r12).
+    // This pin makes surface drift a compile-visible test failure.
+    assert(SparkEntry.queries.size == Bench.CleanRefQueries,
+      s"query surface is ${SparkEntry.queries.size} but Bench.CleanRefQueries " +
+        s"= ${Bench.CleanRefQueries}: re-measure the clean band on a quiet " +
+        s"host and update CleanRefTotal/CleanRefQueries together")
+  }
 }

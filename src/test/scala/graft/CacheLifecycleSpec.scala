@@ -36,10 +36,16 @@ class CacheLifecycleSpec extends SparkSpec {
     graft.queries.Rag.ragRetrieval(spark, dir).count()
     graft.queries.Rag.ragSummary(spark, dir).count()
     graft.queries.TextAnalysis.bpeEncode(spark, dir).count()
-    val afterFirst = cachedRddCount
-    assert(afterFirst > 0, "the shared subplans should be cached at all")
+    assert(cachedRddCount > 0, "the shared subplans should be cached at all")
 
-    for (_ <- 1 to 4) {
+    // Steady-state baseline is taken AFTER one more full iteration, not
+    // after the first batch: the first dedupEnsemble call runs the
+    // once-per-(session, dir) ground-truth build, whose cascading
+    // cache release also evicts the plan-keyed shingle entry that
+    // earlier queries had parked — iteration 1 re-parks it, and from
+    // there the count must hold exactly.
+    var afterFirst = 0
+    for (it <- 1 to 4) {
       graft.queries.Bm25.bm25TopK(spark, dir).count()
       graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
       graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
@@ -51,12 +57,25 @@ class CacheLifecycleSpec extends SparkSpec {
       graft.queries.Rag.ragRetrieval(spark, dir).count()
       graft.queries.Rag.ragSummary(spark, dir).count()
       graft.queries.TextAnalysis.bpeEncode(spark, dir).count()
+      if (it == 1) afterFirst = cachedRddCount
+      else assert(cachedRddCount == afterFirst,
+        s"cache grew across repeated calls (iteration $it): " +
+          s"$afterFirst -> $cachedRddCount")
     }
-    assert(cachedRddCount == afterFirst,
-      s"cache grew across repeated calls: $afterFirst -> $cachedRddCount")
 
     // caller-side eviction releases everything
     spark.catalog.clearCache()
     assert(cachedRddCount == 0)
+  }
+
+  test("ground-truth memo build retains no cache entries (shingle frame unpersisted)") {
+    spark.catalog.clearCache()
+    // a path alias the memo has never seen (same files) forces a fresh
+    // build; the build caches its shingle frame, consumes it in one
+    // collect, and must unpersist before returning — a library caller
+    // building ground truth outside Bench has no clearCache backstop
+    graft.queries.DedupQueries.truePairs07(spark, dir + "/.").count()
+    assert(cachedRddCount == 0,
+      "truePairs07 must unpersist its fully-consumed shingle frame")
   }
 }

@@ -377,6 +377,95 @@ object CodecFixtures {
     out.toByteArray
   }
 
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B transcribed independently for
+    * the fixture side (the rc4Fixture convention — a transcription
+    * error in either implementation breaks the round-trip rather than
+    * cancelling out). Deliberate divergences from the reader: the
+    * repetition buffer is built with Array.fill/flatten, and the
+    * SHA-256/384/512 selector takes the first 16 ciphertext bytes
+    * through BigInteger mod 3 instead of the reader's byte-sum
+    * congruence shortcut.
+    */
+  def hash2Bf(password: Array[Byte], salt: Array[Byte], udata: Array[Byte],
+      r: Int): Array[Byte] = {
+    def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(alg)
+      parts.foreach(d.update)
+      d.digest()
+    }
+    var k = sha("SHA-256", password, salt, udata)
+    if (r == 5) return k
+    var round = 0
+    var stop = false
+    while (!stop) {
+      val k1: Array[Byte] =
+        Array.fill(64)(password ++ k ++ udata).flatten
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val sel = new java.math.BigInteger(1, e.take(16))
+        .mod(java.math.BigInteger.valueOf(3)).intValue
+      k = sha(Seq("SHA-256", "SHA-384", "SHA-512")(sel), e)
+      round += 1
+      stop = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+
+  /** AES-256 (V5, R5 or R6) standard-security encrypted single-page PDF
+    * with an empty user password, built FORWARD per ISO 32000-2
+    * §7.6.4.4 Algorithm 8: U = hash2B(pw, validation salt) ‖ vs ‖ ks,
+    * UE = AES-256-CBC(intermediate key = hash2B(pw, key salt),
+    * iv = 0, file key). The content stream is Flate-compressed then
+    * AES-256-CBC encrypted directly with the file key (V5 has no
+    * per-object key derivation). /O, /OE and /Perms carry
+    * plausible-length dummies — the empty-user-password read path never
+    * consults them (validation runs against /U alone).
+    */
+  def encryptedPdfV5(text: String, r: Int): Array[Byte] = {
+    val latin1 = StandardCharsets.ISO_8859_1
+    val p = -44
+    val vs = Array.tabulate(8)(i => (i * 11 + 1).toByte) // validation salt
+    val ks = Array.tabulate(8)(i => (i * 17 + 2).toByte) // key salt
+    val fk = Array.tabulate(32)(i => (i * 29 + 7).toByte) // file key
+    val u = hash2Bf(Array.emptyByteArray, vs, Array.emptyByteArray, r) ++ vs ++ ks
+    val ik = hash2Bf(Array.emptyByteArray, ks, Array.emptyByteArray, r)
+    val cUe = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    cUe.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    val ue = cUe.doFinal(fk)
+    val o = Array.tabulate(48)(i => (i * 3 + 1).toByte)
+    val oe = Array.tabulate(32)(i => (i * 5 + 3).toByte)
+    val perms = Array.tabulate(16)(i => (i * 7 + 9).toByte)
+    val stream = s"BT /F1 12 Tf 72 720 Td ($text) Tj ET"
+    val plain = deflate(stream.getBytes(latin1))
+    val iv = Array.tabulate(16)(i => (i * 13 + 5).toByte) // fixed test IV
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fk, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val enc = iv ++ c.doFinal(plain)
+    val out = new ByteArrayOutputStream
+    def w(str: String): Unit = out.write(str.getBytes(latin1))
+    w("%PDF-2.0\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode >> stream\n")
+    out.write(enc)
+    w("\nendstream endobj\n")
+    w(s"5 0 obj << /Filter /Standard /V 5 /R $r /Length 256 " +
+      s"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/O <${hexF(o)}> /OE <${hexF(oe)}> /U <${hexF(u)}> /UE <${hexF(ue)}> " +
+      s"/P $p /Perms <${hexF(perms)}> >> endobj\n")
+    w("trailer << /Root 1 0 R /Encrypt 5 0 R >>\n")
+    w("%%EOF\n")
+    out.toByteArray
+  }
+
   /** DOCX with caller-supplied body paragraphs (XML-safe text only). */
   def docx(paragraphs: Seq[String]): Array[Byte] = zip(
     "[Content_Types].xml" -> "<Types/>",
@@ -662,11 +751,45 @@ class CodecsSpec extends AnyFunSuite {
     assert(status.contains(Codecs.PdfEncryptedUnsupported))
   }
 
-  test("PDF: AES-256 (V5/R6) stays the audited unsupported boundary") {
+  test("PDF: AES-256 (V5/R6) empty-password document decrypts and extracts") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(encryptedPdfV5("AES two five six body.", r = 6),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nAES two five six body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: AES-256 R5 (deprecated single-hash revision) decrypts and extracts") {
+    var status: Option[Codecs.PdfEncryption] = None
+    val text = Codecs.extractPdf(encryptedPdfV5("R five body.", r = 5),
+      s => status = Some(s))
+    assert(text == "--- Page 1 ---\nR five body.")
+    assert(status.contains(Codecs.PdfDecrypted))
+  }
+
+  test("PDF: malformed V5 (missing /UE, U too short) is the audited unsupported boundary") {
+    // a V5 dict without the /UE file-key envelope (and a 32-byte /U
+    // lacking the salts) is unreadable however correct the crypto —
+    // the reader must refuse, not guess
     val pdf = new String(encryptedPdfV4("Body.", "AESV2"),
       StandardCharsets.ISO_8859_1)
       .replace("/V 4 /R 4", "/V 5 /R 6")
       .replace("/CFM /AESV2", "/CFM /AESV3")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    var status: Option[Codecs.PdfEncryption] = None
+    assert(Codecs.extractPdf(pdf, s => status = Some(s)) == "")
+    assert(status.contains(Codecs.PdfEncryptedUnsupported))
+  }
+
+  test("PDF: V5 with a wrong /U validation hash is refused (set user password)") {
+    // flip one bit in U's hash half: the document now has a non-empty
+    // user password as far as Algorithm 6 is concerned
+    val raw = encryptedPdfV5("Guarded body.", r = 6)
+    val s = new String(raw, StandardCharsets.ISO_8859_1)
+    val uRe = """/U <([0-9A-F]+)>""".r
+    val m = uRe.findFirstMatchIn(s).get
+    val flipped = (if (m.group(1).charAt(0) == '0') "1" else "0") + m.group(1).substring(1)
+    val pdf = (s.substring(0, m.start) + s"/U <$flipped>" + s.substring(m.end))
       .getBytes(StandardCharsets.ISO_8859_1)
     var status: Option[Codecs.PdfEncryption] = None
     assert(Codecs.extractPdf(pdf, s => status = Some(s)) == "")
