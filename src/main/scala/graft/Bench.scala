@@ -22,9 +22,15 @@ object Bench {
     * measured at — a reader of BENCH_r{N}.json can normalize a
     * contended total without leaving the artifact. Updated alongside
     * SCALING.md's measurement log whenever the surface or the clean
-    * band moves.
+    * band moves; BenchRecordSpec fails the build when the surface
+    * drifts from CleanRefQueries without a re-measurement here.
+    * Current value: round-13 re-measurement on a quiet host (pre-run
+    * load_avg 1.15), best of three runs 74.0/78.1/82.1 s at the
+    * 155-query surface on the round-13 code (de-broadcast fuzzy join,
+    * memo rekeying) — the prior 70.8 was a round-11-vintage number
+    * carried four contended rounds.
     */
-  private[graft] val CleanRefTotal = 70.8
+  private[graft] val CleanRefTotal = 74.0
   private[graft] val CleanRefQueries = 155
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.

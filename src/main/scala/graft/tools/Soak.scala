@@ -324,10 +324,34 @@ object Soak {
       }
       val fuzzyDrops = fuzzyDropAcc.value - fuzzyDropBefore
 
+      // sparse-regime twin (round-12 verdict #6): the dense vocabulary
+      // above saturates the df cap everywhere, so its column measures
+      // only the CAPPED path. This rung draws 10-char tokens from a
+      // 128-char pseudo-random alphabet (md5-derived, chr(128+7bit) —
+      // no sentinel collision), giving ~16k distinct interior 2-grams:
+      // measured avg dfs 2.0/5.4/21 at 1/4/16× with ≥98.5% of blocks
+      // under the 64 cap (the measured growth is the TRUE sub-cap
+      // blocked-join cost) and avg 85 at 64× with ~24% under (the cap
+      // engages — the drop audit records the regime transition).
+      // Together the two columns cover both regimes the cap design
+      // argues about.
+      val fuzzySparseDropBefore = fuzzyDropAcc.value
+      val tFuzzySparse = time {
+        val vocab = spark.range(m.toLong * 2000)
+          .select(expr(
+            """concat_ws('', transform(sequence(0, 9), j ->
+              |  chr(128 + cast(conv(substring(md5(cast(id as string)), 2*j+1, 2), 16, 10) as int) % 128)))"""
+              .stripMargin).as("tok"))
+        graft.queries.TextAnalysis
+          .vocabFuzzyPairsOf(vocab, graft.queries.TextAnalysis.VocabGramMaxDf)
+          .count()
+      }
+      val fuzzySparseDrops = fuzzyDropAcc.value - fuzzySparseDropBefore
+
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
