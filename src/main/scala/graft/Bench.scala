@@ -24,14 +24,16 @@ object Bench {
     * SCALING.md's measurement log whenever the surface or the clean
     * band moves; BenchRecordSpec fails the build when the surface
     * drifts from CleanRefQueries without a re-measurement here.
-    * Current value: round-13 re-measurement on a quiet host (pre-run
-    * load_avg 1.15), best of three runs 74.0/78.1/82.1 s at the
-    * 155-query surface on the round-13 code (de-broadcast fuzzy join,
-    * memo rekeying) — the prior 70.8 was a round-11-vintage number
+    * Current value: round-13 quiet-host measurement (pre-run load_avg
+    * 0.20) at the final 157-query surface on the final round-13 code
+    * (hot-list fuzzy join, trained rp_ivf recall + media contract gate
+    * added): 77.5 s — consistent with the 74.0/78.1/82.1 s band
+    * measured mid-round at 155 queries plus the ~0.8 s the two new
+    * queries cost. The prior 70.8 was a round-11-vintage number
     * carried four contended rounds.
     */
-  private[graft] val CleanRefTotal = 74.0
-  private[graft] val CleanRefQueries = 155
+  private[graft] val CleanRefTotal = 77.5
+  private[graft] val CleanRefQueries = 157
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

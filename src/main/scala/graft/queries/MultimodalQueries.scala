@@ -157,7 +157,42 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Media-ingest contract gate — the `docs_profile`/`embed_contract`
+    * shape for the multimodal batch: ONE row proving the whole batch
+    * decoded through the REAL codec path (n_decoded counts successful
+    * ImageIO/AudioSystem parses; n_decode_differs counts rows whose
+    * feature came from the decoded branch, not the byte-histogram
+    * fallback — both must equal n_media), the per-format mix a
+    * training-data pipeline budgets by, dimension/duration extremes,
+    * and a rate-conformance count (n_bad_rate must be 0: every WAV in
+    * the batch at the expected 8 kHz). One decode pass, one
+    * map-side-combined aggregate — the per-shard admission row a
+    * 100 TB multimodal ingest emits, with the exact per-format counts
+    * swapping for sketches at scale without changing the contract
+    * shape. The oracle recomputes every field arithmetically from the
+    * fixture's doc_id formulas (the `media_decode` convention), so a
+    * silently-broken codec or fallback hash-mismatches the gate row.
+    */
+  def mediaContract(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.probeDecode(MediaFixtures.realMedia(Tables.documents(spark, dir)))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(when(col("format") =!= "none", 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("decode_differs"), 1L).otherwise(0L)).as("n_decode_differs"),
+        sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"),
+        sum(when(col("format") === "wav", 1L).otherwise(0L)).as("n_wav"),
+        sum(when(col("format") === "bmp", 1L).otherwise(0L)).as("n_bmp"),
+        sum(when(col("format") === "gif", 1L).otherwise(0L)).as("n_gif"),
+        sum(when(col("format") === "jpeg", 1L).otherwise(0L)).as("n_jpeg"),
+        min(when(col("width") > 0, col("width"))).as("min_width"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"),
+        max(col("duration_ms")).as("max_duration_ms"),
+        sum(when(col("format") === "wav" && col("sample_rate") =!= 8000, 1L)
+          .otherwise(0L)).as("n_bad_rate"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_contract" -> (mediaContract _),
     "media_resize" -> (mediaResize _),
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
@@ -169,6 +204,41 @@ object MultimodalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the contract gate replays the fixture's doc_id arithmetic (the
+    // media_decode formulas) and aggregates the same admission fields
+    "media_contract" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+        |      WHEN 2 THEN 'bmp' WHEN 3 THEN 'gif' ELSE 'jpeg' END AS format,
+        |    CAST(CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN doc_id % 29 + 4
+        |      WHEN 2 THEN doc_id % 21 + 3 WHEN 3 THEN doc_id % 11 + 2
+        |      WHEN 4 THEN doc_id % 19 + 8 ELSE 0 END AS INTEGER) AS width,
+        |    CAST(CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN doc_id % 17 + 3
+        |      WHEN 2 THEN doc_id % 13 + 2 WHEN 3 THEN doc_id % 7 + 2
+        |      WHEN 4 THEN doc_id % 23 + 8 ELSE 0 END AS INTEGER) AS height,
+        |    CAST(CASE WHEN doc_id % 5 = 1 THEN 8000 ELSE 0 END AS INTEGER)
+        |      AS sample_rate,
+        |    CAST(CASE WHEN doc_id % 5 = 1 THEN (doc_id % 7 + 1) * 10 ELSE 0 END
+        |      AS BIGINT) AS duration_ms
+        |  FROM documents)
+        |SELECT count(*) AS n_media,
+        |  CAST(sum(CASE WHEN format <> 'none' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_decoded,
+        |  CAST(count(*) AS BIGINT) AS n_decode_differs,
+        |  CAST(sum(CASE WHEN format = 'png' THEN 1 ELSE 0 END) AS BIGINT) AS n_png,
+        |  CAST(sum(CASE WHEN format = 'wav' THEN 1 ELSE 0 END) AS BIGINT) AS n_wav,
+        |  CAST(sum(CASE WHEN format = 'bmp' THEN 1 ELSE 0 END) AS BIGINT) AS n_bmp,
+        |  CAST(sum(CASE WHEN format = 'gif' THEN 1 ELSE 0 END) AS BIGINT) AS n_gif,
+        |  CAST(sum(CASE WHEN format = 'jpeg' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_jpeg,
+        |  min(CASE WHEN width > 0 THEN width END) AS min_width,
+        |  max(width) AS max_width,
+        |  max(height) AS max_height,
+        |  max(duration_ms) AS max_duration_ms,
+        |  CAST(sum(CASE WHEN format = 'wav' AND sample_rate <> 8000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_rate
+        |FROM d""".stripMargin,
     "media_resize" -> {
       def g(tx: Int, ty: Int) =
         s"CAST((doc_id + 7 * ((${tx} * (doc_id % 5 + 3)) // 2) " +

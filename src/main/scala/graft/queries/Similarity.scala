@@ -354,6 +354,35 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** Recall@10 of the pre-transform × IVF composition at TRAINED coarse
+    * cells — the one cell the recall matrix lacked: `ann_recall_rp_ivf`
+    * measures the composition at sampled cells, where the coarse
+    * probing ceiling binds every within-cell scorer to the same small
+    * fraction of the exact top-k, so the projection's own cost is
+    * invisible there. At Lloyd-trained cells (k=8, nprobe=4 — the
+    * trained family's config) the float ceiling is `ann_ivf_trained`'s
+    * recall, reported alongside, and the `ann_rp_ivf_trained` row
+    * isolates what running assignment, probing, AND the proposal in
+    * the 16-dim projected space gives back below that ceiling. Same
+    * hit-count contract as `ann_recall`; the trained replay is shared
+    * through the (session, dir, tag) id memo.
+    */
+  def annRecallRpIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_ivf_trained",
+        replayIds(spark, dir, "ivf_trained")(annIvfTrained(spark, dir)))
+      .unionAll(recallOf("ann_rp_ivf_trained",
+        replayIds(spark, dir, "rp_ivf_trained") {
+          val emb = Tables.embeddings(spark, dir)
+          val queries = emb.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+          Ann.rpIvfTopK(emb, queries, trainedCents(spark, dir), K,
+            r = RpR, nprobe = 4)
+        }))
+      .orderBy(col("algo"))
+  }
+
   /** IVF over binary codes — the Faiss `IndexBinaryIVF` composition
     * ([[graft.search.Ann.ivfBinaryTopK]]), completing the IVF ×
     * quantizer matrix (flat / SQ8 / PQ / residual-PQ / binary): the
@@ -1103,6 +1132,7 @@ object Similarity {
     "ann_rp_ivf" -> (annRpIvf _),
     "ann_recall_rp" -> (annRecallRp _),
     "ann_recall_rp_ivf" -> (annRecallRpIvf _),
+    "ann_recall_rp_ivf_trained" -> (annRecallRpIvfTrained _),
     "coreset_kcenter" -> (coresetKcenter _),
     "embed_contract" -> (embedContract _),
     "ann_recall_binary" -> (annRecallBinary _),
@@ -1744,6 +1774,91 @@ object Similarity {
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
          |  UNION ALL
          |  SELECT 'ann_rp_ivf' AS algo,
+         |    (SELECT count(*) FROM rpik a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
+    // Trained-cells pre-transform recall: the ann_ivf_trained CTEs
+    // (Lloyd c0→c2, full-space ceiling replay) composed with the rp
+    // projection CTEs; the trained centroids are projected through the
+    // same sign matrix as the index (they are Lloyd means, not index
+    // rows, so pcent projects c2.cvec rather than joining pv_d16).
+    "ann_recall_rp_ivf_trained" ->
+      s"""WITH ${rpProjCtes(16, "0.25", "d16")},
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |$pqQCte,
+         |fassign AS (
+         |  SELECT vec_id, embedding, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |fprobes AS (
+         |  SELECT query_id, qv, cent_id FROM (
+         |    SELECT q.query_id, q.qv, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN c2 c) WHERE rn <= 4),
+         |fci AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.embedding", "p.qv")} AS sim
+         |  FROM fassign a JOIN fprobes p ON a.cent_id = p.cent_id),
+         |${topKIdsCte("fci", "fik")},
+         |pcc AS (
+         |  SELECT c.cent_id, r.j, ${duckDot("c.cvec", "r.pv")} AS c
+         |  FROM c2 c CROSS JOIN rpl_d16 r),
+         |pcent AS (
+         |  SELECT cent_id, list(c ORDER BY j) AS cpv FROM pcc GROUP BY cent_id),
+         |qp AS (
+         |  SELECT vec_id AS query_id, pv AS qpv
+         |  FROM pv_d16 WHERE vec_id < $NumQueries),
+         |passign AS (
+         |  SELECT vec_id, pv, cent_id FROM (
+         |    SELECT e.vec_id, e.pv, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.pv", "c.cpv")} DESC, c.cent_id ASC) AS rn
+         |    FROM pv_d16 e CROSS JOIN pcent c) WHERE rn = 1),
+         |pprobes AS (
+         |  SELECT query_id, qpv, cent_id FROM (
+         |    SELECT q.query_id, q.qpv, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qpv", "c.cpv")} DESC, c.cent_id ASC) AS rn
+         |    FROM qp q CROSS JOIN pcent c) WHERE rn <= 4),
+         |pci AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.pv", "p.qpv")} AS sim
+         |  FROM passign a JOIN pprobes p ON a.cent_id = p.cent_id),
+         |candi AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM pci) WHERE rn <= $RpR),
+         |csi AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         ${duckDot("e.embedding", "qe.embedding")} AS sim
+         |  FROM candi c
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+         |${topKIdsCte("csi", "rpik")},
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_ivf_trained' AS algo,
+         |    (SELECT count(*) FROM fik a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_rp_ivf_trained' AS algo,
          |    (SELECT count(*) FROM rpik a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
          |ORDER BY algo""".stripMargin,

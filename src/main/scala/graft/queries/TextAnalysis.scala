@@ -538,17 +538,21 @@ object TextAnalysis {
       .select(col("tok"), explode(expr(
         "transform(sequence(1, length(p) - 1), i -> substring(p, i, 2))")).as("g"))
       .distinct()
-    // keep-list of grams under the df cap: |distinct grams| is
-    // alphabet²-bounded (tiny next to the vocab), so it broadcasts; the
-    // audit hook is the lshCandidates mapPartitions shape
-    val keep = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .select(col("g"), col("df")).as[(String, Long)]
-      .mapPartitions { it =>
-        it.flatMap { case (g, d) =>
-          if (d <= maxDf) Iterator(g)
-          else { acc.add(1L); Iterator.empty }
-        }
-      }
+    // HOT-list of over-cap grams (the Dedup.pairJaccard shape): anti-
+    // joining the frequent minority beats keep-listing the long-tail
+    // majority at every alphabet size — |hot| ≤ |gram instances|/maxDf
+    // by pigeonhole and is the Zipf head in practice, where a KEEP list
+    // is alphabet²-sized (fine for Latin, 10⁸+ distinct grams on a CJK
+    // corpus — the round-12 shape force-broadcast it). No explicit
+    // broadcast hint anywhere in this query (PlanSpec pins that): the
+    // planner auto-broadcasts the sliver-sized hot side and falls back
+    // to a shuffle join if a pathological corpus ever inflates it. The
+    // audit hook is the lshCandidates mapPartitions shape — one count
+    // per dropped block.
+    val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("g")).as[String]
+      .mapPartitions { it => it.map { g => acc.add(1L); g } }
       .toDF("g")
     // per-token capped gram count for the count filter, computed as a
     // window over the capped gram frame and CARRIED through the pair
@@ -557,10 +561,8 @@ object TextAnalysis {
     // aggregate explicitly, and one row per vocabulary token is
     // 10⁸–10⁹ rows on a web corpus (typos and junk ARE the vocabulary
     // this query exists for): a forced |vocab|-sized broadcast is a
-    // driver OOM at exactly the scale the df cap guards. `keep` stays a
-    // broadcast — the gram space is alphabet²-bounded, independent of
-    // the corpus.
-    val capped = grams.join(broadcast(keep), "g")
+    // driver OOM at exactly the scale the df cap guards.
+    val capped = grams.join(hot, Seq("g"), "left_anti")
       .withColumn("ng", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
     capped.select(col("tok").as("a"), col("g"), col("ng").as("na"))

@@ -362,24 +362,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("vocab_fuzzy_pairs: only the alphabet²-bounded gram keep-list broadcasts") {
+  test("vocab_fuzzy_pairs: no frame carries a forced broadcast hint") {
     // Regression pin for the round-12 scale defect: the Gravano count
-    // filter must never re-broadcast a |vocab|-sized per-token frame
-    // (10⁸–10⁹ rows on a web corpus). The one legitimate explicit hint
-    // is the gram keep-list — a single `g` column bounded by the gram
-    // space, independent of corpus size. Asserted on the analyzed
-    // logical plan, where explicit broadcast() hints are still visible
-    // as ResolvedHint nodes (the optimizer folds them into join hints).
+    // filter must never force-broadcast a |vocab|-sized per-token frame
+    // (10⁸–10⁹ rows on a web corpus), and since round 13 even the gram
+    // cap side is the pigeonhole-bounded HOT anti-join with no explicit
+    // hint (a KEEP-list broadcast is alphabet²-sized — a CJK hazard).
+    // Every join side is left to the planner: it auto-broadcasts small
+    // sides and falls back to shuffle when they grow. Asserted on the
+    // analyzed logical plan, where explicit broadcast() hints are
+    // visible as ResolvedHint nodes (the optimizer folds them into
+    // join hints).
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = graft.queries.TextAnalysis.vocabFuzzyPairs(spark, dir)
     val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.nonEmpty, "the gram keep-list should carry a broadcast hint")
-    hints.foreach { h =>
-      assert(h.child.output.map(_.name) == Seq("g"),
-        s"a non-keep-list frame carries a broadcast hint (output " +
-          s"${h.child.output.map(_.name).mkString(",")}) — vocabulary-sized " +
-          s"broadcasts are a 100× scale-killer")
-    }
+    assert(hints.isEmpty,
+      s"unexpected forced broadcast hints (outputs: " +
+        s"${hints.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}) — " +
+        s"corpus-derived broadcasts are a 100× scale-killer")
   }
 
   test("salted aggregate matches the direct aggregate") {
