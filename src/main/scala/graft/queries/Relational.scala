@@ -297,6 +297,53 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8 national market share, adapted to the fixture schema (no
+    * partsupp; p_type plays Q8's part filter): NATION_1's share of
+    * ECONOMY-part revenue among AMERICA-region customers, per order
+    * year. The widest snowflake in the surface — seven tables — and its
+    * plan is the point: part/supplier/nation×2/customer/region are all
+    * broadcast onto the lineitem scan, orders joins on the one shuffled
+    * fact key, and numerator + denominator are a single conditional
+    * DECIMAL aggregate over the same pass (never two scans). The share
+    * divides two decimal-exact doubles, so both engines divide
+    * IDENTICAL values (the q14 ratio discipline).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+      .filter(col("r_name") === "AMERICA").select("r_regionkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1996-12-31").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        decSum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0)),
+          4).as("nation_volume"),
+        decSum(vol, 4).as("total_volume"))
+      .select(col("o_year"),
+        round(col("nation_volume") / col("total_volume"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** TPC-H Q10-style returned-item reporting: the top-20 customers by
     * revenue lost to returns in one quarter — the
     * top-k-after-aggregation shape over a selective fact filter
@@ -752,6 +799,7 @@ object Relational {
     "q18_large_volume" -> (q18LargeVolume _),
     "q22_dormant" -> (q22Dormant _),
     "q7_trade_volume" -> (q7TradeVolume _),
+    "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
@@ -886,6 +934,26 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(
+        |    CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_1'
+        |                       THEN l_extendedprice * (1.0 - l_discount)
+        |                       ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                  AS DECIMAL(18,4))) AS DOUBLE), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q7_trade_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INTEGER) AS l_year,

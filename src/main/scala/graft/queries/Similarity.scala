@@ -266,6 +266,58 @@ object Similarity {
         .otherwise(size(col("embedding")))).as("max_dim"))
   }
 
+  /** Corpus-balance clustering report — the curation-side reuse of the
+    * Lloyd-trained coarse cells (train once, assign everywhere: the
+    * trainedCents artifact is the SAME one the IVF family probes):
+    * every vector's cluster assignment plus its cluster's population,
+    * the table a cluster-stratified sampler joins on and the
+    * first-order semantic-balance diagnostic (one dominant cell =
+    * topic collapse; SemDeDup and cluster-balanced mixtures both start
+    * here). Scale shape: assignment is the narrow broadcast-codebook
+    * argmax map (`Ann.assignCells` — the index never shuffles for it);
+    * the size column is one count window keyed by the 8-value cluster
+    * id. Rank-only float discipline: sims are NOT emitted (trained-mean
+    * dots are not hash-comparable cross-engine — the `ann_ivf_trained`
+    * rule); the ASSIGNMENT is deterministic (strict-> argmax, ties to
+    * the lowest cent_id, exactly the rn=1 replay), so the output is
+    * all-integer and bit-exact.
+    */
+  def embedClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    Ann.assignCells(emb, trainedCents(spark, dir))
+      .select(col("vec_id"), col("cent_id").as("cluster_id"))
+      .withColumn("n_cluster", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .orderBy("vec_id")
+  }
+
+  /** Cluster-balanced sampling — [[embedClusters]]' downstream
+    * consumer and the semantic twin of `sample_stratified` (which
+    * balances on the declared lang label; this balances on LEARNED
+    * structure): an equal quota of 50 vectors per trained cluster,
+    * chosen by deterministic md5 rank within the cluster, so a topic
+    * that dominates the corpus cannot dominate the sample — the
+    * cluster-balanced mixture step of curation pipelines (and the
+    * sampling contract under which the recall/dedup meters run at
+    * 100 TB). One assignment map + one per-cluster-key window; the
+    * hash order makes the sample reproducible across runs, engines,
+    * and partitionings, which is what lets the oracle replay it
+    * bit-exactly.
+    */
+  def sampleCluster(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Ann
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = Ann.assignCells(emb, trainedCents(spark, dir))
+      .select(col("vec_id"), col("cent_id").as("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(concat(lit("csmp|"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    assigned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .orderBy("vec_id")
+  }
+
   private val RpR = 50
 
   /** Random-projection pre-transform search — the Faiss
@@ -1133,6 +1185,8 @@ object Similarity {
     "ann_recall_rp" -> (annRecallRp _),
     "ann_recall_rp_ivf" -> (annRecallRpIvf _),
     "ann_recall_rp_ivf_trained" -> (annRecallRpIvfTrained _),
+    "embed_clusters" -> (embedClusters _),
+    "sample_cluster" -> (sampleCluster _),
     "coreset_kcenter" -> (coresetKcenter _),
     "embed_contract" -> (embedContract _),
     "ann_recall_binary" -> (annRecallBinary _),
@@ -1777,6 +1831,51 @@ object Similarity {
          |    (SELECT count(*) FROM rpik a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
          |ORDER BY algo""".stripMargin,
+    // Cluster-assignment replay: the ann_ivf_trained Lloyd chain, then
+    // the rn=1 argmax per vector and a count window for the population.
+    "embed_clusters" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |a AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT vec_id, cent_id AS cluster_id,
+         |  count(*) OVER (PARTITION BY cent_id) AS n_cluster
+         |FROM a ORDER BY vec_id""".stripMargin,
+    // Cluster-balanced sample replay: same assignment chain, then the
+    // deterministic md5-rank quota window.
+    "sample_cluster" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY r, vec_id) - 1 AS BIGINT)
+         |           AS cent_id,
+         |         cvec
+         |  FROM (SELECT md5('ivf|' || CAST(vec_id AS VARCHAR)) AS r, vec_id,
+         |               embedding AS cvec
+         |        FROM embeddings ORDER BY r, vec_id LIMIT 8)),
+         |${lloydIter("c0", "c1")},
+         |${lloydIter("c1", "c2")},
+         |a AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT e.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC, c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1)
+         |SELECT vec_id, cluster_id, rk FROM (
+         |  SELECT vec_id, cent_id AS cluster_id,
+         |    CAST(row_number() OVER (PARTITION BY cent_id
+         |      ORDER BY md5('csmp|' || CAST(vec_id AS VARCHAR)), vec_id)
+         |      AS INTEGER) AS rk
+         |  FROM a) WHERE rk <= 50 ORDER BY vec_id""".stripMargin,
     // Trained-cells pre-transform recall: the ann_ivf_trained CTEs
     // (Lloyd c0→c2, full-space ceiling replay) composed with the rp
     // projection CTEs; the trained centroids are projected through the
