@@ -25,15 +25,17 @@ object Bench {
     * band moves; BenchRecordSpec fails the build when the surface
     * drifts from CleanRefQueries without a re-measurement here.
     * Current value: round-13 quiet-host measurement (pre-run load_avg
-    * 0.20) at the final 157-query surface on the final round-13 code
-    * (hot-list fuzzy join, trained rp_ivf recall + media contract gate
-    * added): 77.5 s — consistent with the 74.0/78.1/82.1 s band
-    * measured mid-round at 155 queries plus the ~0.8 s the two new
-    * queries cost. The prior 70.8 was a round-11-vintage number
-    * carried four contended rounds.
+    * 0.16) at the final 160-query surface on the final round-13 code:
+    * 77.3 s — consistent with the mid-round band (74.0/78.1/82.1 s at
+    * 155 queries, 77.5 s at 157): the five queries the surface grew
+    * this round cost ~1.6 s combined (ann_recall_rp_ivf_trained 0.22,
+    * media_contract 0.60, embed_clusters 0.19, sample_cluster 0.29,
+    * q8_market_share 0.66 — the cluster pair shares the trained-cents
+    * memo). The prior 70.8 was a round-11-vintage number carried four
+    * contended rounds.
     */
-  private[graft] val CleanRefTotal = 77.5
-  private[graft] val CleanRefQueries = 157
+  private[graft] val CleanRefTotal = 77.3
+  private[graft] val CleanRefQueries = 160
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

@@ -526,4 +526,42 @@ class NewOpsSpec extends SparkSpec {
       assert(direct == packed, s"ham($a,$b): direct $direct packed $packed")
     }
   }
+
+  test("embed_clusters is a total partition; sample_cluster quotas are exact") {
+    val clusters = Similarity.embedClusters(spark, dir).collect()
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(clusters.length == n, "every vector assigned exactly once")
+    val byCluster = clusters.groupBy(_.getLong(1))
+    // the window population column must equal the actual group size
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length),
+        s"cluster $cid population column disagrees with its row count")
+    }
+    // sample: per-cluster count = min(50, population), ranks dense from 1,
+    // and every sampled vector carries its true cluster
+    val sample = Similarity.sampleCluster(spark, dir).collect()
+    val assignment = clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sample.foreach(r => assert(assignment(r.getLong(0)) == r.getLong(1),
+      s"sampled vec ${r.getLong(0)} carries a foreign cluster id"))
+    sample.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.length == math.min(50, byCluster(cid).length),
+        s"cluster $cid quota: ${rows.length} of ${byCluster(cid).length}")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"cluster $cid ranks not dense")
+    }
+  }
+
+  test("q8 market share: shares bounded, years in the window") {
+    // value-exactness is the DuckDB oracle's job; this pins the output
+    // contract — a share is a fraction of its own denominator and the
+    // order-date pushdown actually bounds the group keys
+    val rows = graft.queries.Relational.q8MarketShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1995 && r.getInt(0) <= 1996,
+        s"year ${r.getInt(0)} escaped the date filter")
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0,
+        s"share ${r.getDouble(1)} outside [0,1]")
+    }
+  }
 }
