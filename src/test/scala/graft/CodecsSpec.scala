@@ -781,6 +781,30 @@ class CodecsSpec extends AnyFunSuite {
     assert(status.contains(Codecs.PdfEncryptedUnsupported))
   }
 
+  test("PDF: encryption ladder round-trips across content lengths and revisions") {
+    // CBC padding boundaries and the R6 hardening loop are the two
+    // data-dependent paths: sweep content lengths around the 16-byte
+    // block edges (deflate output length varies with them) across
+    // every supported rung. Empty content extracts as "" (empty pages
+    // drop), non-empty as the exact marker + text.
+    val lengths = Seq(1, 15, 16, 17, 64, 255)
+    def body(len: Int): String =
+      (0 until len).map(i => ('a' + i % 26).toChar).mkString
+    for (len <- lengths) {
+      val text = body(len)
+      val expected = s"--- Page 1 ---\n$text"
+      for (r <- Seq(2, 3))
+        assert(Codecs.extractPdf(encryptedPdf(text, r)) == expected,
+          s"RC4 r=$r len=$len")
+      for (cfm <- Seq("AESV2", "V2"))
+        assert(Codecs.extractPdf(encryptedPdfV4(text, cfm)) == expected,
+          s"V4 $cfm len=$len")
+      for (r <- Seq(5, 6))
+        assert(Codecs.extractPdf(encryptedPdfV5(text, r)) == expected,
+          s"V5 r=$r len=$len")
+    }
+  }
+
   test("PDF: V5 with a wrong /U validation hash is refused (set user password)") {
     // flip one bit in U's hash half: the document now has a non-empty
     // user password as far as Algorithm 6 is concerned

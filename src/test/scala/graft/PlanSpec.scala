@@ -382,6 +382,32 @@ class PlanSpec extends SparkSpec {
         s"corpus-derived broadcasts are a 100× scale-killer")
   }
 
+  test("q8: every dimension broadcasts; no sort-merge or cartesian anywhere") {
+    // seven tables, one fact: part/supplier/nation×2/customer/region
+    // must all arrive as broadcasts onto the lineitem scan — the only
+    // legitimate shuffle family is lineitem ⋈ orders on the order key
+    val df = Relational.q8MarketShare(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("embed_clusters/sample_cluster: assignment never joins — no join operator at all") {
+    // cluster assignment is the broadcast-codebook argmax map; the
+    // population/quota columns are windows over the tiny cluster key.
+    // Any join operator appearing here would mean the index re-joined
+    // itself (the round-10 filtered-path defect class).
+    for (df <- Seq(Similarity.embedClusters(spark, dir),
+        Similarity.sampleCluster(spark, dir))) {
+      df.collect()
+      val plan = planOf(df)
+      assert(!plan.contains("Join"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
