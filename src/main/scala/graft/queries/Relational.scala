@@ -301,12 +301,17 @@ object Relational {
     * partsupp; p_type plays Q8's part filter): NATION_1's share of
     * ECONOMY-part revenue among AMERICA-region customers, per order
     * year. The widest snowflake in the surface — seven tables — and its
-    * plan is the point: part/supplier/nation×2/customer/region are all
-    * broadcast onto the lineitem scan, orders joins on the one shuffled
-    * fact key, and numerator + denominator are a single conditional
-    * DECIMAL aggregate over the same pass (never two scans). The share
-    * divides two decimal-exact doubles, so both engines divide
-    * IDENTICAL values (the q14 ratio discipline).
+    * plan is the point: part/supplier/nation×2/customer/region all
+    * arrive as broadcasts onto the lineitem scan, orders joins on the
+    * one shuffled fact key, and numerator + denominator are a single
+    * conditional DECIMAL aggregate over the same pass (never two
+    * scans). Hint discipline: only the FIXED-cardinality dimensions
+    * (nation ≤ 25, region ≤ 5) carry explicit broadcast hints;
+    * part/supplier/customer scale with SF, so the planner (AQE runtime
+    * stats) decides for them — auto-broadcast at fixture scale,
+    * shuffle join when an SF-100k customer table outgrows the
+    * threshold. The share divides two decimal-exact doubles, so both
+    * engines divide IDENTICAL values (the q14 ratio discipline).
     */
   def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir)
@@ -327,11 +332,11 @@ object Relational {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
         "l_discount")
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))

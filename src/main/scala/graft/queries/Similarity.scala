@@ -275,20 +275,26 @@ object Similarity {
     * topic collapse; SemDeDup and cluster-balanced mixtures both start
     * here). Scale shape: assignment is the narrow broadcast-codebook
     * argmax map (`Ann.assignCells` — the index never shuffles for it);
-    * the size column is one count window keyed by the 8-value cluster
-    * id. Rank-only float discipline: sims are NOT emitted (trained-mean
-    * dots are not hash-comparable cross-engine — the `ann_ivf_trained`
-    * rule); the ASSIGNMENT is deterministic (strict-> argmax, ties to
-    * the lowest cent_id, exactly the rn=1 replay), so the output is
-    * all-integer and bit-exact.
+    * the size column is a map-side-combined k-row aggregate broadcast
+    * back onto the assignment — NEVER a count window partitioned by
+    * the k-value cluster key, which would funnel the whole corpus
+    * through k single-threaded window tasks (the broadcast side is
+    * bounded by k, a config constant, so the explicit hint is safe at
+    * any corpus size). Rank-only float discipline: sims are NOT
+    * emitted (trained-mean dots are not hash-comparable cross-engine —
+    * the `ann_ivf_trained` rule); the ASSIGNMENT is deterministic
+    * (strict-> argmax, ties to the lowest cent_id, exactly the rn=1
+    * replay), so the output is all-integer and bit-exact.
     */
   def embedClusters(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.Ann
     val emb = Tables.embeddings(spark, dir)
-    Ann.assignCells(emb, trainedCents(spark, dir))
+    val assigned = Ann.assignCells(emb, trainedCents(spark, dir))
       .select(col("vec_id"), col("cent_id").as("cluster_id"))
-      .withColumn("n_cluster", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+    val sizes = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cluster"))
+    assigned.join(broadcast(sizes), "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("n_cluster"))
       .orderBy("vec_id")
   }
 
@@ -300,10 +306,14 @@ object Similarity {
     * that dominates the corpus cannot dominate the sample — the
     * cluster-balanced mixture step of curation pipelines (and the
     * sampling contract under which the recall/dedup meters run at
-    * 100 TB). One assignment map + one per-cluster-key window; the
-    * hash order makes the sample reproducible across runs, engines,
-    * and partitionings, which is what lets the oracle replay it
-    * bit-exactly.
+    * 100 TB). One assignment map + one per-cluster-key window whose
+    * rank filter Spark rewrites to WindowGroupLimit (PlanSpec-pinned):
+    * each input partition keeps its own per-cluster top-50 BEFORE the
+    * exchange, so at most partitions × k × 50 rows ever shuffle into
+    * the k window tasks — without that rewrite a k-value partition key
+    * would funnel the corpus through k single-threaded tasks. The hash
+    * order makes the sample reproducible across runs, engines, and
+    * partitionings, which is what lets the oracle replay it bit-exactly.
     */
   def sampleCluster(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.Ann

@@ -394,18 +394,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("embed_clusters/sample_cluster: assignment never joins — no join operator at all") {
-    // cluster assignment is the broadcast-codebook argmax map; the
-    // population/quota columns are windows over the tiny cluster key.
-    // Any join operator appearing here would mean the index re-joined
-    // itself (the round-10 filtered-path defect class).
-    for (df <- Seq(Similarity.embedClusters(spark, dir),
-        Similarity.sampleCluster(spark, dir))) {
-      df.collect()
-      val plan = planOf(df)
-      assert(!plan.contains("Join"), plan)
-      assert(!plan.contains("CartesianProduct"), plan)
-    }
+  test("embed_clusters: sizes aggregate and broadcast back — no k-key count window") {
+    // assignment is the broadcast-codebook argmax map; the population
+    // column must come from a map-side-combined k-row aggregate joined
+    // back by broadcast, never a count window partitioned by the
+    // k-value cluster key (which would funnel the corpus through k
+    // single-threaded window tasks at scale).
+    val df = Similarity.embedClusters(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("sample_cluster: the quota filter is pushed into WindowGroupLimit; no join") {
+    // rank <= 50 over the k-value cluster key is only scale-safe
+    // because Spark rewrites it to per-partition group limits BEFORE
+    // the exchange — at most partitions x k x 50 rows reach the k
+    // window tasks. A plan without the rewrite funnels the corpus.
+    val df = Similarity.sampleCluster(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Join"), plan)
   }
 
   test("salted aggregate matches the direct aggregate") {
