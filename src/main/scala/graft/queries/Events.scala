@@ -138,6 +138,32 @@ object Events {
         sum(when(col("k") > 50, 1).otherwise(0)).as("n_high"))
       .orderBy(col("event_type"))
 
+  /** Event-stream ingest contract gate — the `docs_profile`/
+    * `embed_contract`/`media_contract` shape for the events table,
+    * completing the admission gate over every fixture family: ONE row
+    * of per-shard counts a streaming ingest emits before admitting a
+    * batch — volume, id uniqueness (n_event_ids must equal n_events),
+    * user/type cardinalities, the event-time span a watermark policy
+    * is set against, null-timestamp and unparseable-props counts
+    * (either nonzero rejects the shard), and the value range. One
+    * narrow scan, one aggregate; the exact distincts swap for the HLL
+    * sketch (`hll_distinct`) at 100 TB without changing the contract
+    * shape (the docs_profile convention).
+    */
+  def eventsProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("event_id")).as("n_event_ids"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null_ts"),
+      min(col("ts")).as("min_ts"),
+      max(col("ts")).as("max_ts"),
+      sum(when(get_json_object(col("props"), "$.k").isNull, 1L)
+        .otherwise(0L)).as("n_bad_props"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+
   /** Sessionization: a session breaks after a >30-minute gap per user.
     * lag + cumulative-sum-of-flags, then per-user session stats.
     */
@@ -567,6 +593,7 @@ object Events {
     "events_top_users" -> (eventsTopUsers _),
     "events_seasonal_anomaly" -> (eventsSeasonalAnomaly _),
     "events_json" -> (eventsJson _),
+    "events_profile" -> (eventsProfile _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
     "events_range_join" -> (eventsRangeJoin _),
@@ -759,6 +786,20 @@ object Events {
         |       round(list_reduce(list_transform(l, x -> CAST(x AS DOUBLE)),
         |                         (a, b) -> a * 0.75 + b * 0.25), 4) AS ewma
         |FROM ser ORDER BY event_type""".stripMargin,
+    "events_profile" ->
+      """SELECT count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_event_ids,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_ts,
+        |  min(ts) AS min_ts,
+        |  max(ts) AS max_ts,
+        |  CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad_props,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
