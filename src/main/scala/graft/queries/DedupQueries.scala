@@ -51,24 +51,11 @@ object DedupQueries {
   // per report that cites it. At 100 TB the meters themselves run on a
   // validation sample, so the driver-side bound is the sample's
   // near-dup count, not the corpus's.
-  // Weakly keyed by session (the accumulator maps' WeakHashMap
-  // convention — ADVICE r12): a stopped-and-dropped session's truth
-  // arrays must not outlive it in a long-running multi-session library
-  // caller. Inner map is per-dir, ConcurrentHashMap for the same
-  // computeIfAbsent discipline as before.
-  private val truthMemo = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]
-
-  private def truthEntries(spark: SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[String, AnyRef] =
-    truthMemo.synchronized {
-      var m = truthMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
-        truthMemo.put(spark, m)
-      }
-      m
-    }
+  // Weakly keyed by session via the shared [[graft.SessionMemo]] (the
+  // accumulator maps' WeakHashMap convention — ADVICE r12): a
+  // stopped-and-dropped session's truth arrays must not outlive it in
+  // a long-running multi-session library caller.
+  private val truthMemo = new graft.SessionMemo[String, AnyRef]
 
   /** ALL (a, b) pairs at uncapped true Jaccard ≥ 0.7, as a local frame
     * rebuilt from the per-(session, dir) collected ids. `private[graft]`
@@ -76,7 +63,7 @@ object DedupQueries {
     */
   private[graft] def truePairs07(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val arr = truthEntries(spark).computeIfAbsent(dir, _ => {
+    val arr = truthMemo.computeIfAbsent(spark, dir) {
       val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
         .cache()
       val res = Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
@@ -94,7 +81,7 @@ object DedupQueries {
         sh.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
         cascade = true, blocking = false)
       res
-    }).asInstanceOf[Array[(Long, Long)]]
+    }.asInstanceOf[Array[(Long, Long)]]
     arr.toSeq.toDF("a", "b")
   }
 
@@ -104,11 +91,11 @@ object DedupQueries {
     */
   private def exactEmbPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val arr = truthEntries(spark).computeIfAbsent(dir + "#emb", _ =>
+    val arr = truthMemo.computeIfAbsent(spark, dir + "#emb") {
       dedupEmbeddingTopk(spark, dir)
         .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()
-    ).asInstanceOf[Array[(Long, Long)]]
+    }.asInstanceOf[Array[(Long, Long)]]
     arr.toSeq.toDF("a", "b")
   }
 
@@ -145,8 +132,7 @@ object DedupQueries {
     * one entry across repeated calls (CacheLifecycleSpec); the caller
     * evicts via `spark.catalog.clearCache()` when done.
     */
-  private val vndMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val vndMemo = new graft.SessionMemo[String, DataFrame]
 
   private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     // memoize the FRAME, not just rely on plan-keyed caching:
@@ -156,12 +142,12 @@ object DedupQueries {
     // one entry per call (CacheLifecycleSpec catches exactly this).
     // Returning the same DataFrame object makes every downstream
     // .cache() hit one entry — the exactIds memo pattern.
-    vndMemo.computeIfAbsent((spark, dir), _ => {
+    vndMemo.computeIfAbsent(spark, dir) {
       val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text").cache()
       val cands = Dedup.lshCandidates(Dedup.lshBands(Dedup.minhash(sh, 16), 4),
         droppedBuckets = Some(droppedBucketsAcc(spark)))
       Dedup.candidateJaccard(sh, cands).filter(col("jac") >= 0.7)
-    })
+    }
 
   /** MinHash(16) + LSH(4 bands × 4 rows) candidates, verified at true
     * Jaccard ≥ 0.7 — the scale path for near-dedup.

@@ -144,8 +144,13 @@ object Events {
     * of per-shard counts a streaming ingest emits before admitting a
     * batch — volume, id uniqueness (n_event_ids must equal n_events),
     * user/type cardinalities, the event-time span a watermark policy
-    * is set against, null-timestamp and unparseable-props counts
-    * (either nonzero rejects the shard), and the value range. One
+    * is set against, null-timestamp and bad-props counts (either
+    * nonzero rejects the shard; `n_bad_props` counts rows whose props
+    * are NULL, fail JSON parsing, or lack the contract key `k` —
+    * Spark's `get_json_object` folds all three into one null, and the
+    * oracle's sequential CASE with `json_valid` guards DuckDB's
+    * error-on-malformed `->>` so both engines count the same rows on
+    * any future fixture vintage), and the value range. One
     * narrow scan, one aggregate; the exact distincts swap for the HLL
     * sketch (`hll_distinct`) at 100 TB without changing the contract
     * shape (the docs_profile convention).
@@ -795,7 +800,10 @@ object Events {
         |    AS n_null_ts,
         |  min(ts) AS min_ts,
         |  max(ts) AS max_ts,
-        |  CAST(sum(CASE WHEN props->>'k' IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1
+        |                WHEN NOT json_valid(props) THEN 1
+        |                WHEN props->>'k' IS NULL THEN 1
+        |                ELSE 0 END) AS BIGINT)
         |    AS n_bad_props,
         |  min(value) AS min_value,
         |  max(value) AS max_value

@@ -1,6 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -129,10 +128,10 @@ object Quality {
     * family memoizes the same way. Returned weights sit on the 10⁻⁶
     * grid.
     */
-  private val trainedW = TrieMap.empty[(SparkSession, String), Array[Double]]
+  private val trainedW = new graft.SessionMemo[String, Array[Double]]
 
   private[graft] def trainWeights(spark: SparkSession, dir: String): Array[Double] =
-    trainedW.getOrElseUpdate((spark, dir), trainWeightsOf(feats(spark, dir)))
+    trainedW.computeIfAbsent(spark, dir)(trainWeightsOf(feats(spark, dir)))
 
   /** Unmemoized trainer over an explicit feature frame (spec entry
     * point). An EMPTY corpus returns the zero vector instead of

@@ -67,16 +67,15 @@ object Rag {
     * call (library-caller cache growth, CacheLifecycleSpec). Reusing
     * the frame instance makes the per-call `.cache()` idempotent.
     */
-  private val embMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  private val embMemo = new graft.SessionMemo[(String, String), DataFrame]
 
   private def embeddedFull(spark: SparkSession, dir: String): DataFrame =
-    embMemo.computeIfAbsent((spark, dir, "full"), _ =>
+    embMemo.computeIfAbsent(spark, (dir, "full"))(
       Pipeline.chunkEmbed(toDocuments(spark, dir),
         Chunkers.strategyNames, graft.embed.HashingEmbedder.models))
 
   private def embedded2(spark: SparkSession, dir: String): DataFrame =
-    embMemo.computeIfAbsent((spark, dir, "fixed2"), _ =>
+    embMemo.computeIfAbsent(spark, (dir, "fixed2"))(
       Pipeline.chunkEmbed(toDocuments(spark, dir), Seq("fixed_size"),
         graft.embed.HashingEmbedder.models.take(2)))
 
@@ -155,7 +154,7 @@ object Rag {
     // beneath it runs once. Memoized like the index frames: the plan
     // embeds Pipeline.retrieve's typed heap closures, so a fresh build
     // per call would leak one cache entry per call.
-    val pm = embMemo.computeIfAbsent((spark, dir, "pm"), _ =>
+    val pm = embMemo.computeIfAbsent(spark, (dir, "pm"))(
       perModelMetrics(spark, dir)
         .withColumn("combined_score", col("top_3_accuracy") + col("mrr")))
       .cache()

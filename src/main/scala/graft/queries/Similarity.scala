@@ -732,29 +732,18 @@ object Similarity {
   // computeIfAbsent on a shared ConcurrentHashMap risks recursive-
   // update faults; a racing duplicate build is deterministic and
   // harmless.
-  // Weakly keyed by session (the accumulator maps' WeakHashMap
-  // convention — ADVICE r12): a dropped session's replay arrays must
-  // not be retained by a strong map key in multi-session library use.
-  // The inner per-(dir, tag) map keeps the putIfAbsent discipline.
-  private val replayMemo = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), Array[(Long, Long)]]]()
-
-  private def replayEntries(spark: SparkSession): java.util.concurrent
-      .ConcurrentHashMap[(String, String), Array[(Long, Long)]] =
-    replayMemo.synchronized {
-      var m = replayMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[
-          (String, String), Array[(Long, Long)]]
-        replayMemo.put(spark, m)
-      }
-      m
-    }
+  // Weakly keyed by session via the shared [[graft.SessionMemo]] (the
+  // accumulator maps' WeakHashMap convention — ADVICE r12): a dropped
+  // session's replay arrays must not be retained by a strong map key
+  // in multi-session library use. The inner per-(dir, tag) map keeps
+  // the putIfAbsent discipline.
+  private val replayMemo =
+    new graft.SessionMemo[(String, String), Array[(Long, Long)]]
 
   private def replayIds(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     import spark.implicits._
-    val entries = replayEntries(spark)
+    val entries = replayMemo.entries(spark)
     val key = (dir, tag)
     var arr = entries.get(key)
     if (arr == null) {
@@ -779,12 +768,13 @@ object Similarity {
   // window; `exactIds` above set the precedent). The centroid frame is
   // rebuilt from the memoized ARRAY (driver-held, k×dim floats) so the
   // plan carries no stale cache entries.
-  private val trainMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), AnyRef]()
+  // Weakly session-keyed (SessionMemo): a strongly-keyed trainMemo
+  // would pin the session and silently defeat every other weak memo.
+  private val trainMemo = new graft.SessionMemo[(String, String), AnyRef]
 
   private def memoized[A <: AnyRef](spark: SparkSession, dir: String,
       tag: String)(build: => A): A =
-    trainMemo.computeIfAbsent((spark, dir, tag), _ => build).asInstanceOf[A]
+    trainMemo.computeIfAbsent(spark, (dir, tag))(build).asInstanceOf[A]
 
   /** Lloyd-trained coarse centroids (k=8, 2 iters) as the standard
     * (cent_id, cvec) frame — built once per (session, dir). */

@@ -860,10 +860,9 @@ object TextAnalysis {
     * pins); both consumers (bpe_encode, pack_sequences_bpe) share this
     * one frame instead.
     */
-  private val bpeEncMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val bpeEncMemo = new graft.SessionMemo[String, DataFrame]
   private def bpeEncodedMemo(spark: SparkSession, dir: String): DataFrame =
-    bpeEncMemo.computeIfAbsent((spark, dir), _ =>
+    bpeEncMemo.computeIfAbsent(spark, dir)(
       bpeEncodeDocs(Tables.documents(spark, dir), iters = 5))
 
   /** [[bpeEncode]] over an explicit documents frame (spec hook). */
