@@ -38,4 +38,10 @@ final class SessionMemo[K, V] {
 
   def computeIfAbsent(spark: SparkSession, key: K)(build: => V): V =
     entries(spark).computeIfAbsent(key, _ => build)
+
+  /** Live (not-yet-collected) session count — spec hook proving the
+    * weak-release contract (WeakHashMap expunges stale entries on
+    * access, so this reads the post-GC truth).
+    */
+  private[graft] def liveSessions: Int = outer.synchronized { outer.size }
 }

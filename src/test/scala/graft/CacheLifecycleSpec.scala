@@ -78,4 +78,23 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(cachedRddCount == 0,
       "truePairs07 must unpersist its fully-consumed shingle frame")
   }
+
+  test("SessionMemo: a dropped session's entries are collectable") {
+    // The weak-release claim (SCALING known-limits #7) measured, not
+    // asserted: memoize against a child session, drop the only strong
+    // reference, and the WeakHashMap entry must go away under GC. This
+    // proves OUR maps never pin a session — external retention by
+    // Spark itself is a separate concern this memo cannot cause.
+    val memo = new graft.SessionMemo[String, String]
+    var s2 = spark.newSession()
+    memo.computeIfAbsent(s2, "k")("v")
+    assert(memo.liveSessions == 1)
+    s2 = null
+    var tries = 0
+    while (memo.liveSessions > 0 && tries < 100) {
+      System.gc(); Thread.sleep(50); tries += 1
+    }
+    assert(memo.liveSessions == 0,
+      "SessionMemo retained a session that has no other strong references")
+  }
 }
