@@ -24,21 +24,21 @@ object Bench {
     * SCALING.md's measurement log whenever the surface or the clean
     * band moves; BenchRecordSpec fails the build when the surface
     * drifts from CleanRefQueries without a re-measurement here.
-    * Current value: round-13 quiet-host measurement at the final
-    * 161-query surface on the final round-13 code: 70.9 s (best of the
-    * round's quiet-host runs — 74.0/78.1/82.1 s at 155 queries, 77.5 s
-    * at 157, 77.3 s at 160, 81.5/70.9 s at 161; the 70.9 run fired its
-    * rotated pass 3 and min-of-3 absorbed the warm-up pass). The six
-    * queries the surface grew this round cost ~1.7 s combined
-    * (ann_recall_rp_ivf_trained 0.22, media_contract 0.60,
-    * embed_clusters 0.19, sample_cluster 0.29, q8_market_share 0.66,
-    * events_profile 0.09 — the cluster pair shares the trained-cents
-    * memo). The prior 70.8 was a round-11-vintage number carried four
-    * contended rounds; the band has returned to it on a surface six
-    * queries wider.
+    * Current value: round-13 quiet-host measurement at the 162-query
+    * surface (161 + dedup_simhash_k): 64.6 s at load_avg 1.8 (pass
+    * totals 91.9/66.8 s, rotated pass 3 fired, min-of-3 absorbed the
+    * warm-up pass) — below the prior 70.9 measured mid-round at 161
+    * (band across the round as the surface grew: 74.0/78.1/82.1 s at
+    * 155, 77.5 s at 157, 77.3 s at 160, 81.5/70.9 s at 161). The six
+    * queries the surface grew this round before dedup_simhash_k cost
+    * ~1.7 s combined (ann_recall_rp_ivf_trained 0.22, media_contract
+    * 0.60, embed_clusters 0.19, sample_cluster 0.29, q8_market_share
+    * 0.66, events_profile 0.09 — the cluster pair shares the
+    * trained-cents memo); dedup_simhash_k adds ~2.2 s (the blocked
+    * pair generator's one shuffle).
     */
-  private[graft] val CleanRefTotal = 70.9
-  private[graft] val CleanRefQueries = 161
+  private[graft] val CleanRefTotal = 64.6
+  private[graft] val CleanRefQueries = 162
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

@@ -226,6 +226,86 @@ object Dedup {
     * MSB of hex digit b of its md5 (hex chars are lowercase; '8' <= c
     * compares identically in both engines).
     */
+  /** Hamming-≤k SimHash pair generation over a [[simhash]] signature
+    * frame — [[lshCandidates]]' bucket shape with the two refinements
+    * of Manku, Jain & Das Sarma 2007 (the production web near-dup
+    * detector): the numeric signature RIDES the bucket, so candidates
+    * verify map-side with one popcount before anything shuffles (no
+    * verify join back onto the signature table), and a pair is emitted
+    * only from its FIRST matching block — every earlier block's byte
+    * must differ — so each qualifying pair leaves the generator exactly
+    * once and the corpus-scale DISTINCT disappears. Pigeonhole
+    * guarantee: Hamming ≤ k over (k+1) blocks forces ≥1 exact block
+    * match, so the blocked set equals brute force (spec-proved).
+    * Degenerate buckets drop at `maxBucket` with the same audit
+    * accumulator contract as lshCandidates. Output (a, b, ham), a < b.
+    */
+  def simhashKPairs(sig: DataFrame, k: Int,
+      maxBucket: Int = DefaultMaxBucket,
+      droppedBuckets: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    require(k <= 3, "4 byte-blocks guarantee losslessness only for k <= 3")
+    val dropAcc = droppedBuckets.getOrElse(
+      spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets"))
+    val blocks = sig
+      .select(col("id").cast("long").as("id"),
+        conv(col("simhash"), 2, 10).cast("long").as("sigl"))
+      .select(col("id"), col("sigl"), expr(
+        "explode(transform(sequence(0, 3), j -> struct(CAST(j AS INT) AS band, " +
+          "CAST(shiftright(sigl, CAST(24 - 8 * j AS INT)) & 255 AS INT) AS bkey)))")
+        .as("blk"))
+      .select(col("blk.band").as("band"), col("blk.bkey").as("bkey"),
+        col("id"), col("sigl"))
+    // The bucket key space is ≤ 4 blocks × 256 byte values, so the
+    // over-cap bucket SET (not the buckets themselves) always fits the
+    // driver: collect it first and ride it into the closure, because
+    // first-match emission must treat a DROPPED earlier block as
+    // non-matching — a pair whose earliest shared block was dropped
+    // still has to leave a later block's bucket (the "members still
+    // pair via their other bands" contract lshCandidates' DISTINCT got
+    // for free). The audit counter keeps one count per dropped bucket.
+    val droppedKeys: Set[(Int, Int)] = blocks
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("band"), col("bkey")).as[(Int, Int)]
+      .collect().toSet
+    if (droppedKeys.nonEmpty) {
+      dropAcc.add(droppedKeys.size.toLong)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+        s"${droppedKeys.size} simhash byte-blocks dropped at " +
+          s"maxBucket=$maxBucket (members still pair via their other blocks)")
+    }
+    val bcDropped = spark.sparkContext.broadcast(droppedKeys)
+    blocks.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(struct(col("id"), col("sigl"))).as("members"))
+      .select(col("band"), col("bkey"), col("members"))
+      .as[(Int, Int, Seq[(Long, Long)])]
+      .mapPartitions { it =>
+        val droppedSet = bcDropped.value
+        it.flatMap { case (band, bkey, members) =>
+          if (droppedSet((band, bkey))) Iterator.empty
+          else {
+            val s = members.sortBy(_._1).toArray
+            for {
+              i <- s.indices.iterator
+              j <- Iterator.range(i + 1, s.length)
+              x = s(i)._2 ^ s(j)._2
+              if java.lang.Long.bitCount(x) <= k &&
+                // first-match: emit only if no EARLIER block both
+                // matches (byte equal) and survived the cap
+                (0 until band).forall { b =>
+                  ((x >>> (24 - 8 * b)) & 0xFF) != 0 ||
+                    droppedSet((b, ((s(i)._2 >>> (24 - 8 * b)) & 0xFF).toInt))
+                }
+            } yield (s(i)._1, s(j)._1, java.lang.Long.bitCount(x))
+          }
+        }
+      }
+      .toDF("a", "b", "ham")
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"),

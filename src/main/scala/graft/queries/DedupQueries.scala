@@ -252,6 +252,34 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs at Hamming ≤ 3 — the PRODUCTION simhash
+    * configuration (Manku, Jain & Das Sarma 2007: Google's web near-dup
+    * detector ran 64-bit simhash at k=3), where [[dedupSimhash]]'s
+    * signature-equality clustering is the degenerate k=0 point. The n²
+    * bit-distance matrix is avoided by the paper's pigeonhole blocking:
+    * split the 32-bit signature into 4 byte-blocks — two signatures
+    * within Hamming 3 differ in at most 3 blocks, so they MATCH EXACTLY
+    * on at least one — bucket on (block index, block value), generate
+    * in-bucket pairs, verify true Hamming on survivors only. The
+    * block/bucket machinery IS [[Dedup.lshCandidates]] (band = block
+    * index, bkey = block byte): same degenerate-bucket cap, same
+    * dropped-bucket audit accumulator, so the scale story is the
+    * MinHash path's — plus the paper's two refinements, implemented in
+    * [[Dedup.simhashKPairs]]: the signature rides the bucket (verify is
+    * ONE map-side popcount, never a join back onto the signature
+    * table) and first-match emission (a pair leaves only its earliest
+    * matching block — no corpus-scale DISTINCT). The signature frame
+    * is consumed exactly once, so nothing caches. The oracle verifies
+    * with 32 per-position CASE terms over the bit strings —
+    * method-independent integer equality, no floats anywhere.
+    */
+  def dedupSimhashK(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+    Dedup.simhashKPairs(sig, k = 3,
+        droppedBuckets = Some(droppedBucketsAcc(spark)))
+      .orderBy("a", "b")
+  }
+
   /** Method-agreement matrix over the three TEXT near-dup pair
     * generators at one semantic point: exact Jaccard ≥ 0.7 (uncapped
     * ground truth), banded MinHash-LSH verified at 0.7 (the scale
@@ -458,6 +486,7 @@ object DedupQueries {
     "decontaminate" -> (decontaminate _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_k" -> (dedupSimhashK _),
     "dedup_ensemble" -> (dedupEnsemble _),
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
@@ -764,6 +793,32 @@ object DedupQueries {
          |  min(id) OVER (PARTITION BY simhash) AS dup_of,
          |  CAST(id <> min(id) OVER (PARTITION BY simhash) AS INTEGER) AS is_dup
          |FROM sig ORDER BY doc_id""".stripMargin,
+    // Manku-blocking replay: byte-block buckets, in-bucket pairs, then
+    // the same 32-term per-position Hamming verify (uncapped — the
+    // fixture's blocks sit far under the production bucket cap, the
+    // dedup-family convention for oracle-vs-capped behavior).
+    "dedup_simhash_k" -> {
+      val hamSql = (0 until 32).map(j =>
+        s"CASE WHEN substr(sa.simhash, ${j + 1}, 1) <> " +
+          s"substr(sb.simhash, ${j + 1}, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $duckSimhashSig,
+         |blocks AS (
+         |  SELECT j.j AS band,
+         |         substr(sig.simhash, CAST(j.j * 8 + 1 AS INTEGER), 8) AS bkey,
+         |         sig.id
+         |  FROM sig, range(4) j(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS a, y.id AS b
+         |  FROM blocks x JOIN blocks y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)
+         |SELECT a, b, ham FROM (
+         |  SELECT c.a, c.b, CAST($hamSql AS INTEGER) AS ham
+         |  FROM cand c
+         |  JOIN sig sa ON c.a = sa.id
+         |  JOIN sig sb ON c.b = sb.id)
+         |WHERE ham <= 3 ORDER BY a, b""".stripMargin
+    },
     // Same hyperplane family as knn_lsh: component i of (table t, bit j)
     // is +1 iff the first byte of md5("t|j|i") is even (second hex digit
     // even — Ann.hyperplane uses (d(0) & 1) == 0).

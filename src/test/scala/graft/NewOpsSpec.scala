@@ -551,6 +551,53 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("simhash k=3 blocking loses NO pair vs brute-force Hamming (pigeonhole invariant)") {
+    // Hamming <= 3 over 4 byte-blocks forces an exact match on >= 1
+    // block, so the blocked candidate set must contain every true pair
+    // (no bucket hits the cap on this fixture) — the Manku pigeonhole
+    // argument checked against the full n² bit-distance matrix.
+    val sigs = graft.dedup.Dedup
+      .simhash(graft.Tables.documents(spark, dir), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- Iterator.range(i + 1, ids.length)
+      h = sigs(ids(i)).zip(sigs(ids(j))).count { case (x, y) => x != y }
+      if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    val got = graft.queries.DedupQueries.dedupSimhashK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture produced no Hamming<=3 pairs at all")
+    assert(got == brute,
+      s"blocked ${got.size} pairs vs brute ${brute.size}")
+  }
+
+  test("simhash k-pairs: dropped earlier blocks don't suppress later-block emission") {
+    // first-match emission must treat a DROPPED earlier block as
+    // non-matching, or pairs whose earliest shared bucket was capped
+    // would silently vanish even though a surviving later bucket holds
+    // them (the lshCandidates "members still pair via other bands"
+    // contract). Constructed corpus at cap=2:
+    //   id0 = 0…0, id1 = bit in block3, id2 = bit in block1.
+    //   blocks 0 and 2 bucket all three ids → dropped (2 audit counts);
+    //   (0,1) must emit from block1's surviving bucket, (0,2) from
+    //   block3's; (1,2) shares ONLY dropped blocks → the documented
+    //   loss.
+    val z = "0" * 8
+    val sigs = Seq(
+      (0L, z + z + z + z),
+      (1L, z + z + z + "00000001"),
+      (2L, z + "00000001" + z + z))
+    val sig = sigs.toDF("id", "simhash")
+    val acc = spark.sparkContext.longAccumulator("test.simhash.drops")
+    val got = graft.dedup.Dedup
+      .simhashKPairs(sig, k = 3, maxBucket = 2, droppedBuckets = Some(acc))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((0L, 1L, 1), (0L, 2L, 1)), s"got $got")
+    assert(acc.value == 2L, s"expected 2 dropped blocks, got ${acc.value}")
+  }
+
   test("q8 market share: shares bounded, years in the window") {
     // value-exactness is the DuckDB oracle's job; this pins the output
     // contract — a share is a fraction of its own denominator and the
