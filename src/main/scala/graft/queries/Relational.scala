@@ -437,6 +437,228 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q2-style minimum-cost supplier, adapted to the fixture
+    * schema (no partsupp: a supplier's offer price for a part is the
+    * MINIMUM l_extendedprice it ever shipped that part at — min is
+    * order-independent and exact on 2-decimal doubles, so the money
+    * needs no DECIMAL detour). For mid-size LARGE parts, the
+    * supplier(s) in one region achieving the per-part minimum, ties
+    * KEPT as Q2 specifies. The correlated-min subquery decorrelates
+    * the textbook way — aggregate per (part, supplier), re-aggregate
+    * per part, join back on (part, min-cost) — NOT q17's single-window
+    * trick, because the two aggregates differ in grain and the
+    * decorrelated form is the plan shape Q2 exists to test. Scale: the
+    * per-part min frame is |parts|-sized and grows with SF, so the
+    * equality join back is a shuffle join on p_partkey (both sides
+    * already partitioned by the groupBy — AQE sees a co-partitioned
+    * join); supplier/nation/region fold into one broadcast dim.
+    * Top-100 via TakeOrderedAndProject on the (acctbal, nation, name,
+    * part) key, which is unique per offer row.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      .select("p_partkey", "p_name")
+    val regionSup = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "AMERICA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val minCost = offers.groupBy(col("p_partkey").as("mk"))
+      .agg(min(col("cost")).as("min_cost"))
+    offers.join(minCost,
+        col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q9-style product-type profit, adapted to the fixture schema
+    * (no partsupp: supply cost is proxied by p_retailprice × quantity —
+    * the profit SIGN is synthetic but the plan is Q9's): for parts
+    * whose name contains one noun, profit per supplier nation per
+    * order year across a five-table join. Float discipline: both
+    * products (2-decimal price × (1−discount) ≤ 4 decimals;
+    * 2-decimal retailprice × integral quantity = 2 decimals) are cast
+    * to DECIMAL(18,4) BEFORE the subtraction, so the per-row amount
+    * and its sum are exact in both engines. The part-name filter and
+    * the two dims broadcast; orders joins on the one shuffled fact
+    * key, then one hash aggregate on (nation, year).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val supNat = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val amount =
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)") -
+      (col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q11-style important parts, adapted to the fixture schema
+    * (no partsupp: a part's "stock value" held by one region's
+    * suppliers is the summed extendedprice of their shipments of it):
+    * parts whose value exceeds a FIXED FRACTION of the region's total
+    * — so the output shrinks as SF grows, exactly Q11's design (its
+    * 0.0001/SF fraction). The comparison happens in DECIMAL on both
+    * sides (value and the 1-row threshold 0.001 × total, the 0.001
+    * itself a DECIMAL literal — a double 0.001 would poison the
+    * product), so no float ever decides membership; the value is cast
+    * to double only for output. Plan: region suppliers fold into one
+    * broadcast dim, one hash aggregate on l_partkey, the grand total
+    * re-aggregates THAT |parts|-sized frame (never the fact table
+    * twice), and the 1-row threshold broadcasts back.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val regionSup = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value_dec"))
+    val thr = value
+      .agg((sum(col("value_dec")) * expr("CAST(0.001 AS DECIMAL(4,3))"))
+        .as("thr"))
+    value.crossJoin(broadcast(thr))
+      .filter(col("value_dec") > col("thr"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("value_dec").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey").asc)
+  }
+
+  /** TPC-H Q12-style late-shipment priority split, adapted to the
+    * fixture schema (l_returnflag plays Q12's shipmode; lateness is
+    * the house convention from q4/q21 — shipped > 30 days after the
+    * order date, standing in for commitdate < receiptdate): for two
+    * flag classes and one ship year, how many late lineitems carried
+    * urgent orders vs not. The CASE pair aggregates in one pass
+    * (never two scans); the ship-year and flag filters push to the
+    * lineitem scan, so the orders join shuffles only late-candidate
+    * rows. Counts are longs — no float anywhere.
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(high, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q16-style supplier variety per part attribute class, adapted
+    * to the fixture schema (no partsupp: "who can supply this part"
+    * is read off lineitem; negative account balance stands in for
+    * Q16's complaint suppliers): distinct supplier count per (brand,
+    * type, size) over an excluded-brand/type/size-IN filter, minus the
+    * excluded suppliers via a broadcast anti join. The countDistinct
+    * runs as Spark's two-phase distinct aggregate (partial dedup
+    * map-side on (attrs, suppkey), then count — never a row explosion
+    * to the driver); the part filter broadcasts onto the fact scan.
+    */
+  def q16PartVariety(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 15, 23, 31, 40, 47))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** TPC-H Q20-style dominant supplier, adapted to the fixture schema
+    * (no partsupp availqty: "has excess stock to promote" becomes
+    * "shipped more than half of a part's yearly volume" — the same
+    * qty > 0.5 × aggregate comparison): suppliers in one region who
+    * dominated at least one 'small'-named part's 1996 shipments. The
+    * nested-subquery chain decorrelates to: per-(part, supplier)
+    * quantity aggregate, per-part total via a WINDOW over the same
+    * grain (one exchange, the q17 trick — valid here because the
+    * comparison row and the total share the (part, supplier) frame),
+    * then a distinct supplier-key set driving a left-semi join into
+    * the supplier dim. Quantities are integral doubles — window sum
+    * and the 0.5 multiply are exact, so dominance is decided
+    * identically in both engines.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val perPS = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val dominant = perPS
+      .withColumn("part_qty",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") > lit(0.5) * col("part_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select("n_nationkey", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "AMERICA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
   /** Semi/anti join: customers with ≥1 order vs none (SURVEY §2.6 joins). */
   def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -808,6 +1030,12 @@ object Relational {
     "q10_returned_items" -> (q10ReturnedItems _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q21_sole_late_supplier" -> (q21SoleLateSupplier _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q16_part_variety" -> (q16PartVariety _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
     "quantiles_hist" -> (quantilesHist _),
     "join_semi_anti" -> (joinSemiAnti _),
     "topk_orders" -> (topkOrders _),
@@ -1020,6 +1248,97 @@ object Relational {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 10""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH offers AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |         min(l_extendedprice) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |    AND r_name = 'AMERICA'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |mc AS (SELECT p_partkey AS mk, min(cost) AS min_cost
+        |       FROM offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+        |FROM offers JOIN mc ON p_partkey = mk AND cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4)) -
+        |           CAST(p_retailprice * l_quantity
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'widget')
+        |GROUP BY 1, 2
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |  GROUP BY 1),
+        |thr AS (SELECT sum(value_dec) * CAST(0.001 AS DECIMAL(4,3)) AS t
+        |        FROM val)
+        |SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM val, thr WHERE value_dec > t
+        |ORDER BY value DESC, p_partkey ASC""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_part_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 15, 23, 31, 40, 47)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, qty,
+        |           sum(qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    FROM ps)
+        |  WHERE qty > 0.5 * part_qty)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_name""".stripMargin,
     "quantiles_hist" ->
       """WITH mm AS (
         |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
