@@ -449,9 +449,12 @@ object Relational {
     * trick, because the two aggregates differ in grain and the
     * decorrelated form is the plan shape Q2 exists to test. Scale: the
     * per-part min frame is |parts|-sized and grows with SF, so the
-    * equality join back is a shuffle join on p_partkey (both sides
-    * already partitioned by the groupBy — AQE sees a co-partitioned
-    * join); supplier/nation/region fold into one broadcast dim.
+    * equality join back is a shuffle join on (p_partkey, cost); the
+    * offers subtree feeds BOTH join sides, and at runtime AQE's
+    * exchange reuse computes it once — the executed plan carries one
+    * lineitem scan + a ReusedExchange (PlanSpec pins this; a second
+    * fact scan at 100 TB would double the dominant cost).
+    * Supplier/nation/region fold into one broadcast dim.
     * Top-100 via TakeOrderedAndProject on the (acctbal, nation, name,
     * part) key, which is unique per offer row.
     */
@@ -536,7 +539,10 @@ object Relational {
     * to double only for output. Plan: region suppliers fold into one
     * broadcast dim, one hash aggregate on l_partkey, the grand total
     * re-aggregates THAT |parts|-sized frame (never the fact table
-    * twice), and the 1-row threshold broadcasts back.
+    * twice — the DataFrame API duplicates the subtree in the initial
+    * plan, but AQE's exchange reuse executes one lineitem scan +
+    * ReusedExchange; PlanSpec pins it), and the 1-row threshold
+    * broadcasts back.
     */
   def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
     val regionSup = Tables.supplier(spark, dir)

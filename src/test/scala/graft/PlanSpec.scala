@@ -394,6 +394,75 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q2/q11: the fact subtree is computed ONCE — AQE reuses the shared exchange") {
+    // both queries consume one aggregated frame twice (offers/value on
+    // one side, its re-aggregate — per-part min / grand total — on the
+    // other). The DataFrame API duplicates the subtree in the initial
+    // plan, so the scale contract lives in AQE's exchange reuse: the
+    // executed plan must carry a ReusedExchange and exactly ONE
+    // lineitem scan — a second fact scan at 100 TB would double the
+    // dominant cost of either query
+    for (q <- Seq(Relational.q2MinCostSupplier _, Relational.q11ImportantParts _)) {
+      val df = q(spark, dir)
+      df.collect()
+      val whole = planOf(df)
+      val plan = whole.indexOf("== Initial Plan ==") match {
+        case -1 => whole
+        case i => whole.substring(0, i)
+      }
+      assert(plan.contains("ReusedExchange"), plan)
+      assert(plan.linesIterator.count(l =>
+        l.contains("lineitem.parquet")) == 1, plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("q2: top-100 is TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(Relational.q2MinCostSupplier(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q12: one-pass CASE-pair aggregate over a fully pushed scan") {
+    // the urgent/non-urgent split must be ONE aggregation over ONE
+    // lineitem scan (two CASE sums in the same pass, never two scans),
+    // and the flag IN-list + ship-year bounds must reach the parquet
+    // reader as PushedFilters
+    val df = Relational.q12LatePriority(spark, dir)
+    val plan = planOf(df)
+    assert(plan.linesIterator.count(l => l.contains("lineitem.parquet")) == 1, plan)
+    assert(plan.contains("In(l_returnflag"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert("partial_sum".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q16: distinct count is two-phase with map-side dedup; NOT IN is a broadcast anti") {
+    // countDistinct must run as the partial-dedup ladder — a
+    // HashAggregate keyed on (attrs..., l_suppkey) BEFORE any exchange
+    // (the map-side dedup grain) — and the excluded-supplier subquery
+    // must arrive as a broadcast LeftAnti on the fact scan, never a
+    // shuffled join or a driver-collected IN list
+    val df = Relational.q16PartVariety(spark, dir)
+    val plan = planOf(df)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_suppkey")), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q20: dominance is a window over the aggregated grain, dims broadcast") {
+    // the per-part total must be a Window over the (part, supplier)
+    // aggregate — never a re-join of a second aggregate — and the
+    // date + part-name filters must prune the fact scan
+    val df = Relational.q20DominantSupplier(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.linesIterator.count(l => l.contains("lineitem.parquet")) == 1, plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("embed_clusters: sizes aggregate and broadcast back — no k-key count window") {
     // assignment is the broadcast-codebook argmax map; the population
     // column must come from a map-side-combined k-row aggregate joined
