@@ -188,6 +188,38 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Cluster-canonical SELECTION — the keep/drop decision a dedup
+    * pipeline emits after [[dupClusters]] resolves components: per
+    * near-dup cluster, exactly one survivor, chosen KEEP-LONGEST
+    * (max n_chars, ties to the lowest doc_id — the C4/RefinedWeb
+    * convention: the longest member of a near-dup cluster is the most
+    * complete copy). Output is the full corpus with a 0/1 `kept` flag,
+    * so the surviving set AND the drop list are both one filter away.
+    *
+    * Decision discipline: the survivor is max(struct(n_chars,
+    * -doc_id)) — all-long arithmetic, no float anywhere; the oracle's
+    * row_number over (n_chars DESC, doc_id ASC) picks the same row
+    * because doc_id makes the order total.
+    *
+    * Scale: [[dupClusters]] is the proven component stage; on top of
+    * it sit one |corpus|-row join to the (doc_id, n_chars) projection,
+    * one map-side-combined argmax aggregate onto |clusters| keys, and
+    * one equi-join back on cluster_id — all linear, nothing pairwise,
+    * nothing collected.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(spark, dir).drop("is_canonical")
+    val chars = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val j = clusters.join(chars, "doc_id")
+    val best = j.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), -col("doc_id"))).as("b"))
+    j.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_chars"),
+        (struct(col("n_chars"), -col("doc_id")) === col("b")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Train/eval decontamination: documents sharing ≥1 word-3-gram with
     * any eval query are flagged with the overlap count. The eval set is
     * small by construction — its shingles broadcast, so contamination
@@ -491,6 +523,7 @@ object DedupQueries {
     "dedup_embedding_topk" -> (dedupEmbeddingTopk _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dup_clusters" -> (dupClusters _),
+    "dedup_canonical" -> (dedupCanonical _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -787,6 +820,28 @@ object DedupQueries {
          |  CAST(l.node = l.cluster_id AS INTEGER) AS is_canonical
          |FROM labels l JOIN csizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $duckPairJaccard,
+         |$duckMinhashCands,
+         |verified AS (
+         |  SELECT j.a AS u, j.b AS v
+         |  FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7),
+         |edges AS (SELECT u, v FROM verified UNION ALL SELECT v, u FROM verified),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1),
+         |j AS (
+         |  SELECT l.node AS doc_id, l.cluster_id, s.cluster_size, d.n_chars
+         |  FROM labels l JOIN csizes s USING (cluster_id)
+         |  JOIN documents d ON d.doc_id = l.node)
+         |SELECT doc_id, cluster_id, cluster_size, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY cluster_id
+         |         ORDER BY n_chars DESC, doc_id ASC) = 1 AS INTEGER) AS kept
+         |FROM j ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $duckSimhashSig
          |SELECT id AS doc_id, simhash,

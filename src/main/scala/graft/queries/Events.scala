@@ -76,6 +76,26 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** CDC/upsert compaction — latest row per (user, event_type) key,
+    * the SCD-type-1 merge every warehouse ingest runs on a change
+    * stream. Deterministic argmax by (ts, event_id): event_id is
+    * unique, so ties cannot occur and `value` is carried, never
+    * compared. Formulated as a map-side-combined struct-max AGGREGATE,
+    * not row_number-over-window: the combine collapses each partition
+    * to one row per live key before the exchange, so the shuffle
+    * carries |keys| rows where the window formulation shuffles and
+    * sorts every change record — the difference between compaction
+    * and re-sorting the log at 100 TB.
+    */
+  def eventsCdcLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts").as("last_ts"), col("m.event_id").as("last_event_id"),
+        col("m.value").as("last_value"))
+      .orderBy("user_id", "event_type")
+
   /** Per-group top-k: the three most active users per event type —
     * the rank-filter window shape Spark 4's `WindowGroupLimit` rewrite
     * exists for: the filter `rn <= 3` is pushed INTO the window
@@ -602,9 +622,17 @@ object Events {
     "events_sessionize" -> (eventsSessionize _),
     "events_asof" -> (eventsAsof _),
     "events_range_join" -> (eventsRangeJoin _),
+    "events_cdc_latest" -> (eventsCdcLatest _),
   )
 
   def oracles: Map[String, String] = Map(
+    "events_cdc_latest" ->
+      """SELECT user_id, event_type, ts AS last_ts,
+        |  event_id AS last_event_id, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     // HLL replay: identical md5-derived register index + rank, integer
     // register state, and the same literal-by-literal estimate
     // arithmetic (one double division, one ln in the linear-counting

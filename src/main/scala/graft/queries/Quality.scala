@@ -199,6 +199,50 @@ object Quality {
         .as("n_correct"),
       sum(col("label").cast("long")).as("n_pos"))
 
+  /** The classifier's ROC-AUC against the planted labels — the
+    * threshold-free companion to [[qualityLrRecovery]]'s accuracy (a
+    * selection pipeline tunes its keep threshold AFTER training; AUC
+    * is the quantity that says whether any threshold can work). Exact
+    * rank-statistic formulation with tie handling: over the 4-decimal
+    * ROUNDED scores, AUC = (Σ_{pos} avg-rank − n₊(n₊+1)/2)/(n₊·n₋),
+    * computed in ALL-LONG arithmetic (avg-ranks carried doubled so
+    * .5 ties stay integral) with one final division rounded to 4
+    * decimals — bit-identical in DuckDB by construction, no float
+    * compare anywhere.
+    *
+    * Scale: scores aggregate onto ≤10⁴+1 distinct rounded values (the
+    * 4-decimal grid bounds the key space by construction), so the
+    * rank prefix-sum window runs on a ≤10001-row frame — the
+    * quantiles_hist bounded-sketch convention, not a corpus-sized
+    * global sort.
+    */
+  def qualityLrAuc(spark: SparkSession, dir: String): DataFrame =
+    aucOf(scored(spark, dir))
+
+  /** The rank-statistic AUC over any (label: 0/1 int, score) frame —
+    * split out so specs can pin the tie/degenerate behavior on
+    * constructed inputs (the featsOf convention).
+    */
+  private[graft] def aucOf(scoredDf: DataFrame): DataFrame = {
+    val per = scoredDf
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n_at"), sum(col("label").cast("long")).as("p_at"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    per
+      .withColumn("cum_less", coalesce(sum(col("n_at")).over(w), lit(0L)))
+      .agg(
+        sum(col("n_at")).as("n_docs"),
+        sum(col("p_at")).as("n_pos"),
+        sum((col("n_at") - col("p_at"))).as("n_neg"),
+        sum(col("p_at") * (lit(2L) * col("cum_less") + col("n_at") + 1L))
+          .as("rank2"))
+      .select(col("n_docs"), col("n_pos"), col("n_neg"),
+        round((col("rank2") - col("n_pos") * (col("n_pos") + 1L)).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 4).as("auc"))
+  }
+
   // ---- DuckDB oracles ------------------------------------------------
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
@@ -263,6 +307,7 @@ object Quality {
     "quality_lr" -> (qualityLr _),
     "quality_lr_weights" -> (qualityLrWeights _),
     "quality_lr_recovery" -> (qualityLrRecovery _),
+    "quality_lr_auc" -> (qualityLrAuc _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -287,5 +332,25 @@ object Quality {
          |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |       CAST(sum(CAST(f.y AS BIGINT)) AS BIGINT) AS n_pos
          |FROM feats f CROSS JOIN w_$Iters p""".stripMargin,
+    "quality_lr_auc" ->
+      s"""$duckChain,
+         |sc AS (
+         |  SELECT $duckScore AS score, CAST(f.y AS BIGINT) AS label
+         |  FROM feats f CROSS JOIN w_$Iters p),
+         |per AS (
+         |  SELECT score, count(*) AS n_at, sum(label) AS p_at
+         |  FROM sc GROUP BY score),
+         |cum AS (
+         |  SELECT n_at, p_at,
+         |    coalesce(sum(n_at) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+         |  FROM per)
+         |SELECT CAST(sum(n_at) AS BIGINT) AS n_docs,
+         |  CAST(sum(p_at) AS BIGINT) AS n_pos,
+         |  CAST(sum(n_at - p_at) AS BIGINT) AS n_neg,
+         |  round(CAST(sum(p_at * (2 * cum_less + n_at + 1))
+         |             - sum(p_at) * (sum(p_at) + 1) AS DOUBLE)
+         |        / (2 * sum(p_at) * sum(n_at - p_at)), 4) AS auc
+         |FROM cum""".stripMargin,
   )
 }

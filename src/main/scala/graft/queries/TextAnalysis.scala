@@ -72,6 +72,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models: ...Gopher", Table A1 document filters) — the
+    * DOCUMENTED production filter conjunction, where [[textQuality]]
+    * reports raw ratios: word count in [50, 100k], mean word length in
+    * [3, 10], ≥80% of words containing an alphabetic character, ≥2
+    * distinct members of the stop list (Gopher's rule uses its 8-word
+    * English list; here the house stopEn list — the fixture's
+    * synthetic vocabulary doesn't draw from Gopher's exact words, and
+    * the RULE SHAPE, ≥2 distinct function words, is the filter), and
+    * the repetition
+    * rule (fraction of characters covered by the most frequent 2-gram
+    * ≤ 0.20). Per-document: the measured values, each rule's 0/1 flag,
+    * and the conjunction.
+    *
+    * Determinism: ratios are floor-rounded to 4 decimals BEFORE the
+    * threshold compare on both engines (the house r4 discipline — a
+    * raw-double compare could flip on a value sitting exactly at a
+    * threshold); the top-2-gram argmax breaks count ties to the
+    * lexicographically LAST bigram via max(struct(n, b)), which the
+    * oracle mirrors with ORDER BY n DESC, b DESC.
+    *
+    * Scale: the per-doc bigram count + argmax aggregates map-side onto
+    * (doc, bigram) then doc keys — linear in corpus tokens; everything
+    * else is a narrow per-row projection. No joins beyond the
+    * |docs|-sized top-bigram left join.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables.documents(spark, dir))
+
+  def gopherRulesOf(docs: DataFrame): DataFrame = {
+    def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    val base = docs.select(col("doc_id"), col("text"),
+      TextFns.tokens(col("text")).as("toks"))
+    val bi = base.select(col("doc_id"), explode(expr(
+      """CASE WHEN size(toks) >= 2
+        |  THEN transform(sequence(1, size(toks) - 1),
+        |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+        |  ELSE array() END""".stripMargin)).as("b"))
+    val top = bi.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("n"), col("b"))).as("t"))
+      .select(col("doc_id"), col("t.n").as("top_n"), col("t.b").as("top_b"))
+    val stopHits = stopEn.map(w =>
+      when(array_contains(col("toks"), w), 1).otherwise(0)).reduce(_ + _)
+    base.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        r4(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          size(col("toks"))).as("mean_word_len"),
+        r4(expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))").cast("double") /
+          size(col("toks"))).as("alpha_frac"),
+        stopHits.cast("int").as("stop_hits"),
+        r4(coalesce(col("top_n") * length(col("top_b")), lit(0L)).cast("double") /
+          length(col("text"))).as("top2gram_frac"))
+      .withColumn("r_words", col("n_words").between(50, 100000).cast("int"))
+      .withColumn("r_mwl", col("mean_word_len").between(3.0, 10.0).cast("int"))
+      .withColumn("r_alpha", (col("alpha_frac") >= 0.8).cast("int"))
+      .withColumn("r_stop", (col("stop_hits") >= 2).cast("int"))
+      .withColumn("r_rep", (col("top2gram_frac") <= 0.2).cast("int"))
+      .withColumn("gopher_pass",
+        (col("r_words") === 1 && col("r_mwl") === 1 && col("r_alpha") === 1 &&
+          col("r_stop") === 1 && col("r_rep") === 1).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID by marker-stopword voting, fixed preference order on
     * ties (deterministic — SURVEY §7).
     */
@@ -1074,6 +1140,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Span-level exact dedup REWRITE — the removal op behind the
+    * [[boilerplateFrac]]/[[substringDedup]] meters (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr at token granularity; the C4 line-dedup analog for a
+    * corpus without line structure): every occurrence of a duplicated
+    * 3-token span EXCEPT the corpus-global first (deterministic
+    * min(doc_id, pos)) has its token positions removed, and the
+    * surviving tokens are reassembled in order. Output per document:
+    * token total, removed count, and the cleaned text — all-integer
+    * decisions, no float anywhere.
+    *
+    * Scale: spans travel as 8-byte md5Int keys; the first-occurrence /
+    * occurrence-count aggregate map-side combines onto |distinct
+    * spans| keys, the mark-back is a shuffle equi-join on the hash
+    * (both sides |spans|-sized, never pairs), coverage dedups on
+    * (doc, pos), and the kept-token anti join + ordered reassembly
+    * shuffle on (doc, pos)/doc_id — every stage linear in corpus
+    * tokens. collect_list is bounded per document, never per key.
+    * AQE's exchange reuse collapses the two tokenizations of the same
+    * scan (the q2/q11 pattern).
+    */
+  def spanDedupRewrite(spark: SparkSession, dir: String): DataFrame =
+    spanDedupRewriteOf(Tables.documents(spark, dir))
+
+  def spanDedupRewriteOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("p", "tok")))
+    val sh = docs.select(col("doc_id").as("s_doc"),
+        posexplode(TextFns.shingles3(TextFns.tokens(col("text")))).as(Seq("q", "s")))
+      .select(col("s_doc"), col("q"), TextFns.md5Int(col("s")).as("h"))
+    val firstOcc = sh.groupBy(col("h"))
+      .agg(min(struct(col("s_doc"), col("q"))).as("f"), count(lit(1)).as("occ"))
+    val covered = sh.join(firstOcc, Seq("h"))
+      .filter(col("occ") >= 2 &&
+        !(col("s_doc") === col("f.s_doc") && col("q") === col("f.q")))
+      .select(col("s_doc").as("doc_id"),
+        explode(sequence(col("q"), col("q") + 2)).as("p"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    docs.select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** C0 sentence split as a standalone SQL operator: regex split with
     * lookbehind (Java regex supports it), trim, drop blanks, posexplode.
     * DuckDB's RE2 has no lookbehind, so the oracle emulates it with a
@@ -1123,6 +1242,8 @@ object TextAnalysis {
     "pii_redact" -> (piiRedact _),
     "boilerplate_frac" -> (boilerplateFrac _),
     "substring_dedup" -> (substringDedup _),
+    "span_dedup_rewrite" -> (spanDedupRewrite _),
+    "gopher_rules" -> (gopherRules _),
     "cms_top_terms" -> (cmsTopTerms _),
     "sample_quality" -> (sampleQuality _),
     "dsir_select" -> (dsirSelect _),
@@ -1414,6 +1535,79 @@ object TextAnalysis {
          |         / count(*)) * 10000 + 0.5) / 10000 AS shared_frac
          |FROM sh JOIN df USING (h)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "span_dedup_rewrite" ->
+      s"""WITH arrs AS (SELECT doc_id, $duckToks AS arr FROM documents),
+         |toks AS (
+         |  SELECT doc_id, i - 1 AS p, arr[i] AS tok
+         |  FROM arrs, unnest(range(1, len(arr) + 1)) u(i)),
+         |shp AS (
+         |  SELECT doc_id, i - 1 AS q,
+         |    CAST(('0x' || substr(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]),
+         |          1, 8)) AS BIGINT) AS h
+         |  FROM arrs, unnest(range(1, len(arr) - 1)) u(i)
+         |  WHERE len(arr) >= 3),
+         |fo AS (
+         |  SELECT doc_id, q,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, q) AS rn,
+         |    count(*) OVER (PARTITION BY h) AS occ
+         |  FROM shp),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, q + d AS p
+         |  FROM fo, unnest([0, 1, 2]) v(d)
+         |  WHERE occ >= 2 AND rn > 1),
+         |kept AS (
+         |  SELECT t.doc_id, t.p, t.tok FROM toks t
+         |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+         |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT a.doc_id, CAST(len(a.arr) AS BIGINT) AS n_tokens,
+         |  CAST(len(a.arr) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(r.clean_text, '') AS clean_text
+         |FROM arrs a LEFT JOIN reb r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "gopher_rules" -> {
+      val stopSql = stopEn.map(w =>
+        s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |bi AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+         |  FROM base, unnest(range(1, len(toks))) u(i)
+         |  WHERE len(toks) >= 2),
+         |cnt AS (SELECT doc_id, b, count(*) AS n FROM bi GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, n AS top_n, b AS top_b
+         |  FROM (SELECT doc_id, n, b,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY n DESC, b DESC) AS rn
+         |        FROM cnt) WHERE rn = 1),
+         |m AS (
+         |  SELECT base.doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |          / len(toks) * 10000 + 0.5) / 10000 AS mean_word_len,
+         |    floor(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+         |          AS DOUBLE) / len(toks) * 10000 + 0.5) / 10000 AS alpha_frac,
+         |    CAST($stopSql AS INTEGER) AS stop_hits,
+         |    floor(CAST(coalesce(top_n * length(top_b), 0) AS DOUBLE)
+         |          / length(text) * 10000 + 0.5) / 10000 AS top2gram_frac
+         |  FROM base LEFT JOIN top ON base.doc_id = top.doc_id)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+         |  top2gram_frac,
+         |  CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS r_words,
+         |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS r_mwl,
+         |  CAST(alpha_frac >= 0.8 AS INTEGER) AS r_alpha,
+         |  CAST(stop_hits >= 2 AS INTEGER) AS r_stop,
+         |  CAST(top2gram_frac <= 0.2 AS INTEGER) AS r_rep,
+         |  CAST(n_words BETWEEN 50 AND 100000
+         |       AND mean_word_len BETWEEN 3.0 AND 10.0
+         |       AND alpha_frac >= 0.8 AND stop_hits >= 2
+         |       AND top2gram_frac <= 0.2 AS INTEGER) AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "sample_stratified" ->
       """SELECT doc_id, lang,
         |  CAST(('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)), 1, 8))

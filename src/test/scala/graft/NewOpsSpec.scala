@@ -598,6 +598,95 @@ class NewOpsSpec extends SparkSpec {
     assert(acc.value == 2L, s"expected 2 dropped blocks, got ${acc.value}")
   }
 
+  test("span_dedup_rewrite: non-first duplicated spans removed, first kept, exact rebuild") {
+    // hand-computable fixture: doc 0 holds the first occurrence of
+    // "a b c"; doc 1 repeats it (cross-doc dup) plus unique tokens;
+    // doc 2 repeats a span WITHIN itself; doc 3 shares nothing; doc 4
+    // is shorter than one span and must pass through untouched
+    val docs = Seq(
+      (0L, "a b c x y"),        // first occurrence of "a b c" — kept whole
+      (1L, "u a b c v"),        // "a b c" at p=1 is a non-first occurrence
+      (2L, "p q r z p q r"),    // "p q r" repeats within the doc (p=0 first, p=4 dup)
+      (3L, "k l m n"),          // unique spans only
+      (4L, "s t")               // no spans
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalysis.spanDedupRewriteOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((5L, 0L, "a b c x y")))
+    assert(out(1L) == ((5L, 3L, "u v")))
+    // doc 2: dup occurrence at q=4 covers p=4..6 — "z" (p=3) survives
+    assert(out(2L) == ((7L, 3L, "p q r z")))
+    assert(out(3L) == ((4L, 0L, "k l m n")))
+    assert(out(4L) == ((2L, 0L, "s t")))
+  }
+
+  test("span_dedup_rewrite: overlapping dup spans union their coverage, no double count") {
+    // doc 1 repeats a 4-token window of doc 0: its two overlapping
+    // 3-token spans ("a b c" at p=0, "b c d" at p=1) are BOTH
+    // non-first occurrences — coverage is the union {0,1,2,3}, so
+    // n_removed is 4, not 6
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c d z")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalysis.spanDedupRewriteOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((5L, 0L, "a b c d e")))
+    assert(out(1L) == ((5L, 4L, "z")))
+  }
+
+  test("dedup_canonical: exactly one survivor per cluster, and it is the longest") {
+    val rows = graft.queries.DedupQueries.dedupCanonical(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.size == 1 &&
+        members.head._3 == members.size, s"cluster $cid size mismatch")
+      val kept = members.filter(_._5 == 1)
+      assert(kept.size == 1, s"cluster $cid kept ${kept.size} survivors")
+      val maxChars = members.map(_._4).max
+      assert(kept.head._4 == maxChars, s"cluster $cid survivor not longest")
+      // tie discipline: among max-length members, lowest doc_id wins
+      assert(kept.head._1 == members.filter(_._4 == maxChars).map(_._1).min)
+    }
+    assert(byCluster.exists(_._2.size > 1), "fixture should contain a real cluster")
+  }
+
+  test("gopher_rules: each rule fires on its designed violation") {
+    val fifty = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // passes everything: 50 varied words incl. 2 stopwords
+      (0L, "the of " + (1 to 48).map(i => s"word$i").mkString(" ")),
+      (1L, "the of short doc"),                       // r_words=0 (4 words)
+      (2L, "the of " + ("go " * 48).trim),            // r_mwl=0 (mean len < 3)
+      (3L, fifty + " the of"),                        // r_stop ok, numeric-ish names still alpha
+      (4L, "the of " + ("dup pair " * 24).trim)       // r_rep=0 (top 2-gram dominates)
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalysis.gopherRulesOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Int]("gopher_pass") == 1)
+    assert(out(1L).getAs[Int]("r_words") == 0 && out(1L).getAs[Int]("gopher_pass") == 0)
+    assert(out(2L).getAs[Int]("r_mwl") == 0)
+    assert(out(3L).getAs[Int]("r_stop") == 1)
+    assert(out(4L).getAs[Int]("r_rep") == 0 && out(4L).getAs[Int]("r_words") == 1)
+  }
+
+  test("AUC rank statistic: separation=1, inversion=0, all-tied=0.5, interleave exact") {
+    def auc(rows: Seq[(Int, Double)]): Double =
+      graft.queries.Quality.aucOf(rows.toDF("label", "score"))
+        .head().getAs[Double]("auc")
+    val pos = Seq.tabulate(5)(i => (1, 0.6 + i * 0.01))
+    val neg = Seq.tabulate(5)(i => (0, 0.1 + i * 0.01))
+    assert(auc(pos ++ neg) == 1.0)
+    assert(auc(pos.map { case (_, s) => (0, s) } ++
+      neg.map { case (_, s) => (1, s) }) == 0.0)
+    assert(auc(Seq((1, 0.5), (1, 0.5), (0, 0.5), (0, 0.5))) == 0.5)
+    // one inverted pair among perfectly separated 2+2: AUC = 3/4
+    assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
+  }
+
   test("q8 market share: shares bounded, years in the window") {
     // value-exactness is the DuckDB oracle's job; this pins the output
     // contract — a share is a fraction of its own denominator and the
