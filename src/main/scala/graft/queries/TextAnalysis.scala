@@ -1158,8 +1158,11 @@ object TextAnalysis {
     * (doc, pos), and the kept-token anti join + ordered reassembly
     * shuffle on (doc, pos)/doc_id — every stage linear in corpus
     * tokens. collect_list is bounded per document, never per key.
-    * AQE's exchange reuse collapses the two tokenizations of the same
-    * scan (the q2/q11 pattern).
+    * Two corpus scans execute (the token explode and the span
+    * explode — different projections, so the scans themselves don't
+    * merge); the remaining duplicate subtrees collapse via AQE's
+    * ReusedExchange (the q2/q11 pattern, 2 reuses in the executed
+    * plan).
     */
   def spanDedupRewrite(spark: SparkSession, dir: String): DataFrame =
     spanDedupRewriteOf(Tables.documents(spark, dir))

@@ -207,6 +207,45 @@ object Streams {
       }
   }
 
+  // tsUs is epoch MICROS — java.sql.Timestamp.getTime is millisecond
+  // precision and would truncate the fixture's microsecond stamps,
+  // silently breaking equality with the batch struct-max
+  case class CdcState(tsUs: Long, eventId: Long, value: Double)
+  case class CdcUpdate(user_id: Long, event_type: String,
+      last_ts: Timestamp, last_event_id: Long, last_value: Double)
+
+  /** Streaming CDC/upsert compaction — the incremental twin of
+    * [[graft.queries.Events.eventsCdcLatest]]: per (user, event_type)
+    * key, hold ONLY the current winner under the (ts, event_id)
+    * argmax. The winner-take-max update is commutative and idempotent
+    * (exactly [[distinctStream]]'s register-max argument), so the
+    * final state after any micro-batching and any arrival order
+    * equals the batch struct-max bit-for-bit — ExtensionsSpec asserts
+    * that equality. State is 3 scalars per live key (the compacted
+    * table itself — the minimum any upsert view can hold); emits one
+    * update per (key, micro-batch) with the running latest row.
+    */
+  def cdcLatestStream(events: Dataset[Event]): Dataset[CdcUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[CdcState, CdcUpdate](GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[Event], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(Long.MinValue, Long.MinValue, 0.0))
+          batch.foreach { e =>
+            val i = e.ts.toInstant
+            val t = i.getEpochSecond * 1000000L + i.getNano / 1000L
+            if (t > st.tsUs || (t == st.tsUs && e.event_id > st.eventId))
+              st = CdcState(t, e.event_id, e.value)
+          }
+          state.update(st)
+          CdcUpdate(key._1, key._2,
+            Timestamp.from(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(st.tsUs, 1000000L),
+              Math.floorMod(st.tsUs, 1000000L) * 1000L)),
+            st.eventId, st.value)
+      }
+  }
+
   case class CohortState(firstWeekDay: Long)
   case class CohortUpdate(user_id: Long, cohort: String, changed: Boolean)
 

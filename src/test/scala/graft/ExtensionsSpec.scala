@@ -446,6 +446,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streaming CDC compaction equals the batch struct-max under any batching") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-cdc").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(tmp)
+    val q = Streams.cdcLatestStream(spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .parquet(tmp).as[Streams.Event])
+      .writeStream.format("memory").queryName("cdcstream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // the winner-take-max state is commutative + idempotent, so the
+    // LAST update per key is the compacted row regardless of batching;
+    // take it via max on (ts, event_id) over the update log
+    val streamed = spark.table("cdcstream")
+      .groupBy("user_id", "event_type")
+      .agg(max(struct(col("last_ts"), col("last_event_id"), col("last_value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.last_ts"), col("m.last_event_id"), col("m.last_value"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect().toSet
+    val batch = graft.queries.Events.eventsCdcLatest(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch mismatch: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming cohort assignment equals the batch retention cohorts") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-coh").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
