@@ -507,6 +507,47 @@ object DedupQueries {
     }.reduce(_.unionAll(_)).orderBy("algo")
   }
 
+  /** Shared-fingerprint df cap for [[dedupWinnow]]: a fingerprint shared
+    * by more documents than this (template boilerplate every document
+    * carries) would put its whole posting list into one O(df²) join
+    * task — the [[Dedup.DefaultMaxDf]] trade on the winnowing posting
+    * space. The fixture's largest posting stays far below it, so
+    * correctness specs see uncapped behavior; mirrored in the oracle.
+    */
+  val WinnowMaxDf = 1000
+
+  /** Near-duplicate pairs via shared winnowing fingerprints (Schleimer
+    * et al. 2003 §5 — the MOSS matcher): documents sharing ≥ 2 selected
+    * fingerprints, i.e. at least two independent windows agreed the
+    * same content run is present in both. The guarantee inherited from
+    * [[TextAnalysis.winnowFingerprint]] makes this a RUN detector —
+    * any shared token run of ≥ 6 tokens forces a shared fingerprint —
+    * which complements the set-overlap detectors (MinHash/Jaccard see
+    * global bag similarity; winnowing sees contiguous plagiarism even
+    * inside otherwise-unrelated documents).
+    *
+    * Scale shape: the fingerprint frame is already ~2/(w+1)-density
+    * per document; postings join on the fingerprint key with the
+    * pigeonhole-bounded hot-list anti-join ([[Dedup.pairJaccard]]'s
+    * cap), so the pair stage is Σ min(df, cap)² — never corpus².
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    dedupWinnowOf(Tables.documents(spark, dir), WinnowMaxDf)
+
+  private[graft] def dedupWinnowOf(docs: DataFrame, maxDf: Int): DataFrame = {
+    val fps = TextAnalysis.winnowFps(docs)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    kept.select(col("doc_id").as("a"), col("fp"))
+      .join(kept.select(col("doc_id").as("b"), col("fp")), "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .orderBy("a", "b")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall_bands" -> (dedupRecallBands _),
     "dedup_exact" -> (dedupExact _),
@@ -524,6 +565,7 @@ object DedupQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dup_clusters" -> (dupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_winnow" -> (dedupWinnow _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -656,6 +698,35 @@ object DedupQueries {
        |  JOIN embeddings eb ON c.b = eb.vec_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // winnowing postings rebuilt exactly as TextAnalysis's
+    // winnow_fingerprint oracle (k=3 shingles, w=4 window mins), then
+    // the capped posting self-join — the pairJaccard cap mirrored on fp
+    "dedup_winnow" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      CASE WHEN len($duckToks) >= 3
+         |        THEN list_transform(range(1, len($duckToks) - 1),
+         |               i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
+         |        ELSE [] END,
+         |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+         |  FROM documents),
+         |fps AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(h) < 4 THEN [list_min(h)]
+         |         ELSE list_distinct(list_transform(range(1, len(h) - 2),
+         |                j -> list_min(h[CAST(j AS INTEGER) : CAST(j AS INTEGER) + 3])))
+         |    END) AS fp
+         |  FROM h WHERE len(h) >= 1),
+         |hot AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1)
+         |  WHERE df > $WinnowMaxDf),
+         |kept AS (SELECT doc_id, fp FROM fps
+         |         WHERE fp NOT IN (SELECT fp FROM hot))
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
     // SemDeDup replay: the ann_ivf_trained Lloyd ladder (8 cells, 2
     // iterations) via Similarity.lloydIter, argmax-dot assignment (ties
     // to the lowest cent_id), then within-cluster lower-id-mate pairs

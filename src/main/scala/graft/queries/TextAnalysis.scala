@@ -377,7 +377,14 @@ object TextAnalysis {
     * count tables shuffle on their natural keys and partial-combine;
     * the per-doc score join is an equi-join on (w1, w2).
     */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    lmScores(spark, dir).orderBy("doc_id")
+
+  /** Unordered per-document LM score frame (doc_id, n_bigrams, avg_logp)
+    * backing [[bigramLm]] and [[pplBucket]] — factored so the bucket
+    * query does not inherit a sort it immediately re-shuffles away.
+    */
+  private def lmScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bi = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
@@ -404,7 +411,124 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 4)
           .as("avg_logp"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): documents
+    * split into head/middle/tail terciles of the corpus's own
+    * [[bigramLm]] score distribution — the quality-stratification step a
+    * curation pipeline runs before choosing how much of each band to
+    * keep. Higher avg_logp = lower perplexity = "head".
+    *
+    * Scale shape: the tercile cuts are NOT a global sort of the corpus —
+    * per-doc scores aggregate onto their (4-decimal-snapped) score
+    * VALUE, a running count over the distinct-score frame finds where
+    * the floor(n/3) / floor(2n/3) rank boundaries fall, and the
+    * value→bucket map joins back onto the score frame. The only
+    * unpartitioned window runs over distinct snapped scores (grid-
+    * bounded: the 1e-4 grid over the observed logp span, ~10³–10⁴ rows
+    * regardless of corpus size), never over documents. A score value
+    * straddling a rank boundary takes the bucket where its cumulative
+    * count ENDS — deterministic, and exact-long arithmetic on both
+    * engines.
+    */
+  def pplBucket(spark: SparkSession, dir: String): DataFrame = {
+    val scored = lmScores(spark, dir)
+    val byScore = scored.groupBy(col("avg_logp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("avg_logp").desc)))
+    val tot = scored.agg(count(lit(1)).as("n"))
+    val buckets = byScore.crossJoin(broadcast(tot))
+      .select(col("avg_logp"),
+        when(col("cum") <= floor(col("n") / 3.0), "head")
+          .when(col("cum") <= floor(col("n") * 2 / 3.0), "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(buckets, Seq("avg_logp"))
+      .select(col("doc_id"), col("avg_logp"), col("bucket"))
       .orderBy("doc_id")
+  }
+
+  /** Per-document n-gram novelty — the memorization/contamination
+    * metric: the fraction of a document's distinct 3-token shingles
+    * that occur in NO other document. Low novelty = the document is
+    * assembled from corpus-common phrasing (template/boilerplate);
+    * novelty 1.0 = entirely original n-grams. The per-doc companion to
+    * the pairwise [[graft.queries.DedupQueries]] detectors: same
+    * shingle space, but a profile score instead of a pair join.
+    *
+    * Scale shape: distinct (doc, shingle) pairs shuffle once onto the
+    * shingle key for the document-frequency count (map-side combined),
+    * join back on the same key (no second shuffle of the df side under
+    * AQE exchange reuse), then aggregate onto doc_id. Nothing is ever
+    * pairwise; documents with fewer than 3 tokens have no shingles and
+    * are absent by construction.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyOf(Tables.documents(spark, dir))
+
+  /** [[ngramNovelty]] over an explicit (doc_id, text) frame — spec entry
+    * point for hand-computable corpora.
+    */
+  private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextFns.shingles3(TextFns.tokens(col("text")))).as("sh"))
+      .distinct()
+    val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(dfq, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Robust winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS algorithm): hash every 3-token shingle, slide a window of
+    * w = 4 consecutive hashes, keep the minimum of each window. The
+    * guarantee: any shared run of ≥ w + 2 tokens between two documents
+    * yields at least one shared fingerprint, while only ~2/(w+1) of all
+    * hashes are kept — the density/guarantee trade the paper proves
+    * optimal. Documents shorter than one full window contribute the
+    * minimum of all their hashes (so every ≥3-token document has ≥1
+    * fingerprint). Emits distinct (doc_id, fingerprint) pairs — the
+    * posting-list input a winnowing-based near-dup or provenance join
+    * consumes.
+    *
+    * Scale shape: everything up to the final sort is per-document array
+    * arithmetic inside one narrow projection (hashing, windowed min,
+    * per-doc dedup all via codegen'd higher-order functions — no
+    * explode before the dedup, no shuffle at all except the output
+    * sort). Output is ~2/(w+1) × shingle count, distinct per doc.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprintOf(Tables.documents(spark, dir))
+
+  /** [[winnowFingerprint]] over an explicit (doc_id, text) frame — spec
+    * entry point for hand-computable corpora.
+    */
+  private[graft] def winnowFingerprintOf(docs: DataFrame): DataFrame =
+    winnowFps(docs).orderBy("doc_id", "fp")
+
+  /** Unordered (doc_id, fp) winnowing postings — consumed by
+    * [[DedupQueries.dedupWinnow]], which re-shuffles on fp and must not
+    * inherit the report sort.
+    */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val w = 4
+    docs
+      .select(col("doc_id"),
+        transform(TextFns.shingles3(TextFns.tokens(col("text"))),
+          s => TextFns.md5Int(s)).as("h"))
+      .withColumn("nh", size(col("h")))
+      .filter(col("nh") >= 1)
+      .withColumn("fps",
+        when(col("nh") < w, array(array_min(col("h"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), col("nh") - (w - 1)),
+              j => array_min(slice(col("h"), j, lit(w)))))))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): tokens are
@@ -642,6 +766,43 @@ object TextAnalysis {
       .filter(col("dist") <= 2)
       .select(col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
+  }
+
+  /** Heaps'-law vocabulary growth curve — the corpus profile a
+    * tokenizer team reads before sizing a vocabulary: distinct-token
+    * count as a function of corpus prefix size, over the deterministic
+    * md5-bucket document ordering (the [[sampleStratified]] gate
+    * family, so the "prefix" is reproducible on any cluster and nests:
+    * prefix p% ⊂ prefix q% for p < q). One row per percentile with
+    * cumulative token instances and cumulative vocabulary.
+    *
+    * Scale shape: a token's contribution to the curve is fully
+    * described by TWO small aggregates — instances per bucket (≤100
+    * keys) and each distinct token's FIRST bucket (vocab at p = tokens
+    * whose min bucket < p, so the |vocab|-sized frame aggregates down
+    * to ≤100 rows before any window). The running sums then ride a
+    * ≤100-row frame — never a corpus-sized window, never a second scan
+    * per threshold.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select((TextFns.md5Int(concat(lit("hl|"), col("doc_id"))) % 100)
+          .cast("int").as("b"),
+        explode(TextFns.tokens(col("text"))).as("tok"))
+    val inst = tk.groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val vb = tk.groupBy(col("tok")).agg(min(col("b")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    inst.join(vb, Seq("b"), "full")
+      .select(col("b"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .select((col("b") + 1).as("pct"),
+        sum(col("n")).over(w).as("n_tokens"),
+        sum(col("v")).over(w).as("vocab"))
+      .orderBy("pct")
   }
 
   /** Ingest profile of the documents table — the per-shard
@@ -1259,6 +1420,10 @@ object TextAnalysis {
     "tok_zipf" -> (tokZipf _),
     "docs_profile" -> (docsProfile _),
     "vocab_fuzzy_pairs" -> (vocabFuzzyPairs _),
+    "ppl_bucket" -> (pplBucket _),
+    "ngram_novelty" -> (ngramNovelty _),
+    "winnow_fingerprint" -> (winnowFingerprint _),
+    "vocab_growth" -> (vocabGrowth _),
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1633,6 +1798,68 @@ object TextAnalysis {
       s"""WITH $duckLmScore
          |SELECT doc_id, n_bigrams, avg_logp
          |FROM lmscore ORDER BY doc_id""".stripMargin,
+    // tercile cuts via running counts over DISTINCT snapped scores —
+    // exact long arithmetic, never a per-document global sort (mirrors
+    // the Spark plan's scale shape)
+    "ppl_bucket" ->
+      s"""WITH $duckLmScore,
+         |by_score AS (SELECT avg_logp, count(*) AS cnt FROM lmscore GROUP BY 1),
+         |cum AS (SELECT avg_logp,
+         |          sum(cnt) OVER (ORDER BY avg_logp DESC) AS cum
+         |        FROM by_score),
+         |tot AS (SELECT count(*) AS n FROM lmscore)
+         |SELECT l.doc_id, l.avg_logp,
+         |  CASE WHEN c.cum <= floor(n / 3.0) THEN 'head'
+         |       WHEN c.cum <= floor(n * 2 / 3.0) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM lmscore l JOIN cum c USING (avg_logp) CROSS JOIN tot
+         |ORDER BY doc_id""".stripMargin,
+    "ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest($duckShingles) AS sh FROM documents)),
+         |dft AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 4) AS novelty
+         |FROM sh JOIN dft USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "vocab_growth" ->
+      s"""WITH tk AS (
+         |  SELECT CAST(CAST(('0x' || substr(md5('hl|' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |              AS BIGINT) % 100 AS INTEGER) AS b,
+         |         unnest($duckToks) AS tok
+         |  FROM documents),
+         |inst AS (SELECT b, count(*) AS n FROM tk GROUP BY 1),
+         |vb AS (
+         |  SELECT b, count(*) AS v FROM (
+         |    SELECT min(b) AS b FROM tk GROUP BY tok) GROUP BY 1),
+         |m AS (
+         |  SELECT coalesce(i.b, v.b) AS b, coalesce(n, 0) AS n, coalesce(v, 0) AS v
+         |  FROM inst i FULL JOIN vb v ON i.b = v.b)
+         |SELECT b + 1 AS pct,
+         |  CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS n_tokens,
+         |  CAST(sum(v) OVER (ORDER BY b) AS BIGINT) AS vocab
+         |FROM m ORDER BY pct""".stripMargin,
+    // h[j : j+3] is DuckDB's INCLUSIVE 1-based list slice = Spark's
+    // slice(h, j, 4); range(1, nh-2) excludes its stop = Spark's
+    // sequence(1, nh-3) — both yield the nh-3 full windows of w=4
+    "winnow_fingerprint" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform($duckShingles,
+         |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(h) < 4 THEN [list_min(h)]
+         |         ELSE list_distinct(list_transform(range(1, len(h) - 2),
+         |                j -> list_min(h[CAST(j AS INTEGER) : CAST(j AS INTEGER) + 3])))
+         |    END AS fps
+         |  FROM h WHERE len(h) >= 1)
+         |SELECT doc_id, unnest(fps) AS fp FROM f
+         |ORDER BY doc_id, fp""".stripMargin,
     // mirrors the Spark side's two scale guards: the df cap on gram
     // blocks (never triggers on fixtures, mirrored so the engines agree
     // if it ever does) and the Gravano count filter before levenshtein

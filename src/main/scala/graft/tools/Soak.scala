@@ -301,6 +301,20 @@ object Soak {
       // unpersists below).
       spark.sharedState.cacheManager.clearCache()
 
+      // winnowing pair stage at mult×: the duplicated corpus turns every
+      // fingerprint posting into an m-clique (df = m × base_df), so the
+      // measured growth is the Σ min(df, cap)² pair-join cost — the
+      // minhash_dedup clique stress replayed on the winnowing posting
+      // space, where dfs are ~1 at base (fingerprints are near-unique by
+      // design) and the duplication factor IS the df. The shared-count
+      // groupBy then processes one row per clique pair per shared
+      // fingerprint — the quadratic member this envelope exists to see.
+      val tWinnow = time {
+        graft.queries.DedupQueries
+          .dedupWinnowOf(corpus(m), graft.queries.DedupQueries.WinnowMaxDf)
+          .count()
+      }
+
       // fuzzy vocab join at mult×2000 synthetic tokens (4-syllable
       // pseudo-words): most 2-gram blocks exceed the df cap on this
       // dense vocabulary, so the measured growth is the CAPPED path —
@@ -351,7 +365,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -673,6 +673,105 @@ class NewOpsSpec extends SparkSpec {
     assert(out(4L).getAs[Int]("r_rep") == 0 && out(4L).getAs[Int]("r_words") == 1)
   }
 
+  test("ngram_novelty: shared shingle halves novelty; unique doc scores 1; short doc absent") {
+    // doc 0/1 share shingle "a b c" (df=2); each also holds one unique
+    // shingle → novelty 1/2 for both. doc 2 is all-original → 1.0.
+    // doc 3 has 2 tokens → no shingles → absent from the output.
+    val docs = Seq(
+      (0L, "a b c d"),   // shingles: "a b c"(df2), "b c d"(df1)
+      (1L, "a b c x"),   // shingles: "a b c"(df2), "b c x"(df1)
+      (2L, "p q r s"),   // both shingles unique
+      (3L, "s t")        // below shingle length
+    ).toDF("doc_id", "text")
+    val out = graft.queries.TextAnalysis.ngramNoveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+  }
+
+  test("winnowing: shared >= w+k-1 token run shares a fingerprint; density bounded") {
+    // winnowing guarantee (Schleimer et al. 2003): with k=3-token
+    // shingles and window w=4, any shared token run of length
+    // >= w + k - 1 = 6 spans at least one full shared hash window, so
+    // the two documents must share that window's min hash. doc 0 and
+    // doc 1 share the 6-token run "m1 ... m6" embedded at DIFFERENT
+    // offsets amid unrelated context; doc 2 shares nothing.
+    val run = (1 to 6).map(i => s"m$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"u1 u2 u3 $run u4 u5"),
+      (1L, s"v1 $run v2 v3 v4 v5"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8")
+    ).toDF("doc_id", "text")
+    val fps = graft.queries.TextAnalysis.winnowFingerprintOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((byDoc(0L) & byDoc(2L)).isEmpty && (byDoc(1L) & byDoc(2L)).isEmpty)
+    // density: never more fingerprints than full windows (nh - w + 1),
+    // and every >=3-token doc keeps at least one
+    for ((d, n) <- Seq(0L -> 11, 1L -> 11, 2L -> 8)) {
+      val nh = n - 2 // 3-gram count
+      assert(byDoc(d).nonEmpty && byDoc(d).size <= math.max(1, nh - 3))
+    }
+  }
+
+  test("ppl_bucket: buckets are score-monotone terciles consistent with bigram_lm") {
+    val scores = graft.queries.TextAnalysis.bigramLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val out = graft.queries.TextAnalysis.pplBucket(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.map(_._1).toSet == scores.keySet) // total partition of scored docs
+    out.foreach { case (id, lp, _) => assert(lp == scores(id)) }
+    val byB = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    // score-monotone: every head score >= every middle score >= every tail
+    assert(byB("head").min >= byB("middle").max)
+    assert(byB("middle").min >= byB("tail").max)
+    // tercile boundaries respected up to the straddling-value rule: the
+    // head never exceeds floor(n/3), head+middle never floor(2n/3)
+    val n = out.length
+    assert(byB("head").size <= n / 3)
+    assert(byB("head").size + byB("middle").size <= 2 * n / 3)
+  }
+
+  test("dedup_winnow: long shared run pairs up; unrelated doc never does; cap audited") {
+    // doc 0/1 share a 10-token run → 5 full shared hash windows → well
+    // past the shared >= 2 bar regardless of which mins win. doc 2
+    // shares no token with either → no common shingle hash, so no
+    // common fingerprint is even possible.
+    val long = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"x1 x2 $long x3 x4"),
+      (1L, s"y1 $long y2 y3"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val pairs = graft.queries.DedupQueries.dedupWinnowOf(docs, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 2)
+    assert(pairs.keySet == Set((0L, 1L)))
+    // cap 1 drops every shared fingerprint (df = 2 > 1) → no pairs at all
+    assert(graft.queries.DedupQueries.dedupWinnowOf(docs, 1).count() == 0)
+  }
+
+  test("vocab_growth: monotone nested curves ending at the corpus totals") {
+    val rows = graft.queries.TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 >= a._2 && b._3 >= a._3)
+      case _ => ()
+    }
+    // the last row IS the whole corpus: total instances + total vocab
+    val toks = Tables.documents(spark, dir)
+      .select(explode(graft.text.TextFns.tokens(col("text"))).as("tok"))
+    assert(rows.last._2 == toks.count())
+    assert(rows.last._3 == toks.distinct().count())
+    // a prefix can never hold more distinct tokens than instances
+    rows.foreach { case (_, n, v) => assert(v <= n) }
+  }
+
   test("AUC rank statistic: separation=1, inversion=0, all-tied=0.5, interleave exact") {
     def auc(rows: Seq[(Int, Double)]): Double =
       graft.queries.Quality.aucOf(rows.toDF("label", "score"))

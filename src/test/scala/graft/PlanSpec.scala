@@ -382,6 +382,38 @@ class PlanSpec extends SparkSpec {
         s"corpus-derived broadcasts are a 100× scale-killer")
   }
 
+  test("winnow/novelty/ppl family: no cartesian; fingerprint build shuffles only for the report sort") {
+    // winnow_fingerprint is per-document array arithmetic end to end:
+    // the ONLY exchange its plan may carry is the final report sort's
+    // range partitioning — a hash exchange would mean the windowed-min
+    // selection leaked into a shuffle
+    val fp = graft.queries.TextAnalysis.winnowFingerprint(spark, dir)
+    fp.collect()
+    val pFp = planOf(fp)
+    assert(!pFp.contains("CartesianProduct"), pFp)
+    assert(!pFp.contains("Exchange hashpartitioning"), pFp)
+    // dedup_winnow's pair stage is an equi-join on fp with the
+    // pigeonhole-bounded hot-list anti-join — never a cartesian
+    val dw = graft.queries.DedupQueries.dedupWinnow(spark, dir)
+    dw.collect()
+    val pDw = planOf(dw)
+    assert(!pDw.contains("CartesianProduct"), pDw)
+    // ngram_novelty: shingle-keyed equi-joins only
+    val nn = graft.queries.TextAnalysis.ngramNovelty(spark, dir)
+    nn.collect()
+    val pNn = planOf(nn)
+    assert(!pNn.contains("CartesianProduct") && !pNn.contains("BroadcastNestedLoop"), pNn)
+    // ppl_bucket: the tercile cut runs over DISTINCT snapped scores —
+    // its score groupBy must partial-aggregate map-side before the one
+    // single-partition window; the per-document frame is never globally
+    // sorted except the final report orderBy
+    val pb = graft.queries.TextAnalysis.pplBucket(spark, dir)
+    pb.collect()
+    val pPb = planOf(pb)
+    assert(pPb.contains("partial_count"), pPb)
+    assert(!pPb.contains("CartesianProduct"), pPb)
+  }
+
   test("q8: every dimension broadcasts; no sort-merge or cartesian anywhere") {
     // seven tables, one fact: part/supplier/nation×2/customer/region
     // must all arrive as broadcasts onto the lineitem scan — the only
