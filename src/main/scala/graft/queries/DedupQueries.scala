@@ -538,7 +538,10 @@ object DedupQueries {
     val fps = TextAnalysis.winnowFps(docs)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
-    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    // kept feeds both sides of the self-join — cache it so the
+    // fingerprint build (tokenize + hash + windowed min) and hot-list
+    // anti-join run once, not per branch (the pairJaccard pattern)
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
     kept.select(col("doc_id").as("a"), col("fp"))
       .join(kept.select(col("doc_id").as("b"), col("fp")), "fp")
       .filter(col("a") < col("b"))

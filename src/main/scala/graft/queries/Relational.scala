@@ -454,7 +454,10 @@ object Relational {
     * exchange reuse computes it once — the executed plan carries one
     * lineitem scan + a ReusedExchange (PlanSpec pins this; a second
     * fact scan at 100 TB would double the dominant cost).
-    * Supplier/nation/region fold into one broadcast dim.
+    * Supplier/nation/region fold into one region-supplier dim; only
+    * the CONSTANT-size nation/region sides carry broadcast hints — the
+    * supplier- and part-derived frames are SF-scaled, so the planner
+    * (AQE at runtime) decides whether they broadcast, same as q8.
     * Top-100 via TakeOrderedAndProject on the (acctbal, nation, name,
     * part) key, which is unique per offer row.
     */
@@ -473,8 +476,8 @@ object Relational {
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val offers = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(regionSup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
         col("s_name"), col("s_acctbal"), col("n_name"))
       .agg(min(col("l_extendedprice")).as("cost"))
@@ -497,9 +500,11 @@ object Relational {
     * products (2-decimal price × (1−discount) ≤ 4 decimals;
     * 2-decimal retailprice × integral quantity = 2 decimals) are cast
     * to DECIMAL(18,4) BEFORE the subtraction, so the per-row amount
-    * and its sum are exact in both engines. The part-name filter and
-    * the two dims broadcast; orders joins on the one shuffled fact
-    * key, then one hash aggregate on (nation, year).
+    * and its sum are exact in both engines. Only the constant-size
+    * nation dim is broadcast-hinted; the name-filtered part and the
+    * supplier-nation frames are SF-scaled, so the planner sizes them
+    * (q8 precedent). Orders joins on the one shuffled fact key, then
+    * one hash aggregate on (nation, year).
     */
   def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
@@ -518,8 +523,8 @@ object Relational {
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supNat, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
@@ -537,7 +542,9 @@ object Relational {
     * itself a DECIMAL literal — a double 0.001 would poison the
     * product), so no float ever decides membership; the value is cast
     * to double only for output. Plan: region suppliers fold into one
-    * broadcast dim, one hash aggregate on l_partkey, the grand total
+    * dim (hinted broadcasts only on constant-size nation/region; the
+    * SF-scaled supplier side is planner-sized, the q8 precedent),
+    * one hash aggregate on l_partkey, the grand total
     * re-aggregates THAT |parts|-sized frame (never the fact table
     * twice — the DataFrame API duplicates the subtree in the initial
     * plan, but AQE's exchange reuse executes one lineitem scan +
@@ -556,7 +563,7 @@ object Relational {
       .select("s_suppkey")
     val value = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
-      .join(broadcast(regionSup), col("l_suppkey") === col("s_suppkey"))
+      .join(regionSup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("value_dec"))
     val thr = value
@@ -1304,10 +1311,10 @@ object Relational {
         |ORDER BY value DESC, p_partkey ASC""".stripMargin,
     "q12_late_priority" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_returnflag IN ('A', 'R')
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'

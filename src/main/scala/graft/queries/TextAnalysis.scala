@@ -428,8 +428,11 @@ object TextAnalysis {
     * bounded: the 1e-4 grid over the observed logp span, ~10³–10⁴ rows
     * regardless of corpus size), never over documents. A score value
     * straddling a rank boundary takes the bucket where its cumulative
-    * count ENDS — deterministic, and exact-long arithmetic on both
-    * engines.
+    * count ENDS — deterministic: both engines evaluate the SAME
+    * floor(n/3.0) / floor(n*2/3.0) double-then-floor expression, so the
+    * boundary cannot diverge between them (double division is exact to
+    * the last bit well past any realistic n; exactness would erode only
+    * beyond 2^53 documents).
     */
   def pplBucket(spark: SparkSession, dir: String): DataFrame = {
     val scored = lmScores(spark, dir)
@@ -496,11 +499,10 @@ object TextAnalysis {
     * posting-list input a winnowing-based near-dup or provenance join
     * consumes.
     *
-    * Scale shape: everything up to the final sort is per-document array
-    * arithmetic inside one narrow projection (hashing, windowed min,
-    * per-doc dedup all via codegen'd higher-order functions — no
-    * explode before the dedup, no shuffle at all except the output
-    * sort). Output is ~2/(w+1) × shingle count, distinct per doc.
+    * Scale shape: a typed per-document flatMap (hash each 3-shingle,
+    * linear monotonic-deque windowed minimum, per-doc HashSet dedup —
+    * O(tokens) per document), so there is no shuffle at all except the
+    * output sort. Output is ~2/(w+1) × shingle count, distinct per doc.
     */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprintOf(Tables.documents(spark, dir))
@@ -516,19 +518,54 @@ object TextAnalysis {
     * inherit the report sort.
     */
   private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    // Typed per-document flatMap (the chunker shape — SURVEY §2.2): the
+    // previous all-Catalyst formulation chained `withColumn` aliases
+    // over NESTED higher-order functions, and alias inlining during
+    // optimization multiplied the expression tree ~5×-per-level into a
+    // plan the optimizer/codegen walked for ~7 MINUTES of
+    // single-threaded driver time — machine-size-independent, so no
+    // cluster absorbs it. The sequential fold below is O(tokens) per
+    // document (monotonic-deque windowed minimum), hashes with
+    // [[TextFns.md5IntJvm]] (bit-identical to the `md5Int` expression
+    // and the DuckDB oracle), dedups per document before emitting, and
+    // still carries NO shuffle — the plan is scan → flatMap.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val w = 4
-    docs
-      .select(col("doc_id"),
-        transform(TextFns.shingles3(TextFns.tokens(col("text"))),
-          s => TextFns.md5Int(s)).as("h"))
-      .withColumn("nh", size(col("h")))
-      .filter(col("nh") >= 1)
-      .withColumn("fps",
-        when(col("nh") < w, array(array_min(col("h"))))
-          .otherwise(array_distinct(
-            transform(sequence(lit(1), col("nh") - (w - 1)),
-              j => array_min(slice(col("h"), j, lit(w)))))))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (docId, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val toks = text.trim.split("\\s+")
+          val n = toks.length - 2 // 3-shingle count
+          if (n < 1) Iterator.empty
+          else {
+            val h = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              h(i) = TextFns.md5IntJvm(
+                toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+              i += 1
+            }
+            val out = scala.collection.mutable.HashSet.empty[Long]
+            if (n < w) out += h.min
+            else {
+              val dq = new java.util.ArrayDeque[Int]
+              var j = 0
+              while (j < n) {
+                while (!dq.isEmpty && h(dq.peekLast()) >= h(j)) dq.pollLast()
+                dq.addLast(j)
+                if (dq.peekFirst() <= j - w) dq.pollFirst()
+                if (j >= w - 1) out += h(dq.peekFirst())
+                j += 1
+              }
+            }
+            out.iterator.map(fp => (docId, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): tokens are
