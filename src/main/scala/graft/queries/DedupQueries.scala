@@ -122,6 +122,48 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs (Broder 1997, "On the
+    * resemblance and containment of documents"): containment(a in b) =
+    * |S_a ∩ S_b| / |S_a| over the df-capped 3-shingle sets — the SUBSET
+    * detector the symmetric members cannot express. A short document
+    * quoted whole inside a much longer one has tiny Jaccard (the union
+    * is dominated by the long side) but containment ≈ 1; this is how a
+    * curation pipeline finds quotes, excerpts and boilerplate-wrapped
+    * reposts that [[dedupNgramJaccard]] structurally misses. Emits
+    * ORDERED pairs (`a` contained in `b`) at raw containment ≥ 0.5;
+    * both directions are evaluated independently from one shared-count
+    * aggregate.
+    *
+    * Scale shape: identical to [[Dedup.pairJaccard]] — the pigeonhole-
+    * bounded hot-shingle anti-join caps the postings self-join at
+    * Σ min(df, cap)²; the per-unordered-pair shared counts are computed
+    * ONCE and both directions come from a projection union, not a
+    * second join. The threshold compares the RAW double quotient in
+    * both engines (the jac ≥ 0.8 discipline); rounding is output-only.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentOf(Tables.documents(spark, dir))
+
+  private[graft] def dedupContainmentOf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text").cache()
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Dedup.DefaultMaxDf).select(col("s"))
+    val kept = sh.join(broadcast(hot), Seq("s"), "left_anti")
+      .select(col("id"), col("s")).cache()
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val shared = kept.as("x").join(kept.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+    val both = shared
+      .unionAll(shared.select(col("b").as("a"), col("a").as("b"), col("shared")))
+    both.join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .filter(col("shared").cast("double") / col("na") >= 0.5)
+      .select(col("a"), col("b"),
+        round(col("shared").cast("double") / col("na"), 4).as("containment"))
+      .orderBy("a", "b")
+  }
+
   /** LSH candidates verified at true Jaccard ≥ 0.7 — shared by
     * [[dedupMinhashLsh]] (reports the pairs) and [[dupClusters]]
     * (resolves them into duplicate clusters). The shingle set feeds the
@@ -157,6 +199,25 @@ object DedupQueries {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
       .orderBy("a", "b")
 
+  /** Connected-component labels of the near-dup pair graph, as a local
+    * frame rebuilt from per-(session, dir) collected (doc_id, label)
+    * ids — the [[truePairs07]] collect-small-artifacts pattern, applied
+    * per round-13 advice because [[dupClusters]] and [[dedupCanonical]]
+    * each re-ran the LSH pipeline + the pointer-doubling RDD loop
+    * (~3 s apiece clean). Only PAIR-GRAPH NODES carry a label (near-dup
+    * members are a sliver of any corpus — the same bound as the truth
+    * memos); singletons rejoin with their own id in [[dupClusters]].
+    */
+  private def componentLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arr = truthMemo.computeIfAbsent(spark, dir + "#cc") {
+      Dedup.connectedComponents(
+          verifiedNearDupPairs(spark, dir).select(col("a"), col("b")))
+        .as[(Long, Long)].collect()
+    }.asInstanceOf[Array[(Long, Long)]]
+    arr.toSeq.toDF("doc_id", "lab")
+  }
+
   /** Duplicate-cluster resolution: connected components over the
     * verified near-dup pair graph, labelling every document with the
     * minimum doc_id reachable through near-dup edges (its canonical
@@ -171,12 +232,12 @@ object DedupQueries {
     * rejoin with their own id at the end. The fixpoint (min reachable
     * id) is unique, so the result is deterministic regardless of
     * partitioning or iteration order — which is what makes a
-    * recursive-CTE oracle valid.
+    * recursive-CTE oracle valid. The label build runs once per
+    * (session, dir) via [[componentLabels]]; this and every consumer
+    * ([[dedupCanonical]]) cite the collected ids.
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val labelDf = Dedup
-      .connectedComponents(verifiedNearDupPairs(spark, dir).select(col("a"), col("b")))
-      .toDF("doc_id", "lab")
+    val labelDf = componentLabels(spark, dir)
     val withSingletons = Tables.documents(spark, dir).select(col("doc_id"))
       .join(labelDf, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster_id"))
@@ -218,6 +279,32 @@ object DedupQueries {
         col("n_chars"),
         (struct(col("n_chars"), -col("doc_id")) === col("b")).cast("int").as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** Per-source duplication audit — the report a dedup pass publishes
+    * before anyone approves the drop list: for every ingest `source`,
+    * corpus size, how many of its documents sit in a near-dup cluster,
+    * how many the keep-canonical policy would DROP, and the resulting
+    * dup rate. This is the number a data owner actually reads ("which
+    * feed is polluting the corpus?") and the per-source knob a mixture
+    * rebalance consumes downstream.
+    *
+    * Scale: cites [[dupClusters]] (whose component labels are memoized
+    * per (session, dir)); on top sit one |corpus|-row equi-join to the
+    * (doc_id, source) projection and one map-side-combined aggregate
+    * onto |sources| keys. Nothing pairwise, nothing collected.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    cl.join(src, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("is_canonical") === 0, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("dup_rate",
+        round(col("n_dropped").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
   }
 
   /** Train/eval decontamination: documents sharing ≥1 word-3-gram with
@@ -558,6 +645,7 @@ object DedupQueries {
     "dedup_recall" -> (dedupRecall _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
@@ -568,6 +656,7 @@ object DedupQueries {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dup_clusters" -> (dupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dup_rate_by_source" -> (dupRateBySource _),
     "dedup_winnow" -> (dedupWinnow _),
   )
 
@@ -796,6 +885,20 @@ object DedupQueries {
       s"""WITH $duckPairJaccardCapped
          |SELECT a, b, round(jac, 4) AS jac FROM jacs
          |WHERE jac >= 0.8 ORDER BY a, b""".stripMargin,
+    // both directions from the one shared-count table; the threshold
+    // compares the raw quotient (round is output-only), mirroring the
+    // Spark side exactly
+    "dedup_containment" ->
+      s"""WITH $duckPairJaccardCapped,
+         |dirs AS (
+         |  SELECT a, b, shared FROM shared
+         |  UNION ALL
+         |  SELECT b AS a, a AS b, shared FROM shared)
+         |SELECT dirs.a, dirs.b,
+         |  round(CAST(shared AS DOUBLE) / sz.n, 4) AS containment
+         |FROM dirs JOIN sizes sz ON dirs.a = sz.id
+         |WHERE CAST(shared AS DOUBLE) / sz.n >= 0.5
+         |ORDER BY a, b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $duckPairJaccard,
          |$duckMinhashCands
@@ -916,6 +1019,33 @@ object DedupQueries {
          |  CAST(row_number() OVER (PARTITION BY cluster_id
          |         ORDER BY n_chars DESC, doc_id ASC) = 1 AS INTEGER) AS kept
          |FROM j ORDER BY doc_id""".stripMargin,
+    // the dup_clusters component replay, aggregated per source — counts
+    // as BIGINT (the q12 lesson: DuckDB's bare sum(CASE) is HUGEINT)
+    "dup_rate_by_source" ->
+      s"""WITH RECURSIVE $duckPairJaccard,
+         |$duckMinhashCands,
+         |verified AS (
+         |  SELECT j.a AS u, j.b AS v
+         |  FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7),
+         |edges AS (SELECT u, v FROM verified UNION ALL SELECT v, u FROM verified),
+         |reach(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
+         |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
+         |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clustered,
+         |  CAST(sum(CASE WHEN l.node <> l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  round(CAST(sum(CASE WHEN l.node <> l.cluster_id THEN 1 ELSE 0 END)
+         |          AS DOUBLE) / count(*), 4) AS dup_rate
+         |FROM labels l JOIN csizes s USING (cluster_id)
+         |JOIN documents d ON d.doc_id = l.node
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $duckSimhashSig
          |SELECT id AS doc_id, simhash,

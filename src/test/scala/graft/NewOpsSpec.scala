@@ -755,6 +755,28 @@ class NewOpsSpec extends SparkSpec {
     assert(graft.queries.DedupQueries.dedupWinnowOf(docs, 1).count() == 0)
   }
 
+  test("dedup_containment: whole-quote inclusion found in the right direction only") {
+    // doc 0's entire shingle set lives inside doc 1 (a quote/excerpt):
+    // containment(0 in 1) = 3/3 = 1.0, but the reverse is 3/9 and the
+    // symmetric Jaccard is 3/(3+9-3) = 1/3 — the subset case the
+    // symmetric detectors structurally miss. doc 2 shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "p q r a b c d e s t u"),
+      (2L, "z1 z2 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val out = graft.queries.DedupQueries.dedupContainmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((0L, 1L)), "only the a-contained-in-b direction passes 0.5")
+    assert(out((0L, 1L)) == 1.0)
+    // the contrast that motivates the operator: true Jaccard on the same
+    // pair sits at 1/3, far below the symmetric member's 0.8 bar
+    val jac = graft.dedup.Dedup.pairJaccard(
+        graft.dedup.Dedup.shingleSet(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(jac((0L, 1L)) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("vocab_growth: monotone nested curves ending at the corpus totals") {
     val rows = graft.queries.TextAnalysis.vocabGrowth(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

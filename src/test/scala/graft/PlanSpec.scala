@@ -382,11 +382,37 @@ class PlanSpec extends SparkSpec {
         s"corpus-derived broadcasts are a 100× scale-killer")
   }
 
+  test("q2/q9/q11: forced broadcasts only on constant-size dims, never SF-scaled frames") {
+    // Regression pin for the round-13 verdict: supplier- and part-
+    // derived frames are SF-scaled (TPC-H supplier is SF×10k rows —
+    // ~10⁹ at a 100 TB SF), so a broadcast() hint on them is the same
+    // scale-killer class removed from q8 and vocab_fuzzy_pairs. Hints
+    // may remain only on frames whose size is a CONSTANT of the schema:
+    // nation (25 rows), region (5), or 1-row aggregates (q11's
+    // threshold). Asserted on the analyzed plan, where explicit hints
+    // are ResolvedHint nodes; SF-scaled-ness is detected by the hinted
+    // child's output carrying fact/dim columns that grow with SF.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val sfPrefixes = Seq("s_", "p_", "l_", "o_", "c_", "ps_")
+    for (q <- Seq(
+        Relational.q2MinCostSupplier(spark, dir),
+        Relational.q9ProductProfit(spark, dir),
+        Relational.q11ImportantParts(spark, dir))) {
+      val hints = q.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      val bad = hints.filter(_.child.output.exists(a =>
+        sfPrefixes.exists(a.name.startsWith)))
+      assert(bad.isEmpty,
+        s"SF-scaled frame under a forced broadcast hint: " +
+          s"${bad.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}")
+    }
+  }
+
   test("winnow/novelty/ppl family: no cartesian; fingerprint build shuffles only for the report sort") {
-    // winnow_fingerprint is per-document array arithmetic end to end:
+    // winnow_fingerprint is a typed per-document flatMap end to end:
     // the ONLY exchange its plan may carry is the final report sort's
     // range partitioning — a hash exchange would mean the windowed-min
-    // selection leaked into a shuffle
+    // selection leaked into a shuffle (PlanCostSpec guards the other
+    // axis: the retired all-Catalyst form planned for ~7 minutes)
     val fp = graft.queries.TextAnalysis.winnowFingerprint(spark, dir)
     fp.collect()
     val pFp = planOf(fp)
