@@ -777,6 +777,20 @@ class NewOpsSpec extends SparkSpec {
     assert(math.abs(jac((0L, 1L)) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("dedup_containment: identical docs contain each other both ways; degenerate corpora are empty") {
+    val same = Seq((0L, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    val m = graft.queries.DedupQueries.dedupContainmentOf(same).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m == Map((0L, 1L) -> 1.0, (1L, 0L) -> 1.0),
+      "identical docs must emit BOTH ordered directions at 1.0")
+    // a singleton corpus and an all-short corpus (< 3 tokens → no
+    // shingles) both produce zero pairs, not an error
+    val single = Seq((5L, "a b c d e f")).toDF("doc_id", "text")
+    assert(graft.queries.DedupQueries.dedupContainmentOf(single).count() == 0)
+    val short = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    assert(graft.queries.DedupQueries.dedupContainmentOf(short).count() == 0)
+  }
+
   test("vocab_growth: monotone nested curves ending at the corpus totals") {
     val rows = graft.queries.TextAnalysis.vocabGrowth(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
