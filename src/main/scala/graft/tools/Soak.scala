@@ -19,6 +19,11 @@ object Soak {
   }
 
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated multipliers (e.g. "64" to re-run
+    // one leg under a bigger SPARK_DRIVER_MEM — the 64× winnow clique
+    // stress wants ≥32g; the default 8g OOMs its ~200M-row pair agg)
+    val mults = if (args.nonEmpty) args(0).split(",").map(_.trim.toInt).toSeq
+      else Seq(1, 4, 16, 64)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -48,7 +53,7 @@ object Soak {
     Rag.ragEval(spark, sfDir).count()
     spark.sharedState.cacheManager.clearCache()
 
-    Seq(1, 4, 16, 64).foreach { m =>
+    mults.foreach { m =>
       val docs = corpus(m).select(
           concat(col("source"), lit("/doc"), col("doc_id"), lit(".md")).as("source_file"),
           col("text").as("content"))
