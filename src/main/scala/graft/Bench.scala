@@ -24,13 +24,14 @@ object Bench {
     * SCALING.md's measurement log whenever the surface or the clean
     * band moves; BenchRecordSpec fails the build when the surface
     * drifts from CleanRefQueries without a re-measurement here.
-    * Current value: round-14 measurement at the 180-query surface
-    * (173 + winnow_fingerprint/dedup_winnow/ppl_bucket/ngram_novelty/
-    * vocab_growth from the round-13 snapshot + round 14's
-    * dedup_containment/dup_rate_by_source): 96.6 s, best of two
-    * agreeing back-to-back runs (96.6/98.1 s totals; pass-2 totals
-    * 102.8/102.6 s — tight agreement, so the level is real, not a
-    * contention artifact). Context for the 60.6 → 96.6 move: the
+    * Current value: round-14 measurement at the final 182-query
+    * surface (173 + the round-13-snapshot five + round 14's
+    * dedup_containment/dup_rate_by_source/dedup_minhash_estimate/
+    * quality_lr_calibration): 89.7 s, best of four runs across the
+    * round's two measurement points (96.6/98.1 s at 180, 89.7/98.1 s
+    * at 182 — run-to-run spread on this host is ~±5%, pass-2 totals
+    * 96.0–102.8 s agree across all four). Context for the 60.6 → 89.7
+    * move: the
     * round-14 host never reproduced round 13's quiet window — its
     * 1-minute load sits ~10 during the bench's own warmup (the
     * round-13 DRIVER artifact's non-winnow sum was 97.4 s on the same
@@ -46,8 +47,8 @@ object Bench {
     * 157, 77.3 s at 160, 81.5/70.9 s at 161, 64.6 s min-of-3 at 162,
     * 74.9/74.4 s min-of-2 at 168, 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 96.6
-  private[graft] val CleanRefQueries = 180
+  private[graft] val CleanRefTotal = 89.7
+  private[graft] val CleanRefQueries = 182
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

@@ -191,6 +191,43 @@ object DedupQueries {
       Dedup.candidateJaccard(sh, cands).filter(col("jac") >= 0.7)
     }
 
+  /** MinHash ESTIMATOR error, measured per verified pair: est =
+    * (matching signature components)/16 beside the true Jaccard and
+    * |est − jac|. The banding S-curve (`dedup_recall_bands`) and the
+    * 1−(1−s^r)^b theory both ride the estimator E[est] = jac with
+    * σ = √(jac(1−jac)/16) ≈ 0.11 at 16 permutations — this query turns
+    * that assumption into a per-corpus measured fact (a broken
+    * permutation family or a biased hash would surface here as
+    * systematic error long before it degraded recall meters).
+    *
+    * Scale: the verified pair set is a sliver; the wide signature
+    * table joins onto it twice by id (the shingle build and signatures
+    * hit the plan-keyed cache shared with the LSH path). est and the
+    * error compare RAW doubles (m/16.0 is exact — m ≤ 16); rounding is
+    * output-only, the house discipline.
+    */
+  def dedupMinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
+      .cache()
+    val vp = verifiedNearDupPairs(spark, dir)
+    val mh = Dedup.minhash(sh, 16)
+    val mhA = mh.select(col("id").as("a") +:
+      (0 until 16).map(j => col(s"mh_$j").as(s"ah_$j")): _*)
+    val mhB = mh.select(col("id").as("b") +:
+      (0 until 16).map(j => col(s"mh_$j").as(s"bh_$j")): _*)
+    val m = (0 until 16)
+      .map(j => when(col(s"ah_$j") === col(s"bh_$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    vp.join(mhA, "a").join(mhB, "b")
+      .withColumn("matches", m)
+      .select(col("a"), col("b"),
+        round(col("jac"), 4).as("jac"),
+        col("matches"),
+        round(col("matches") / 16.0, 4).as("est"),
+        round(abs(col("matches") / 16.0 - col("jac")), 4).as("abs_err"))
+      .orderBy("a", "b")
+  }
+
   /** MinHash(16) + LSH(4 bands × 4 rows) candidates, verified at true
     * Jaccard ≥ 0.7 — the scale path for near-dedup.
     */
@@ -666,6 +703,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -924,6 +962,28 @@ object DedupQueries {
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    // per-verified-pair estimator error: matching signature components
+    // out of 16 vs the raw true Jaccard (m/16.0 is exact; the error
+    // compares RAW doubles, rounding output-only — the house rule)
+    "dedup_minhash_estimate" ->
+      s"""WITH $duckPairJaccard,
+         |$duckMinhashCands,
+         |verified AS (
+         |  SELECT j.a, j.b, j.jac
+         |  FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7),
+         |m AS (
+         |  SELECT v.a, v.b, v.jac,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS matches
+         |  FROM verified v
+         |  JOIN mh x ON x.id = v.a
+         |  JOIN mh y ON y.id = v.b AND y.j = x.j
+         |  GROUP BY 1, 2, 3)
+         |SELECT a, b, round(jac, 4) AS jac, matches,
+         |  round(matches / 16.0, 4) AS est,
+         |  round(abs(matches / 16.0 - jac), 4) AS abs_err
+         |FROM m ORDER BY a, b""".stripMargin,
     "dedup_ensemble" -> {
       def agRow(na: String, nb: String, ta: String, tb: String): String =
         s"""  SELECT '$na' AS method_a, '$nb' AS method_b,

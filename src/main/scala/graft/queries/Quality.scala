@@ -219,6 +219,36 @@ object Quality {
   def qualityLrAuc(spark: SparkSession, dir: String): DataFrame =
     aucOf(scored(spark, dir))
 
+  /** Calibration (reliability) table of the trained classifier: the
+    * 4-decimal scores binned into ten deciles, each bin reporting size,
+    * mean predicted score and empirical positive rate — the standard
+    * reliability diagram beside [[qualityLrAuc]]'s ranking quality (a
+    * selection pipeline that thresholds on the SCORE VALUE needs the
+    * score to mean what it says; AUC alone can be perfect on a wildly
+    * miscalibrated model). `gap` = |mean_score − frac_pos| per bin, the
+    * per-bin summand of expected calibration error.
+    *
+    * Determinism: scores ride as s4 = floor(score·10⁴ + 0.5) LONGS, so
+    * bin assignment (integer thirds of the grid) and the per-bin sums
+    * are exact integer arithmetic; the two ratios divide exact longs as
+    * doubles identically in both engines, rounding output-only.
+    * Scale: one map-side-combined aggregate onto ≤10 keys.
+    */
+  def qualityLrCalibration(spark: SparkSession, dir: String): DataFrame =
+    scored(spark, dir)
+      .withColumn("s4", floor(col("score") * 10000 + 0.5).cast("long"))
+      .withColumn("bin", least(floor(col("s4") / 1000.0), lit(9.0)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        sum(col("s4")).as("s4sum"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("s4sum") / (col("n_docs") * 10000.0), 4).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n_docs"), 4).as("frac_pos"),
+        round(abs(col("s4sum") / (col("n_docs") * 10000.0) -
+          col("n_pos").cast("double") / col("n_docs")), 4).as("gap"))
+      .orderBy("bin")
+
   /** The rank-statistic AUC over any (label: 0/1 int, score) frame —
     * split out so specs can pin the tie/degenerate behavior on
     * constructed inputs (the featsOf convention).
@@ -308,6 +338,7 @@ object Quality {
     "quality_lr_weights" -> (qualityLrWeights _),
     "quality_lr_recovery" -> (qualityLrRecovery _),
     "quality_lr_auc" -> (qualityLrAuc _),
+    "quality_lr_calibration" -> (qualityLrCalibration _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -352,5 +383,22 @@ object Quality {
          |             - sum(p_at) * (sum(p_at) + 1) AS DOUBLE)
          |        / (2 * sum(p_at) * sum(n_at - p_at)), 4) AS auc
          |FROM cum""".stripMargin,
+    // scores ride as exact s4 longs (floor(score*1e4+0.5)); the two
+    // ratios divide exact integers as doubles — identical in Spark
+    "quality_lr_calibration" ->
+      s"""$duckChain,
+         |sc AS (
+         |  SELECT CAST(floor($duckScore * 10000 + 0.5) AS BIGINT) AS s4,
+         |         CAST(f.y AS BIGINT) AS label
+         |  FROM feats f CROSS JOIN w_$Iters p),
+         |b AS (
+         |  SELECT CAST(least(floor(s4 / 1000.0), 9.0) AS INTEGER) AS bin,
+         |         count(*) AS n, sum(label) AS np, sum(s4) AS s4sum
+         |  FROM sc GROUP BY 1)
+         |SELECT bin, CAST(n AS BIGINT) AS n_docs, CAST(np AS BIGINT) AS n_pos,
+         |  round(s4sum / (n * 10000.0), 4) AS mean_score,
+         |  round(CAST(np AS DOUBLE) / n, 4) AS frac_pos,
+         |  round(abs(s4sum / (n * 10000.0) - CAST(np AS DOUBLE) / n), 4) AS gap
+         |FROM b ORDER BY bin""".stripMargin,
   )
 }

@@ -72,6 +72,28 @@ class DedupFuzzSpec extends SparkSpec {
     expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, k) }
   }
 
+  test("dedupContainment matches brute-force containment on every qualifying ordered pair") {
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.queries.DedupQueries.dedupContainmentOf(df)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+
+    val sets = shingleSets
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      cont = inter.toDouble / sets(a).size if inter > 0 && cont >= 0.5
+    } yield (a, b) -> math.floor(cont * 1e4 + 0.5) / 1e4).toMap
+
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, k) }
+    // asymmetry is real on this corpus: the mutated cluster members
+    // contain their base at high fraction both ways (sets differ by a
+    // few shingles), so at minimum the operator must emit SOME ordered
+    // pair whose mirror is also present
+    assert(got.keys.exists { case (a, b) => got.contains((b, a)) })
+  }
+
   test("LSH candidates are a subset of co-shingled pairs and catch all exact dups") {
     val df = docs.toDF("doc_id", "text")
     val sh = Dedup.shingleSet(df, "doc_id", "text").cache()

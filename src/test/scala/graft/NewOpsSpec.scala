@@ -791,6 +791,44 @@ class NewOpsSpec extends SparkSpec {
     assert(graft.queries.DedupQueries.dedupContainmentOf(short).count() == 0)
   }
 
+  test("dedup_minhash_estimate: per-pair estimator rows are internally consistent") {
+    val rows = graft.queries.DedupQueries.dedupMinhashEstimate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // one row per verified pair, same pair set as dedup_minhash_lsh
+    val lsh = graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == lsh)
+    rows.foreach { r =>
+      val (jac, m, est, err) =
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(m >= 0 && m <= 16)
+      assert(est == math.floor(m / 16.0 * 1e4 + 0.5) / 1e4)
+      // |est − jac| must match the reported error to rounding width
+      assert(math.abs(math.abs(est - jac) - err) <= 2e-4, r.toString)
+      // verified pairs sit at jac ≥ 0.7: a 16-perm estimator more than
+      // 6σ off (σ ≈ 0.115) would mean a broken permutation family
+      assert(err <= 0.7, r.toString)
+    }
+  }
+
+  test("quality_lr_calibration: a reliability table that partitions the corpus") {
+    val rows = graft.queries.Quality.qualityLrCalibration(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).forall(b => b >= 0 && b <= 9))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // bins partition the scored corpus exactly
+    val n = graft.queries.Quality.qualityLr(spark, dir).count()
+    assert(rows.map(_._2).sum == n)
+    rows.foreach { case (bin, nd, np, mean, frac, gap) =>
+      assert(np >= 0 && np <= nd)
+      // the mean predicted score lies inside its own decile
+      assert(mean >= bin / 10.0 - 1e-9 && mean <= (bin + 1) / 10.0 + 1e-9)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(gap - math.abs(mean - frac)) <= 2e-4)
+    }
+  }
+
   test("vocab_growth: monotone nested curves ending at the corpus totals") {
     val rows = graft.queries.TextAnalysis.vocabGrowth(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
