@@ -361,6 +361,31 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  /** Cross-source duplication matrix — [[dupRateBySource]]'s pairwise
+    * companion: for every UNORDERED source pair, how many verified
+    * near-dup pairs cross it (same-source pairs on the diagonal). This
+    * is the feed-governance view of dedup: a large off-diagonal cell
+    * means two ingest feeds are republishing each other's content, and
+    * the mixture weights downstream should treat them as one pool.
+    * Sources are ordered lexicographically within a pair so the matrix
+    * is emitted once per unordered pair.
+    *
+    * Scale: cites the collected verified-pair ids (a sliver); two
+    * equi-joins onto the (doc_id, source) projection and one aggregate
+    * onto ≤\|sources\|² keys.
+    */
+  def dupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val vp = verifiedPairIds(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    vp.join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Train/eval decontamination: documents sharing ≥1 word-3-gram with
     * any eval query are flagged with the overlap count. The eval set is
     * small by construction — its shingles broadcast, so contamination
@@ -714,6 +739,7 @@ object DedupQueries {
     "dup_clusters" -> (dupClusters _),
     "dedup_canonical" -> (dedupCanonical _),
     "dup_rate_by_source" -> (dupRateBySource _),
+    "dup_cross_source" -> (dupCrossSource _),
     "dedup_winnow" -> (dedupWinnow _),
   )
 
@@ -1098,6 +1124,22 @@ object DedupQueries {
          |  CAST(row_number() OVER (PARTITION BY cluster_id
          |         ORDER BY n_chars DESC, doc_id ASC) = 1 AS INTEGER) AS kept
          |FROM j ORDER BY doc_id""".stripMargin,
+    // the verified-pair replay with both endpoints' sources attached,
+    // lexicographically ordered within the pair
+    "dup_cross_source" ->
+      s"""WITH $duckPairJaccard,
+         |$duckMinhashCands,
+         |verified AS (
+         |  SELECT j.a, j.b
+         |  FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
+         |  WHERE j.jac >= 0.7)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM verified v
+         |JOIN documents da ON da.doc_id = v.a
+         |JOIN documents db ON db.doc_id = v.b
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
     // the dup_clusters component replay, aggregated per source — counts
     // as BIGINT (the q12 lesson: DuckDB's bare sum(CASE) is HUGEINT)
     "dup_rate_by_source" ->

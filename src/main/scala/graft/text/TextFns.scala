@@ -44,10 +44,19 @@ object TextFns {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** JVM-side [[md5Int]] — the same first-4-bytes-of-md5 value for code
-    * that runs outside Catalyst (streaming state functions, specs).
+    * that runs outside Catalyst (the winnowing flatMap, streaming state
+    * functions, specs). The digest instance is thread-local: hot paths
+    * call this once per SHINGLE, and a fresh MessageDigest per call is
+    * pure allocation churn (MD5 digests are stateful but reset() on
+    * every digest() completion, and executor task threads never share
+    * one concurrently).
     */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def md5IntJvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

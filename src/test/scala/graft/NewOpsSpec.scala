@@ -811,6 +811,17 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("dup_cross_source: matrix cells partition the verified pair set; pairs ordered") {
+    val rows = graft.queries.DedupQueries.dupCrossSource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // unordered-pair emission: source_a <= source_b on every row, once
+    rows.foreach { case (a, b, _) => assert(a <= b) }
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // the cells partition the verified pair set exactly
+    val total = graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
+    assert(rows.map(_._3).sum == total)
+  }
+
   test("quality_lr_calibration: a reliability table that partitions the corpus") {
     val rows = graft.queries.Quality.qualityLrCalibration(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
