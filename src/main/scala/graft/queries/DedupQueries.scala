@@ -265,11 +265,41 @@ object DedupQueries {
     */
   private def componentLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val arr = truthMemo.computeIfAbsent(spark, dir + "#cc") {
-      Dedup.connectedComponents(verifiedPairIds(spark, dir))
+    // Build OUTSIDE the mapping function, install with putIfAbsent
+    // (SessionMemo's mandated discipline for nested builds — ADVICE
+    // r14): the build calls verifiedPairIds, whose computeIfAbsent runs
+    // on the SAME per-session ConcurrentHashMap, and the CHM contract
+    // forbids map mutation inside a mapping function — same-bin keys
+    // would throw IllegalStateException("Recursive update"). The
+    // build is deterministic, so a lost putIfAbsent race just discards
+    // an identical array.
+    val m = truthMemo.entries(spark)
+    val key = dir + "#cc"
+    var v = m.get(key)
+    if (v == null) {
+      val built: AnyRef = Dedup.connectedComponents(verifiedPairIds(spark, dir))
+        .as[(Long, Long)].collect()
+      val prev = m.putIfAbsent(key, built)
+      v = if (prev != null) prev else built
+    }
+    v.asInstanceOf[Array[(Long, Long)]].toSeq.toDF("doc_id", "lab")
+  }
+
+  /** Ordered containment pairs (a contained in b at ≥ 0.5) as a local
+    * frame rebuilt from per-(session, dir) collected ids — the
+    * [[verifiedPairIds]] pattern for the containment detector, so the
+    * governance views can cite subset/quote dups without re-running the
+    * posting self-join per view. The build touches no other memo, so a
+    * plain computeIfAbsent is safe here.
+    */
+  private def containmentPairIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val arr = truthMemo.computeIfAbsent(spark, dir + "#cnt") {
+      dedupContainment(spark, dir)
+        .select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].collect()
     }.asInstanceOf[Array[(Long, Long)]]
-    arr.toSeq.toDF("doc_id", "lab")
+    arr.toSeq.toDF("a", "b")
   }
 
   /** Duplicate-cluster resolution: connected components over the
@@ -343,47 +373,79 @@ object DedupQueries {
     * feed is polluting the corpus?") and the per-source knob a mixture
     * rebalance consumes downstream.
     *
-    * Scale: cites [[dupClusters]] (whose component labels are memoized
-    * per (session, dir)); on top sit one |corpus|-row equi-join to the
-    * (doc_id, source) projection and one map-side-combined aggregate
-    * onto |sources| keys. Nothing pairwise, nothing collected.
+    * Drop semantics (ADVICE r14): n_dropped counts [[dedupCanonical]]'s
+    * kept=0 rows — the repo's ACTUAL keep-longest policy — not the
+    * min-id cluster representative. The two conventions drop the same
+    * TOTAL per cluster (size − 1) but attribute drops to different
+    * sources whenever a cross-source cluster's longest member is not
+    * its lowest-id member, and the audit must price the policy that
+    * actually executes.
+    *
+    * Scale: cites [[dedupCanonical]] (whose component labels are
+    * memoized per (session, dir); the argmax layer is linear); on top
+    * sit one |corpus|-row equi-join to the (doc_id, source) projection
+    * and one map-side-combined aggregate onto |sources| keys. Nothing
+    * pairwise, nothing collected.
     */
   def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
-    val cl = dupClusters(spark, dir)
+    val dc = dedupCanonical(spark, dir)
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    cl.join(src, "doc_id")
+    dc.join(src, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).as("n_clustered"),
-        sum(when(col("is_canonical") === 0, 1L).otherwise(0L)).as("n_dropped"))
+        sum(when(col("kept") === 0, 1L).otherwise(0L)).as("n_dropped"))
       .withColumn("dup_rate",
         round(col("n_dropped").cast("double") / col("n_docs"), 4))
       .orderBy("source")
   }
 
   /** Cross-source duplication matrix — [[dupRateBySource]]'s pairwise
-    * companion: for every UNORDERED source pair, how many verified
-    * near-dup pairs cross it (same-source pairs on the diagonal). This
-    * is the feed-governance view of dedup: a large off-diagonal cell
-    * means two ingest feeds are republishing each other's content, and
-    * the mixture weights downstream should treat them as one pool.
-    * Sources are ordered lexicographically within a pair so the matrix
-    * is emitted once per unordered pair.
+    * companion: for every UNORDERED source pair, how many near-dup
+    * pairs cross it (same-source pairs on the diagonal), SPLIT BY
+    * DETECTOR (round-14 verdict #4): `minhash` rows count the
+    * LSH-verified symmetric near-dups; `containment` rows count the
+    * Broder subset/quote pairs (normalized to unordered) that
+    * [[dedupContainment]] finds and symmetric Jaccard structurally
+    * misses — without them the matrix undercounts cross-feed
+    * republication that quotes-whole. This is the feed-governance view
+    * of dedup: a large off-diagonal cell means two ingest feeds are
+    * republishing each other's content, and the mixture weights
+    * downstream should treat them as one pool. Sources are ordered
+    * lexicographically within a pair so each matrix is emitted once per
+    * unordered pair.
     *
-    * Scale: cites the collected verified-pair ids (a sliver); two
+    * Scale: cites the collected pair-id memos (slivers both); two
     * equi-joins onto the (doc_id, source) projection and one aggregate
-    * onto ≤\|sources\|² keys.
+    * onto ≤2·\|sources\|² keys.
     */
-  def dupCrossSource(spark: SparkSession, dir: String): DataFrame = {
-    val vp = verifiedPairIds(spark, dir)
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    vp.join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+  def dupCrossSource(spark: SparkSession, dir: String): DataFrame =
+    crossSourceMatrix(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      verifiedPairIds(spark, dir), containmentPairIds(spark, dir))
+
+  /** [[dupCrossSource]] over explicit (doc_id, source) / pair frames —
+    * the spec entry point for constructed fixtures. `cntPairs` may be
+    * ORDERED (both containment directions); it is normalized to
+    * unordered-distinct here so a mutual containment counts once.
+    */
+  private[graft] def crossSourceMatrix(src: DataFrame, mhPairs: DataFrame,
+      cntPairs: DataFrame): DataFrame = {
+    val mh = mhPairs.select(col("a"), col("b"))
+      .withColumn("detector", lit("minhash"))
+    val cnt = cntPairs
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .withColumn("detector", lit("containment"))
+    mh.unionByName(cnt)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
       .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
-      .select(least(col("sa"), col("sb")).as("source_a"),
+      .select(col("detector"), least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+      .groupBy(col("detector"), col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("source_a", "source_b")
+      .orderBy("detector", "source_a", "source_b")
   }
 
   /** Train/eval decontamination: documents sharing ≥1 word-3-gram with
@@ -649,24 +711,49 @@ object DedupQueries {
     * pairs intersected with ALL true jac≥0.7 pairs. r is THE knob an
     * LSH dedup deployment turns (the 1−(1−s^r)^(16/r) S-curve steepens
     * as r grows: fewer false candidates, more missed true pairs), and
-    * this emits the measured trade as three integer rows. Candidates
-    * are UNCAPPED here, which makes the curve monotone by construction:
-    * band boundaries align, so an r=8 bucket match implies both r=4
-    * half-bands match implies all four r=2 quarter-bands match —
-    * cands_8 ⊆ cands_4 ⊆ cands_2, spec-asserted (a bucket cap could
-    * break the nesting by dropping differently per config).
+    * this emits the measured trade as three integer rows.
+    *
+    * Candidate buckets are capped at [[RecallBandsMaxBucket]] — a
+    * deliberately GENEROUS ceiling (10× the production
+    * [[Dedup.DefaultMaxBucket]]) with the standard dropped-bucket
+    * audit accumulator (round-14 verdict #3: this was the one call
+    * site with `maxBucket = Int.MaxValue`, and an adversarial
+    * clique corpus pointed at the meter would have built one O(df²)
+    * task). The meter wants uncensored candidates to measure the
+    * banding S-curve, and the generous cap preserves that on any sane
+    * validation sample (the fixtures sit orders of magnitude below
+    * it, so output is identical and drops are 0 there — the oracle
+    * stays uncapped); on a pathological corpus the meter now
+    * completes, reports the censored recall, and the drop count says
+    * why (DedupFuzzSpec exercises a clique under a small cap).
+    * Monotone-nesting note: with aligned band boundaries an r=8 bucket
+    * match implies the r=4 and r=2 matches, so cands_8 ⊆ cands_4 ⊆
+    * cands_2 (spec-asserted) — a TRIGGERED cap could break the nesting
+    * by dropping differently per config, which is another reason the
+    * ceiling is generous rather than the production default.
     */
+  val RecallBandsMaxBucket = 10000
+
   def dedupRecallBands(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text")
       .cache()
     // ground truth from the shared memo (truePairs07) — only the
     // production-shaped sides (shingles, signatures, banding) are
     // rebuilt per call
-    val truePairs = truePairs07(spark, dir)
+    recallBandsOf(spark, sh, truePairs07(spark, dir), RecallBandsMaxBucket)
+  }
+
+  /** [[dedupRecallBands]]'s banding sweep over explicit shingle/truth
+    * frames with an explicit bucket cap — the fuzz-spec entry point
+    * (a clique corpus under a tiny cap must complete, not explode).
+    */
+  private[graft] def recallBandsOf(spark: SparkSession, sh: DataFrame,
+      truePairs: DataFrame, maxBucket: Int): DataFrame = {
     val mh = Dedup.minhash(sh, 16).cache()
     val n = truePairs.agg(count(lit(1)).as("n"))
     Seq(2, 4, 8).map { r =>
-      Dedup.lshCandidates(Dedup.lshBands(mh, r), maxBucket = Int.MaxValue)
+      Dedup.lshCandidates(Dedup.lshBands(mh, r), maxBucket = maxBucket,
+          droppedBuckets = Some(droppedBucketsAcc(spark)))
         .select(col("a"), col("b"))
         .join(truePairs, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -719,8 +806,48 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** Winnowing MATCH REPORT — the MOSS output beside [[dedupWinnow]]'s
+    * pair list (round-14 verdict #6): for every document pair sharing
+    * ≥ 2 selected fingerprints, the shared-fingerprint count and the
+    * matched-region bounds in EACH document (min/max first-occurrence
+    * shingle index of the shared fingerprints — the provenance span a
+    * plagiarism or license-audit pipeline surfaces, since "these two
+    * documents share a run" is only actionable with WHERE). Positions
+    * ride the postings from [[TextAnalysis.winnowFpsPos]]'s flatMap;
+    * the winnowing guarantee makes the span sound: every shared token
+    * run of ≥ 6 tokens contributes a shared fingerprint whose first
+    * occurrence lies inside (or at) the run, so [a_start, a_end] brackets
+    * the matched content (approximate at the edges — a fingerprint's
+    * hash can first occur at an earlier duplicate shingle).
+    *
+    * Scale shape: identical to [[dedupWinnow]] — the df-capped posting
+    * self-join (Σ min(df, cap)²) plus one aggregate per surviving
+    * pair; min/max/count are all map-side combined. Integer-only
+    * output.
+    */
+  def winnowSpans(spark: SparkSession, dir: String): DataFrame =
+    winnowSpansOf(Tables.documents(spark, dir), WinnowMaxDf)
+
+  private[graft] def winnowSpansOf(docs: DataFrame, maxDf: Int): DataFrame = {
+    val fps = TextAnalysis.winnowFpsPos(docs)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
+    kept.select(col("doc_id").as("a"), col("fp"), col("pos").as("pa"))
+      .join(kept.select(col("doc_id").as("b"), col("fp"), col("pos").as("pb")),
+        "fp")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("shared"),
+        min(col("pa")).as("a_start"), max(col("pa")).as("a_end"),
+        min(col("pb")).as("b_start"), max(col("pb")).as("b_end"))
+      .filter(col("shared") >= 2)
+      .orderBy("a", "b")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall_bands" -> (dedupRecallBands _),
+    "winnow_spans" -> (winnowSpans _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_recall" -> (dedupRecall _),
@@ -899,6 +1026,42 @@ object DedupQueries {
          |kept AS (SELECT doc_id, fp FROM fps
          |         WHERE fp NOT IN (SELECT fp FROM hot))
          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a, b""".stripMargin,
+    // the dedup_winnow postings with positions: pos = first occurrence
+    // of the selected fingerprint's hash in the doc's shingle-hash list
+    // (list_position is 1-based; the Spark flatMap emits the same
+    // 0-based first-occurrence index), then min/max span bounds per pair
+    "winnow_spans" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(
+         |      CASE WHEN len($duckToks) >= 3
+         |        THEN list_transform(range(1, len($duckToks) - 1),
+         |               i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
+         |        ELSE [] END,
+         |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+         |  FROM documents),
+         |fps AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(h) < 4 THEN [list_min(h)]
+         |         ELSE list_distinct(list_transform(range(1, len(h) - 2),
+         |                j -> list_min(h[CAST(j AS INTEGER) : CAST(j AS INTEGER) + 3])))
+         |    END) AS fp
+         |  FROM h WHERE len(h) >= 1),
+         |posd AS (
+         |  SELECT f.doc_id, f.fp,
+         |         CAST(list_position(hh.h, f.fp) - 1 AS INTEGER) AS pos
+         |  FROM fps f JOIN h hh ON f.doc_id = hh.doc_id),
+         |hot AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM posd GROUP BY 1)
+         |  WHERE df > $WinnowMaxDf),
+         |kept AS (SELECT doc_id, fp, pos FROM posd
+         |         WHERE fp NOT IN (SELECT fp FROM hot))
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared,
+         |  min(x.pos) AS a_start, max(x.pos) AS a_end,
+         |  min(y.pos) AS b_start, max(y.pos) AS b_end
          |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY a, b""".stripMargin,
@@ -1124,24 +1287,51 @@ object DedupQueries {
          |  CAST(row_number() OVER (PARTITION BY cluster_id
          |         ORDER BY n_chars DESC, doc_id ASC) = 1 AS INTEGER) AS kept
          |FROM j ORDER BY doc_id""".stripMargin,
-    // the verified-pair replay with both endpoints' sources attached,
-    // lexicographically ordered within the pair
+    // both detectors' pair replays with both endpoints' sources
+    // attached, lexicographically ordered within the pair; the
+    // containment leg rebuilds the df-capped shingle postings under
+    // renamed CTEs (duckPairJaccard already owns sizes/shared/jacs)
+    // and normalizes ordered directions to unordered-distinct pairs
     "dup_cross_source" ->
       s"""WITH $duckPairJaccard,
          |$duckMinhashCands,
          |verified AS (
          |  SELECT j.a, j.b
          |  FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
-         |  WHERE j.jac >= 0.7)
-         |SELECT least(da.source, db.source) AS source_a,
+         |  WHERE j.jac >= 0.7),
+         |cshf AS (
+         |  SELECT id, s FROM (
+         |    SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+         |  WHERE df <= ${Dedup.DefaultMaxDf}),
+         |csz AS (SELECT id, count(*) AS n FROM cshf GROUP BY id),
+         |cshared AS (
+         |  SELECT x.id AS a, y.id AS b, count(*) AS shared
+         |  FROM cshf x JOIN cshf y ON x.s = y.s AND x.id < y.id
+         |  GROUP BY 1, 2),
+         |cdirs AS (
+         |  SELECT a, b, shared FROM cshared
+         |  UNION ALL
+         |  SELECT b AS a, a AS b, shared FROM cshared),
+         |cpairs AS (
+         |  SELECT DISTINCT least(d.a, d.b) AS a, greatest(d.a, d.b) AS b
+         |  FROM cdirs d JOIN csz ON d.a = csz.id
+         |  WHERE CAST(d.shared AS DOUBLE) / csz.n >= 0.5),
+         |allp AS (
+         |  SELECT 'minhash' AS detector, a, b FROM verified
+         |  UNION ALL
+         |  SELECT 'containment' AS detector, a, b FROM cpairs)
+         |SELECT v.detector,
+         |       least(da.source, db.source) AS source_a,
          |       greatest(da.source, db.source) AS source_b,
          |       CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM verified v
+         |FROM allp v
          |JOIN documents da ON da.doc_id = v.a
          |JOIN documents db ON db.doc_id = v.b
-         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
-    // the dup_clusters component replay, aggregated per source — counts
-    // as BIGINT (the q12 lesson: DuckDB's bare sum(CASE) is HUGEINT)
+         |GROUP BY 1, 2, 3 ORDER BY detector, source_a, source_b""".stripMargin,
+    // the dedup_canonical keep-longest replay, aggregated per source —
+    // n_dropped counts kept=0 rows (the policy that executes — ADVICE
+    // r14), counts as BIGINT (the q12 lesson: DuckDB's bare sum(CASE)
+    // is HUGEINT)
     "dup_rate_by_source" ->
       s"""WITH RECURSIVE $duckPairJaccard,
          |$duckMinhashCands,
@@ -1155,18 +1345,23 @@ object DedupQueries {
          |  UNION
          |  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node),
          |labels AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node),
-         |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
-         |SELECT d.source,
+         |csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1),
+         |k AS (
+         |  SELECT l.node AS doc_id, s.cluster_size, d.source,
+         |    CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+         |           ORDER BY d.n_chars DESC, l.node ASC) = 1
+         |         THEN 1 ELSE 0 END AS kept
+         |  FROM labels l JOIN csizes s USING (cluster_id)
+         |  JOIN documents d ON d.doc_id = l.node)
+         |SELECT source,
          |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_clustered,
-         |  CAST(sum(CASE WHEN l.node <> l.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(sum(CASE WHEN kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_dropped,
-         |  round(CAST(sum(CASE WHEN l.node <> l.cluster_id THEN 1 ELSE 0 END)
+         |  round(CAST(sum(CASE WHEN kept = 0 THEN 1 ELSE 0 END)
          |          AS DOUBLE) / count(*), 4) AS dup_rate
-         |FROM labels l JOIN csizes s USING (cluster_id)
-         |JOIN documents d ON d.doc_id = l.node
-         |GROUP BY 1 ORDER BY source""".stripMargin,
+         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $duckSimhashSig
          |SELECT id AS doc_id, simhash,

@@ -14,10 +14,17 @@ import graft.Tables
   * `DECIMAL` (exact, associative) and only cast to DOUBLE at the end —
   * bit-identical in both engines.
   *
-  * Scale notes: all dimension joins (`customer`, `nation`, `region`,
-  * `supplier`) are explicit `broadcast()`s — at 100 TB the fact tables
-  * (`lineitem`, `orders`, `events`) never shuffle for these joins; the
-  * only shuffles are the final aggregations on their group keys, and AQE
+  * Scale notes — broadcast-hint discipline (file-wide, PlanSpec-pinned):
+  * explicit `broadcast()` hints appear ONLY on frames whose size is a
+  * CONSTANT of the schema — `nation` (25 rows), `region` (5), and 1-row
+  * scalar aggregates (q15's max, q22's mean, q11's threshold). Frames
+  * derived from `customer`/`supplier`/`part` are SF-SCALED (TPC-H
+  * customer is SF×150k, supplier SF×10k rows — 10⁹–10¹⁰ rows at a
+  * 100 TB SF), so they carry NO hint: the planner + AQE's runtime size
+  * check auto-broadcast them at any SF where that is safe and fall back
+  * to a shuffle join when they outgrow the threshold, whereas a forced
+  * hint would OOM every executor at scale. The fact tables (`lineitem`,
+  * `orders`, `events`) shuffle only for their join/group keys, and AQE
   * handles skew/coalescing at runtime.
   */
 object Relational {
@@ -46,8 +53,9 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: 3-way join + agg + top-k.
-    * `customer` is the small side — broadcast; `orders ⋈ lineitem` is the
-    * one genuine shuffle, on the join key.
+    * `customer` is SF-scaled, so it carries no hint (the planner
+    * auto-broadcasts it wherever safe); `orders ⋈ lineitem` is the one
+    * genuine shuffle, on the join key.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -59,7 +67,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > lit(CutoffDate).cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
@@ -68,7 +76,9 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style local-supplier revenue: 6-way join, all dims broadcast. */
+  /** TPC-H Q5-style local-supplier revenue: 6-way join — constant-size
+    * nation/region hinted, SF-scaled customer/supplier planner-sized.
+    */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -81,8 +91,8 @@ object Relational {
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -117,8 +127,8 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** TPC-H Q14-style promo revenue share: one ship month, the part dim
-    * broadcast, and the PROMO fraction of discounted revenue as a
+  /** TPC-H Q14-style promo revenue share: one ship month, the SF-scaled
+    * part dim planner-sized, and the PROMO fraction of discounted revenue as a
     * percentage. Both numerator and denominator go through the DECIMAL
     * sum (exact), so the single double division + round is the only
     * float step — the ratio-of-money discipline shared with
@@ -131,7 +141,7 @@ object Relational {
       .select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_type")
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .agg(
         decSum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 4)
           .as("promo"),
@@ -141,7 +151,7 @@ object Relational {
   }
 
   /** TPC-H Q19-style disjunctive filter: OR-of-ANDs over (brand, size,
-    * quantity) bands after the part broadcast join — the predicate
+    * quantity) bands after the part join (planner-sized) — the predicate
     * shape that exercises disjunction pushdown and branch-heavy
     * codegen. One revenue row out.
     */
@@ -150,7 +160,7 @@ object Relational {
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 11)) ||
@@ -206,7 +216,7 @@ object Relational {
       .filter(col("p_brand") === "Brand#11")
       .select("p_partkey")
     val w = Window.partitionBy(col("l_partkey"))
-    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+    li.join(brand, col("l_partkey") === col("p_partkey"))
       .withColumn("avg_qty", sum(col("l_quantity")).over(w) / count(lit(1)).over(w))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
       .agg(round(decSum(col("l_extendedprice"), 2) / 7.0, 4).as("avg_yearly"))
@@ -231,7 +241,7 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
     ord.join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -268,7 +278,8 @@ object Relational {
     * trade between NATION_0 and NATION_1 — the plan shape where ONE
     * dimension table (nation) joins the fact chain in TWO ROLES, each
     * broadcast independently. The nation filters push into both
-    * broadcast sides, so the five-table join prunes before the fact
+    * hinted nation sides (supplier/customer are SF-scaled —
+    * planner-sized), so the five-table join prunes before the fact
     * scan's one real shuffle (lineitem ⋈ orders on the order key).
     */
   def q7TradeVolume(spark: SparkSession, dir: String): DataFrame = {
@@ -285,10 +296,10 @@ object Relational {
       .filter(col("n_name").isin(nations: _*))
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
@@ -352,8 +363,9 @@ object Relational {
   /** TPC-H Q10-style returned-item reporting: the top-20 customers by
     * revenue lost to returns in one quarter — the
     * top-k-after-aggregation shape over a selective fact filter
-    * (returnflag = 'R' pushes to the scan). Customer and nation
-    * broadcast; TakeOrderedAndProject caps the output without a global
+    * (returnflag = 'R' pushes to the scan). Nation hinted, the
+    * SF-scaled customer planner-sized; TakeOrderedAndProject caps the
+    * output without a global
     * sort; ties cannot occur on the DECIMAL-exact revenue sum except
     * for identical values, broken by c_custkey.
     */
@@ -370,7 +382,7 @@ object Relational {
     val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
       .agg(decSum(disc, 4).as("revenue"))
@@ -396,7 +408,7 @@ object Relational {
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("max_revenue"))
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy("s_suppkey")
@@ -429,7 +441,7 @@ object Relational {
     val sole = withOthers.join(lateOthers,
       col("w_okey") === col("x_okey") && col("w_skey") =!= col("x_skey"),
       "left_anti")
-    sole.join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+    sole.join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("w_skey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
@@ -612,7 +624,8 @@ object Relational {
     * excluded suppliers via a broadcast anti join. The countDistinct
     * runs as Spark's two-phase distinct aggregate (partial dedup
     * map-side on (attrs, suppkey), then count — never a row explosion
-    * to the driver); the part filter broadcasts onto the fact scan.
+    * to the driver); part and the excluded-supplier set are SF-scaled,
+    * so the planner sizes both (auto-broadcast at fixture scale).
     */
   def q16PartVariety(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
@@ -622,8 +635,8 @@ object Relational {
     val bad = Tables.supplier(spark, dir)
       .filter(col("s_acctbal") < 0.0).select("s_suppkey")
     Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
@@ -651,7 +664,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .select("l_partkey", "l_suppkey", "l_quantity")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("qty"))
     val dominant = perPS

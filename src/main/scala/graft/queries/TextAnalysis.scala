@@ -517,7 +517,19 @@ object TextAnalysis {
     * [[DedupQueries.dedupWinnow]], which re-shuffles on fp and must not
     * inherit the report sort.
     */
-  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+  private[graft] def winnowFps(docs: DataFrame): DataFrame =
+    winnowFpsPos(docs).select(col("doc_id"), col("fp"))
+
+  /** Winnowing postings WITH positions: (doc_id, fp, pos), where pos is
+    * the FIRST shingle index (0-based) at which the selected
+    * fingerprint's hash occurs in the document — the deterministic
+    * position convention the span report ([[DedupQueries.winnowSpans]])
+    * aggregates into matched-region bounds, and one a SQL oracle
+    * replays exactly (`list_position(h, fp) - 1`). The MOSS report
+    * needs positions, not just counts: "these two documents share a
+    * run" is only actionable with WHERE.
+    */
+  private[graft] def winnowFpsPos(docs: DataFrame): DataFrame = {
     // Typed per-document flatMap (the chunker shape — SURVEY §2.2): the
     // previous all-Catalyst formulation chained `withColumn` aliases
     // over NESTED higher-order functions, and alias inlining during
@@ -537,7 +549,11 @@ object TextAnalysis {
       .flatMap { case (docId, text) =>
         if (text == null) Iterator.empty
         else {
-          val toks = text.trim.split("\\s+")
+          // TextFns.tokensJvm, NOT String.trim.split: Catalyst/DuckDB
+          // trim spaces only and keep boundary empty tokens, so any
+          // text with leading/trailing tabs/newlines would otherwise
+          // shingle differently here than in the oracle (ADVICE r14)
+          val toks = TextFns.tokensJvm(text)
           val n = toks.length - 2 // 3-shingle count
           if (n < 1) Iterator.empty
           else {
@@ -561,11 +577,20 @@ object TextAnalysis {
                 j += 1
               }
             }
-            out.iterator.map(fp => (docId, fp))
+            // first-occurrence position of each selected fingerprint —
+            // one O(tokens) scan, emitted beside the fp so the span
+            // report can aggregate matched-region bounds
+            val pos = new java.util.HashMap[Long, Int](out.size * 2)
+            var jj = 0
+            while (jj < n) {
+              if (out.contains(h(jj))) pos.putIfAbsent(h(jj), jj)
+              jj += 1
+            }
+            out.iterator.map(fp => (docId, fp, pos.get(fp)))
           }
         }
       }
-      .toDF("doc_id", "fp")
+      .toDF("doc_id", "fp", "pos")
   }
 
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): tokens are

@@ -106,7 +106,11 @@ object Streams {
     */
   private[graft] def bandKeys(content: String, numHashes: Int,
       rowsPerBand: Int): Seq[String] = {
-    val toks = content.trim.split("\\s+")
+    // tokensJvm, not String.trim.split: the batch chain tokenizes with
+    // Catalyst semantics (space-only trim, boundary empty tokens kept),
+    // and the streaming/batch bucket-equality contract needs identical
+    // shingles on text with leading/trailing tabs/newlines (ADVICE r14)
+    val toks = graft.text.TextFns.tokensJvm(content)
     if (toks.length < 3) Seq.empty
     else {
       val shingles = toks.sliding(3)

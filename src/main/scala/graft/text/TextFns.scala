@@ -37,6 +37,29 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** JVM-side [[tokens]] — the SAME token array Catalyst produces, for
+    * code that runs outside Catalyst (the winnowing flatMap). The
+    * semantics differ from Java's `String.trim().split("\\s+")` in two
+    * ways that matter on realistic corpora (ADVICE r14): SQL `trim`
+    * strips ASCII SPACES ONLY (Java trim strips every char ≤ U+0020,
+    * tabs and newlines included), and Catalyst `split` runs with limit
+    * -1, KEEPING boundary empty tokens (`"a b c\n"` tokenizes to
+    * `["a","b","c",""]` in both engines — the trailing newline survives
+    * the space-only trim and the final split match is at the end of
+    * input). Code that tokenized differently produced different
+    * shingles, hence different winnowing fingerprints, on any text with
+    * leading/trailing tabs or newlines.
+    */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  def tokensJvm(text: String): Array[String] = {
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    wsPattern.split(text.substring(b, e), -1)
+  }
+
   /** Portable 32-bit integer hash: first 8 hex chars of md5, as a long.
     * (DuckDB: `CAST('0x' || substr(md5(s),1,8) AS BIGINT)`.)
     */

@@ -141,6 +141,30 @@ class DedupFuzzSpec extends SparkSpec {
     assert(noDrops.value == 0L)
   }
 
+  test("recall-bands meter completes on a pathological clique corpus under the cap") {
+    // 40 identical docs: every LSH bucket in every banding config is
+    // the full clique. With a cap of 10 every bucket is dropped — the
+    // meter must COMPLETE with bounded tasks (round-14 verdict #3: the
+    // uncapped formulation would have built one O(clique²) task per
+    // bucket), report the censored recall honestly (hits = 0), and
+    // count the drops in the audit accumulator — never silence them.
+    val clique = (0 until 40).map(i => (i.toLong, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(clique, "doc_id", "text").cache()
+    val truth = Dedup.pairJaccard(sh, maxDf = Int.MaxValue)
+      .filter(col("jac") >= 0.7).select(col("a"), col("b"))
+    val acc = graft.queries.DedupQueries.droppedBucketsAcc(spark)
+    val before = acc.value
+    val rows = graft.queries.DedupQueries
+      .recallBandsOf(spark, sh, truth, maxBucket = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    assert(rows.forall(_._3 == 40L * 39 / 2), rows.mkString("; "))
+    assert(rows.forall(_._2 == 0L),
+      "every bucket degenerate under the cap -> censored recall must read 0")
+    assert(acc.value > before, "dropped buckets must be counted, never silent")
+  }
+
   test("candidateJaccard equals pairJaccard on the candidate subset") {
     val df = docs.toDF("doc_id", "text")
     val sh = Dedup.shingleSet(df, "doc_id", "text").cache()

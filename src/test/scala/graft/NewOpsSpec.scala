@@ -811,15 +811,97 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
-  test("dup_cross_source: matrix cells partition the verified pair set; pairs ordered") {
+  test("dup_cross_source: per-detector cells partition each pair set; pairs ordered") {
     val rows = graft.queries.DedupQueries.dupCrossSource(spark, dir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet.subsetOf(Set("minhash", "containment")))
     // unordered-pair emission: source_a <= source_b on every row, once
-    rows.foreach { case (a, b, _) => assert(a <= b) }
-    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
-    // the cells partition the verified pair set exactly
-    val total = graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
-    assert(rows.map(_._3).sum == total)
+    // per detector
+    rows.foreach { case (_, a, b, _) => assert(a <= b) }
+    assert(rows.map(t => (t._1, t._2, t._3)).distinct.length == rows.length)
+    // the minhash cells partition the verified pair set exactly
+    val mhTotal = graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
+    assert(rows.filter(_._1 == "minhash").map(_._4).sum == mhTotal)
+    // the containment cells partition the UNORDERED containment pair set
+    val cnt = graft.queries.DedupQueries.dedupContainment(spark, dir).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).distinct.length
+    assert(rows.filter(_._1 == "containment").map(_._4).sum == cnt)
+  }
+
+  test("crossSourceMatrix: a containment-only quote pair appears under its own detector") {
+    // the quote-inside-long-doc shape the detector exists for: doc 1 is
+    // a short excerpt of doc 0 (containment ≈ 1, Jaccard tiny) and NO
+    // minhash pair exists — the governance matrix must still show the
+    // cross-feed republication
+    val long0 = (0 until 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 until 18).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, long0), (1L, quote)).toDF("doc_id", "text")
+    val src = Seq((0L, "feedX"), (1L, "feedY")).toDF("doc_id", "source")
+    val cnt = graft.queries.DedupQueries.dedupContainmentOf(docs)
+      .select(col("a"), col("b"))
+    val mh = Seq.empty[(Long, Long)].toDF("a", "b")
+    val rows = graft.queries.DedupQueries.crossSourceMatrix(src, mh, cnt)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(rows.toSeq == Seq(("containment", "feedX", "feedY", 1L)),
+      rows.mkString("; "))
+  }
+
+  test("tokensJvm replicates Catalyst trim+split exactly (tabs, newlines, boundary empties)") {
+    // ADVICE r14: the winnow flatMap tokenized with Java String.trim
+    // (strips all chars <= U+0020, drops trailing empty tokens) while
+    // Catalyst/DuckDB trim spaces only and keep boundary empties — so
+    // "a b c\n" shingled differently across the engines. tokensJvm is
+    // the JVM-side replica; this pins it to the Catalyst expression on
+    // exactly the strings where the two semantics diverge.
+    val tricky = Seq(
+      "a b c", "  a b c  ", "\ta b c\n", "a\tb\nc", "a b c\n", "\n a b ",
+      "", " ", "\t", "a", "a\u00a0b", "x  y\t\tz ", "\r\na b\r\n")
+    val fromCatalyst = tricky.toDF("text")
+      .select(graft.text.TextFns.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    tricky.zip(fromCatalyst).foreach { case (s, cat) =>
+      val shown = s.replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r")
+      assert(graft.text.TextFns.tokensJvm(s).toSeq == cat, s"for '$shown'")
+    }
+  }
+
+  test("winnow_spans: span brackets the plagiarized run on a constructed fixture") {
+    // the MOSS case: a 30-token run R plagiarized between two otherwise
+    // unrelated documents (all context tokens unique per doc). Shared
+    // fingerprints can only hash trigrams fully inside R, so the span
+    // bounds must land inside R's shingle-index range in each doc.
+    val run = (0 until 30).map(i => s"r$i")
+    val docA = (0 until 20).map(i => s"a$i") ++ run ++ (0 until 20).map(i => s"b$i")
+    val docB = (0 until 15).map(i => s"c$i") ++ run ++ (0 until 25).map(i => s"d$i")
+    val docs = Seq((0L, docA.mkString(" ")), (1L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.DedupQueries.winnowSpansOf(docs, 1000).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getLong(2) >= 2, s"expected >=2 shared fingerprints, got ${r.getLong(2)}")
+    // run-interior shingle indices: [20, 47] in A, [15, 42] in B
+    assert(r.getInt(3) >= 20 && r.getInt(4) <= 47, r.toString)
+    assert(r.getInt(5) >= 15 && r.getInt(6) <= 42, r.toString)
+    assert(r.getInt(3) <= r.getInt(4) && r.getInt(5) <= r.getInt(6))
+    // pair list + shared counts agree with dedup_winnow (same postings,
+    // same cap, same >=2 bar)
+    val dw = graft.queries.DedupQueries.dedupWinnowOf(docs, 1000).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(dw == Seq((r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("winnow_spans agrees with dedup_winnow across the fixture corpus") {
+    val sp = graft.queries.DedupQueries.winnowSpans(spark, dir).collect()
+    val dw = graft.queries.DedupQueries.dedupWinnow(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(sp.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq == dw)
+    sp.foreach { x =>
+      assert(x.getInt(3) <= x.getInt(4) && x.getInt(5) <= x.getInt(6), x.toString)
+      assert(x.getInt(3) >= 0 && x.getInt(5) >= 0, x.toString)
+    }
   }
 
   test("quality_lr_calibration: a reliability table that partitions the corpus") {

@@ -382,27 +382,30 @@ class PlanSpec extends SparkSpec {
         s"corpus-derived broadcasts are a 100× scale-killer")
   }
 
-  test("q2/q9/q11: forced broadcasts only on constant-size dims, never SF-scaled frames") {
-    // Regression pin for the round-13 verdict: supplier- and part-
-    // derived frames are SF-scaled (TPC-H supplier is SF×10k rows —
-    // ~10⁹ at a 100 TB SF), so a broadcast() hint on them is the same
-    // scale-killer class removed from q8 and vocab_fuzzy_pairs. Hints
-    // may remain only on frames whose size is a CONSTANT of the schema:
-    // nation (25 rows), region (5), or 1-row aggregates (q11's
-    // threshold). Asserted on the analyzed plan, where explicit hints
-    // are ResolvedHint nodes; SF-scaled-ness is detected by the hinted
-    // child's output carrying fact/dim columns that grow with SF.
+  test("whole relational surface: forced broadcasts only on constant-size dims, never SF-scaled frames") {
+    // Regression pin for the round-13/14 verdicts, made FILE-WIDE in
+    // round 15: customer-, supplier- and part-derived frames are
+    // SF-scaled (TPC-H customer is SF×150k, supplier SF×10k rows —
+    // 10⁹–10¹⁰ at a 100 TB SF), so a broadcast() hint on them is the
+    // same scale-killer class removed from q8 and vocab_fuzzy_pairs:
+    // the planner auto-broadcasts them at any SF where it is safe, so
+    // the hint buys nothing at fixture scale and OOMs executors at the
+    // north star. Hints may remain only on frames whose size is a
+    // CONSTANT of the schema: nation (25 rows), region (5), 1-row
+    // aggregates (q11's threshold, q15's max, q22's mean), or the
+    // fixed-m bloom bit set. Asserted on the analyzed plan of EVERY
+    // query in Relational.defs, where explicit hints are ResolvedHint
+    // nodes; SF-scaled-ness is detected by the hinted child's output
+    // carrying fact/dim columns that grow with SF.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val sfPrefixes = Seq("s_", "p_", "l_", "o_", "c_", "ps_")
-    for (q <- Seq(
-        Relational.q2MinCostSupplier(spark, dir),
-        Relational.q9ProductProfit(spark, dir),
-        Relational.q11ImportantParts(spark, dir))) {
+    for ((name, fn) <- Relational.defs.toSeq.sortBy(_._1)) {
+      val q = fn(spark, dir)
       val hints = q.queryExecution.analyzed.collect { case h: ResolvedHint => h }
       val bad = hints.filter(_.child.output.exists(a =>
         sfPrefixes.exists(a.name.startsWith)))
       assert(bad.isEmpty,
-        s"SF-scaled frame under a forced broadcast hint: " +
+        s"$name: SF-scaled frame under a forced broadcast hint: " +
           s"${bad.map(_.child.output.map(_.name).mkString(",")).mkString("; ")}")
     }
   }
