@@ -459,12 +459,20 @@ object TextAnalysis {
     * the pairwise [[graft.queries.DedupQueries]] detectors: same
     * shingle space, but a profile score instead of a pair join.
     *
-    * Scale shape: distinct (doc, shingle) pairs shuffle once onto the
-    * shingle key for the document-frequency count (map-side combined),
-    * join back on the same key (no second shuffle of the df side under
-    * AQE exchange reuse), then aggregate onto doc_id. Nothing is ever
-    * pairwise; documents with fewer than 3 tokens have no shingles and
-    * are absent by construction.
+    * Scale shape (round-15 rewrite — this was the slowest clean-bench
+    * query at 4.7 s): a df=1 shingle has exactly ONE owner document, so
+    * the novel count per document is an aggregate of the df table
+    * itself (min(doc_id) over a df=1 group IS the owner) — the
+    * corpus-scale join-back of the old aggregate-then-rejoin form, and
+    * the corpus-scale re-aggregation onto doc_id after it, are both
+    * unnecessary. Two aggregates over the one distinct (doc, shingle)
+    * frame (AQE reuses its exchange): per-doc shingle counts (map-side
+    * combined onto |docs| keys) and per-shingle (df, owner) → filtered
+    * to df=1 → counted per owner; the final join runs at |docs| grain
+    * on both sides. Corpus-scale exchanges: the distinct + ONE
+    * shingle-keyed aggregate — nothing corpus-scale is ever joined.
+    * Nothing is pairwise; documents with fewer than 3 tokens have no
+    * shingles and are absent by construction.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyOf(Tables.documents(spark, dir))
@@ -477,11 +485,14 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(TextFns.shingles3(TextFns.tokens(col("text")))).as("sh"))
       .distinct()
-    val dfq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    sh.join(dfq, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .filter(col("df") === 1)
+      .groupBy(col("owner")).agg(count(lit(1)).as("novel_cnt"))
+    perDoc.join(novel, col("doc_id") === col("owner"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("novel_cnt"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
       .orderBy("doc_id")
@@ -638,9 +649,17 @@ object TextAnalysis {
     // every iteration re-reads the graph — cache it once (plan-keyed,
     // the verifiedNearDupPairs lifecycle: caller clears via
     // spark.catalog.clearCache()) so the tokenize→explode→aggregate
-    // chain doesn't replay five times in the final DAG
-    val ew = edges.join(wdeg, "src").cache()
-    val nodes = wdeg.select(col("src").as("token")).cache()
+    // chain doesn't replay five times in the final DAG. PRE-PARTITION
+    // both cached frames on their iteration join keys (round-15): the
+    // cached InMemoryRelation advertises its hashpartitioning, so each
+    // iteration's rank join reuses it and the only per-iteration
+    // exchange left is the contribution aggregate onto dst — the one
+    // movement PageRank inherently needs (rank mass crossing edges).
+    // Un-partitioned, every iteration re-shuffled the |E| edge table
+    // AND the |V| node table: 3 exchanges per iteration instead of 1.
+    val ew = edges.join(wdeg, "src").repartition(col("src")).cache()
+    val nodes = wdeg.select(col("src").as("token"))
+      .repartition(col("token")).cache()
     val nDf = nodes.agg(count(lit(1)).as("nn"))
     var pr = nodes.crossJoin(broadcast(nDf))
       .select(col("token"), snap8(lit(1.0) / col("nn")).as("pr"))
