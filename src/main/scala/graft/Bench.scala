@@ -34,16 +34,20 @@ object Bench {
     * out windows where it does.
     *
     * Current value: round-15 measurement at the 184-query surface
-    * (183 + winnow_spans): 85.139 s min-of-passes (pass totals
-    * 126.3/88.0 — pass 1 carries warm-up tail; load_avg [1.9, 2.2]).
-    * Consistency checks: the r14 DRIVER artifact's min-of-passes value
-    * was 84.219 s at 183 under load 7.7–9.1, and winnow_spans prices
-    * at 0.65 s — the two measurements agree to ~0.3%, which is what
+    * (183 + winnow_spans): 72.508 s min-of-passes (pass totals
+    * 109.3/74.6 — pass 1 carries warm-up tail; load_avg [1.6, 2.5]),
+    * AFTER the round's two plan rewrites (ngram_novelty 4.6 → 1.9 s in
+    * bench context, dedup_minhash_lsh/simhash_k/minhash_recall −0.4 to
+    * −0.5 s each). Convention cross-check: the SAME surface measured
+    * 85.139 s (load [1.9, 2.2]) earlier the same day BEFORE the
+    * rewrites, and the r14 DRIVER artifact's min-of-passes value was
+    * 84.219 s at 183 under load 7.7–9.1 — pre-rewrite numbers agree to
+    * ~0.3% across quiet and contended hosts, which is what
     * "drift-insensitive" is supposed to buy. History: r14 band 102.6 s
     * best-of-5 at 183 (old convention); r13 ladder 74.0/78.1/82.1 s at
     * 155 → 60.6 s at 173; r14 value 84.2 s at 183.
     */
-  private[graft] val CleanRefTotal = 85.1
+  private[graft] val CleanRefTotal = 72.5
   private[graft] val CleanRefQueries = 184
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.

@@ -867,6 +867,25 @@ class NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokensJvm == Catalyst tokens on random whitespace-heavy strings (property)") {
+    // short random strings over a whitespace-heavy alphabet hit the
+    // boundary-empty-token and mixed-whitespace cases near-exhaustively;
+    // one batched Catalyst evaluation keeps it a single Spark job
+    val rnd = new scala.util.Random(1234)
+    val chars = "ab \t\n\r  "
+    val strs = (0 until 300).map { _ =>
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+    }.distinct
+    val cat = strs.toDF("text")
+      .select(graft.text.TextFns.tokens(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    strs.zip(cat).foreach { case (s, c) =>
+      assert(graft.text.TextFns.tokensJvm(s).toSeq == c,
+        s"for ${s.map(ch => f"\\u${ch.toInt}%04x").mkString}")
+    }
+  }
+
   test("winnow_spans: span brackets the plagiarized run on a constructed fixture") {
     // the MOSS case: a 30-token run R plagiarized between two otherwise
     // unrelated documents (all context tokens unique per doc). Shared
