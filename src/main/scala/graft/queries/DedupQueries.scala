@@ -787,16 +787,38 @@ object DedupQueries {
     * cap), so the pair stage is Σ min(df, cap)² — never corpus².
     */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
-    dedupWinnowOf(Tables.documents(spark, dir), WinnowMaxDf)
+    winnowPairsFrom(winnowKept(spark, dir))
 
-  private[graft] def dedupWinnowOf(docs: DataFrame, maxDf: Int): DataFrame = {
-    val fps = TextAnalysis.winnowFps(docs)
+  private[graft] def dedupWinnowOf(docs: DataFrame, maxDf: Int): DataFrame =
+    winnowPairsFrom(winnowKeptOf(docs, maxDf))
+
+  /** Memoized df-capped winnowing postings (doc_id, fp, pos) for the
+    * fixture-dir path — ONE frame instance per (session, dir), the
+    * [[verifiedNearDupPairs]] pattern: the plan embeds the
+    * [[TextAnalysis.winnowFpsPos]] typed flatMap, and a fresh closure
+    * instance per call means a fresh non-canonical plan, so the
+    * `.cache()` below would park one NEW entry per library call
+    * (CacheLifecycleSpec's soak loop caught exactly this once the
+    * winnow reports joined it). The cache itself is wanted — `kept`
+    * feeds both sides of the pair self-join, so the fingerprint build
+    * (tokenize + hash + windowed min) and the hot-list anti-join run
+    * once, not per branch (the pairJaccard pattern).
+    */
+  private val winnowMemo = new graft.SessionMemo[String, DataFrame]
+
+  private def winnowKept(spark: SparkSession, dir: String): DataFrame =
+    winnowMemo.computeIfAbsent(spark, dir) {
+      winnowKeptOf(Tables.documents(spark, dir), WinnowMaxDf)
+    }
+
+  private def winnowKeptOf(docs: DataFrame, maxDf: Int): DataFrame = {
+    val fps = TextAnalysis.winnowFpsPos(docs)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
-    // kept feeds both sides of the self-join — cache it so the
-    // fingerprint build (tokenize + hash + windowed min) and hot-list
-    // anti-join run once, not per branch (the pairJaccard pattern)
-    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
+    fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
+  }
+
+  private def winnowPairsFrom(kept: DataFrame): DataFrame =
     kept.select(col("doc_id").as("a"), col("fp"))
       .join(kept.select(col("doc_id").as("b"), col("fp")), "fp")
       .filter(col("a") < col("b"))
@@ -804,7 +826,6 @@ object DedupQueries {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)
       .orderBy("a", "b")
-  }
 
   /** Winnowing MATCH REPORT — the MOSS output beside [[dedupWinnow]]'s
     * pair list (round-14 verdict #6): for every document pair sharing
@@ -826,13 +847,12 @@ object DedupQueries {
     * output.
     */
   def winnowSpans(spark: SparkSession, dir: String): DataFrame =
-    winnowSpansOf(Tables.documents(spark, dir), WinnowMaxDf)
+    winnowSpansFrom(winnowKept(spark, dir))
 
-  private[graft] def winnowSpansOf(docs: DataFrame, maxDf: Int): DataFrame = {
-    val fps = TextAnalysis.winnowFpsPos(docs)
-    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("fp"))
-    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti").cache()
+  private[graft] def winnowSpansOf(docs: DataFrame, maxDf: Int): DataFrame =
+    winnowSpansFrom(winnowKeptOf(docs, maxDf))
+
+  private def winnowSpansFrom(kept: DataFrame): DataFrame =
     kept.select(col("doc_id").as("a"), col("fp"), col("pos").as("pa"))
       .join(kept.select(col("doc_id").as("b"), col("fp"), col("pos").as("pb")),
         "fp")
@@ -843,7 +863,6 @@ object DedupQueries {
         min(col("pb")).as("b_start"), max(col("pb")).as("b_end"))
       .filter(col("shared") >= 2)
       .orderBy("a", "b")
-  }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall_bands" -> (dedupRecallBands _),

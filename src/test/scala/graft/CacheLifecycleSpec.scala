@@ -36,6 +36,11 @@ class CacheLifecycleSpec extends SparkSpec {
     graft.queries.Rag.ragRetrieval(spark, dir).count()
     graft.queries.Rag.ragSummary(spark, dir).count()
     graft.queries.TextAnalysis.bpeEncode(spark, dir).count()
+    // the winnow pair/span reports cache a `kept` posting frame whose
+    // plan embeds the winnowFpsPos typed flatMap — the closure-plan
+    // class again (round 15: winnow_spans joined the surface)
+    graft.queries.DedupQueries.dedupWinnow(spark, dir).count()
+    graft.queries.DedupQueries.winnowSpans(spark, dir).count()
     assert(cachedRddCount > 0, "the shared subplans should be cached at all")
 
     // Steady-state baseline is taken AFTER one more full iteration, not
@@ -57,6 +62,8 @@ class CacheLifecycleSpec extends SparkSpec {
       graft.queries.Rag.ragRetrieval(spark, dir).count()
       graft.queries.Rag.ragSummary(spark, dir).count()
       graft.queries.TextAnalysis.bpeEncode(spark, dir).count()
+      graft.queries.DedupQueries.dedupWinnow(spark, dir).count()
+      graft.queries.DedupQueries.winnowSpans(spark, dir).count()
       if (it == 1) afterFirst = cachedRddCount
       else assert(cachedRddCount == afterFirst,
         s"cache grew across repeated calls (iteration $it): " +
