@@ -33,22 +33,26 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-15 measurement at the 184-query surface
-    * (183 + winnow_spans): 72.508 s min-of-passes (pass totals
-    * 109.3/74.6 — pass 1 carries warm-up tail; load_avg [1.6, 2.5]),
-    * AFTER the round's two plan rewrites (ngram_novelty 4.6 → 1.9 s in
-    * bench context, dedup_minhash_lsh/simhash_k/minhash_recall −0.4 to
-    * −0.5 s each). Convention cross-check: the SAME surface measured
-    * 85.139 s (load [1.9, 2.2]) earlier the same day BEFORE the
-    * rewrites, and the r14 DRIVER artifact's min-of-passes value was
-    * 84.219 s at 183 under load 7.7–9.1 — pre-rewrite numbers agree to
-    * ~0.3% across quiet and contended hosts, which is what
-    * "drift-insensitive" is supposed to buy. History: r14 band 102.6 s
-    * best-of-5 at 183 (old convention); r13 ladder 74.0/78.1/82.1 s at
-    * 155 → 60.6 s at 173; r14 value 84.2 s at 183.
+    * Current value: round-15 measurement at the final 186-query
+    * surface (183 + winnow_spans, decontaminate_spans, pack_stats):
+    * 76.690 s min-of-passes (pass totals 173.3/85.4/81.3 — pass 1
+    * caught a decaying Verify run's load and the >1.5× disparity
+    * triggered the rotated pass 3, which ran quiet; load_avg
+    * [2.2, 1.8]). Same-day ladder under the same convention, AFTER the
+    * round's two plan rewrites (ngram_novelty 4.6 → 1.9 s in bench
+    * context): 72.508 s at 184 (load [1.6, 2.5]); the two final
+    * queries price at decontaminate_spans 0.58 s + pack_stats 0.17 s,
+    * the ~3.4 s remainder being sub-0.25 s-per-query jitter with only
+    * two quiet passes. Pre-rewrite cross-check: 85.139 s at 184 (load
+    * [1.9, 2.2]) vs the r14 DRIVER artifact's 84.219 s at 183 under
+    * load 7.7–9.1 — agreement to ~0.3% across quiet and contended
+    * hosts, which is what "drift-insensitive" is supposed to buy.
+    * History: r14 band 102.6 s best-of-5 at 183 (old convention); r13
+    * ladder 74.0/78.1/82.1 s at 155 → 60.6 s at 173; r14 value 84.2 s
+    * at 183.
     */
-  private[graft] val CleanRefTotal = 72.5
-  private[graft] val CleanRefQueries = 184
+  private[graft] val CleanRefTotal = 76.7
+  private[graft] val CleanRefQueries = 186
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

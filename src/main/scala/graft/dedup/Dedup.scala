@@ -47,6 +47,19 @@ object Dedup {
       .select(col("id"), TextFns.md5Int(col("sgl")).as("s"))
       .distinct()
 
+  /** [[shingleSet]] WITH positions: distinct (id, s, pos) where pos is
+    * the FIRST shingle index (0-based) at which the shingle occurs in
+    * the document — the winnowFpsPos position convention, so span
+    * reports built on either posting space agree on what an index
+    * means. posexplode keeps the arithmetic in Catalyst; the min-pos
+    * aggregate replaces the plain distinct (same grain, one extra int).
+    */
+  def shingleSetPos(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("t"))
+      .select(col("id"), posexplode(TextFns.shingles3(col("t"))).as(Seq("pos", "sgl")))
+      .select(col("id"), TextFns.md5Int(col("sgl")).as("s"), col("pos"))
+      .groupBy(col("id"), col("s")).agg(min(col("pos")).as("pos"))
+
   /** Document-frequency cap for the Jaccard pair join: a shingle in more
     * than this many documents is boilerplate (page headers, license
     * blurbs) and is dropped from the representation. Σ df² over surviving

@@ -470,6 +470,44 @@ object DedupQueries {
       .orderBy("doc_id", "query_id")
   }
 
+  /** Decontamination SPAN report — [[decontaminate]]'s WHERE companion
+    * (the winnow_spans pattern applied to eval overlap): for every
+    * (document, eval query) sharing ≥1 word-3-gram, the shared-shingle
+    * count and the matched-region bounds in the DOCUMENT (min/max
+    * first-occurrence shingle index). Production decontamination
+    * excises the contaminated WINDOW and keeps the rest of the document
+    * (dropping whole documents over one quoted benchmark question
+    * wastes data), and that excision needs exactly this span.
+    *
+    * Scale shape: identical to [[decontaminate]] — the eval-set
+    * shingles broadcast, the corpus side is one position-carrying
+    * shingle aggregate (same grain as the distinct, one extra int) +
+    * a map-side-combined aggregate per (doc, query). No shuffle grows
+    * with corpus size. Integer-only output.
+    */
+  def decontaminateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSet = docs.filter(col("doc_id") < 12)
+      .select(concat(lit("q"), col("doc_id")).as("query_id"),
+        concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 8)).as("qtext"))
+    decontaminateSpansOf(docs, evalSet)
+  }
+
+  /** [[decontaminateSpans]] over explicit corpus/eval frames — the spec
+    * entry point for constructed contamination fixtures.
+    */
+  private[graft] def decontaminateSpansOf(docs: DataFrame,
+      evalSet: DataFrame): DataFrame = {
+    val qsh = Dedup.shingleSet(evalSet, "query_id", "qtext")
+      .select(col("id").as("query_id"), col("s"))
+    val dsh = Dedup.shingleSetPos(docs, "doc_id", "text")
+    dsh.join(broadcast(qsh), "s")
+      .groupBy(col("id").as("doc_id"), col("query_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos")).as("d_start"), max(col("pos")).as("d_end"))
+      .orderBy("doc_id", "query_id")
+  }
+
   /** SEMANTIC eval-set decontamination — the embedding-space twin of
     * [[decontaminate]] (the check large-model reports run beside
     * lexical overlap: a paraphrased benchmark question shares no
@@ -876,6 +914,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_spans" -> (decontaminateSpans _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_k" -> (dedupSimhashK _),
@@ -1137,6 +1176,29 @@ object DedupQueries {
          |qsh AS ($duckQShingleSet)
          |SELECT d.id AS doc_id, q.qid AS query_id, count(*) AS n_shared
          |FROM dsh d JOIN qsh q ON d.s = q.s
+         |GROUP BY 1, 2 ORDER BY doc_id, query_id""".stripMargin,
+    // the decontaminate join over position-carrying doc shingles: pos =
+    // first 0-based shingle index (struct-unnest keeps (sgl, index)
+    // together; min-pos group replaces the distinct), span = min/max
+    // pos of the shared shingles per (doc, query)
+    "decontaminate_spans" ->
+      s"""WITH dshp AS (
+         |  SELECT id, CAST(('0x' || substr(md5(u.sgl), 1, 8)) AS BIGINT) AS s,
+         |         CAST(min(u.pos) AS INTEGER) AS pos
+         |  FROM (
+         |    SELECT doc_id AS id, unnest(
+         |      CASE WHEN len($duckToks) >= 3
+         |        THEN list_transform(range(1, len($duckToks) - 1),
+         |               i -> struct_pack(
+         |                 sgl := $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2],
+         |                 pos := i - 1))
+         |        ELSE [] END) AS u
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |qsh AS ($duckQShingleSet)
+         |SELECT d.id AS doc_id, q.qid AS query_id, count(*) AS n_shared,
+         |  min(d.pos) AS d_start, max(d.pos) AS d_end
+         |FROM dshp d JOIN qsh q ON d.s = q.s
          |GROUP BY 1, 2 ORDER BY doc_id, query_id""".stripMargin,
     "dedup_exact" ->
       """WITH fp AS (

@@ -1230,6 +1230,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Packing-efficiency audit over [[packSequences]] — the number a
+    * training-infra owner reads before a run: per shard bucket, how
+    * many documents and tokens were packed, how many fixed-size
+    * sequences that yields (concat packing fills contiguously, so
+    * n_seqs = ceil(tokens/cap) — all-integer), how many documents
+    * STRADDLE a sequence boundary (the attention-mask / loss-masking
+    * decision rides on this count), and the fill fraction of the
+    * allocated capacity (the waste is each bucket's final partial
+    * sequence). One map-side-combined aggregate over the packing frame
+    * onto 32 bucket keys; the boundary test is integer division on
+    * non-negative longs, identical in both engines.
+    */
+  def packStats(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    packSequences(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_tokens") > 0 &&
+            expr(s"start_offset div $cap") =!=
+              expr(s"(start_offset + n_tokens - 1) div $cap"), 1L)
+          .otherwise(0L)).as("n_split_docs"))
+      .withColumn("n_seqs", expr(s"(n_tokens + ${cap - 1}) div $cap"))
+      .withColumn("fill_frac",
+        when(col("n_seqs") > 0,
+          round(col("n_tokens").cast("double") / (col("n_seqs") * cap), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("bucket")
+  }
+
   /** Sequence packing under the TRAINED tokenizer — [[packSequences]]
     * with real BPE token counts instead of the chars/4 heuristic: the
     * budget a training run actually packs against is post-tokenizer,
@@ -1482,6 +1512,7 @@ object TextAnalysis {
     "bigram_lm" -> (bigramLm _),
     "text_normalize" -> (textNormalize _),
     "pack_sequences" -> (packSequences _),
+    "pack_stats" -> (packStats _),
     "text_repetition" -> (textRepetition _),
     "sample_mixture" -> (sampleMixture _),
     "pii_redact" -> (piiRedact _),
@@ -1652,6 +1683,36 @@ object TextAnalysis {
          |SELECT doc_id, bucket, n_tokens, start_offset,
          |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
          |FROM offs ORDER BY doc_id""".stripMargin,
+    // the pack_sequences window replayed, aggregated per bucket; the
+    // straddle test and seq count are integer division on non-negative
+    // longs (floor == trunc), identical in both engines
+    "pack_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, doc_id % 32 AS bucket,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($duckToks) + CAST(length(text) // 4 AS INTEGER) END
+         |         AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM toks),
+         |agg AS (
+         |  SELECT bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN n_tokens > 0 AND
+         |          start_offset // 2048 <> (start_offset + n_tokens - 1) // 2048
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+         |  FROM offs GROUP BY bucket)
+         |SELECT bucket, n_docs, n_tokens, n_split_docs,
+         |  CAST((n_tokens + 2047) // 2048 AS BIGINT) AS n_seqs,
+         |  CASE WHEN (n_tokens + 2047) // 2048 > 0
+         |    THEN round(CAST(n_tokens AS DOUBLE) /
+         |           (((n_tokens + 2047) // 2048) * 2048), 4)
+         |    ELSE 0.0 END AS fill_frac
+         |FROM agg ORDER BY bucket""".stripMargin,
     "pack_sequences_bpe" ->
       s"""WITH $duckBpeChain,
          |pdw AS (

@@ -912,6 +912,50 @@ class NewOpsSpec extends SparkSpec {
     assert(dw == Seq((r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("pack_stats: internally consistent with the packing frame") {
+    val cap = 2048
+    val packed = graft.queries.TextAnalysis.packSequences(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // bucket, n_tokens, start
+    val stats = graft.queries.TextAnalysis.packStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(stats.values.map(_._1).sum == packed.length) // n_docs partitions corpus
+    for ((bucket, (nDocs, nTok, nSplit, nSeqs, fill)) <- stats) {
+      val rows = packed.filter(_._1 == bucket)
+      assert(rows.length == nDocs)
+      assert(rows.map(_._2).sum == nTok)
+      // straddle count recomputed independently
+      val split = rows.count { case (_, t, s) =>
+        t > 0 && s / cap != (s + t - 1) / cap }
+      assert(split == nSplit, s"bucket $bucket split")
+      assert(nSeqs == (nTok + cap - 1) / cap)
+      assert(fill > 0.0 && fill <= 1.0)
+      // allocated capacity always covers the tokens
+      assert(nSeqs * cap >= nTok)
+    }
+  }
+
+  test("decontaminate_spans: the span brackets a benchmark question quoted mid-document") {
+    // production decontamination excises the contaminated WINDOW: a
+    // 10-token eval question quoted at token offset 25 of an otherwise
+    // clean 60-token document must yield a span inside the quote's
+    // shingle range, and the fully-clean document must not appear
+    val q = (0 until 10).map(i => s"q$i")
+    val doc0 = (0 until 25).map(i => s"u$i") ++ q ++ (0 until 25).map(i => s"v$i")
+    val doc1 = (0 until 40).map(i => s"w$i")
+    val docs = Seq((0L, doc0.mkString(" ")), (1L, doc1.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ev = Seq(("qA", q.mkString(" "))).toDF("query_id", "qtext")
+    val rows = graft.queries.DedupQueries.decontaminateSpansOf(docs, ev).collect()
+    assert(rows.length == 1, rows.mkString("; "))
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getString(1) == "qA")
+    // the quote's fully-interior shingles sit at doc indices [25, 32];
+    // all 8 of the question's shingles appear there
+    assert(r.getLong(2) == 8L, r.toString)
+    assert(r.getInt(3) == 25 && r.getInt(4) == 32, r.toString)
+  }
+
   test("winnow_spans agrees with dedup_winnow across the fixture corpus") {
     val sp = graft.queries.DedupQueries.winnowSpans(spark, dir).collect()
     val dw = graft.queries.DedupQueries.dedupWinnow(spark, dir).collect()
