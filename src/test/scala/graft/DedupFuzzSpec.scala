@@ -141,6 +141,23 @@ class DedupFuzzSpec extends SparkSpec {
     assert(noDrops.value == 0L)
   }
 
+  test("span reports are partitioning-invariant (winnow + decontaminate spans)") {
+    // the 100 TB property for the round-15 span operators: byte-identical
+    // output under 1-partition and 13-partition layouts — min/max span
+    // bounds and shared counts may not depend on row order
+    def run(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      val ev = Seq(("q0", docs.head._2.split(" ").take(8).mkString(" ")))
+        .toDF("query_id", "qtext")
+      graft.queries.DedupQueries.winnowSpansOf(df, 1000).collect().toSeq ++
+        graft.queries.DedupQueries.decontaminateSpansOf(df, ev).collect().toSeq
+    }
+    val a = run(1)
+    val b = run(13)
+    assert(a.nonEmpty, "fixture must produce at least one span row")
+    assert(a == b)
+  }
+
   test("recall-bands meter completes on a pathological clique corpus under the cap") {
     // 40 identical docs: every LSH bucket in every banding config is
     // the full clique. With a cap of 10 every bucket is dropped — the

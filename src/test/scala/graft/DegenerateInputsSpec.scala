@@ -153,6 +153,24 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(checked >= 8 * 64 / 2, s"only $checked (cell,dim) pairs checked")
   }
 
+  test("span reports survive empty and sub-window corpora") {
+    // empty corpus, all-blank docs, and docs below the 3-token shingle
+    // window must all yield zero span rows — never a throw, never a
+    // NULL-position row
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val blank = Seq((0L, ""), (1L, "   ")).toDF("doc_id", "text")
+    val short = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val ev = Seq(("q0", "a b c d")).toDF("query_id", "qtext")
+    for (df <- Seq(empty, blank, short)) {
+      assert(graft.queries.DedupQueries.winnowSpansOf(df, 1000).count() == 0)
+      assert(graft.queries.DedupQueries.decontaminateSpansOf(df, ev).count() == 0)
+    }
+    // an eval set below the shingle window contaminates nothing either
+    val evShort = Seq(("q0", "a b")).toDF("query_id", "qtext")
+    val docs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    assert(graft.queries.DedupQueries.decontaminateSpansOf(docs, evShort).count() == 0)
+  }
+
   test("corpus_filter pins empty-text flags: no NULL leaks into int columns") {
     // an empty document divides 0/0 in the stopword and digit ratios —
     // semantics are pinned (stop_ok 0, digit_ok 1), never engine-NULL/NaN

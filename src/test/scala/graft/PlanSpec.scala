@@ -443,6 +443,54 @@ class PlanSpec extends SparkSpec {
     assert(!pPb.contains("CartesianProduct"), pPb)
   }
 
+  test("ngram_novelty: novel counts ride the df aggregate — no corpus-scale join") {
+    // round-15 rewrite pin: a df=1 shingle has exactly one owner, so
+    // the per-doc novel count is an aggregate of the df table itself.
+    // The ONLY join allowed is the |docs|-grain LeftOuter broadcast of
+    // per-owner counts; a SortMergeJoin (or a second documents scan)
+    // would mean the old corpus-scale aggregate-then-rejoin came back
+    val df = graft.queries.TextAnalysis.ngramNovelty(spark, dir)
+    df.collect()
+    val whole = planOf(df)
+    val plan = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("documents.parquet")) == 1, plan)
+  }
+
+  test("decontaminate_spans: eval shingles broadcast; corpus side never shuffle-joins") {
+    // same contract as decontaminate, with the position-carrying
+    // corpus aggregate: the eval side is small by construction and must
+    // arrive broadcast — no shuffle of the corpus grows with its size
+    val df = graft.queries.DedupQueries.decontaminateSpans(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pack_stats: the inherited doc_id sort is eliminated under the aggregate") {
+    // packStats composes over packSequences, whose report form ends in
+    // orderBy(doc_id); EliminateSorts must drop that global sort below
+    // the bucket aggregate — the plan may carry exactly ONE range
+    // exchange (the final orderBy(bucket) over 32 rows), never a
+    // corpus-scale doc_id sort
+    val df = graft.queries.TextAnalysis.packStats(spark, dir)
+    df.collect()
+    val whole = planOf(df)
+    val plan = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    val ranges = plan.linesIterator.filter(_.contains("Exchange rangepartitioning")).toSeq
+    assert(ranges.size == 1 && ranges.head.contains("bucket"), plan)
+  }
+
   test("q8: every dimension broadcasts; no sort-merge or cartesian anywhere") {
     // seven tables, one fact: part/supplier/nation×2/customer/region
     // must all arrive as broadcasts onto the lineitem scan — the only
