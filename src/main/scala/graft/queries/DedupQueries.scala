@@ -478,6 +478,11 @@ object DedupQueries {
     * excises the contaminated WINDOW and keeps the rest of the document
     * (dropping whole documents over one quoted benchmark question
     * wastes data), and that excision needs exactly this span.
+    * Positions are FIRST occurrences (the winnow_spans convention), so
+    * the bounds are approximate at the edges: a shared shingle that
+    * also occurs earlier in the document anchors the span there — an
+    * excision that errs toward cutting more is the safe direction for
+    * decontamination.
     *
     * Scale shape: identical to [[decontaminate]] — the eval-set
     * shingles broadcast, the corpus side is one position-carrying
