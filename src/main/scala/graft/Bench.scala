@@ -47,6 +47,10 @@ object Bench {
     * [1.9, 2.2]) vs the r14 DRIVER artifact's 84.219 s at 183 under
     * load 7.7–9.1 — agreement to ~0.3% across quiet and contended
     * hosts, which is what "drift-insensitive" is supposed to buy.
+    * Reproducibility confirmation (the r14-verdict done criterion): an
+    * independent quiet-window run at the SAME final surface measured
+    * 75.678 s (pass totals 115.1/79.9, load [2.2, 1.7]) — within 1.3%
+    * of the recorded constant.
     * History: r14 band 102.6 s best-of-5 at 183 (old convention); r13
     * ladder 74.0/78.1/82.1 s at 155 → 60.6 s at 173; r14 value 84.2 s
     * at 183.
