@@ -33,30 +33,25 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-15 measurement at the final 186-query
-    * surface (183 + winnow_spans, decontaminate_spans, pack_stats):
-    * 76.690 s min-of-passes (pass totals 173.3/85.4/81.3 — pass 1
-    * caught a decaying Verify run's load and the >1.5× disparity
-    * triggered the rotated pass 3, which ran quiet; load_avg
-    * [2.2, 1.8]). Same-day ladder under the same convention, AFTER the
-    * round's two plan rewrites (ngram_novelty 4.6 → 1.9 s in bench
-    * context): 72.508 s at 184 (load [1.6, 2.5]); the two final
-    * queries price at decontaminate_spans 0.58 s + pack_stats 0.17 s,
-    * the ~3.4 s remainder being sub-0.25 s-per-query jitter with only
-    * two quiet passes. Pre-rewrite cross-check: 85.139 s at 184 (load
-    * [1.9, 2.2]) vs the r14 DRIVER artifact's 84.219 s at 183 under
-    * load 7.7–9.1 — agreement to ~0.3% across quiet and contended
-    * hosts, which is what "drift-insensitive" is supposed to buy.
-    * Reproducibility confirmation (the r14-verdict done criterion): an
-    * independent quiet-window run at the SAME final surface measured
-    * 75.678 s (pass totals 115.1/79.9, load [2.2, 1.7]) — within 1.3%
-    * of the recorded constant.
+    * Current value: round-15 measurement at the final 187-query
+    * surface (183 + winnow_spans, decontaminate_spans, pack_stats,
+    * bpe_fertility): 70.038 s min-of-passes (pass totals
+    * 119.1/77.4/76.6; load_avg [1.6, 2.4]). Same-day ladder under the
+    * same convention, all quiet windows: 72.508 s at 184 (post the
+    * round's ngram_novelty/textrank rewrites), 76.690 s and 75.678 s
+    * at 186 (two independent runs, ±1.3% — the reproducibility
+    * confirmation the r14 verdict asked for), 70.038 s at 187 (three
+    * quiet passes tightened the per-query minimums). Pre-rewrite
+    * cross-check: 85.139 s at 184 (load [1.9, 2.2]) vs the r14 DRIVER
+    * artifact's 84.219 s at 183 under load 7.7–9.1 — agreement to
+    * ~0.3% across quiet and contended hosts, which is what
+    * "drift-insensitive" is supposed to buy.
     * History: r14 band 102.6 s best-of-5 at 183 (old convention); r13
     * ladder 74.0/78.1/82.1 s at 155 → 60.6 s at 173; r14 value 84.2 s
     * at 183.
     */
-  private[graft] val CleanRefTotal = 76.7
-  private[graft] val CleanRefQueries = 186
+  private[graft] val CleanRefTotal = 70.0
+  private[graft] val CleanRefQueries = 187
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =

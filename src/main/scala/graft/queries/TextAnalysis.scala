@@ -1173,6 +1173,32 @@ object TextAnalysis {
     bpeEncMemo.computeIfAbsent(spark, dir)(
       bpeEncodeDocs(Tables.documents(spark, dir), iters = 5))
 
+  /** Tokenizer FERTILITY per ingest source — BPE tokens per whitespace
+    * word, the tokenizer-health metric a curation pipeline reads per
+    * feed: fertility near 1 means the trained merges compress the
+    * feed's text well; a high-fertility source is writing in a
+    * vocabulary the tokenizer never learned (foreign script, OCR
+    * noise, base64 blobs) and inflates its real token budget. Rides
+    * the memoized [[bpeEncode]] frame; one |docs|-grain join to the
+    * (doc_id, source) projection and one map-side-combined aggregate
+    * onto |sources| keys. Sums are exact longs; the single rounded
+    * double ratio is the dup_rate discipline.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodedMemo(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("n_words")).as("n_words"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 4))
+          .otherwise(lit(0.0)))
+      .orderBy("source")
+
   /** [[bpeEncode]] over an explicit documents frame (spec hook). */
   private[graft] def bpeEncodeDocs(docs: DataFrame, iters: Int): DataFrame = {
     val (_, fin, base) = bpeLoop(docs, iters)
@@ -1525,6 +1551,7 @@ object TextAnalysis {
     "dsir_select" -> (dsirSelect _),
     "bpe_train" -> (bpeTrain _),
     "bpe_encode" -> (bpeEncode _),
+    "bpe_fertility" -> (bpeFertility _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "textrank_keywords" -> (textrankKeywords _),
     "pmi_bigrams" -> (pmiBigrams _),
@@ -2182,6 +2209,34 @@ object TextAnalysis {
          |       CAST(sum(p.c) AS BIGINT) AS n_words
          |FROM pdw p JOIN vs v USING (word)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // the bpe_encode per-doc counts re-aggregated per ingest source —
+    // exact long sums, one rounded double ratio (the dup_rate rule)
+    "bpe_fertility" ->
+      s"""WITH $duckBpeChain,
+         |pdw AS (
+         |  SELECT doc_id, word, count(*) AS c
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents)
+         |  WHERE length(word) > 0 GROUP BY 1, 2),
+         |vs AS (
+         |  SELECT word, len(string_split(substr(w, 2, length(w) - 2),
+         |                    chr(2)||chr(1))) AS ns
+         |  FROM w5),
+         |enc AS (
+         |  SELECT p.doc_id, CAST(sum(p.c * v.ns) AS BIGINT) AS n_bpe,
+         |         CAST(sum(p.c) AS BIGINT) AS n_w
+         |  FROM pdw p JOIN vs v USING (word) GROUP BY 1)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(e.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(e.n_w) AS BIGINT) AS n_words,
+         |  CASE WHEN sum(e.n_w) > 0
+         |    THEN round(CAST(sum(e.n_bpe) AS DOUBLE) /
+         |               CAST(sum(e.n_w) AS DOUBLE), 4)
+         |    ELSE 0.0 END AS fertility
+         |FROM enc e JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     "dsir_select" ->
       s"""WITH bt AS (
          |  SELECT doc_id, lang,

@@ -912,6 +912,34 @@ class NewOpsSpec extends SparkSpec {
     assert(dw == Seq((r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("bpe_fertility: per-source sums reconcile with the per-doc encode frame") {
+    val enc = graft.queries.TextAnalysis.bpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.queries.TextAnalysis.bpeFertility(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (s, nDocs, nBpe, nW, fert) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // toSeq before mapping: keys is a Set, and mapping ids to counts
+      // over a Set would deduplicate equal counts before the sum
+      val docs = enc.keys.toSeq.filter(id => src(id) == s)
+      assert(docs.size == nDocs, s"$s n_docs")
+      assert(docs.map(enc(_)._1).sum == nBpe, s"$s n_bpe_tokens")
+      assert(docs.map(enc(_)._2).sum == nW, s"$s n_words")
+      // merges can only compress: fertility in (0, 1]... strictly, a
+      // word with no applicable merge stays at its character count, so
+      // fertility can exceed 1 per WORD count? No — n_bpe counts symbols
+      // AFTER merges over words, and a word of k chars starts at k
+      // symbols, so fertility = symbols/word >= 1 unless every word is
+      // a single char. Assert the sane range instead:
+      assert(fert >= 1.0 || nW == 0, s"$s fertility $fert")
+      assert(math.abs(fert - math.floor(nBpe.toDouble / nW * 1e4 + 0.5) / 1e4) <= 1e-9
+        || math.abs(fert - nBpe.toDouble / nW) <= 5e-5, s"$s rounding")
+    }
+  }
+
   test("pack_stats: internally consistent with the packing frame") {
     val cap = 2048
     val packed = graft.queries.TextAnalysis.packSequences(spark, dir).collect()
