@@ -141,6 +141,22 @@ class DedupFuzzSpec extends SparkSpec {
     assert(noDrops.value == 0L)
   }
 
+  test("shingleSetPos: same shingle set as shingleSet, pos = first occurrence") {
+    val df = docs.toDF("doc_id", "text")
+    val plain = Dedup.shingleSet(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withPos = Dedup.shingleSetPos(df, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(withPos.keySet == plain, "position variant must not change the set")
+    // recompute first occurrences brute-force from the raw token arrays
+    for (((id, s), pos) <- withPos) {
+      val toks = docs.toMap.apply(id).trim.split("\\s+")
+      val hashes = toks.sliding(3).filter(_.length == 3)
+        .map(w => graft.text.TextFns.md5IntJvm(w.mkString(" "))).toArray
+      assert(hashes.indexOf(s) == pos, s"doc $id shingle $s")
+    }
+  }
+
   test("span reports are partitioning-invariant (winnow + decontaminate spans)") {
     // the 100 TB property for the round-15 span operators: byte-identical
     // output under 1-partition and 13-partition layouts — min/max span
