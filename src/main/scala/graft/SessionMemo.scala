@@ -45,3 +45,54 @@ final class SessionMemo[K, V] {
     */
   private[graft] def liveSessions: Int = outer.synchronized { outer.size }
 }
+
+/** DataFrame-valued session memo that does NOT pin the session
+  * (ADVICE r15, medium): a `Dataset` strongly references its
+  * `SparkSession`, so storing one as a [[SessionMemo]] VALUE builds the
+  * WeakHashMap-documented value→key chain (map → CHM → DataFrame →
+  * session) and the weak key never clears — the session is pinned
+  * forever and the weak-release contract is silently void.
+  *
+  * The fix: the memo stores only a TEMP-VIEW NAME (a String — no
+  * session reference), and the frame's analyzed plan lives in the
+  * session's OWN catalog (`createTempView` registers session-scoped
+  * state). The retention chain from plan back to session is then a
+  * self-cycle (session → sessionState → catalog → plan → session),
+  * which the collector reclaims whole once nothing external references
+  * the session — exactly the weak-release contract, now testable with
+  * a DataFrame-valued memo (CacheLifecycleSpec).
+  *
+  * Lookup returns `spark.table(name)`: a fresh Dataset each call, but
+  * over the SAME stored analyzed plan, and `SubqueryAlias`/`View`
+  * canonicalize to their child — so plan-keyed cache entries dedupe
+  * across calls just as the old same-object convention did (the soak
+  * loop in CacheLifecycleSpec pins this). Views are internal
+  * (`graft_memo_<uuid>` — visible in `listTables`, documented library
+  * state); an externally dropped view is rebuilt, not an error.
+  */
+final class FrameMemo[K] {
+  private val names = new SessionMemo[K, String]
+
+  def computeIfAbsent(spark: SparkSession, key: K)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = names.entries(spark)
+    def resolve(n: String): Option[org.apache.spark.sql.DataFrame] =
+      try Some(spark.table(n))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val n0 = m.get(key)
+    if (n0 != null) resolve(n0) match {
+      case Some(df) => return df
+      case None => m.remove(key, n0) // view dropped externally — rebuild
+    }
+    val name = m.computeIfAbsent(key, _ => {
+      val df = build
+      val n = "graft_memo_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      df.createOrReplaceTempView(n)
+      n
+    })
+    spark.table(name)
+  }
+
+  private[graft] def liveSessions: Int = names.liveSessions
+}

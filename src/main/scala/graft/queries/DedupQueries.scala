@@ -174,7 +174,9 @@ object DedupQueries {
     * one entry across repeated calls (CacheLifecycleSpec); the caller
     * evicts via `spark.catalog.clearCache()` when done.
     */
-  private val vndMemo = new graft.SessionMemo[String, DataFrame]
+  // FrameMemo, not SessionMemo[_, DataFrame]: a DataFrame value would
+  // pin the session through the WeakHashMap value→key chain (ADVICE r15)
+  private val vndMemo = new graft.FrameMemo[String]
 
   private def verifiedNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     // memoize the FRAME, not just rely on plan-keyed caching:
@@ -847,7 +849,7 @@ object DedupQueries {
     * (tokenize + hash + windowed min) and the hot-list anti-join run
     * once, not per branch (the pairJaccard pattern).
     */
-  private val winnowMemo = new graft.SessionMemo[String, DataFrame]
+  private val winnowMemo = new graft.FrameMemo[String]
 
   private def winnowKept(spark: SparkSession, dir: String): DataFrame =
     winnowMemo.computeIfAbsent(spark, dir) {

@@ -67,7 +67,9 @@ object Rag {
     * call (library-caller cache growth, CacheLifecycleSpec). Reusing
     * the frame instance makes the per-call `.cache()` idempotent.
     */
-  private val embMemo = new graft.SessionMemo[(String, String), DataFrame]
+  // FrameMemo, not SessionMemo[_, DataFrame]: a DataFrame value would
+  // pin the session through the WeakHashMap value→key chain (ADVICE r15)
+  private val embMemo = new graft.FrameMemo[(String, String)]
 
   private def embeddedFull(spark: SparkSession, dir: String): DataFrame =
     embMemo.computeIfAbsent(spark, (dir, "full"))(

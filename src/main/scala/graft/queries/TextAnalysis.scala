@@ -1168,7 +1168,7 @@ object TextAnalysis {
     * pins); both consumers (bpe_encode, pack_sequences_bpe) share this
     * one frame instead.
     */
-  private val bpeEncMemo = new graft.SessionMemo[String, DataFrame]
+  private val bpeEncMemo = new graft.FrameMemo[String]
   private def bpeEncodedMemo(spark: SparkSession, dir: String): DataFrame =
     bpeEncMemo.computeIfAbsent(spark, dir)(
       bpeEncodeDocs(Tables.documents(spark, dir), iters = 5))

@@ -107,4 +107,57 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(memo.liveSessions == 0,
       "SessionMemo retained a session that has no other strong references")
   }
+
+  test("FrameMemo: a DataFrame-valued memo does not pin its session") {
+    // ADVICE r15 (medium): a DataFrame stored as a SessionMemo VALUE
+    // strongly references its SparkSession, so the WeakHashMap
+    // value→key chain pinned the session forever — and the String-only
+    // test above could never catch it. FrameMemo stores just the
+    // temp-view name; the plan lives in the session's own catalog
+    // (a self-cycle the GC reclaims with the session).
+    val memo = new graft.FrameMemo[String]
+    // the frames live only inside this helper's stack frame — an
+    // interpreted test body would otherwise keep them (and the session
+    // they reference) alive through the GC loop below
+    def exercise(s2: org.apache.spark.sql.SparkSession): Unit = {
+      val built = memo.computeIfAbsent(s2, "k") {
+        s2.read.parquet(dir + "/documents.parquet").select("doc_id")
+      }
+      assert(built.columns.toSeq == Seq("doc_id"))
+      // second lookup resolves the SAME stored plan through the view
+      val again = memo.computeIfAbsent(s2, "k") {
+        fail("memoized build must not re-run")
+      }
+      assert(again.queryExecution.analyzed.canonicalized ==
+        built.queryExecution.analyzed.canonicalized,
+        "view-resolved frame must canonicalize to the built plan " +
+          "(plan-keyed cache entries would otherwise grow per call)")
+    }
+    var s2 = spark.newSession()
+    exercise(s2)
+    s2 = null
+    var tries = 0
+    while (memo.liveSessions > 0 && tries < 100) {
+      System.gc(); Thread.sleep(50); tries += 1
+    }
+    assert(memo.liveSessions == 0,
+      "FrameMemo retained a session through a DataFrame value — the " +
+        "value→key chain the temp-view indirection exists to break")
+  }
+
+  test("FrameMemo: an externally dropped view is rebuilt, not an error") {
+    val memo = new graft.FrameMemo[String]
+    var builds = 0
+    def get() = memo.computeIfAbsent(spark, "k2") {
+      builds += 1
+      spark.range(3).toDF("doc_id")
+    }
+    assert(get().count() == 3 && builds == 1)
+    // drop every graft_memo_ view (simulating a caller's catalog sweep)
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_memo_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    assert(get().count() == 3, "dropped view must resolve via rebuild")
+    assert(builds == 2)
+  }
 }

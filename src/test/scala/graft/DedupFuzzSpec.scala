@@ -149,8 +149,12 @@ class DedupFuzzSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(withPos.keySet == plain, "position variant must not change the set")
     // recompute first occurrences brute-force from the raw token arrays
+    // — via TextFns.tokensJvm, NOT String.trim.split: the Java pair
+    // trims all whitespace and drops boundary empties, so the oracle
+    // side of this pin would silently diverge from the Catalyst
+    // convention on docs with leading/trailing tabs/newlines (ADVICE r15)
     for (((id, s), pos) <- withPos) {
-      val toks = docs.toMap.apply(id).trim.split("\\s+")
+      val toks = graft.text.TextFns.tokensJvm(docs.toMap.apply(id))
       val hashes = toks.sliding(3).filter(_.length == 3)
         .map(w => graft.text.TextFns.md5IntJvm(w.mkString(" "))).toArray
       assert(hashes.indexOf(s) == pos, s"doc $id shingle $s")
