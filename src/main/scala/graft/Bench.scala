@@ -50,8 +50,29 @@ object Bench {
     * ladder 74.0/78.1/82.1 s at 155 → 60.6 s at 173; r14 value 84.2 s
     * at 183.
     */
-  private[graft] val CleanRefTotal = 70.0
+  private[graft] val CleanRefTotal = 70.038
   private[graft] val CleanRefQueries = 187
+
+  /** Fixed-width base36 encoding of every query's min-of-passes time in
+    * CENTISECONDS, one 3-char group per query in ALPHABETICAL order
+    * (the same ordering as `queries`/`min_pass`): full per-query
+    * round-over-round telemetry in n/about-7 of the chars a JSON map
+    * costs (187 queries ≈ 561 chars vs ~4.2 KB), so it rides INSIDE the
+    * tail-bounded final record no floor rung can carry a full map in
+    * (round-15 verdict #1: the 1.0 s floor omitted 167/187 timings and
+    * blinded sub-floor regression detection). Decode: per group,
+    * Integer.parseInt(group, 36) / 100.0 seconds; "zzz" (= 466.55 s) is
+    * the saturation cap. Exposed for BenchRecordSpec round-trips.
+    */
+  private[graft] def encodeCs(results: Seq[(String, Double)]): String =
+    results.sortBy(_._1).map { case (_, v) =>
+      val cs = math.min(math.round(v * 100).max(0L), 36L * 36 * 36 - 1)
+      val s = java.lang.Long.toString(cs, 36)
+      "0" * (3 - s.length) + s
+    }.mkString
+
+  private[graft] def decodeCs(enc: String): Seq[Double] =
+    enc.grouped(3).map(g => java.lang.Long.parseLong(g, 36) / 100.0).toSeq
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =
@@ -239,10 +260,20 @@ object Bench {
       val loadDec = if (lean) 1 else 2
       s""""pass1_total":${fmt(p1t)},"pass2_total":${fmt(p2t)}$p3,""" +
         jit + s""""load_avg":[${fmtN(loadDec)(load0)},${fmtN(loadDec)(load1)}],""" +
+        // explicit weather flag (round-15 verdict: the official r15
+        // number was 43% above the same code's quiet band purely on
+        // load, and consumers should not need out-of-band ladders to
+        // see it): true when either load sample exceeds the band-gate
+        // threshold (1-minute load 3 — the quiet-window convention
+        // CleanRefTotal is measured under)
+        s""""contended":${load0 > 3.0 || load1 > 3.0},""" +
         // self-contained gate context (~40 chars on every rung; the
         // ladder's guard math absorbs it by listing 2-3 fewer floor
         // queries rather than losing a rung)
-        s""""clean_ref_total":${fmtN(1)(CleanRefTotal)},"clean_ref_nq":$CleanRefQueries"""
+        // 3 decimals: the constant is BY CONVENTION exactly the value
+        // field of a quiet-window artifact (ADVICE r15 — a 1-decimal
+        // stamp lost the exactness the drift-proofing promises)
+        s""""clean_ref_total":${fmtN(3)(CleanRefTotal)},"clean_ref_nq":$CleanRefQueries"""
     }
     // The gate-facing total always keeps 3 decimals; telemetry keeps 3
     // except on the lean rungs (1 decimal — see telemetry()); only the
@@ -301,12 +332,37 @@ object Bench {
     val winCounts = passes.indices
       .map(i => minPassStr.count(_ == ('1' + i).toChar))
     val provWins = s""""min_pass_wins":${winCounts.mkString("[", ",", "]")},"""
-    def finalRecord(fmt: Double => String, prov: String, qs: String,
-        lean: Boolean): String = {
+    // Full-coverage per-query channel (round-15 verdict #1): the
+    // compact base36 string carries EVERY query's min-of-passes time
+    // inside the tail budget, so the "queries" floor map degrades to a
+    // human-readable slowest-K view while round-over-round regression
+    // detection keeps all entries. If a future surface makes even the
+    // encoded string overflow the guard, it is dropped whole rather
+    // than shipping a truncated (misdecoding) prefix.
+    val qEncField =
+      s""""q_enc":"${encodeCs(results)}","q_enc_doc":"min centisec b36 w3 alpha","""
+    def finalRecordWith(qenc: String)(fmt: Double => String, prov: String,
+        qs: String, lean: Boolean): String = {
       val teleFmt: Double => String = if (lean) fmtN(1) else fmtN(3)
-      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(teleFmt, lean)},$prov"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmtN(3)(total)},"unit":"sec",${telemetry(teleFmt, lean)},$qenc$prov"queries":$qs,"sf":"$sfName"}"""
     }
-    println(chooseFinalLine(results, finalRecord, provFull, provHex, provWins))
+    // Belt and braces for consumers with file access (the stdout tail
+    // is the driver contract; the file is the lossless artifact): the
+    // SAME record shape at full precision with the complete map.
+    val fullRecord = finalRecordWith(qEncField)(fmtN(3), provFull,
+      qmap(results.toMap, fmtN(3)), false)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(
+        s"[bench] full per-query record -> bench_full.json (${fullRecord.length} chars)")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
+    val withEnc = chooseFinalLine(results, finalRecordWith(qEncField),
+      provFull, provHex, provWins)
+    println(if (withEnc.length <= 1900) withEnc
+      else chooseFinalLine(results, finalRecordWith(""), provFull, provHex, provWins))
     spark.stop()
   }
 }

@@ -143,6 +143,45 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(line.contains("\"queries\":{}"))
   }
 
+  // ---- q_enc full-coverage channel (round-15 verdict #1: the floor
+  // rungs omitted 167/187 timings; the base36 string carries them all) ----
+
+  test("encodeCs: fixed width, alphabetical order, zero floor, saturation cap") {
+    val rs = Seq("b" -> 1.234, "a" -> 0.0, "c" -> 500.0, "d" -> 0.009)
+    val enc = Bench.encodeCs(rs)
+    assert(enc === "000" + "03f" + "zzz" + "001")
+  }
+
+  test("decodeCs round-trips every min time to centisecond precision") {
+    val rng = new scala.util.Random(7)
+    val rs = (0 until 187).map(i => f"q$i%03d" -> rng.nextDouble() * 12)
+    val dec = Bench.decodeCs(Bench.encodeCs(rs))
+    val want = rs.sortBy(_._1).map(_._2)
+    assert(dec.length === 187)
+    for ((d, w) <- dec.zip(want))
+      assert(math.abs(d - w) <= 0.005 + 1e-9, s"$d vs $w")
+  }
+
+  test("q_enc rides the final record at the 187-query surface within the guard") {
+    val rs = syntheticResults(187, i => 0.1 + (i % 40) * 0.07)
+    val qenc =
+      s""""q_enc":"${Bench.encodeCs(rs)}","q_enc_doc":"min centisec b36 w3 alpha","""
+    // q_enc sits before the provenance field, exactly as main composes it
+    def mk(fmt: Double => String, prov: String, qs: String, lean: Boolean) =
+      mkRecord(fmt, qenc + prov, qs, lean)
+    val prov = s""""min_pass2_hex":"${"a5" * 24}","""
+    val line = Bench.chooseFinalLine(rs, mk, s""""min_pass":"${"1" * 187}",""",
+      prov, """"min_pass_wins":[187,0],""")
+    assert(line.length <= 1900, s"guard: ${line.length}")
+    val enc = line.split("\"q_enc\":\"", 2)(1).split("\"")(0)
+    assert(enc.length === 187 * 3, "q_enc must cover every query untruncated")
+    val dec = Bench.decodeCs(enc)
+    val want = rs.sortBy(_._1).map(_._2)
+    for ((d, w) <- dec.zip(want)) assert(math.abs(d - w) <= 0.005 + 1e-9)
+    // the floor map still rides beside it (human-readable slowest-K view)
+    assert(queriesMap(line).nonEmpty)
+  }
+
   test("clean-host reference constants track the live query surface") {
     // CleanRefTotal/CleanRefQueries are hand-maintained measurement
     // constants stamped into every bench record; if the query surface
