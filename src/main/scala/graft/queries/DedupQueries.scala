@@ -410,7 +410,12 @@ object DedupQueries {
     * Broder subset/quote pairs (normalized to unordered) that
     * [[dedupContainment]] finds and symmetric Jaccard structurally
     * misses — without them the matrix undercounts cross-feed
-    * republication that quotes-whole. This is the feed-governance view
+    * republication that quotes-whole; `winnow` rows count the
+    * [[dedupWinnow]] run pairs (round-15 verdict #5) — the contiguous-
+    * plagiarism detector BOTH set detectors structurally miss (a short
+    * shared run inside two otherwise-unrelated long documents moves
+    * neither Jaccard nor containment, but republication-with-edits is
+    * exactly that shape). This is the feed-governance view
     * of dedup: a large off-diagonal cell means two ingest feeds are
     * republishing each other's content, and the mixture weights
     * downstream should treat them as one pool. Sources are ordered
@@ -424,15 +429,17 @@ object DedupQueries {
   def dupCrossSource(spark: SparkSession, dir: String): DataFrame =
     crossSourceMatrix(
       Tables.documents(spark, dir).select(col("doc_id"), col("source")),
-      verifiedPairIds(spark, dir), containmentPairIds(spark, dir))
+      verifiedPairIds(spark, dir), containmentPairIds(spark, dir),
+      dedupWinnow(spark, dir).select(col("a"), col("b")))
 
   /** [[dupCrossSource]] over explicit (doc_id, source) / pair frames —
     * the spec entry point for constructed fixtures. `cntPairs` may be
     * ORDERED (both containment directions); it is normalized to
     * unordered-distinct here so a mutual containment counts once.
+    * `wnPairs` is already unordered (a < b by construction).
     */
   private[graft] def crossSourceMatrix(src: DataFrame, mhPairs: DataFrame,
-      cntPairs: DataFrame): DataFrame = {
+      cntPairs: DataFrame, wnPairs: DataFrame): DataFrame = {
     val mh = mhPairs.select(col("a"), col("b"))
       .withColumn("detector", lit("minhash"))
     val cnt = cntPairs
@@ -440,7 +447,9 @@ object DedupQueries {
         greatest(col("a"), col("b")).as("b"))
       .distinct()
       .withColumn("detector", lit("containment"))
-    mh.unionByName(cnt)
+    val wn = wnPairs.select(col("a"), col("b"))
+      .withColumn("detector", lit("winnow"))
+    mh.unionByName(cnt).unionByName(wn)
       .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
       .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
       .select(col("detector"), least(col("sa"), col("sb")).as("source_a"),
@@ -513,6 +522,58 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_shared"),
         min(col("pos")).as("d_start"), max(col("pos")).as("d_end"))
       .orderBy("doc_id", "query_id")
+  }
+
+  /** Decontamination EXCISION — the operator that ACTS on
+    * [[decontaminateSpans]] (round-15 verdict #4: the pipeline reported
+    * WHERE but could not excise): every document is re-emitted with its
+    * contaminated token windows cut out and the rest kept. A span
+    * [d_start, d_end] over SHINGLE indexes covers token indexes
+    * [d_start, d_end + 2] (a 3-gram at shingle i spans tokens i..i+2);
+    * a document matching several eval queries masks the union of its
+    * spans. Per-(doc, query) spans use the min/max first-occurrence
+    * convention, so the cut can take more than the literal quote —
+    * erring toward cutting more is the safe direction for
+    * decontamination (the span report's own contract). Clean documents
+    * pass through byte-identical with n_removed = 0.
+    *
+    * Scale shape: the span side is [[decontaminateSpans]] (eval
+    * shingles broadcast, corpus-side aggregate) collapsed to |contaminated
+    * docs| rows of tiny span arrays, equi-joined back at docs grain
+    * (left join — AQE broadcasts the sliver at runtime; no forced hint,
+    * the side scales with eval-overlap); the rewrite itself is a narrow
+    * per-row Catalyst projection (tokenize, indexed filter against ≤
+    * |eval queries| spans, re-join) — whole-stage codegen, no typed
+    * closure, no extra shuffle beyond the span aggregate it already
+    * cites.
+    */
+  def decontaminateRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSet = docs.filter(col("doc_id") < 12)
+      .select(concat(lit("q"), col("doc_id")).as("query_id"),
+        concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 8)).as("qtext"))
+    decontaminateRewriteOf(docs, evalSet)
+  }
+
+  /** [[decontaminateRewrite]] over explicit corpus/eval frames — the
+    * spec entry point for constructed contamination fixtures.
+    */
+  private[graft] def decontaminateRewriteOf(docs: DataFrame,
+      evalSet: DataFrame): DataFrame = {
+    val spans = decontaminateSpansOf(docs, evalSet)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("d_start"), col("d_end"))).as("spans"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("keep",
+        when(col("spans").isNull, col("toks")).otherwise(expr(
+          "filter(toks, (t, i) -> NOT exists(spans, " +
+            "s -> i >= s.d_start AND i <= s.d_end + 2))")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("keep")).as("clean_text"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
   }
 
   /** SEMANTIC eval-set decontamination — the embedding-space twin of
@@ -897,6 +958,68 @@ object DedupQueries {
   private[graft] def winnowSpansOf(docs: DataFrame, maxDf: Int): DataFrame =
     winnowSpansFrom(winnowKeptOf(docs, maxDf))
 
+  /** Gap (in shingle indexes) above which two shared fingerprints in
+    * the same pair belong to different matched RUNS: w + 2 = 6 —
+    * within one contiguous shared region, winnowing selects at least
+    * one fingerprint per w consecutive windows, so consecutive shared
+    * fingerprints sit ≤ w apart plus edge slack; a larger jump means
+    * intervening unshared text.
+    */
+  private[graft] val WinnowRunGap = 6
+
+  /** Run-SEGMENTED winnowing match report — the actual MOSS output
+    * (round-15 verdict #2): [[winnowSpans]] brackets ALL of a pair's
+    * shared fingerprints into one min/max span, so a pair sharing two
+    * short runs at opposite document ends reports one giant span of
+    * mostly unmatched text. Here the shared fingerprints are split
+    * into contiguous matched runs first — sorted by position in
+    * document a, a new run starts when the jump exceeds
+    * [[WinnowRunGap]] — and each run reports its own span in both
+    * documents (one row per (pair, run); single-fingerprint runs are
+    * kept: a pair surviving the ≥2-shared gate may well split into
+    * 1-fp runs). b-side bounds are the min/max positions of the run's
+    * fingerprints in b — sound when the run appears once per document;
+    * a run repeated inside b brackets its occurrences (first-occurrence
+    * position convention).
+    *
+    * Scale shape: identical to [[winnowSpans]] up to the pair join
+    * (df-capped Σ min(df, cap)²); then three window passes over ONE
+    * (a, b) exchange (total count, lag, running sum — same partition
+    * key and ordering, so Catalyst plans a single shuffle) and a
+    * map-side-combined aggregate at (pair, run) grain. Pair rows are a
+    * sliver of the corpus; nothing corpus-scale is windowed.
+    */
+  def winnowRuns(spark: SparkSession, dir: String): DataFrame =
+    winnowRunsFrom(winnowKept(spark, dir))
+
+  private[graft] def winnowRunsOf(docs: DataFrame, maxDf: Int): DataFrame =
+    winnowRunsFrom(winnowKeptOf(docs, maxDf))
+
+  private def winnowRunsFrom(kept: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = kept.select(col("doc_id").as("a"), col("fp"), col("pos").as("pa"))
+      .join(kept.select(col("doc_id").as("b"), col("fp"), col("pos").as("pb")),
+        "fp")
+      .filter(col("a") < col("b"))
+    val pairW = Window.partitionBy("a", "b")
+    val ordW = Window.partitionBy("a", "b").orderBy("pa")
+    joined
+      // the ≥2-shared gate is the winnowSpans pair-survival convention
+      .withColumn("total", count(lit(1)).over(pairW))
+      .filter(col("total") >= 2)
+      // pa is unique within a pair (distinct fps have distinct first
+      // occurrences), so the lag ordering is deterministic
+      .withColumn("brk",
+        when(col("pa") - lag(col("pa"), 1).over(ordW) > WinnowRunGap, 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(ordW))
+      .groupBy(col("a"), col("b"), col("run_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        min(col("pa")).as("a_start"), max(col("pa")).as("a_end"),
+        min(col("pb")).as("b_start"), max(col("pb")).as("b_end"))
+      .orderBy("a", "b", "run_id")
+  }
+
   private def winnowSpansFrom(kept: DataFrame): DataFrame =
     kept.select(col("doc_id").as("a"), col("fp"), col("pos").as("pa"))
       .join(kept.select(col("doc_id").as("b"), col("fp"), col("pos").as("pb")),
@@ -912,6 +1035,7 @@ object DedupQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall_bands" -> (dedupRecallBands _),
     "winnow_spans" -> (winnowSpans _),
+    "winnow_runs" -> (winnowRuns _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_recall" -> (dedupRecall _),
@@ -922,6 +1046,7 @@ object DedupQueries {
     "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_spans" -> (decontaminateSpans _),
+    "decontaminate_rewrite" -> (decontaminateRewrite _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_k" -> (dedupSimhashK _),
@@ -1064,7 +1189,84 @@ object DedupQueries {
        |  JOIN embeddings ea ON c.a = ea.vec_id
        |  JOIN embeddings eb ON c.b = eb.vec_id)""".stripMargin
 
+  // position-carrying document shingles (s, first-occurrence pos) — the
+  // shared corpus side of decontaminate_spans and decontaminate_rewrite
+  private val duckDocShinglePos =
+    s"""SELECT id, CAST(('0x' || substr(md5(u.sgl), 1, 8)) AS BIGINT) AS s,
+       |         CAST(min(u.pos) AS INTEGER) AS pos
+       |  FROM (
+       |    SELECT doc_id AS id, unnest(
+       |      CASE WHEN len($duckToks) >= 3
+       |        THEN list_transform(range(1, len($duckToks) - 1),
+       |               i -> struct_pack(
+       |                 sgl := $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2],
+       |                 pos := i - 1))
+       |        ELSE [] END) AS u
+       |    FROM documents)
+       |  GROUP BY 1, 2""".stripMargin
+
+  // position-carrying winnow postings after the df cap — the shared
+  // CTE prefix of winnow_spans and winnow_runs: shingle-hash lists,
+  // window-min fingerprint selection, first-occurrence positions, the
+  // hot-fp drop
+  private val duckWinnowKeptPos =
+    s"""h AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      CASE WHEN len($duckToks) >= 3
+       |        THEN list_transform(range(1, len($duckToks) - 1),
+       |               i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
+       |        ELSE [] END,
+       |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+       |  FROM documents),
+       |fps AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(h) < 4 THEN [list_min(h)]
+       |         ELSE list_distinct(list_transform(range(1, len(h) - 2),
+       |                j -> list_min(h[CAST(j AS INTEGER) : CAST(j AS INTEGER) + 3])))
+       |    END) AS fp
+       |  FROM h WHERE len(h) >= 1),
+       |posd AS (
+       |  SELECT f.doc_id, f.fp,
+       |         CAST(list_position(hh.h, f.fp) - 1 AS INTEGER) AS pos
+       |  FROM fps f JOIN h hh ON f.doc_id = hh.doc_id),
+       |hot AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM posd GROUP BY 1)
+       |  WHERE df > $WinnowMaxDf),
+       |kept AS (SELECT doc_id, fp, pos FROM posd
+       |         WHERE fp NOT IN (SELECT fp FROM hot))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // the winnow_spans pair set re-segmented into contiguous runs:
+    // same kept postings, pair join, ≥2-shared gate; then lag/running-
+    // sum segmentation on the a-side positions (gap > 6 starts a new
+    // run) and per-run min/max bounds — the window replay of the Spark
+    // side's three same-key window passes
+    "winnow_runs" ->
+      s"""WITH $duckWinnowKeptPos,
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         |tot AS (
+         |  SELECT a, b, pa, pb FROM (
+         |    SELECT a, b, pa, pb, count(*) OVER (PARTITION BY a, b) AS total
+         |    FROM pairs)
+         |  WHERE total >= 2),
+         |brk AS (
+         |  SELECT a, b, pa, pb,
+         |    CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b ORDER BY pa)
+         |              > $WinnowRunGap
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM tot),
+         |seg AS (
+         |  SELECT a, b, pa, pb,
+         |    CAST(sum(brk) OVER (PARTITION BY a, b ORDER BY pa) AS BIGINT)
+         |      AS run_id
+         |  FROM brk)
+         |SELECT a, b, run_id, count(*) AS n_fps,
+         |  min(pa) AS a_start, max(pa) AS a_end,
+         |  min(pb) AS b_start, max(pb) AS b_end
+         |FROM seg GROUP BY 1, 2, 3 ORDER BY a, b, run_id""".stripMargin,
     // winnowing postings rebuilt exactly as TextAnalysis's
     // winnow_fingerprint oracle (k=3 shingles, w=4 window mins), then
     // the capped posting self-join — the pairJaccard cap mirrored on fp
@@ -1099,31 +1301,7 @@ object DedupQueries {
     // (list_position is 1-based; the Spark flatMap emits the same
     // 0-based first-occurrence index), then min/max span bounds per pair
     "winnow_spans" ->
-      s"""WITH h AS (
-         |  SELECT doc_id,
-         |    list_transform(
-         |      CASE WHEN len($duckToks) >= 3
-         |        THEN list_transform(range(1, len($duckToks) - 1),
-         |               i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])
-         |        ELSE [] END,
-         |      s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
-         |  FROM documents),
-         |fps AS (
-         |  SELECT doc_id, unnest(
-         |    CASE WHEN len(h) < 4 THEN [list_min(h)]
-         |         ELSE list_distinct(list_transform(range(1, len(h) - 2),
-         |                j -> list_min(h[CAST(j AS INTEGER) : CAST(j AS INTEGER) + 3])))
-         |    END) AS fp
-         |  FROM h WHERE len(h) >= 1),
-         |posd AS (
-         |  SELECT f.doc_id, f.fp,
-         |         CAST(list_position(hh.h, f.fp) - 1 AS INTEGER) AS pos
-         |  FROM fps f JOIN h hh ON f.doc_id = hh.doc_id),
-         |hot AS (
-         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM posd GROUP BY 1)
-         |  WHERE df > $WinnowMaxDf),
-         |kept AS (SELECT doc_id, fp, pos FROM posd
-         |         WHERE fp NOT IN (SELECT fp FROM hot))
+      s"""WITH $duckWinnowKeptPos
          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared,
          |  min(x.pos) AS a_start, max(x.pos) AS a_end,
          |  min(y.pos) AS b_start, max(y.pos) AS b_end
@@ -1189,24 +1367,40 @@ object DedupQueries {
     // together; min-pos group replaces the distinct), span = min/max
     // pos of the shared shingles per (doc, query)
     "decontaminate_spans" ->
-      s"""WITH dshp AS (
-         |  SELECT id, CAST(('0x' || substr(md5(u.sgl), 1, 8)) AS BIGINT) AS s,
-         |         CAST(min(u.pos) AS INTEGER) AS pos
-         |  FROM (
-         |    SELECT doc_id AS id, unnest(
-         |      CASE WHEN len($duckToks) >= 3
-         |        THEN list_transform(range(1, len($duckToks) - 1),
-         |               i -> struct_pack(
-         |                 sgl := $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2],
-         |                 pos := i - 1))
-         |        ELSE [] END) AS u
-         |    FROM documents)
-         |  GROUP BY 1, 2),
+      s"""WITH dshp AS ($duckDocShinglePos),
          |qsh AS ($duckQShingleSet)
          |SELECT d.id AS doc_id, q.qid AS query_id, count(*) AS n_shared,
          |  min(d.pos) AS d_start, max(d.pos) AS d_end
          |FROM dshp d JOIN qsh q ON d.s = q.s
          |GROUP BY 1, 2 ORDER BY doc_id, query_id""".stripMargin,
+    // the decontaminate_spans spans per (doc, query) collapsed to a
+    // per-doc span list, then an indexed token filter: token i (0-based)
+    // survives iff no span covers it (shingle span [s, e] covers tokens
+    // [s, e+2]); clean docs pass through via the LEFT join
+    "decontaminate_rewrite" ->
+      s"""WITH dshp AS ($duckDocShinglePos),
+         |qsh AS ($duckQShingleSet),
+         |sps AS (
+         |  SELECT d.id AS doc_id, q.qid,
+         |         min(d.pos) AS d_start, max(d.pos) AS d_end
+         |  FROM dshp d JOIN qsh q ON d.s = q.s
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, array_agg([d_start, d_end]) AS spans
+         |  FROM sps GROUP BY 1),
+         |toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |kept AS (
+         |  SELECT t.doc_id, t.t,
+         |    list_filter(range(1, len(t.t) + 1),
+         |      i -> a.spans IS NULL OR len(list_filter(a.spans,
+         |             s -> (i - 1) >= s[1] AND (i - 1) <= s[2] + 2)) = 0)
+         |      AS ki
+         |  FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id)
+         |SELECT doc_id,
+         |  array_to_string(list_transform(ki, i -> t[CAST(i AS INTEGER)]), ' ')
+         |    AS clean_text,
+         |  CAST(len(t) - len(ki) AS BIGINT) AS n_removed
+         |FROM kept ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
@@ -1404,10 +1598,17 @@ object DedupQueries {
          |  SELECT DISTINCT least(d.a, d.b) AS a, greatest(d.a, d.b) AS b
          |  FROM cdirs d JOIN csz ON d.a = csz.id
          |  WHERE CAST(d.shared AS DOUBLE) / csz.n >= 0.5),
+         |$duckWinnowKeptPos,
+         |wpairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
          |allp AS (
          |  SELECT 'minhash' AS detector, a, b FROM verified
          |  UNION ALL
-         |  SELECT 'containment' AS detector, a, b FROM cpairs)
+         |  SELECT 'containment' AS detector, a, b FROM cpairs
+         |  UNION ALL
+         |  SELECT 'winnow' AS detector, a, b FROM wpairs)
          |SELECT v.detector,
          |       least(da.source, db.source) AS source_a,
          |       greatest(da.source, db.source) AS source_b,

@@ -170,6 +170,7 @@ class DedupFuzzSpec extends SparkSpec {
       val ev = Seq(("q0", docs.head._2.split(" ").take(8).mkString(" ")))
         .toDF("query_id", "qtext")
       graft.queries.DedupQueries.winnowSpansOf(df, 1000).collect().toSeq ++
+        graft.queries.DedupQueries.winnowRunsOf(df, 1000).collect().toSeq ++
         graft.queries.DedupQueries.decontaminateSpansOf(df, ev).collect().toSeq
     }
     val a = run(1)

@@ -814,7 +814,7 @@ class NewOpsSpec extends SparkSpec {
   test("dup_cross_source: per-detector cells partition each pair set; pairs ordered") {
     val rows = graft.queries.DedupQueries.dupCrossSource(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(rows.map(_._1).toSet.subsetOf(Set("minhash", "containment")))
+    assert(rows.map(_._1).toSet.subsetOf(Set("minhash", "containment", "winnow")))
     // unordered-pair emission: source_a <= source_b on every row, once
     // per detector
     rows.foreach { case (_, a, b, _) => assert(a <= b) }
@@ -827,6 +827,9 @@ class NewOpsSpec extends SparkSpec {
       .map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).distinct.length
     assert(rows.filter(_._1 == "containment").map(_._4).sum == cnt)
+    // the winnow cells partition the run-detector pair set
+    val wn = graft.queries.DedupQueries.dedupWinnow(spark, dir).count()
+    assert(rows.filter(_._1 == "winnow").map(_._4).sum == wn)
   }
 
   test("crossSourceMatrix: a containment-only quote pair appears under its own detector") {
@@ -841,10 +844,41 @@ class NewOpsSpec extends SparkSpec {
     val cnt = graft.queries.DedupQueries.dedupContainmentOf(docs)
       .select(col("a"), col("b"))
     val mh = Seq.empty[(Long, Long)].toDF("a", "b")
-    val rows = graft.queries.DedupQueries.crossSourceMatrix(src, mh, cnt)
+    val wn = Seq.empty[(Long, Long)].toDF("a", "b")
+    val rows = graft.queries.DedupQueries.crossSourceMatrix(src, mh, cnt, wn)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3)))
     assert(rows.toSeq == Seq(("containment", "feedX", "feedY", 1L)),
+      rows.mkString("; "))
+  }
+
+  test("crossSourceMatrix: a shared-run pair only the winnow detector catches") {
+    // round-15 verdict #5: republication-with-edits — a 12-token run
+    // shared between two otherwise-unrelated 60-token documents. The
+    // run is ~17% of either shingle set, so symmetric Jaccard (>= 0.7)
+    // and Broder containment (>= 0.5) both structurally miss it; the
+    // winnowing guarantee (>= w+2 shared tokens => shared fingerprint)
+    // still fires. The governance matrix must show the cross-feed cell.
+    val run = (0 until 12).map(i => s"r$i")
+    val docA = (0 until 30).map(i => s"a$i") ++ run ++ (0 until 20).map(i => s"b$i")
+    val docB = (0 until 25).map(i => s"c$i") ++ run ++ (0 until 25).map(i => s"d$i")
+    val docs = Seq((0L, docA.mkString(" ")), (1L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val src = Seq((0L, "feedX"), (1L, "feedY")).toDF("doc_id", "source")
+    // both set detectors miss, run the REAL paths to prove it
+    assert(graft.queries.DedupQueries.dedupContainmentOf(docs).count() == 0)
+    assert(graft.dedup.Dedup.pairJaccard(
+      graft.dedup.Dedup.shingleSet(docs, "doc_id", "text"))
+      .filter(col("jac") >= 0.7).count() == 0)
+    val wn = graft.queries.DedupQueries.dedupWinnowOf(docs, 1000)
+      .select(col("a"), col("b"))
+    assert(wn.count() == 1, "the run detector must fire")
+    val mh = Seq.empty[(Long, Long)].toDF("a", "b")
+    val cnt = Seq.empty[(Long, Long)].toDF("a", "b")
+    val rows = graft.queries.DedupQueries.crossSourceMatrix(src, mh, cnt, wn)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(rows.toSeq == Seq(("winnow", "feedX", "feedY", 1L)),
       rows.mkString("; "))
   }
 
@@ -910,6 +944,55 @@ class NewOpsSpec extends SparkSpec {
     val dw = graft.queries.DedupQueries.dedupWinnowOf(docs, 1000).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
     assert(dw == Seq((r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("winnow_runs: two separated plagiarized runs yield two rows, not one span") {
+    // the round-15 verdict case winnowSpans cannot express: two 20-token
+    // runs shared at OPPOSITE ends of a long document — the single
+    // min/max bracket covers ~the whole document (mostly unmatched
+    // text), while the segmented report must emit one row per run with
+    // tight per-run bounds in BOTH documents.
+    val r1 = (0 until 20).map(i => s"x$i")
+    val r2 = (0 until 20).map(i => s"y$i")
+    val docA = r1 ++ (0 until 100).map(i => s"a$i") ++ r2
+    val docB = (0 until 10).map(i => s"c$i") ++ r1 ++
+      (0 until 30).map(i => s"d$i") ++ r2 ++ (0 until 10).map(i => s"e$i")
+    val docs = Seq((0L, docA.mkString(" ")), (1L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val runs = graft.queries.DedupQueries.winnowRunsOf(docs, 1000).collect()
+    assert(runs.length == 2, runs.mkString("; "))
+    val Array(run0, run1) = runs
+    assert((run0.getLong(0), run0.getLong(1), run0.getLong(2)) == (0L, 1L, 0L))
+    assert((run1.getLong(0), run1.getLong(1), run1.getLong(2)) == (0L, 1L, 1L))
+    // r1's fully-interior shingles: A [0, 17], B [10, 27]; r2's:
+    // A [120, 137], B [60, 77] — each run's bounds must stay inside
+    assert(run0.getInt(4) >= 0 && run0.getInt(5) <= 17, run0.toString)
+    assert(run0.getInt(6) >= 10 && run0.getInt(7) <= 27, run0.toString)
+    assert(run1.getInt(4) >= 120 && run1.getInt(5) <= 137, run1.toString)
+    assert(run1.getInt(6) >= 60 && run1.getInt(7) <= 77, run1.toString)
+    // the un-segmented span report on the same fixture: ONE row whose
+    // bracket spans both runs — the overstatement winnow_runs retires
+    val span = graft.queries.DedupQueries.winnowSpansOf(docs, 1000).collect()
+    assert(span.length == 1)
+    assert(span.head.getInt(3) <= 17 && span.head.getInt(4) >= 120,
+      span.head.toString)
+    // segmentation is a partition of the pair's shared fingerprints
+    assert(runs.map(_.getLong(3)).sum == span.head.getLong(2))
+  }
+
+  test("winnow_runs: one contiguous run stays one row (no spurious splits)") {
+    // within a single shared region winnowing selects >=1 fingerprint
+    // per w windows, so consecutive shared positions sit <= WinnowRunGap
+    // apart and the segmenter must not split — the spec guards the gap
+    // constant against the selection density it encodes
+    val run = (0 until 40).map(i => s"r$i")
+    val docA = (0 until 20).map(i => s"a$i") ++ run ++ (0 until 20).map(i => s"b$i")
+    val docB = (0 until 15).map(i => s"c$i") ++ run ++ (0 until 25).map(i => s"d$i")
+    val docs = Seq((0L, docA.mkString(" ")), (1L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val runs = graft.queries.DedupQueries.winnowRunsOf(docs, 1000).collect()
+    assert(runs.length == 1, runs.mkString("; "))
+    assert(runs.head.getLong(2) == 0L)
   }
 
   test("bpe_fertility: per-source sums reconcile with the per-doc encode frame") {
@@ -982,6 +1065,51 @@ class NewOpsSpec extends SparkSpec {
     // all 8 of the question's shingles appear there
     assert(r.getLong(2) == 8L, r.toString)
     assert(r.getInt(3) == 25 && r.getInt(4) == 32, r.toString)
+  }
+
+  test("decontaminate_rewrite: excises the quoted window, keeps every other token") {
+    // the round-15 verdict #4 contract: after the rewrite, the text
+    // contains ZERO eval-set shingles while retaining all non-span
+    // tokens; clean documents pass through byte-identical
+    val q = (0 until 10).map(i => s"q$i")
+    val u = (0 until 25).map(i => s"u$i")
+    val v = (0 until 25).map(i => s"v$i")
+    val docs = Seq((0L, (u ++ q ++ v).mkString(" ")),
+      (1L, (0 until 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ev = Seq(("qA", q.mkString(" "))).toDF("query_id", "qtext")
+    val rows = graft.queries.DedupQueries.decontaminateRewriteOf(docs, ev)
+      .collect()
+    assert(rows.length == 2)
+    val Array(r0, r1) = rows
+    // doc 0: span [25, 32] covers tokens [25, 34] — exactly the quote
+    assert(r0.getString(1) == (u ++ v).mkString(" "), r0.getString(1))
+    assert(r0.getLong(2) == 10L)
+    // no rewritten 3-gram may be an eval shingle (incl. the cut junction)
+    val evalShingles = q.sliding(3).map(_.mkString(" ")).toSet
+    val rewritten = graft.text.TextFns.tokensJvm(r0.getString(1))
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    assert(rewritten.intersect(evalShingles).isEmpty)
+    // clean doc passes through untouched
+    assert(r1.getString(1) == (0 until 40).map(i => s"w$i").mkString(" "))
+    assert(r1.getLong(2) == 0L)
+  }
+
+  test("decontaminate_rewrite: overlapping spans from two queries mask their union") {
+    // two eval questions quoting OVERLAPPING regions: tokens [10, 21]
+    // and [16, 27] — the union [10, 29] (span end +2 token cover) must
+    // come out, each surviving token exactly once
+    val base = (0 until 40).map(i => s"t$i")
+    val docs = Seq((0L, base.mkString(" "))).toDF("doc_id", "text")
+    val ev = Seq(("qA", base.slice(10, 20).mkString(" ")),
+      ("qB", base.slice(16, 26).mkString(" "))).toDF("query_id", "qtext")
+    val rows = graft.queries.DedupQueries.decontaminateRewriteOf(docs, ev)
+      .collect()
+    assert(rows.length == 1)
+    // qA shingle span [10, 17] -> tokens [10, 19]; qB [16, 23] -> [16, 25]
+    val expect = (base.take(10) ++ base.drop(26)).mkString(" ")
+    assert(rows.head.getString(1) == expect, rows.head.getString(1))
+    assert(rows.head.getLong(2) == 16L)
   }
 
   test("winnow_spans agrees with dedup_winnow across the fixture corpus") {

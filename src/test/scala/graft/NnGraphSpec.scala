@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph-ANN family ([[graft.search.NnGraph]]): NN-descent construction
+  * invariants, beam-search output contract, build-artifact hygiene, and
+  * the measured recall bar vs the sampled-cell IVF path (round-15
+  * verdict #3's done-criterion).
+  */
+class NnGraphSpec extends SparkSpec {
+  import graft.search.NnGraph
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.embeddings(spark, dir)
+
+  test("buildGraph: <= k out-edges per node, no self-edges, ids cover the index") {
+    val g = NnGraph.buildGraph(emb, k = 6, iters = 1, sampleSize = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(g.nonEmpty)
+    assert(g.forall { case (id, nbr, _) => id != nbr }, "self-edge")
+    val deg = g.groupBy(_._1).view.mapValues(_.length)
+    assert(deg.values.forall(_ <= 6), "out-degree cap")
+    // every index vector has a neighborhood (init guarantees >= 1)
+    assert(deg.size == emb.count())
+    // neighbor lists are duplicate-free
+    assert(g.map(e => (e._1, e._2)).distinct.length == g.length)
+  }
+
+  test("buildGraph: edge set is partitioning-invariant and deterministic") {
+    def edgeSet(parts: Int) =
+      NnGraph.buildGraph(emb.repartition(parts), k = 5, iters = 1,
+          sampleSize = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = edgeSet(1)
+    val b = edgeSet(13)
+    assert(a == b, "the 100 TB property: construction may not depend on layout")
+  }
+
+  test("buildGraph leaves no persisted RDDs behind (artifact-served, not cached)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val g = NnGraph.buildGraph(emb, k = 4, iters = 1, sampleSize = 8)
+    g.count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "build intermediates must be unpersisted and the graph served " +
+        "from the parquet artifact — a lingering block breaks every " +
+        "exact-count cache invariant in the suite")
+    // the serve plan is a plain file scan: survives caller clearCache
+    spark.catalog.clearCache()
+    assert(g.count() > 0)
+  }
+
+  test("graphTopK: k ranked rows per query, ranks dense from 1, hits are index ids") {
+    val g = NnGraph.buildGraph(emb, k = 8, iters = 2, sampleSize = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = NnGraph.graphTopK(emb, g, queries, k = 7, beamWidth = 12,
+        iters = 3, sampleSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(res.map(_._1).distinct.sorted.toSeq == (0L to 4L))
+    for (q <- 0L to 4L) {
+      val ranks = res.filter(_._1 == q).map(_._2).sorted.toSeq
+      assert(ranks == (1 to 7), s"query $q ranks: $ranks")
+    }
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(res.forall(r => ids.contains(r._3)))
+  }
+
+  test("measured recall: graph path beats the sampled-cell IVF path on the fixture") {
+    // the verdict #3 done-bar, asserted against the LIVE meter (the
+    // oracle pins the numbers; this pins the ordering so a parameter
+    // regression fails fast). Parameter-sweep context: 86 vs 61 at
+    // sf0.001, 83 vs 49 at sf0.01.
+    val rows = graft.queries.Similarity.annRecallGraph(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("ann_graph", "ann_ivf"))
+    assert(rows("ann_graph") > rows("ann_ivf"),
+      s"graph recall ${rows("ann_graph")} must beat IVF ${rows("ann_ivf")}")
+    assert(rows("ann_graph") >= 80, s"recall regression: ${rows("ann_graph")}")
+  }
+}
