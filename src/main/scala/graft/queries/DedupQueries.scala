@@ -570,8 +570,13 @@ object DedupQueries {
         when(col("spans").isNull, col("toks")).otherwise(expr(
           "filter(toks, (t, i) -> NOT exists(spans, " +
             "s -> i >= s.d_start AND i <= s.d_end + 2))")))
+      // untouched documents keep their ORIGINAL text (don't normalize
+      // what you don't excise); excised documents are re-joined from
+      // the surviving tokens, i.e. whitespace-normalized — the
+      // token-level convention, identical in the oracle
       .select(col("doc_id"),
-        concat_ws(" ", col("keep")).as("clean_text"),
+        when(col("spans").isNull, col("text"))
+          .otherwise(concat_ws(" ", col("keep"))).as("clean_text"),
         (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
       .orderBy("doc_id")
   }
@@ -1388,17 +1393,19 @@ object DedupQueries {
          |agg AS (
          |  SELECT doc_id, array_agg([d_start, d_end]) AS spans
          |  FROM sps GROUP BY 1),
-         |toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
          |kept AS (
-         |  SELECT t.doc_id, t.t,
+         |  SELECT t.doc_id, t.text, t.t, a.spans,
          |    list_filter(range(1, len(t.t) + 1),
          |      i -> a.spans IS NULL OR len(list_filter(a.spans,
          |             s -> (i - 1) >= s[1] AND (i - 1) <= s[2] + 2)) = 0)
          |      AS ki
          |  FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id)
          |SELECT doc_id,
-         |  array_to_string(list_transform(ki, i -> t[CAST(i AS INTEGER)]), ' ')
-         |    AS clean_text,
+         |  CASE WHEN spans IS NULL THEN text
+         |       ELSE array_to_string(
+         |              list_transform(ki, i -> t[CAST(i AS INTEGER)]), ' ')
+         |  END AS clean_text,
          |  CAST(len(t) - len(ki) AS BIGINT) AS n_removed
          |FROM kept ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->

@@ -171,6 +171,41 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(graft.queries.DedupQueries.decontaminateSpansOf(docs, evShort).count() == 0)
   }
 
+  test("graph ANN survives tiny and singleton indexes; rewrite passes degenerate docs through") {
+    import graft.search.NnGraph
+    // a singleton index has no non-self seed: zero edges is correct,
+    // and search still returns the one vector (entry beam = the seeds)
+    val one = Seq((0L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    assert(NnGraph.buildGraph(one, k = 4, iters = 1, sampleSize = 4).count() == 0)
+    val q1 = one.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val hits = NnGraph.graphTopK(one,
+        NnGraph.buildGraph(one, k = 4, iters = 1, sampleSize = 4),
+        q1, k = 3, beamWidth = 3, iters = 2, sampleSize = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((0L, 1, 0L)), hits.mkString("; "))
+    // n < sampleSize and k > n: degree caps at n-1, ranks stay dense
+    val tiny = (0L until 3L).map(i =>
+      (i, Array.tabulate(4)(j => if (j == i) 1f else 0f))).toDF("vec_id", "embedding")
+    val g3 = NnGraph.buildGraph(tiny, k = 10, iters = 2, sampleSize = 16)
+    assert(g3.groupBy("id").count().collect().forall(_.getLong(1) <= 2))
+    val qt = tiny.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val r3 = NnGraph.graphTopK(tiny, g3, qt, k = 10, beamWidth = 10,
+      iters = 2, sampleSize = 16).collect()
+    assert(r3.length == 9, "3 queries x 3 reachable vectors")
+    // decontaminate_rewrite: empty/blank/sub-window docs pass through
+    // byte-identical with n_removed = 0 (nothing to excise, no NULLs)
+    val weird = Seq((0L, ""), (1L, "   "), (2L, "a b")).toDF("doc_id", "text")
+    val ev = Seq(("q0", "a b c d")).toDF("query_id", "qtext")
+    val rw = graft.queries.DedupQueries.decontaminateRewriteOf(weird, ev)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rw.map(_._3).forall(_ == 0L))
+    assert(rw.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, ""), (1L, "   "), (2L, "a b")))
+    // winnow_runs on an empty corpus: zero rows, no throw
+    assert(graft.queries.DedupQueries.winnowRunsOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 1000).count() == 0)
+  }
+
   test("corpus_filter pins empty-text flags: no NULL leaks into int columns") {
     // an empty document divides 0/0 in the stopword and digit ratios —
     // semantics are pinned (stop_ok 0, digit_ok 1), never engine-NULL/NaN

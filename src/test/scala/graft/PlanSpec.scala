@@ -474,6 +474,56 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("ann_graph: served from the written artifact — no rebuild, no index shuffle-join") {
+    // the build/serve split made literal: nnGraphFrame materializes the
+    // NN-descent build ONCE (localCheckpoint barriers, then a parquet
+    // write) and the SEARCH plan reads the artifact scan. A serve plan
+    // that contains the typed init map would mean every search re-runs
+    // construction — the 100 TB failure mode for an index.
+    val df = graft.queries.Similarity.annGraph(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("graft_nngraph_"),
+      "search must scan the written graph artifact")
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"),
+      "the construction subtree must not appear in the serve plan")
+    // index/graph sides stream against broadcast beam frames
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator
+      .filter(_.contains("SortMergeJoin")).mkString("; "))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("winnow_runs: three window passes and the run aggregate ride ONE pair exchange") {
+    // segmentation = total-count window + lag window + running-sum
+    // window, all partitioned on (a, b), then the (a, b, run_id)
+    // aggregate — partitioning on the (a, b) SUBSET satisfies all
+    // four, so the plan may carry exactly one hashpartitioning
+    // exchange on the pair grain (plus the final output range sort)
+    val df = graft.queries.DedupQueries.winnowRuns(spark, dir)
+    df.collect()
+    val whole = planOf(df)
+    val plan = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    val pairEx = plan.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning(a#")).toSeq
+    assert(pairEx.size == 1, s"pair-grain exchanges: $pairEx")
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Window")) == 3
+      || "Window\\b".r.findAllIn(plan).size >= 3)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("decontaminate_rewrite: span side joins small — never a corpus-side sort-merge at runtime") {
+    // no forced hint by design (the contaminated-doc sliver scales
+    // with eval overlap, not a constant dim) — AQE must still land the
+    // doc_id join as broadcast at fixture scale, and nothing cartesian
+    val df = graft.queries.DedupQueries.decontaminateRewrite(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("pack_stats: the inherited doc_id sort is eliminated under the aggregate") {
     // packStats composes over packSequences, whose report form ends in
     // orderBy(doc_id); EliminateSorts must drop that global sort below
