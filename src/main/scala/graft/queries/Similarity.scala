@@ -1234,25 +1234,25 @@ object Similarity {
     * the swapped column, not the source one).
     */
   private def nndIter(prev: String, next: String): String =
-    s"""${next}_rev AS (
+    s"""${next}_rev AS MATERIALIZED (
        |  SELECT id, nbr, sim FROM (
        |    SELECT r_id AS id, r_nbr AS nbr, sim,
        |      row_number() OVER (PARTITION BY r_id
        |                    ORDER BY sim DESC, r_nbr ASC) AS rn
        |    FROM (SELECT nbr AS r_id, id AS r_nbr, sim FROM $prev))
        |  WHERE rn <= $GraphK),
-       |${next}_und AS (
+       |${next}_und AS MATERIALIZED (
        |  SELECT id, nbr FROM $prev UNION SELECT id, nbr FROM ${next}_rev),
-       |${next}_cand AS (
+       |${next}_cand AS MATERIALIZED (
        |  SELECT DISTINCT u1.id AS id, u2.nbr AS nbr
        |  FROM ${next}_und u1 JOIN ${next}_und u2 ON u1.nbr = u2.id
        |  WHERE u1.id <> u2.nbr),
-       |${next}_scored AS (
+       |${next}_scored AS MATERIALIZED (
        |  SELECT c.id, c.nbr, ${duckDot("ea.embedding", "eb.embedding")} AS sim
        |  FROM ${next}_cand c
        |  JOIN embeddings ea ON c.id = ea.vec_id
        |  JOIN embeddings eb ON c.nbr = eb.vec_id),
-       |$next AS (
+       |$next AS MATERIALIZED (
        |  SELECT id, nbr, sim FROM (
        |    SELECT id, nbr, sim,
        |      row_number() OVER (PARTITION BY id
@@ -1268,12 +1268,12 @@ object Similarity {
     * ends at `g2` (id, nbr, sim), the graph [[nnGraphFrame]] builds.
     */
   private val duckNnGraphCtes: String =
-    s"""nseeds AS (
+    s"""nseeds AS MATERIALIZED (
        |  SELECT vec_id AS seed_id, embedding AS svec
        |  FROM embeddings
        |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
        |  LIMIT $NndSample),
-       |g0 AS (
+       |g0 AS MATERIALIZED (
        |  SELECT id, nbr, sim FROM (
        |    SELECT e.vec_id AS id, s.seed_id AS nbr,
        |      ${duckDot("e.embedding", "s.svec")} AS sim,
@@ -1290,13 +1290,13 @@ object Similarity {
   /** One beam-search round as CTEs: expand the beam's out-neighbors
     * over `\$graph`, union, re-score against the query, keep top-K. */
   private def beamIter(prev: String, next: String, graph: String): String =
-    s"""${next}_cand AS (
+    s"""${next}_cand AS MATERIALIZED (
        |  SELECT DISTINCT query_id, vec_id FROM (
        |    SELECT query_id, vec_id FROM $prev
        |    UNION ALL
        |    SELECT p.query_id, g.nbr AS vec_id
        |    FROM $prev p JOIN $graph g ON p.vec_id = g.id)),
-       |$next AS (
+       |$next AS MATERIALIZED (
        |  SELECT query_id, vec_id, sim FROM (
        |    SELECT c.query_id, c.vec_id,
        |      ${duckDot("qq.qv", "e.embedding")} AS sim,
@@ -1313,7 +1313,7 @@ object Similarity {
     * Requires the `q` CTE ([[pqQCte]]) and [[duckNnGraphCtes]].
     */
   private val duckBeamCtes: String =
-    s"""b0 AS (
+    s"""b0 AS MATERIALIZED (
        |  SELECT query_id, vec_id, sim FROM (
        |    SELECT qq.query_id, s.seed_id AS vec_id,
        |      ${duckDot("qq.qv", "s.svec")} AS sim,
