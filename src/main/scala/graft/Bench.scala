@@ -33,17 +33,23 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-16 measurement at the final 191-query
+    * Current value: round-16 measurement at the final 193-query
     * surface (187 + winnow_runs, decontaminate_rewrite, ann_graph,
-    * ann_recall_graph): 70.319 s min-of-passes (pass totals
-    * 107.3/72.6; load_avg [2.3, 2.5]; contended=false, the flag this
-    * round added). The four new queries price at 0.56/0.15/1.90/0.07 s
-    * in the same record (q_enc channel), so the band's 70.038 → 70.319
-    * step is almost exactly their cost — the carried surface held
-    * flat. Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the
+    * ann_recall_graph, ann_graph_filtered, ann_recall_graph_filtered):
+    * 71.033 s min-of-passes (pass totals 122.4/78.7/73.7; load_avg
+    * [2.7, 1.9]; contended=false, the flag this round added).
+    * Same-day ladder under the same convention: 70.319 s at 191
+    * (pass totals 107.3/72.6, load [2.3, 2.5] — before the filtered
+    * graph pair), i.e. vs r15's 70.038 at 187 the carried surface
+    * held flat and the six new queries price at
+    * 0.56/0.15/1.95/0.07/3.42/0.07 s in the record's q_enc channel
+    * (ann_graph_filtered is the surface's slowest query: five
+    * navigation rounds of tiny broadcast-join stages — job overhead,
+    * not data). Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the
     * driver's own configuration — a 32-thread run measures a
     * different machine shape AND its warmup alone pushes the 1-min
-    * load past the gate).
+    * load past the gate; measured 112.4 s at load [9.1, 15.8] on the
+    * same code).
     * History: r15 band 70.038 s at 187 (pass totals 119.1/77.4/76.6,
     * load [1.6, 2.4]) with its same-day ladder 72.508 s at 184,
     * 76.690/75.678 s at 186 (±1.3% reproducibility), and the
@@ -52,8 +58,8 @@ object Bench {
     * best-of-5 at 183 (old convention); r13 ladder 74.0/78.1/82.1 s
     * at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 70.319
-  private[graft] val CleanRefQueries = 191
+  private[graft] val CleanRefTotal = 71.033
+  private[graft] val CleanRefQueries = 193
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order

@@ -596,6 +596,53 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** FILTERED graph search — label-constrained retrieval over the
+    * NN-descent graph ([[graft.search.NnGraph.graphTopKFiltered]]):
+    * full-graph navigation (a label-restricted beam strands the walk —
+    * the documented filtered-HNSW connectivity hazard), label-matching
+    * candidates accumulated, top-k of the matched set. Completes the
+    * filtered-retrieval matrix (exact `knn_filtered`, IVF
+    * `ann_ivf_filtered`, graph here). Output carries the label
+    * re-attached from the broadcast query frame, the `knn_filtered`
+    * contract. Oracle: the matched set is BY CONSTRUCTION the union
+    * of the navigation's per-round candidate sets label-filtered, so
+    * the replay reuses the ann_graph beam CTEs verbatim and adds one
+    * union + filter.
+    */
+  def annGraphFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.NnGraph
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    NnGraph.graphTopKFiltered(emb, nnGraphFrame(spark, dir), queries, K,
+        BeamWidth, BeamIters, NndSample)
+      .join(broadcast(queries.select(col("query_id"),
+        col("qlabel").as("label"))), "query_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the filtered paths vs exact FILTERED search: the
+    * graph traversal (sweep-measured 75/100 at sf0.01) beside the IVF
+    * composition (47/100) — the label filter shrinks each query's
+    * competition to its own segment, and the graph's corpus-size-
+    * independent candidate budget keeps more of it than cell probing.
+    */
+  def annRecallGraphFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val exact = replayIds(spark, dir, "knn_filtered")(knnFiltered(spark, dir))
+    def row(name: String, tag: String)(b: => DataFrame): DataFrame =
+      replayIds(spark, dir, tag)(b)
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("algo"), col("hits"),
+          lit((NumQueries * K).toLong).as("n"))
+    row("ann_graph_filtered", "graph_filtered")(annGraphFiltered(spark, dir))
+      .unionAll(row("ann_ivf_filtered", "ivf_filtered")(
+        annIvfFiltered(spark, dir)))
+      .orderBy(col("algo"))
+  }
+
   /** Random-hyperplane LSH kNN — full oracle: the ±1 hyperplanes are
     * md5-parity vectors, so DuckDB regenerates them, recomputes every
     * sign-bit signature with the same left-to-right double dot product,
@@ -1327,6 +1374,27 @@ object Similarity {
        |${beamIter("b2", "b3", "g3")},
        |${beamIter("b3", "b4", "g3")}""".stripMargin
 
+  /** Matched accumulation of the filtered graph search: the union of
+    * the navigation's per-round candidate sets (round 0 = the full
+    * seed sample; round i = `b{i}_cand`), label-filtered and scored —
+    * exactly what [[graft.search.NnGraph.graphTopKFiltered]]
+    * accumulates, so the replay reuses [[duckBeamCtes]]' navigation
+    * verbatim. Requires a `q` CTE carrying (query_id, qv, qlabel).
+    */
+  private val duckGraphMatchedCte: String =
+    s"""fm AS MATERIALIZED (
+       |  SELECT DISTINCT c.query_id, c.vec_id,
+       |         ${duckDot("qe.qv", "e.embedding")} AS sim
+       |  FROM (SELECT query_id, vec_id FROM b1_cand
+       |        UNION SELECT query_id, vec_id FROM b2_cand
+       |        UNION SELECT query_id, vec_id FROM b3_cand
+       |        UNION SELECT query_id, vec_id FROM b4_cand
+       |        UNION SELECT qq.query_id, s.seed_id AS vec_id
+       |              FROM q qq CROSS JOIN nseeds s) c
+       |  JOIN embeddings e ON c.vec_id = e.vec_id
+       |  JOIN q qe ON qe.query_id = c.query_id
+       |  WHERE e.label = qe.qlabel)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk" -> (knnTopK _),
     "knn_filtered" -> (knnFiltered _),
@@ -1351,6 +1419,8 @@ object Similarity {
     "ann_ivf_binary" -> (annIvfBinary _),
     "ann_graph" -> (annGraph _),
     "ann_recall_graph" -> (annRecallGraph _),
+    "ann_graph_filtered" -> (annGraphFiltered _),
+    "ann_recall_graph_filtered" -> (annRecallGraphFiltered _),
     "ann_rp" -> (annRp _),
     "ann_rp_ivf" -> (annRpIvf _),
     "ann_recall_rp" -> (annRecallRp _),
@@ -1892,6 +1962,71 @@ object Similarity {
          |    vec_id
          |  FROM b4) WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // full navigation replay + the label-filtered matched accumulation
+    // — output carries the query's label, the knn_filtered contract
+    "ann_graph_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |$duckNnGraphCtes,
+         |$duckBeamCtes,
+         |$duckGraphMatchedCte
+         |SELECT query_id, rank, vec_id, label FROM (
+         |  SELECT f.query_id,
+         |    CAST(row_number() OVER (PARTITION BY f.query_id
+         |                       ORDER BY f.sim DESC, f.vec_id ASC) AS INTEGER)
+         |      AS rank,
+         |    f.vec_id, qe.qlabel AS label
+         |  FROM fm f JOIN q qe ON qe.query_id = f.query_id)
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // filtered-graph and filtered-IVF recall against exact FILTERED
+    // search (each query's truth restricted to its own label segment)
+    "ann_recall_graph_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |fsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e JOIN q ON e.label = q.qlabel),
+         |${topKIdsCte("fsims", "xfk")},
+         |$duckNnGraphCtes,
+         |$duckBeamCtes,
+         |$duckGraphMatchedCte,
+         |${topKIdsCte("fm", "gfk")},
+         |fcent AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec
+         |  FROM embeddings
+         |  ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |fassign AS (
+         |  SELECT vec_id, embedding, label, cent_id FROM (
+         |    SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckDot("e.embedding", "c.cvec")} DESC,
+         |                 c.cent_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN fcent c) WHERE rn = 1),
+         |fprobes AS (
+         |  SELECT query_id, qv, qlabel, cent_id FROM (
+         |    SELECT q.query_id, q.qv, q.qlabel, c.cent_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${duckDot("q.qv", "c.cvec")} DESC,
+         |                 c.cent_id ASC) AS rn
+         |    FROM q CROSS JOIN fcent c) WHERE rn <= 4),
+         |ficands AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${duckDot("a.embedding", "p.qv")} AS sim
+         |  FROM fassign a JOIN fprobes p
+         |    ON a.cent_id = p.cent_id AND a.label = p.qlabel),
+         |${topKIdsCte("ficands", "afk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_graph_filtered' AS algo,
+         |    (SELECT count(*) FROM gfk a JOIN xfk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_ivf_filtered' AS algo,
+         |    (SELECT count(*) FROM afk a JOIN xfk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     // graph recall vs exact, beside the sampled-cell IVF replay (the
     // ann_ivf oracle's 16-cell/probe-4 block) for the probe-budget
     // comparison the meter exists to make

@@ -216,4 +216,74 @@ object NnGraph {
         row_number().over(qw).as("rank"), col("vec_id"))
       .filter(col("rank") <= k)
   }
+
+  /** FILTERED graph search — the production filtered-HNSW contract
+    * (Qdrant search with a payload filter over its graph index):
+    * navigation traverses the FULL graph (restricting the beam to
+    * matching nodes would strand the walk when the filter is
+    * selective — the connectivity problem every filtered-HNSW design
+    * documents), while every SCORED candidate that matches the
+    * query's label is accumulated; the answer is the top-k of the
+    * matched accumulation. Pre-filter semantics on the OUTPUT (every
+    * hit matches its query's label) with post-filter traversal —
+    * under-fill is possible only when fewer than k matching nodes are
+    * visited at all (~selectivity × candidate budget).
+    *
+    * `index` must carry (vec_id, embedding, label); `queries`
+    * (query_id, qvec, qlabel). Output (query_id, rank, vec_id), rank
+    * by (sim DESC, vec_id ASC) among matched candidates. Plan shape:
+    * identical to [[graphTopK]] plus one narrow label filter per
+    * round and a (tiny) matched union — the index still never
+    * shuffles.
+    */
+  def graphTopKFiltered(index: DataFrame, graph: DataFrame,
+      queries: DataFrame, k: Int, beamWidth: Int, iters: Int,
+      sampleSize: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val vecs = index.select(col("vec_id").cast("long"), col("embedding"),
+      col("label"))
+    val q = queries.select(col("query_id").cast("long"), col("qvec"),
+      col("qlabel"))
+    val seeds = seedSample(index, sampleSize)
+
+    // round 0's candidate set is the full seed sample per query; each
+    // later round's is beam ∪ out-neighbors — navigation scores each
+    // round label-blind (exactly [[graphTopK]]'s walk), while the
+    // candidate IDS accumulate; the matched set is scored ONCE at the
+    // end (one index semi-scan + label filter) rather than per round —
+    // per-round matched scoring doubled the lazy-plan replication and
+    // measured 3.9 s vs 2.0 s for the unfiltered walk at sf0.1
+    var cand: DataFrame = q.select(col("query_id"))
+      .crossJoin(broadcast(seeds.select(col("seed_id").as("vec_id"))))
+    var candAll: DataFrame = cand
+    var beam: DataFrame = null
+    for (i <- 0 to iters) {
+      if (i > 0) {
+        val nb = graph
+          .join(broadcast(beam.select(col("query_id"), col("vec_id").as("id"))),
+            "id")
+          .select(col("query_id"), col("nbr").as("vec_id"))
+        cand = beam.select("query_id", "vec_id").union(nb).distinct()
+        candAll = candAll.unionByName(cand)
+      }
+      val scored = vecs
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      beam = scored
+        .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
+        .select("query_id", "vec_id", "sim")
+    }
+    vecs
+      .join(broadcast(candAll.distinct()), "vec_id")
+      .join(broadcast(q), "query_id")
+      .filter(col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .select(col("query_id"),
+        row_number().over(qw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= k)
+  }
 }
