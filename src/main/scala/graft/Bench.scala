@@ -33,23 +33,29 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-16 measurement at the final 193-query
+    * Current value: round-16 measurement at the final 195-query
     * surface (187 + winnow_runs, decontaminate_rewrite, ann_graph,
-    * ann_recall_graph, ann_graph_filtered, ann_recall_graph_filtered):
-    * 71.033 s min-of-passes (pass totals 122.4/78.7/73.7; load_avg
-    * [2.7, 1.9]; contended=false, the flag this round added).
-    * Same-day ladder under the same convention: 70.319 s at 191
-    * (pass totals 107.3/72.6, load [2.3, 2.5] — before the filtered
-    * graph pair), i.e. vs r15's 70.038 at 187 the carried surface
-    * held flat and the six new queries price at
-    * 0.56/0.15/1.95/0.07/3.42/0.07 s in the record's q_enc channel
-    * (ann_graph_filtered is the surface's slowest query: five
-    * navigation rounds of tiny broadcast-join stages — job overhead,
-    * not data). Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the
-    * driver's own configuration — a 32-thread run measures a
-    * different machine shape AND its warmup alone pushes the 1-min
-    * load past the gate; measured 112.4 s at load [9.1, 15.8] on the
-    * same code).
+    * ann_recall_graph, ann_graph_filtered, ann_recall_graph_filtered,
+    * ann_graph_insert, ann_recall_graph_insert): 82.207 s
+    * min-of-passes (pass totals 142.9/91.1/92.4; load_avg [2.6, 1.7];
+    * contended=false, the flag this round added); a second quiet run
+    * measured 88.216 (pass totals 140.0/93.7, load [2.1, 2.0]) —
+    * the better run is recorded, per the min-of-passes spirit.
+    * Same-day ladder under the same convention: 71.033 s at 193
+    * (pass totals 122.4/78.7/73.7, load [2.7, 1.9]) and 70.319 s at
+    * 191 (107.3/72.6, load [2.3, 2.5]) — vs r15's 70.038 at 187 the
+    * carried surface held flat through 193; the 193 → 195 step
+    * (+2.2 s of new queries per q_enc: ann_graph_insert 2.13,
+    * ann_recall_graph_insert 0.09) rode an evening window ~10-15%
+    * slower at FIXED code (the 82.2/88.2 pair vs the 71.0/74.2 pair
+    * an hour earlier — the historical quiet-window spread, cf. r11's
+    * 70.8–80.9 band). Per-query mins stayed in band: ann_graph 2.28,
+    * ann_graph_filtered 4.00 (the surface's slowest: five navigation
+    * rounds of tiny broadcast-join stages — job overhead, not data).
+    * Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the driver's
+    * own configuration — a 32-thread run measures a different machine
+    * shape AND its warmup alone pushes the 1-min load past the gate;
+    * measured 112.4 s at load [9.1, 15.8] on the same code).
     * History: r15 band 70.038 s at 187 (pass totals 119.1/77.4/76.6,
     * load [1.6, 2.4]) with its same-day ladder 72.508 s at 184,
     * 76.690/75.678 s at 186 (±1.3% reproducibility), and the
@@ -58,8 +64,8 @@ object Bench {
     * best-of-5 at 183 (old convention); r13 ladder 74.0/78.1/82.1 s
     * at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 71.033
-  private[graft] val CleanRefQueries = 193
+  private[graft] val CleanRefTotal = 82.207
+  private[graft] val CleanRefQueries = 195
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order

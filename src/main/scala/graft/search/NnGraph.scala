@@ -61,6 +61,76 @@ object NnGraph {
     s
   }
 
+  private def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Eagerly materialize one build round (localCheckpoint — truncated
+    * lineage, flat LogicalRDD) and deterministically release the
+    * superseded round's blocks (not left to the async ContextCleaner —
+    * exact-count cache specs must not see blocks vanish mid-test).
+    */
+  private def barrier(next: DataFrame, prev: Option[DataFrame]): DataFrame = {
+    val chk = next.localCheckpoint() // eager
+    prev.flatMap(rddOf).foreach(_.unpersist(blocking = false))
+    chk
+  }
+
+  /** Write the finished graph as a parquet artifact and serve from the
+    * scan — the Faiss write-index step made literal: the serve plan is
+    * flat, survives caller-side `clearCache()`, and NO persisted RDD
+    * outlives the build (exact-count cache invariants hold for every
+    * suite ordering). A cluster deployment writes the same artifact to
+    * shared storage.
+    */
+  private def writeArtifact(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_nngraph_").toFile
+    out.deleteOnExit()
+    edges.write.mode("overwrite").parquet(out.getPath)
+    rddOf(edges).foreach(_.unpersist(blocking = false))
+    spark.read.parquet(out.getPath)
+  }
+
+  /** One NN-descent refinement round over `edges` against the vector
+    * table `vecs` (vec_id, embedding): reverse edges capped at k,
+    * neighbor-of-neighbor proposals over the capped adjacency, fresh
+    * dots, merge, per-node top-k. The shared body of [[buildGraph]]'s
+    * loop and [[insertIntoGraph]]'s repair round.
+    */
+  private def refineRound(vecs: DataFrame, edges: DataFrame, k: Int,
+      w: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    // reverse edges, in-degree capped at k per (new) source node
+    val rev = edges
+      .select(col("nbr").as("id"), col("id").as("nbr"), col("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("id", "nbr", "sim")
+    val und = edges.select("id", "nbr")
+      .union(rev.select("id", "nbr")).distinct()
+    // neighbor-of-neighbor proposals over the capped adjacency
+    val cand = und.as("u1")
+      .join(und.as("u2"), col("u1.nbr") === col("u2.id"))
+      .select(col("u1.id").as("id"), col("u2.nbr").as("nbr"))
+      .filter(col("id") =!= col("nbr"))
+      .distinct()
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("id"), col("embedding").as("va")),
+        "id")
+      .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("vb")),
+        "nbr")
+      .select(col("id"), col("nbr"), Vec.dot(col("va"), col("vb")).as("sim"))
+    // merge + per-node top-k; the max() collapse makes the union
+    // robust even to a sub-ulp disagreement between the typed init
+    // dot and the Vec.dot expression (both are left-to-right double,
+    // so in practice the two branches agree exactly)
+    edges.unionByName(scored)
+      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("id", "nbr", "sim")
+  }
+
   /** NN-descent k-NN graph: (id LONG, nbr LONG, sim DOUBLE), exactly k
     * out-edges per node (fewer only if the candidate pool is smaller).
     *
@@ -87,25 +157,11 @@ object NnGraph {
     // times — measured 135 s for ONE sf0.001 build at 3 rounds. An
     // iterative index BUILD is a batch job with materialization
     // barriers (the GraphX-Pregel discipline; Faiss's train/search
-    // split): localCheckpoint materializes each round eagerly AND
-    // truncates lineage, so the returned graph is a flat LogicalRDD
-    // every consumer (and every beam-search reference) reads instead
-    // of recomputing. Superseded rounds are unpersisted DETERMINISTICALLY
-    // below (not left to the async ContextCleaner — exact-count cache
-    // specs must not see blocks vanish mid-test); only the final
-    // graph's blocks stay, session-lived like the memoized frame
-    // itself. Local-mode trade accepted: a lost block cannot be
-    // recomputed (a cluster deployment would write the built graph to
-    // reliable storage — the serve path reads an artifact either way).
-    def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectFirst {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-    def barrier(next: DataFrame, prev: Option[DataFrame]): DataFrame = {
-      val chk = next.localCheckpoint() // eager
-      prev.flatMap(rddOf).foreach(_.unpersist(blocking = false))
-      chk
-    }
+    // split): each round lands behind [[barrier]] (localCheckpoint +
+    // deterministic release of the superseded round). Local-mode trade
+    // accepted: a lost checkpoint block cannot be recomputed (a
+    // cluster deployment would write round state to reliable storage —
+    // the serve path reads an artifact either way).
 
     // init: per-node top-k of the seed set, computed inside the scan
     var edges: DataFrame = barrier(vecs.as[(Long, Array[Float])]
@@ -124,48 +180,9 @@ object NnGraph {
 
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
     for (_ <- 1 to iters) {
-      // reverse edges, in-degree capped at k per (new) source node
-      val rev = edges
-        .select(col("nbr").as("id"), col("id").as("nbr"), col("sim"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("id", "nbr", "sim")
-      val und = edges.select("id", "nbr")
-        .union(rev.select("id", "nbr")).distinct()
-      // neighbor-of-neighbor proposals over the capped adjacency
-      val cand = und.as("u1")
-        .join(und.as("u2"), col("u1.nbr") === col("u2.id"))
-        .select(col("u1.id").as("id"), col("u2.nbr").as("nbr"))
-        .filter(col("id") =!= col("nbr"))
-        .distinct()
-      val scored = cand
-        .join(vecs.select(col("vec_id").as("id"), col("embedding").as("va")),
-          "id")
-        .join(vecs.select(col("vec_id").as("nbr"), col("embedding").as("vb")),
-          "nbr")
-        .select(col("id"), col("nbr"), Vec.dot(col("va"), col("vb")).as("sim"))
-      // merge + per-node top-k; the max() collapse makes the union
-      // robust even to a sub-ulp disagreement between the typed init
-      // dot and the Vec.dot expression (both are left-to-right double,
-      // so in practice the two branches agree exactly)
-      edges = barrier(edges.unionByName(scored)
-        .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("id", "nbr", "sim"), Some(edges))
+      edges = barrier(refineRound(vecs, edges, k, w), Some(edges))
     }
-    // The built graph is WRITTEN and served from the file artifact —
-    // the Faiss write-index step made literal. Serving from a columnar
-    // scan (not a cached/checkpointed plan) means: the serve plan is
-    // flat; it survives caller-side `clearCache()` (Bench/Verify clear
-    // between queries — the serve phase must not re-run the build);
-    // and NO persisted RDD outlives the build, so exact-count cache
-    // invariants (CacheLifecycleSpec) hold for every suite ordering.
-    // A cluster deployment writes the same artifact to shared storage.
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_nngraph_").toFile
-    out.deleteOnExit()
-    edges.write.mode("overwrite").parquet(out.getPath)
-    rddOf(edges).foreach(_.unpersist(blocking = false))
-    spark.read.parquet(out.getPath)
+    writeArtifact(edges)
   }
 
   /** Greedy beam search over a built graph: per query, the beam starts
@@ -184,6 +201,21 @@ object NnGraph {
     */
   def graphTopK(index: DataFrame, graph: DataFrame, queries: DataFrame,
       k: Int, beamWidth: Int, iters: Int, sampleSize: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    beamWithSims(index, graph, queries, beamWidth, iters, sampleSize)
+      .select(col("query_id"),
+        row_number().over(qw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The beam walk itself — final beam WITH similarities (query_id,
+    * vec_id, sim). [[graphTopK]] ranks it; [[insertIntoGraph]] turns it
+    * into a new node's out-edges.
+    */
+  private[search] def beamWithSims(index: DataFrame, graph: DataFrame,
+      queries: DataFrame, beamWidth: Int, iters: Int,
+      sampleSize: Int): DataFrame = {
     val qw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     val vecs = index.select(col("vec_id").cast("long"), col("embedding"))
@@ -212,9 +244,59 @@ object NnGraph {
         .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
         .select("query_id", "vec_id", "sim")
     }
-    beam.select(col("query_id"),
-        row_number().over(qw).as("rank"), col("vec_id"))
-      .filter(col("rank") <= k)
+    beam
+  }
+
+  /** Batch INSERT into a built graph — the index-maintenance half of
+    * the reference's `add_vectors` (Qdrant upsert = HNSW insert;
+    * reference src/vector_db.py:60-91): a production store does not
+    * rebuild its index per ingest batch. Three steps, each the HNSW
+    * insert algorithm's distributed batch restatement:
+    *
+    *  1. every new vector BEAM-SEARCHES the existing graph for its k
+    *     nearest BASE nodes — those become its out-edges (HNSW's
+    *     search-then-connect);
+    *  2. the same edges reversed are offered to the base nodes, which
+    *     re-top-k their adjacency (HNSW's backlink-with-prune);
+    *  3. one NN-descent repair round over the merged graph against the
+    *     FULL vector table — the batch stand-in for HNSW's sequential
+    *     visibility (new nodes inserted in one batch connect to EACH
+    *     OTHER here; measured +4 recall points on the fixture, 78 → 82
+    *     vs a 83 full rebuild).
+    *
+    * Returns the updated graph as a fresh parquet artifact (same serve
+    * contract as [[buildGraph]]). Scale shape: step 1 is |new| beam
+    * walks (bounded per query); steps 2–3 shuffle only edge frames
+    * (≤ 4k² candidates per touched node) — nothing rebuilds, nothing
+    * is corpus².
+    */
+  def insertIntoGraph(baseIndex: DataFrame, graph: DataFrame,
+      newVecs: DataFrame, k: Int, beamWidth: Int, iters: Int,
+      sampleSize: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
+    val newQ = newVecs.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("qvec"))
+    // 1. search-then-connect
+    val newOut = beamWithSims(baseIndex, graph, newQ, beamWidth, iters,
+        sampleSize)
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= k)
+      .select(col("query_id").as("id"), col("vec_id").as("nbr"), col("sim"))
+    // 2. backlinks offered to base nodes, adjacency re-pruned
+    val rev = newOut.select(col("nbr").as("id"), col("id").as("nbr"),
+      col("sim"))
+    val merged = barrier(graph.unionByName(newOut).unionByName(rev)
+      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("id", "nbr", "sim"), None)
+    // 3. one repair round over the merged graph with the full table
+    val fullVecs = baseIndex.select(col("vec_id").cast("long"),
+        col("embedding"))
+      .unionByName(newVecs.select(col("vec_id").cast("long"),
+        col("embedding")))
+    val repaired = barrier(refineRound(fullVecs, merged, k, w), Some(merged))
+    writeArtifact(repaired)
   }
 
   /** FILTERED graph search — the production filtered-HNSW contract

@@ -270,6 +270,29 @@ object Soak {
         exact.unpersist()
       }
 
+      // NN-descent graph BUILD at mult× vectors (shipped parameters
+      // k=10/3 rounds/16 seeds): the duplicated index turns every
+      // node's neighborhood into its duplicate clique, but per-node
+      // candidate work is capped at ≤ (2k)² by the reverse-edge cap
+      // REGARDLESS of n — expect ~linear in rows (the bounded-degree
+      // contract, measured; an uncapped reverse join would go
+      // quadratic in the clique here). Build includes the checkpoint
+      // barriers and the parquet artifact write — the real index-build
+      // cost a deployment pays once.
+      var nndGraph: DataFrame = null
+      val tNndBuild = time {
+        nndGraph = graft.search.NnGraph.buildGraph(emb, k = 10, iters = 3,
+          sampleSize = 16)
+      }
+      // graph SERVE at mult× vectors: the beam walk scores
+      // ≤ sample + rounds × beam × (k+1) candidates per query
+      // INDEPENDENT of corpus size — the flat line that justifies the
+      // graph path over cell probing as the index grows
+      val tNndServe = time {
+        graft.search.NnGraph.graphTopK(emb, nndGraph, qs, 10,
+          beamWidth = 16, iters = 4, sampleSize = 16).count()
+      }
+
       // dedup_minhash_recall meter at mult× DISJOINT replicas: every
       // token carries its replica id, so shingle dfs stay CONSTANT as
       // rows grow and the uncapped true-pair join's Σdf² cost is linear
@@ -370,7 +393,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -98,6 +98,48 @@ class NnGraphSpec extends SparkSpec {
       s"graph ${rows("ann_graph_filtered")} vs ivf ${rows("ann_ivf_filtered")}")
   }
 
+  test("insertIntoGraph: new nodes join the adjacency, caps hold, self found after insert") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val all = (0L until 16L).map { i =>
+      (i, Array.tabulate(8)(j => if (j == (i % 8).toInt) 1f else 0.05f * (i % 3)))
+    }
+    val idx = all.toDF("vec_id", "embedding")
+    val base = idx.filter(col("vec_id") >= 4L)
+    val nv = idx.filter(col("vec_id") < 4L)
+    val g0 = NnGraph.buildGraph(base, k = 4, iters = 2, sampleSize = 8)
+    val g1 = NnGraph.insertIntoGraph(base, g0, nv, k = 4, beamWidth = 8,
+      iters = 3, sampleSize = 8)
+    val edges = g1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every node — inserted AND base — has a neighborhood, capped at k
+    val deg = edges.groupBy(_._1).view.mapValues(_.length)
+    assert((0L until 16L).forall(deg.contains), "inserted nodes must join")
+    assert(deg.values.forall(_ <= 4))
+    assert(edges.forall { case (a, b) => a != b })
+    // serve-after-insert: a query identical to an inserted vector must
+    // find it at rank 1 (the add_vectors user contract)
+    val q = nv.filter(col("vec_id") === 2L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val hit = NnGraph.graphTopK(idx, g1, q, k = 3, beamWidth = 8,
+      iters = 3, sampleSize = 8).collect()
+    assert(hit.exists(r => r.getInt(1) == 1 && r.getLong(2) == 2L),
+      hit.mkString("; "))
+  }
+
+  test("measured insert recall: incremental maintenance ~ full rebuild") {
+    // the insert path's whole point: ingest without rebuild at near-zero
+    // quality cost (sweep: 82 vs 83 at sf0.01). Allow a small band —
+    // the batch insert sees base-only neighbors before its repair round.
+    val rows = graft.queries.Similarity.annRecallGraphInsert(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("ann_graph", "ann_graph_insert"))
+    assert(rows("ann_graph_insert") >= rows("ann_graph") - 10,
+      s"insert ${rows("ann_graph_insert")} vs rebuild ${rows("ann_graph")}")
+    assert(rows("ann_graph_insert") >= 70,
+      s"insert-path recall regression: ${rows("ann_graph_insert")}")
+  }
+
   test("measured recall: graph path beats the sampled-cell IVF path on the fixture") {
     // the verdict #3 done-bar, asserted against the LIVE meter (the
     // oracle pins the numbers; this pins the ordering so a parameter
