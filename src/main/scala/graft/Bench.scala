@@ -376,7 +376,18 @@ object Bench {
     val withEnc = chooseFinalLine(results, finalRecordWith(qEncField),
       provFull, provHex, provWins)
     println(if (withEnc.length <= 1900) withEnc
-      else chooseFinalLine(results, finalRecordWith(""), provFull, provHex, provWins))
+      else {
+        // loud, not silent (ADVICE r16): dropping q_enc whole loses the
+        // stdout channel's round-over-round per-query telemetry — the
+        // lossless record still lands in bench_full.json, but consumers
+        // of the driver tail need to know to go read it
+        System.err.println(
+          s"[bench] q_enc (${qEncField.length} chars) dropped from the" +
+            " stdout record: even the smallest rung overflowed the" +
+            " 1900-char guard with it — per-query timings are in" +
+            " bench_full.json")
+        chooseFinalLine(results, finalRecordWith(""), provFull, provHex, provWins)
+      })
     spark.stop()
   }
 }

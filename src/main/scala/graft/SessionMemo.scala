@@ -73,25 +73,48 @@ final class SessionMemo[K, V] {
 final class FrameMemo[K] {
   private val names = new SessionMemo[K, String]
 
+  /** Resolve-or-rebuild until a registered view survives its own
+    * lookup. Two deliberate properties (ADVICE r16):
+    *
+    *  - EVERY `spark.table(name)` — including the one after winning or
+    *    losing the publication race — runs inside the retry loop, so a
+    *    concurrent catalog sweep dropping the view between publication
+    *    and lookup triggers a rebuild instead of throwing
+    *    `AnalysisException` (the old final lookup sat outside the loop).
+    *  - `build` (which can run full Spark jobs — the NN-descent graph
+    *    build checkpoints and writes an artifact) executes OUTSIDE any
+    *    `ConcurrentHashMap.computeIfAbsent` mapping function, so a slow
+    *    build never holds a CHM bin lock against unrelated keys that
+    *    hash to the same bin. Publication is `putIfAbsent`; the losing
+    *    racer drops its own view and adopts the winner's.
+    */
   def computeIfAbsent(spark: SparkSession, key: K)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val m = names.entries(spark)
     def resolve(n: String): Option[org.apache.spark.sql.DataFrame] =
       try Some(spark.table(n))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val n0 = m.get(key)
-    if (n0 != null) resolve(n0) match {
-      case Some(df) => return df
-      case None => m.remove(key, n0) // view dropped externally — rebuild
+    while (true) {
+      val n0 = m.get(key)
+      if (n0 != null) resolve(n0) match {
+        case Some(df) => return df
+        case None => m.remove(key, n0) // view dropped externally — rebuild
+      } else {
+        val df = build
+        val n = "graft_memo_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        df.createOrReplaceTempView(n)
+        val prev = m.putIfAbsent(key, n)
+        if (prev != null) {
+          // lost the race: the winner's view is the shared one — drop
+          // ours (fresh UUID name, so this cannot touch theirs) and
+          // loop to resolve theirs (re-entering the rebuild path if a
+          // sweep got it first)
+          spark.catalog.dropTempView(n): Unit
+        }
+      }
     }
-    val name = m.computeIfAbsent(key, _ => {
-      val df = build
-      val n = "graft_memo_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      df.createOrReplaceTempView(n)
-      n
-    })
-    spark.table(name)
+    throw new IllegalStateException("unreachable")
   }
 
   private[graft] def liveSessions: Int = names.liveSessions

@@ -569,9 +569,9 @@ object Similarity {
     * ([[graft.search.NnGraph]]) — the index structure the reference's
     * production store actually runs (Qdrant HNSW,
     * reference src/vector_db.py:48-54). Rank-only output; the oracle
-    * replays the ENTIRE construction (seed init + both NN-descent
-    * rounds) and the 3-round beam search with the same (sim DESC, id
-    * ASC) tie-breaks.
+    * replays the ENTIRE construction (seed init + all NndIters = 3
+    * NN-descent rounds) and the BeamIters = 4-round beam search with
+    * the same (sim DESC, id ASC) tie-breaks.
     */
   def annGraph(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.NnGraph
@@ -2057,8 +2057,9 @@ object Similarity {
          |SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
     // NN-descent graph + beam search, replayed end to end: seed init,
-    // two refinement rounds, three beam expansions — rank-only compare
-    // (the house float rule; every tie-break is (sim DESC, id ASC))
+    // three refinement rounds (NndIters), four beam expansions
+    // (BeamIters) — rank-only compare (the house float rule; every
+    // tie-break is (sim DESC, id ASC))
     "ann_graph" ->
       s"""WITH $pqQCte,
          |$duckNnGraphCtes,

@@ -77,21 +77,45 @@ object NnGraph {
     chk
   }
 
+  /** Per-JVM scratch root for every graph artifact (lazily created on
+    * the first write). One root instead of bare per-artifact temp dirs
+    * so a SINGLE shutdown hook reclaims them all recursively —
+    * `File.deleteOnExit` never removes a non-empty directory, so the
+    * previous per-dir scheme leaked one parquet directory per build
+    * (test suite, bench, each Soak multiplier) until the OS reaper
+    * swept /tmp, at which point a memoized serve frame pointed at a
+    * vanished file. A cluster deployment writes artifacts to shared
+    * storage instead and owns their retention there.
+    */
+  private lazy val artifactRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_nngraph_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        val kids = p.listFiles()
+        if (kids != null) kids.foreach(rm)
+        p.delete(): Unit
+      }
+      rm(root.toFile)
+    }, "graft-nngraph-artifact-cleanup"))
+    root
+  }
+  private val artifactSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Write the finished graph as a parquet artifact and serve from the
     * scan — the Faiss write-index step made literal: the serve plan is
     * flat, survives caller-side `clearCache()`, and NO persisted RDD
     * outlives the build (exact-count cache invariants hold for every
-    * suite ordering). A cluster deployment writes the same artifact to
-    * shared storage.
+    * suite ordering). Artifacts live under [[artifactRoot]] and are
+    * reclaimed by its shutdown hook; a cluster deployment writes the
+    * same artifact to shared storage.
     */
   private def writeArtifact(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_nngraph_").toFile
-    out.deleteOnExit()
-    edges.write.mode("overwrite").parquet(out.getPath)
+    val out = java.nio.file.Files.createDirectories(
+      artifactRoot.resolve("g" + artifactSeq.incrementAndGet()))
+    edges.write.mode("overwrite").parquet(out.toString)
     rddOf(edges).foreach(_.unpersist(blocking = false))
-    spark.read.parquet(out.getPath)
+    spark.read.parquet(out.toString)
   }
 
   /** One NN-descent refinement round over `edges` against the vector
@@ -209,9 +233,62 @@ object NnGraph {
       .filter(col("rank") <= k)
   }
 
+  /** Driver-materialized copy of a beam frame: collect (the beam is ≤
+    * |queries| × beamWidth rows — the SAME volume `broadcast(beam)`
+    * already ships through the driver, so this adds no scale
+    * constraint) and re-plant as a LocalRelation. Each navigation round
+    * references its predecessor ~3 times (the neighbor expansion, the
+    * candidate union, the scoring join), so a LAZY iters-round chain
+    * re-evaluates round i's subtree ~3^i times — the same blow-up
+    * class [[barrier]] retires on the build side, here without leaving
+    * any persisted RDD behind (a LocalRelation is plain driver data;
+    * exact-count cache specs see nothing).
+    */
+  private def localize(beam: DataFrame): DataFrame = {
+    val spark = beam.sparkSession
+    import spark.implicits._
+    val rows = beam.select(col("query_id").cast("long"),
+        col("vec_id").cast("long"), col("sim").cast("double"))
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    spark.createDataset(rows.toIndexedSeq).toDF("query_id", "vec_id", "sim")
+  }
+
+  /** One navigation round, lazily: candidates = beam ∪ the beam's
+    * out-neighbors over `graph`, each scored fresh against its query.
+    * Callers keep the top-beamWidth as the next beam. The beam/candidate
+    * frames broadcast; the index and graph sides only ever stream.
+    */
+  private def roundScored(vecs: DataFrame, graph: DataFrame, q: DataFrame,
+      beam: DataFrame): DataFrame = {
+    val nb = graph
+      .join(broadcast(beam.select(col("query_id"), col("vec_id").as("id"))),
+        "id")
+      .select(col("query_id"), col("nbr").as("vec_id"))
+    val cand = beam.select("query_id", "vec_id").union(nb).distinct()
+    vecs
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+  }
+
+  /** Entry beam: the seed sample scored per query, top-beamWidth. */
+  private def entryBeam(q: DataFrame, seeds: DataFrame, beamWidth: Int,
+      qw: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    q.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("seed_id").as("vec_id"),
+        Vec.dot(col("qvec"), col("svec")).as("sim"))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
+      .select("query_id", "vec_id", "sim")
+
   /** The beam walk itself — final beam WITH similarities (query_id,
-    * vec_id, sim). [[graphTopK]] ranks it; [[insertIntoGraph]] turns it
-    * into a new node's out-edges.
+    * vec_id, sim). [[graphTopK]] ranks it; [[insertIntoGraph]] and
+    * [[deleteFromGraph]] turn it into a node's out-edges.
+    *
+    * Rounds 0..iters-1 are [[localize]]d (each a small eager job); the
+    * FINAL round stays lazy so the returned plan IS the serve plan —
+    * one graph-artifact scan + one index scan against broadcast beam
+    * frames (PlanSpec pins exactly that shape for `ann_graph`).
     */
   private[search] def beamWithSims(index: DataFrame, graph: DataFrame,
       queries: DataFrame, beamWidth: Int, iters: Int,
@@ -222,29 +299,60 @@ object NnGraph {
     val q = queries.select(col("query_id").cast("long"), col("qvec"))
     val seeds = seedSample(index, sampleSize)
 
-    // entry beam: seed sample scored per query
-    var beam: DataFrame = q.crossJoin(broadcast(seeds))
-      .select(col("query_id"), col("seed_id").as("vec_id"),
-        Vec.dot(col("qvec"), col("svec")).as("sim"))
-      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
-      .select("query_id", "vec_id", "sim")
-
+    var beam: DataFrame = entryBeam(q, seeds, beamWidth, qw)
     for (_ <- 1 to iters) {
-      val nb = graph
-        .join(broadcast(beam.select(col("query_id"), col("vec_id").as("id"))),
-          "id")
-        .select(col("query_id"), col("nbr").as("vec_id"))
-      val cand = beam.select("query_id", "vec_id").union(nb).distinct()
-      val scored = vecs
-        .join(broadcast(cand), "vec_id")
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("vec_id"),
-          Vec.dot(col("qvec"), col("embedding")).as("sim"))
-      beam = scored
+      beam = localize(beam)
+      beam = roundScored(vecs, graph, q, beam)
         .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
         .select("query_id", "vec_id", "sim")
     }
     beam
+  }
+
+  /** Driver-side (sim DESC, id ASC) top-k per query — bit-identical to
+    * the row_number window the lazy rounds use (same comparator), just
+    * applied to already-collected rows.
+    */
+  private def driverTop(rows: Array[(Long, Long, Double)],
+      k: Int): Array[(Long, Long, Double)] =
+    rows.groupBy(_._1).valuesIterator
+      .flatMap(g => g.sortBy(t => (-t._3, t._2)).take(k)).toArray
+
+  /** Fully-materialized navigation: walks exactly like [[beamWithSims]]
+    * but collects every round's SCORED candidate set on the driver —
+    * the shared engine of [[graphTopKFiltered]] (whose answer is the
+    * matched subset of everything the walk touched) and [[searchStats]]
+    * (whose meter prices the walk by its candidate budget). Returns the
+    * final beam and the distinct (query_id, vec_id) candidate set
+    * accumulated across ALL rounds (round 0 = the full seed sample per
+    * query — every entry candidate is scored, not just the kept beam).
+    */
+  private def navigateCollect(index: DataFrame, graph: DataFrame,
+      q: DataFrame, beamWidth: Int, iters: Int, sampleSize: Int)
+      : (Array[(Long, Long, Double)],
+         scala.collection.mutable.LinkedHashSet[(Long, Long)]) = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val vecs = index.select(col("vec_id").cast("long"), col("embedding"))
+    val seeds = seedSample(index, sampleSize)
+    val candAll = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    // round 0: the full seed sample is scored per query
+    val entry = q.crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("seed_id").as("vec_id"),
+        Vec.dot(col("qvec"), col("svec")).as("sim"))
+      .as[(Long, Long, Double)].collect()
+    entry.foreach(r => candAll += ((r._1, r._2)))
+    var beam = driverTop(entry, beamWidth)
+    for (_ <- 1 to iters) {
+      val beamDf = spark.createDataset(
+          beam.sortBy(t => (t._1, t._2)).toIndexedSeq)
+        .toDF("query_id", "vec_id", "sim")
+      val scored = roundScored(vecs, graph, q, beamDf)
+        .as[(Long, Long, Double)].collect()
+      scored.foreach(r => candAll += ((r._1, r._2)))
+      beam = driverTop(scored, beamWidth)
+    }
+    (beam, candAll)
   }
 
   /** Batch INSERT into a built graph — the index-maintenance half of
@@ -321,51 +429,128 @@ object NnGraph {
   def graphTopKFiltered(index: DataFrame, graph: DataFrame,
       queries: DataFrame, k: Int, beamWidth: Int, iters: Int,
       sampleSize: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
     val qw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     val vecs = index.select(col("vec_id").cast("long"), col("embedding"),
       col("label"))
-    val q = queries.select(col("query_id").cast("long"), col("qvec"),
+    val q3 = queries.select(col("query_id").cast("long"), col("qvec"),
       col("qlabel"))
-    val seeds = seedSample(index, sampleSize)
+    val q = q3.select(col("query_id"), col("qvec"))
 
-    // round 0's candidate set is the full seed sample per query; each
-    // later round's is beam ∪ out-neighbors — navigation scores each
-    // round label-blind (exactly [[graphTopK]]'s walk), while the
-    // candidate IDS accumulate; the matched set is scored ONCE at the
-    // end (one index semi-scan + label filter) rather than per round —
-    // per-round matched scoring doubled the lazy-plan replication and
-    // measured 3.9 s vs 2.0 s for the unfiltered walk at sf0.1
-    var cand: DataFrame = q.select(col("query_id"))
-      .crossJoin(broadcast(seeds.select(col("seed_id").as("vec_id"))))
-    var candAll: DataFrame = cand
-    var beam: DataFrame = null
-    for (i <- 0 to iters) {
-      if (i > 0) {
-        val nb = graph
-          .join(broadcast(beam.select(col("query_id"), col("vec_id").as("id"))),
-            "id")
-          .select(col("query_id"), col("nbr").as("vec_id"))
-        cand = beam.select("query_id", "vec_id").union(nb).distinct()
-        candAll = candAll.unionByName(cand)
-      }
-      val scored = vecs
-        .join(broadcast(cand), "vec_id")
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("vec_id"),
-          Vec.dot(col("qvec"), col("embedding")).as("sim"))
-      beam = scored
-        .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
-        .select("query_id", "vec_id", "sim")
-    }
+    // navigation scores each round label-blind (exactly [[graphTopK]]'s
+    // walk, now round-materialized via [[navigateCollect]] — the lazy
+    // per-round chain measured 4.0 s vs the unfiltered walk's 2.0 s at
+    // sf0.1 purely on ~3^i plan replication), while the candidate IDS
+    // accumulate on the driver; the matched set is scored ONCE at the
+    // end (one index semi-scan + label filter)
+    val (_, candAll) = navigateCollect(index, graph, q, beamWidth, iters,
+      sampleSize)
+    val candDf = spark.createDataset(candAll.toSeq.sorted.toIndexedSeq)
+      .toDF("query_id", "vec_id")
     vecs
-      .join(broadcast(candAll.distinct()), "vec_id")
-      .join(broadcast(q), "query_id")
+      .join(broadcast(candDf), "vec_id")
+      .join(broadcast(q3), "query_id")
       .filter(col("label") === col("qlabel"))
       .select(col("query_id"), col("vec_id"),
         Vec.dot(col("qvec"), col("embedding")).as("sim"))
       .select(col("query_id"),
         row_number().over(qw).as("rank"), col("vec_id"))
       .filter(col("rank") <= k)
+  }
+
+  /** Search with candidate accounting — the tune meter's engine: the
+    * same walk as [[graphTopK]] at an arbitrary (beamWidth, iters)
+    * rung, returning the ranked top-k AND the walk's candidate budget
+    * (distinct (query_id, vec_id) pairs scored across all rounds,
+    * round 0 = the full seed sample). The budget is the quality/cost
+    * axis the rung sweep trades along: ≤ sample + iters × beamWidth ×
+    * (graph-k + 1) per query, independent of corpus size.
+    */
+  def searchStats(index: DataFrame, graph: DataFrame, queries: DataFrame,
+      k: Int, beamWidth: Int, iters: Int, sampleSize: Int)
+      : (DataFrame, Long) = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("query_id").cast("long"), col("qvec"))
+    val (beam, candAll) = navigateCollect(index, graph, q, beamWidth,
+      iters, sampleSize)
+    val ranked = beam.groupBy(_._1).valuesIterator
+      .flatMap(g => g.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+        .map { case ((qid, vid, _), i) => (qid, i + 1, vid) })
+      .toArray.sortBy(t => (t._1, t._2))
+    (spark.createDataset(ranked.toIndexedSeq)
+       .toDF("query_id", "rank", "vec_id"),
+     candAll.size.toLong)
+  }
+
+  /** Batch point-DELETE from a built graph — the other half of the
+    * reference store's index-maintenance contract (Qdrant deletes
+    * points from a collection without rebuilding its HNSW; the
+    * collection-level drop is [[graft.index.VectorStore]] V4): a 100 TB
+    * pipeline that cannot expire documents from its ANN index re-pays
+    * the full build cost on every retention pass. The deletion dual of
+    * [[insertIntoGraph]], three steps:
+    *
+    *  1. TOMBSTONE: drop every deleted node's out-edges and every
+    *     in-edge pointing at a deleted node (the graph no longer knows
+    *     the ids — nothing can navigate to them, so no deleted id can
+    *     ever be returned, by construction rather than by post-filter);
+    *  2. RE-LINK: every survivor that LOST an out-edge beam-searches
+    *     the tombstoned graph over survivors for replacement neighbors
+    *     (its own vector as the query, self excluded) and re-top-ks its
+    *     adjacency — the repair-orphaned-edges step every HNSW deletion
+    *     design needs, restated as |affected| bounded beam walks;
+    *  3. one NN-descent repair round over the merged graph against the
+    *     SURVIVOR table — re-linked nodes gain visibility of each
+    *     other's neighborhoods, the same +recall role the insert path's
+    *     repair round plays.
+    *
+    * Returns the updated graph as a fresh parquet artifact (the
+    * [[buildGraph]] serve contract). Scale shape: tombstoning is two
+    * broadcast anti-joins (the delete batch is small by contract);
+    * re-linking is |affected| ≤ |deleted| × k beam walks, each with the
+    * corpus-independent candidate budget; the repair round shuffles
+    * only edge frames. Nothing rebuilds, nothing is corpus².
+    */
+  def deleteFromGraph(index: DataFrame, graph: DataFrame,
+      deleteIds: DataFrame, k: Int, beamWidth: Int, iters: Int,
+      sampleSize: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
+    val del = deleteIds.select(col("vec_id").cast("long"))
+    val vecsAll = index.select(col("vec_id").cast("long"), col("embedding"))
+    val survivors = vecsAll
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+    // 1. tombstone: out-edges of deleted nodes, then in-edges to them
+    val keptSrc = graph
+      .join(broadcast(del.select(col("vec_id").as("id"))), Seq("id"),
+        "left_anti")
+    val kept = keptSrc
+      .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"),
+        "left_anti")
+      .select("id", "nbr", "sim")
+    // 2. survivors that lost an out-edge re-search over survivors
+    val affected = keptSrc
+      .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"),
+        "left_semi")
+      .select(col("id")).distinct()
+    val affQ = survivors
+      .join(broadcast(affected.select(col("id").as("vec_id"))), "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val newOut = beamWithSims(survivors, kept, affQ, beamWidth, iters,
+        sampleSize)
+      .filter(col("vec_id") =!= col("query_id")) // a node may not re-link to itself
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= k)
+      .select(col("query_id").as("id"), col("vec_id").as("nbr"), col("sim"))
+    val merged = barrier(kept.unionByName(newOut)
+      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("id", "nbr", "sim"), None)
+    // 3. one repair round over survivors only
+    val repaired = barrier(refineRound(survivors, merged, k, w), Some(merged))
+    writeArtifact(repaired)
   }
 }
