@@ -701,6 +701,126 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** Delete-batch bounds: vec_ids in [DeleteLo, DeleteHi) are the
+    * "expired" batch the delete queries tombstone out of the full
+    * graph. Disjoint from the standard query set (vec_id < NumQueries
+    * = 10 < 25), so every query is a survivor searching an index that
+    * FORGOT 25 of its vectors — including, for clustered fixtures,
+    * some of the queries' former true neighbors.
+    */
+  private[queries] val DeleteLo = 25
+  private[queries] val DeleteHi = 50
+
+  private def survivorsFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < DeleteLo || col("vec_id") >= DeleteHi)
+
+  // tombstoned-and-repaired graph artifact per (session, dir) — built
+  // once (the FrameMemo discipline; the serve plan is the artifact scan)
+  private def deletedGraphFrame(spark: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent(spark, dir + "#del") {
+      import graft.search.NnGraph
+      val emb = Tables.embeddings(spark, dir)
+      NnGraph.deleteFromGraph(emb, nnGraphFrame(spark, dir),
+        emb.filter(col("vec_id") >= DeleteLo && col("vec_id") < DeleteHi)
+          .select(col("vec_id")),
+        GraphK, BeamWidth, BeamIters, NndSample)
+    }
+
+  // survivors-only REBUILD — the quality yardstick the delete path is
+  // measured against (the insert pair's rebuild-comparison precedent)
+  private def rebuiltSurvivorGraphFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    graphMemo.computeIfAbsent(spark, dir + "#delrb") {
+      graft.search.NnGraph.buildGraph(survivorsFrame(spark, dir),
+        GraphK, NndIters, NndSample)
+    }
+
+  private def deleteQueries(spark: SparkSession, dir: String): DataFrame =
+    survivorsFrame(spark, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** Serve-after-DELETE — the index-maintenance contract's other half
+    * (Qdrant deletes points without rebuilding the HNSW; the repo's V4
+    * drops whole collections only): the full graph tombstones vec_ids
+    * [25, 50) via [[graft.search.NnGraph.deleteFromGraph]] (drop their
+    * edges, beam re-link every survivor that lost an out-edge, one
+    * repair round over survivors), then the standard 10 queries run
+    * over the updated artifact. No deleted id can appear — the graph no
+    * longer contains them and the seeds/scoring see only survivors
+    * (NnGraphSpec pins it). Rank-only output; the oracle replays
+    * build, tombstone, re-link, repair, and search end to end.
+    */
+  def annGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.NnGraph
+    NnGraph.graphTopK(survivorsFrame(spark, dir),
+        deletedGraphFrame(spark, dir), deleteQueries(spark, dir), K,
+        BeamWidth, BeamIters, NndSample)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of serve-after-delete beside a survivors-only full
+    * REBUILD, both against exact search over the survivors — two
+    * integer rows proving retention-pass maintenance ≈ rebuild (the
+    * insert meter's 82-vs-83 contract, dual direction).
+    */
+  def annRecallGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.{Knn, NnGraph}
+    val surv = survivorsFrame(spark, dir)
+    val queries = deleteQueries(spark, dir)
+    val exactDel = replayIds(spark, dir, "exact_del")(
+      Knn.bruteForceTopK(surv, queries, K)
+        .select(col("query_id"), col("vec_id")))
+    def row(name: String, tag: String)(b: => DataFrame): DataFrame =
+      replayIds(spark, dir, tag)(b)
+        .join(exactDel, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("algo"), col("hits"),
+          lit((NumQueries * K).toLong).as("n"))
+    row("ann_graph_delete", "graph_delete")(annGraphDelete(spark, dir))
+      .unionAll(row("ann_graph_rebuild", "graph_delete_rebuild")(
+        NnGraph.graphTopK(surv, rebuiltSurvivorGraphFrame(spark, dir),
+          queries, K, BeamWidth, BeamIters, NndSample)))
+      .orderBy(col("algo"))
+  }
+
+  /** The graph family's tuning rungs: (beamWidth, iters) from cheap to
+    * thorough, middle rung = the production config. */
+  private[queries] val TuneBeamRungs = Seq((8, 3), (16, 4), (32, 5))
+
+  /** Beam-budget tuning meter — the graph path's `ann_tune_nprobe`:
+    * one row per (beamWidth, iters) rung with recall hits AND the
+    * walk's measured candidate budget (distinct scored (query, vec)
+    * pairs — the cost axis; per query it is ≤ sample + iters ×
+    * beamWidth × (graph-k + 1), corpus-size-INDEPENDENT, which is why
+    * the budget column is flat while the corpus grows). The middle
+    * rung is the production config, so its hits equal `ann_recall_
+    * graph`'s graph row by construction (NnGraphSpec pins that). The
+    * oracle replays all three walks over the same construction replay.
+    */
+  def annTuneBeam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val graph = nnGraphFrame(spark, dir)
+    val exact = exactIds(spark, dir)
+    val rows = TuneBeamRungs.map { case (bw, it) =>
+      val (ids, cands) = memoized[(Array[(Long, Long)], java.lang.Long)](
+          spark, dir, s"graphTune_${bw}_$it") {
+        val (df, c) = graft.search.NnGraph.searchStats(emb, graph, queries,
+          K, bw, it, NndSample)
+        (df.select(col("query_id").cast("long"), col("vec_id").cast("long"))
+           .as[(Long, Long)].collect(), Long.box(c))
+      }
+      val hits = ids.toSeq.toDF("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+      (bw, it, hits, (NumQueries * K).toLong, cands.longValue)
+    }
+    rows.toDF("beam_width", "iters", "hits", "n", "cands")
+      .orderBy(col("beam_width"))
+  }
+
   /** Random-hyperplane LSH kNN — full oracle: the ±1 hyperplanes are
     * md5-parity vectors, so DuckDB regenerates them, recomputes every
     * sign-bit signature with the same left-to-right double dot product,
@@ -1400,9 +1520,10 @@ object Similarity {
 
   /** One beam-search round as CTEs: expand the beam's out-neighbors
     * over `\$graph`, union, re-score against query CTE `\$qCte` using
-    * vectors from `\$idx`, keep top-BeamWidth. */
+    * vectors from `\$idx`, keep top-`bw`. */
   private def beamIter(prev: String, next: String, graph: String,
-      qCte: String = "q", idx: String = "embeddings"): String =
+      qCte: String = "q", idx: String = "embeddings",
+      bw: Int = BeamWidth): String =
     s"""${next}_cand AS MATERIALIZED (
        |  SELECT DISTINCT query_id, vec_id FROM (
        |    SELECT query_id, vec_id FROM $prev
@@ -1419,28 +1540,31 @@ object Similarity {
        |    FROM ${next}_cand c
        |    JOIN $idx e ON c.vec_id = e.vec_id
        |    JOIN $qCte qq ON qq.query_id = c.query_id)
-       |  WHERE rn <= $BeamWidth)""".stripMargin
+       |  WHERE rn <= $bw)""".stripMargin
 
-  /** Seed-entry beam + four expansion rounds over `\$graph` — ends at
-    * `{pfx}b4` (query_id, vec_id, sim). `qCte` must expose
+  /** Seed-entry beam + `iters` expansion rounds over `\$graph` — ends
+    * at `{pfx}b{iters}` (query_id, vec_id, sim). `qCte` must expose
     * (query_id, qv); `seeds` a (seed_id, svec) CTE; `idx` the vector
-    * relation scored against.
+    * relation scored against. `bw`/`iters` default to the production
+    * rung; the tune sweep passes the other rungs.
     */
   private def duckBeamCtesFor(graph: String, qCte: String, idx: String,
-      seeds: String, pfx: String): String =
-    s"""${pfx}b0 AS MATERIALIZED (
-       |  SELECT query_id, vec_id, sim FROM (
-       |    SELECT qq.query_id, s.seed_id AS vec_id,
-       |      ${duckDot("qq.qv", "s.svec")} AS sim,
-       |      row_number() OVER (PARTITION BY qq.query_id
-       |        ORDER BY ${duckDot("qq.qv", "s.svec")} DESC,
-       |                 s.seed_id ASC) AS rn
-       |    FROM $qCte qq CROSS JOIN $seeds s)
-       |  WHERE rn <= $BeamWidth),
-       |${beamIter(s"${pfx}b0", s"${pfx}b1", graph, qCte, idx)},
-       |${beamIter(s"${pfx}b1", s"${pfx}b2", graph, qCte, idx)},
-       |${beamIter(s"${pfx}b2", s"${pfx}b3", graph, qCte, idx)},
-       |${beamIter(s"${pfx}b3", s"${pfx}b4", graph, qCte, idx)}""".stripMargin
+      seeds: String, pfx: String, bw: Int = BeamWidth,
+      iters: Int = BeamIters): String = {
+    val entry =
+      s"""${pfx}b0 AS MATERIALIZED (
+         |  SELECT query_id, vec_id, sim FROM (
+         |    SELECT qq.query_id, s.seed_id AS vec_id,
+         |      ${duckDot("qq.qv", "s.svec")} AS sim,
+         |      row_number() OVER (PARTITION BY qq.query_id
+         |        ORDER BY ${duckDot("qq.qv", "s.svec")} DESC,
+         |                 s.seed_id ASC) AS rn
+         |    FROM $qCte qq CROSS JOIN $seeds s)
+         |  WHERE rn <= $bw)""".stripMargin
+    val ladder = (1 to iters).map(i =>
+      beamIter(s"${pfx}b${i - 1}", s"${pfx}b$i", graph, qCte, idx, bw))
+    (entry +: ladder).mkString(",\n")
+  }
 
   private val duckBeamCtes: String =
     duckBeamCtesFor("g3", "q", "embeddings", "nseeds", "")
@@ -1502,6 +1626,80 @@ object Similarity {
        |  JOIN q qe ON qe.query_id = c.query_id
        |  WHERE e.label = qe.qlabel)""".stripMargin
 
+  /** The delete pipeline replay, ending at `dm1` — the tombstoned,
+    * re-linked, repaired graph: survivors (`surv`), the full graph
+    * `g3` stripped of every edge touching a deleted id (`kept`), each
+    * survivor that lost an out-edge re-searching the tombstoned graph
+    * over survivors (beam pfx `da`, survivor seeds `dseeds`), its new
+    * out-edges cut at k with self excluded (`dnew`), merge + re-prune
+    * (`dm0`), one repair round against the SURVIVOR table (`dm1`).
+    * Mirrors [[graft.search.NnGraph.deleteFromGraph]] step for step;
+    * requires [[duckNnGraphCtes]] (for `g3`) in scope.
+    */
+  private val duckDeleteGraphCtes: String =
+    s"""surv AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < $DeleteLo OR vec_id >= $DeleteHi),
+       |kept AS MATERIALIZED (
+       |  SELECT id, nbr, sim FROM g3
+       |  WHERE (id < $DeleteLo OR id >= $DeleteHi)
+       |    AND (nbr < $DeleteLo OR nbr >= $DeleteHi)),
+       |aff AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM g3
+       |  WHERE (id < $DeleteLo OR id >= $DeleteHi)
+       |    AND nbr >= $DeleteLo AND nbr < $DeleteHi),
+       |aq AS MATERIALIZED (
+       |  SELECT s.vec_id AS query_id, s.embedding AS qv
+       |  FROM surv s JOIN aff a ON s.vec_id = a.id),
+       |dseeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id, embedding AS svec FROM surv
+       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NndSample),
+       |${duckBeamCtesFor("kept", "aq", "surv", "dseeds", "da")},
+       |dnew AS MATERIALIZED (
+       |  SELECT query_id AS id, vec_id AS nbr, sim FROM (
+       |    SELECT query_id, vec_id, sim,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM dab4 WHERE vec_id <> query_id)
+       |  WHERE rn <= $GraphK),
+       |dm0 AS MATERIALIZED (
+       |  SELECT id, nbr, sim FROM (
+       |    SELECT id, nbr, sim,
+       |      row_number() OVER (PARTITION BY id
+       |                    ORDER BY sim DESC, nbr ASC) AS rn
+       |    FROM (SELECT id, nbr, max(sim) AS sim FROM (
+       |            SELECT id, nbr, sim FROM kept
+       |            UNION ALL SELECT id, nbr, sim FROM dnew)
+       |          GROUP BY 1, 2))
+       |  WHERE rn <= $GraphK),
+       |${nndIter("dm0", "dm1", "surv")}""".stripMargin
+
+  /** One tune-sweep rung's replay over the shared construction (`g3`,
+    * `nseeds`, `q`): the (bw, it) beam ladder under prefix `t{bw}`,
+    * its accumulated candidate set (round 0 = the full seed sample —
+    * exactly what [[graft.search.NnGraph.searchStats]] accumulates),
+    * and its top-K ids.
+    */
+  private def tuneBeamRungCtes(bw: Int, it: Int): String = {
+    val p = s"t$bw"
+    val candUnion = (1 to it).map(i =>
+      s"SELECT query_id, vec_id FROM ${p}b${i}_cand")
+      .mkString("\n  UNION ")
+    s"""${duckBeamCtesFor("g3", "q", "embeddings", "nseeds", p, bw, it)},
+       |${p}cand AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |  $candUnion
+       |  UNION SELECT qq.query_id, s.seed_id AS vec_id
+       |        FROM q qq CROSS JOIN nseeds s)),
+       |${p}k AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM ${p}b$it) WHERE rn <= $K)""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_topk" -> (knnTopK _),
     "knn_filtered" -> (knnFiltered _),
@@ -1530,6 +1728,9 @@ object Similarity {
     "ann_recall_graph_filtered" -> (annRecallGraphFiltered _),
     "ann_graph_insert" -> (annGraphInsert _),
     "ann_recall_graph_insert" -> (annRecallGraphInsert _),
+    "ann_graph_delete" -> (annGraphDelete _),
+    "ann_recall_graph_delete" -> (annRecallGraphDelete _),
+    "ann_tune_beam" -> (annTuneBeam _),
     "ann_rp" -> (annRp _),
     "ann_rp_ivf" -> (annRpIvf _),
     "ann_recall_rp" -> (annRecallRp _),
@@ -2245,6 +2446,82 @@ object Similarity {
          |    (SELECT count(*) FROM sivfk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
          |ORDER BY algo""".stripMargin,
+    // serve-after-delete replay: full build, tombstone [DeleteLo,
+    // DeleteHi), beam re-link of survivors that lost an out-edge,
+    // re-prune, one survivor repair round, then the standard search
+    // over the updated graph (survivor seeds, survivor index)
+    "ann_graph_delete" ->
+      s"""WITH $pqQCte,
+         |$duckNnGraphCtes,
+         |$duckDeleteGraphCtes,
+         |${duckBeamCtesFor("dm1", "q", "surv", "dseeds", "ds")}
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         |      AS rank,
+         |    vec_id
+         |  FROM dsb4) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // delete-path vs survivors-only-rebuild recall against exact truth
+    // restricted to survivors (deleted ids are not valid answers)
+    "ann_recall_graph_delete" ->
+      s"""WITH $pqQCte,
+         |$duckNnGraphCtes,
+         |$duckDeleteGraphCtes,
+         |xs AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM surv e CROSS JOIN q),
+         |${topKIdsCte("xs", "xdk")},
+         |${duckBeamCtesFor("dm1", "q", "surv", "dseeds", "ds")},
+         |dk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM dsb4) WHERE rn <= $K),
+         |${duckNnGraphCtesFor("surv", "rg")},
+         |${duckBeamCtesFor("rgg3", "q", "surv", "rgnseeds", "rb")},
+         |rbk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM rbb4) WHERE rn <= $K)
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_graph_delete' AS algo,
+         |    (SELECT count(*) FROM dk a JOIN xdk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_graph_rebuild' AS algo,
+         |    (SELECT count(*) FROM rbk a JOIN xdk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
+    // beam-budget sweep: three walks over the SAME construction replay,
+    // each rung's hits vs exact + its accumulated candidate count
+    "ann_tune_beam" -> {
+      val rungRows = TuneBeamRungs.map { case (bw, it) =>
+        s"""  SELECT CAST($bw AS INTEGER) AS beam_width,
+           |    CAST($it AS INTEGER) AS iters,
+           |    (SELECT count(*) FROM t${bw}k a JOIN xk x
+           |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+           |    CAST(${NumQueries * K} AS BIGINT) AS n,
+           |    (SELECT count(*) FROM t${bw}cand) AS cands""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |$duckNnGraphCtes,
+         |${TuneBeamRungs.map { case (bw, it) => tuneBeamRungCtes(bw, it) }
+             .mkString(",\n")}
+         |SELECT beam_width, iters, hits, n, cands FROM (
+         |$rungRows)
+         |ORDER BY beam_width""".stripMargin
+    },
     // Recall@k of five approximate paths vs exact: each path's replay
     // (already proven engine-identical by its own rank-only oracle)
     "ann_binary" ->
