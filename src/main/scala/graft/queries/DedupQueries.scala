@@ -979,20 +979,25 @@ object DedupQueries {
     * mostly unmatched text. Here the shared fingerprints are split
     * into contiguous matched runs first — sorted by position in
     * document a, a new run starts when the jump exceeds
-    * [[WinnowRunGap]] — and each run reports its own span in both
-    * documents (one row per (pair, run); single-fingerprint runs are
-    * kept: a pair surviving the ≥2-shared gate may well split into
-    * 1-fp runs). b-side bounds are the min/max positions of the run's
-    * fingerprints in b — sound when the run appears once per document;
-    * a run repeated inside b brackets its occurrences (first-occurrence
-    * position convention).
+    * [[WinnowRunGap]] — and each a-side run is then re-segmented ON THE
+    * B SIDE (round-16 verdict #6): within a run, fingerprints whose
+    * b-side first occurrences jump more than the same gap belong to
+    * DIFFERENT matched regions of b (document a quoting one contiguous
+    * passage that document b carries as two distant fragments), so one
+    * row is emitted per (pair, run_id, b_run) with that cluster's own
+    * bounds in BOTH documents — the single-bracket convention
+    * overstated b's matched region exactly the way the pair-level span
+    * overstated a's. Single-fingerprint runs/clusters are kept: a pair
+    * surviving the ≥2-shared gate may well split into 1-fp runs.
     *
     * Scale shape: identical to [[winnowSpans]] up to the pair join
-    * (df-capped Σ min(df, cap)²); then three window passes over ONE
-    * (a, b) exchange (total count, lag, running sum — same partition
-    * key and ordering, so Catalyst plans a single shuffle) and a
-    * map-side-combined aggregate at (pair, run) grain. Pair rows are a
-    * sliver of the corpus; nothing corpus-scale is windowed.
+    * (df-capped Σ min(df, cap)²); then four window passes over ONE
+    * (a, b) exchange (total count, lag, running sum on pa; lag+sum on
+    * pb within (a, b, run_id) — partitioning on the (a, b) SUBSET
+    * satisfies all of them, so Catalyst plans a single shuffle with
+    * per-window re-sorts) and a map-side-combined aggregate at
+    * (pair, run, b_run) grain. Pair rows are a sliver of the corpus;
+    * nothing corpus-scale is windowed.
     */
   def winnowRuns(spark: SparkSession, dir: String): DataFrame =
     winnowRunsFrom(winnowKept(spark, dir))
@@ -1008,21 +1013,30 @@ object DedupQueries {
       .filter(col("a") < col("b"))
     val pairW = Window.partitionBy("a", "b")
     val ordW = Window.partitionBy("a", "b").orderBy("pa")
+    val bOrdW = Window.partitionBy("a", "b", "run_id").orderBy("pb")
     joined
       // the ≥2-shared gate is the winnowSpans pair-survival convention
       .withColumn("total", count(lit(1)).over(pairW))
       .filter(col("total") >= 2)
       // pa is unique within a pair (distinct fps have distinct first
-      // occurrences), so the lag ordering is deterministic
+      // occurrences), so the lag ordering is deterministic; same for pb
       .withColumn("brk",
         when(col("pa") - lag(col("pa"), 1).over(ordW) > WinnowRunGap, 1L)
           .otherwise(0L))
       .withColumn("run_id", sum(col("brk")).over(ordW))
-      .groupBy(col("a"), col("b"), col("run_id"))
+      // b-side re-segmentation: the same gap rule on pb, WITHIN each
+      // a-side run — (a, b, run_id) partitioning is satisfied by the
+      // (a, b) exchange already in place (subset key), so this costs a
+      // re-sort, not a shuffle
+      .withColumn("bbrk",
+        when(col("pb") - lag(col("pb"), 1).over(bOrdW) > WinnowRunGap, 1L)
+          .otherwise(0L))
+      .withColumn("b_run", sum(col("bbrk")).over(bOrdW))
+      .groupBy(col("a"), col("b"), col("run_id"), col("b_run"))
       .agg(count(lit(1)).as("n_fps"),
         min(col("pa")).as("a_start"), max(col("pa")).as("a_end"),
         min(col("pb")).as("b_start"), max(col("pb")).as("b_end"))
-      .orderBy("a", "b", "run_id")
+      .orderBy("a", "b", "run_id", "b_run")
   }
 
   private def winnowSpansFrom(kept: DataFrame): DataFrame =
@@ -1037,10 +1051,64 @@ object DedupQueries {
       .filter(col("shared") >= 2)
       .orderBy("a", "b")
 
+  /** Winnowing EXCISION — the operator that ACTS on [[winnowRuns]]'
+    * spans (round-16 verdict #5: decontamination got its rewrite, but
+    * winnow was the only detector family whose spans nothing consumed):
+    * every document that appears as the `b` side of a matched run —
+    * the REPUBLICATION under the a < b convention, the lower doc_id
+    * being the canonical first copy — is re-emitted with its matched
+    * token windows cut out; everything else passes through
+    * byte-identical with n_removed = 0. A b-side cluster
+    * [b_start, b_end] over SHINGLE indexes covers token indexes
+    * [b_start, b_end + 2] (the 3-gram convention
+    * [[decontaminateRewriteOf]] set); a document republished from
+    * several sources masks the union of its clusters. After the cut,
+    * the duplicate no longer pairs with its source under [[dedupWinnow]]
+    * (the report→act contract; spec-pinned on a constructed fixture).
+    *
+    * Scale shape: the span side is [[winnowRuns]] collapsed to
+    * |duplicated docs| rows of tiny span arrays, equi-joined back at
+    * docs grain (left join; AQE broadcasts the sliver — it scales with
+    * duplication, not corpus size); the rewrite itself is the same
+    * narrow pure-Catalyst projection as the decontamination excision
+    * (tokenize, indexed filter, re-join) — whole-stage codegen, no
+    * typed closure.
+    */
+  def winnowRewrite(spark: SparkSession, dir: String): DataFrame =
+    winnowRewriteFrom(Tables.documents(spark, dir),
+      winnowRuns(spark, dir))
+
+  private[graft] def winnowRewriteOf(docs: DataFrame,
+      maxDf: Int): DataFrame =
+    winnowRewriteFrom(docs, winnowRunsOf(docs, maxDf))
+
+  private def winnowRewriteFrom(docs: DataFrame,
+      runs: DataFrame): DataFrame = {
+    val spans = runs
+      .groupBy(col("b").as("doc_id"))
+      .agg(collect_list(struct(col("b_start"), col("b_end"))).as("spans"))
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("keep",
+        when(col("spans").isNull, col("toks")).otherwise(expr(
+          "filter(toks, (t, i) -> NOT exists(spans, " +
+            "s -> i >= s.b_start AND i <= s.b_end + 2))")))
+      // untouched documents keep their ORIGINAL text; excised ones are
+      // re-joined from the surviving tokens (whitespace-normalized —
+      // the token-level convention, identical in the oracle)
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text"))
+          .otherwise(concat_ws(" ", col("keep"))).as("clean_text"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_recall_bands" -> (dedupRecallBands _),
     "winnow_spans" -> (winnowSpans _),
     "winnow_runs" -> (winnowRuns _),
+    "winnow_rewrite" -> (winnowRewrite _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_recall" -> (dedupMinhashRecall _),
     "dedup_recall" -> (dedupRecall _),
@@ -1241,37 +1309,86 @@ object DedupQueries {
        |kept AS (SELECT doc_id, fp, pos FROM posd
        |         WHERE fp NOT IN (SELECT fp FROM hot))""".stripMargin
 
+  // the winnow_spans pair set re-segmented into contiguous runs: pair
+  // join over the kept postings, ≥2-shared gate, lag/running-sum
+  // segmentation on the a-side positions (gap > 6 starts a new run),
+  // then the SAME gap rule on the b-side positions within each run —
+  // ends at `bseg` (a, b, pa, pb, run_id, b_run), the grain
+  // winnow_runs aggregates and winnow_rewrite excises from
+  private val duckWinnowRunSegCtes: String =
+    s"""pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+       |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+       |tot AS (
+       |  SELECT a, b, pa, pb FROM (
+       |    SELECT a, b, pa, pb, count(*) OVER (PARTITION BY a, b) AS total
+       |    FROM pairs)
+       |  WHERE total >= 2),
+       |brk AS (
+       |  SELECT a, b, pa, pb,
+       |    CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b ORDER BY pa)
+       |              > $WinnowRunGap
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM tot),
+       |seg AS (
+       |  SELECT a, b, pa, pb,
+       |    CAST(sum(brk) OVER (PARTITION BY a, b ORDER BY pa) AS BIGINT)
+       |      AS run_id
+       |  FROM brk),
+       |bbrk AS (
+       |  SELECT a, b, pa, pb, run_id,
+       |    CASE WHEN pb - lag(pb) OVER (PARTITION BY a, b, run_id
+       |                                 ORDER BY pb)
+       |              > $WinnowRunGap
+       |         THEN 1 ELSE 0 END AS bbrk
+       |  FROM seg),
+       |bseg AS (
+       |  SELECT a, b, pa, pb, run_id,
+       |    CAST(sum(bbrk) OVER (PARTITION BY a, b, run_id ORDER BY pb)
+       |         AS BIGINT) AS b_run
+       |  FROM bbrk)""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    // the winnow_spans pair set re-segmented into contiguous runs:
-    // same kept postings, pair join, ≥2-shared gate; then lag/running-
-    // sum segmentation on the a-side positions (gap > 6 starts a new
-    // run) and per-run min/max bounds — the window replay of the Spark
-    // side's three same-key window passes
+    // the winnow_spans pair set re-segmented into contiguous runs on
+    // BOTH sides (a-position segmentation, then the b-side gap rule
+    // within each run) and per-cluster min/max bounds — the window
+    // replay of the Spark side's four same-exchange window passes
     "winnow_runs" ->
       s"""WITH $duckWinnowKeptPos,
-         |pairs AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-         |  FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id),
-         |tot AS (
-         |  SELECT a, b, pa, pb FROM (
-         |    SELECT a, b, pa, pb, count(*) OVER (PARTITION BY a, b) AS total
-         |    FROM pairs)
-         |  WHERE total >= 2),
-         |brk AS (
-         |  SELECT a, b, pa, pb,
-         |    CASE WHEN pa - lag(pa) OVER (PARTITION BY a, b ORDER BY pa)
-         |              > $WinnowRunGap
-         |         THEN 1 ELSE 0 END AS brk
-         |  FROM tot),
-         |seg AS (
-         |  SELECT a, b, pa, pb,
-         |    CAST(sum(brk) OVER (PARTITION BY a, b ORDER BY pa) AS BIGINT)
-         |      AS run_id
-         |  FROM brk)
-         |SELECT a, b, run_id, count(*) AS n_fps,
+         |$duckWinnowRunSegCtes
+         |SELECT a, b, run_id, b_run, count(*) AS n_fps,
          |  min(pa) AS a_start, max(pa) AS a_end,
          |  min(pb) AS b_start, max(pb) AS b_end
-         |FROM seg GROUP BY 1, 2, 3 ORDER BY a, b, run_id""".stripMargin,
+         |FROM bseg GROUP BY 1, 2, 3, 4 ORDER BY a, b, run_id, b_run""".stripMargin,
+    // the runs replay above, collapsed to per-duplicate b-side span
+    // arrays, then the decontaminate_rewrite excision over them —
+    // matched token windows ([b_start, b_end + 2]) cut from every doc
+    // that appears as a pair's b side
+    "winnow_rewrite" ->
+      s"""WITH $duckWinnowKeptPos,
+         |$duckWinnowRunSegCtes,
+         |wruns AS (
+         |  SELECT a, b, run_id, b_run,
+         |    min(pb) AS b_start, max(pb) AS b_end
+         |  FROM bseg GROUP BY 1, 2, 3, 4),
+         |agg AS (
+         |  SELECT b AS doc_id, array_agg([b_start, b_end]) AS spans
+         |  FROM wruns GROUP BY 1),
+         |toksd AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+         |keptt AS (
+         |  SELECT t.doc_id, t.text, t.t, a.spans,
+         |    list_filter(range(1, len(t.t) + 1),
+         |      i -> a.spans IS NULL OR len(list_filter(a.spans,
+         |             s -> (i - 1) >= s[1] AND (i - 1) <= s[2] + 2)) = 0)
+         |      AS ki
+         |  FROM toksd t LEFT JOIN agg a ON t.doc_id = a.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN spans IS NULL THEN text
+         |       ELSE coalesce(array_to_string(
+         |              list_transform(ki, i -> t[CAST(i AS INTEGER)]), ' '), '')
+         |  END AS clean_text,
+         |  CAST(len(t) - len(ki) AS BIGINT) AS n_removed
+         |FROM keptt ORDER BY doc_id""".stripMargin,
     // winnowing postings rebuilt exactly as TextAnalysis's
     // winnow_fingerprint oracle (k=3 shingles, w=4 window mins), then
     // the capped posting self-join — the pairJaccard cap mirrored on fp
@@ -1403,8 +1520,8 @@ object DedupQueries {
          |  FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id)
          |SELECT doc_id,
          |  CASE WHEN spans IS NULL THEN text
-         |       ELSE array_to_string(
-         |              list_transform(ki, i -> t[CAST(i AS INTEGER)]), ' ')
+         |       ELSE coalesce(array_to_string(
+         |              list_transform(ki, i -> t[CAST(i AS INTEGER)]), ' '), '')
          |  END AS clean_text,
          |  CAST(len(t) - len(ki) AS BIGINT) AS n_removed
          |FROM kept ORDER BY doc_id""".stripMargin,

@@ -964,12 +964,14 @@ class NewOpsSpec extends SparkSpec {
     val Array(run0, run1) = runs
     assert((run0.getLong(0), run0.getLong(1), run0.getLong(2)) == (0L, 1L, 0L))
     assert((run1.getLong(0), run1.getLong(1), run1.getLong(2)) == (0L, 1L, 1L))
+    // each run is contiguous in b too — a single b-cluster per run
+    assert(run0.getLong(3) == 0L && run1.getLong(3) == 0L)
     // r1's fully-interior shingles: A [0, 17], B [10, 27]; r2's:
     // A [120, 137], B [60, 77] — each run's bounds must stay inside
-    assert(run0.getInt(4) >= 0 && run0.getInt(5) <= 17, run0.toString)
-    assert(run0.getInt(6) >= 10 && run0.getInt(7) <= 27, run0.toString)
-    assert(run1.getInt(4) >= 120 && run1.getInt(5) <= 137, run1.toString)
-    assert(run1.getInt(6) >= 60 && run1.getInt(7) <= 77, run1.toString)
+    assert(run0.getInt(5) >= 0 && run0.getInt(6) <= 17, run0.toString)
+    assert(run0.getInt(7) >= 10 && run0.getInt(8) <= 27, run0.toString)
+    assert(run1.getInt(5) >= 120 && run1.getInt(6) <= 137, run1.toString)
+    assert(run1.getInt(7) >= 60 && run1.getInt(8) <= 77, run1.toString)
     // the un-segmented span report on the same fixture: ONE row whose
     // bracket spans both runs — the overstatement winnow_runs retires
     val span = graft.queries.DedupQueries.winnowSpansOf(docs, 1000).collect()
@@ -977,7 +979,59 @@ class NewOpsSpec extends SparkSpec {
     assert(span.head.getInt(3) <= 17 && span.head.getInt(4) >= 120,
       span.head.toString)
     // segmentation is a partition of the pair's shared fingerprints
-    assert(runs.map(_.getLong(3)).sum == span.head.getLong(2))
+    assert(runs.map(_.getLong(4)).sum == span.head.getLong(2))
+  }
+
+  test("winnow_runs: a run scattered in document b is reported per b-side cluster") {
+    // the round-16 verdict #6 case a-side segmentation cannot express:
+    // document a carries ONE contiguous passage that document b stores
+    // as two distant fragments — the old single b-bracket spanned b's
+    // 80 tokens of unrelated filler; the b-side gap rule must emit one
+    // row per b-cluster with tight per-cluster bounds.
+    val half1 = (0 until 30).map(i => s"p$i")
+    val half2 = (0 until 30).map(i => s"q$i")
+    val docA = (0 until 10).map(i => s"a$i") ++ half1 ++ half2 ++
+      (0 until 10).map(i => s"z$i")
+    val docB = half1 ++ (0 until 80).map(i => s"f$i") ++ half2
+    val docs = Seq((0L, docA.mkString(" ")), (1L, docB.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.DedupQueries.winnowRunsOf(docs, 1000).collect()
+    assert(rows.length >= 2, rows.mkString("; "))
+    // no row may bracket across b's filler: fragment 1 ends by shingle
+    // ~27, fragment 2 starts at ~110 — every cluster's b-span is tight
+    assert(rows.forall(r => r.getInt(8) - r.getInt(7) <= 40),
+      rows.mkString("; "))
+    assert(rows.exists(_.getInt(8) <= 35) && rows.exists(_.getInt(7) >= 100),
+      rows.mkString("; "))
+    // the clusters still partition the pair's shared fingerprints
+    val span = graft.queries.DedupQueries.winnowSpansOf(docs, 1000).collect()
+    assert(span.length == 1)
+    assert(rows.map(_.getLong(4)).sum == span.head.getLong(2))
+    // and the pair-level bracket is the overstatement being retired
+    assert(span.head.getInt(5) <= 35 && span.head.getInt(6) >= 100,
+      span.head.toString)
+  }
+
+  test("winnow_rewrite: excised republication no longer pairs with its source; clean docs byte-identical") {
+    // report→act for the winnow detector family (round-16 verdict #5):
+    // doc 1 republishes doc 0 verbatim; doc 2 is unrelated. After the
+    // rewrite the canonical and clean docs are byte-identical, the
+    // duplicate lost its matched windows, and re-running the DETECTOR
+    // over the rewritten corpus finds nothing — the governance loop
+    // closes.
+    val src = (0 until 60).map(i => s"s$i").mkString(" ")
+    val clean = (0 until 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq((0L, src), (1L, src), (2L, clean)).toDF("doc_id", "text")
+    val out = graft.queries.DedupQueries.winnowRewriteOf(docs, 1000).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((src, 0L)), out(0L).toString)
+    assert(out(2L) == ((clean, 0L)), out(2L).toString)
+    assert(out(1L)._2 > 0, out(1L).toString)
+    val rewritten = out.toSeq.map { case (id, (t, _)) => (id, t) }
+      .toDF("doc_id", "text")
+    val pairs = graft.queries.DedupQueries.dedupWinnowOf(rewritten, 1000)
+      .collect()
+    assert(pairs.isEmpty, pairs.mkString("; "))
   }
 
   test("winnow_runs: one contiguous run stays one row (no spurious splits)") {
@@ -992,7 +1046,7 @@ class NewOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val runs = graft.queries.DedupQueries.winnowRunsOf(docs, 1000).collect()
     assert(runs.length == 1, runs.mkString("; "))
-    assert(runs.head.getLong(2) == 0L)
+    assert(runs.head.getLong(2) == 0L && runs.head.getLong(3) == 0L)
   }
 
   test("bpe_fertility: per-source sums reconcile with the per-doc encode frame") {
