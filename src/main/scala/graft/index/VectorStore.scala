@@ -66,6 +66,53 @@ class VectorStore(spark: SparkSession, basePath: String) {
     if (dir.exists) rm(dir)
   }
 
+  /** Point-level DELETE within a collection — the other half of the
+    * reference store's maintenance contract (Qdrant deletes points
+    * without dropping the collection; the repo's V4 above is the
+    * collection-level drop): rewrite the partition without the
+    * tombstoned ids via write-to-temp + atomic swap (the [[compact]]
+    * discipline — a concurrent reader sees the old layout or the new
+    * one, never a mix). Returns the number of points actually removed
+    * (absent ids are not an error — the idempotent-delete convention).
+    * `ids` rides the filter closure — point deletes are small batches
+    * by contract (a retention pass with corpus-scale tombstones should
+    * anti-join a frame instead). A graph-ANN index over the collection
+    * repairs incrementally via
+    * [[graft.search.NnGraph.deleteFromGraph]] rather than rebuilding.
+    */
+  def deletePoints(name: String, ids: Seq[Long]): Long = {
+    val src = s"$basePath/collection=$name"
+    val tmp = s"$basePath/.delete-$name"
+    val df = spark.read.parquet(src)
+    val before = df.count()
+    val kept = df.filter(!col("id").isin(ids: _*))
+    kept.write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    deleteCollection(name)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
+      throw new java.io.IOException(s"deletePoints: rename failed for $name")
+    before - after
+  }
+
+  /** Point-level UPSERT within a collection (Qdrant upsert semantics,
+    * vector_db.py:60-91: same-id points are REPLACED, new ids are
+    * added). `rows` must carry the collection's columns including `id`;
+    * the anti-join keeps every existing point whose id is not being
+    * replaced. Same write-to-temp + atomic-swap discipline as
+    * [[deletePoints]].
+    */
+  def upsertPoints(name: String, rows: DataFrame): Unit = {
+    val src = s"$basePath/collection=$name"
+    val tmp = s"$basePath/.upsert-$name"
+    val existing = spark.read.parquet(src)
+    existing.join(rows.select(col("id")), Seq("id"), "left_anti")
+      .unionByName(rows.select(existing.columns.map(col).toIndexedSeq: _*))
+      .write.mode("overwrite").parquet(tmp)
+    deleteCollection(name)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
+      throw new java.io.IOException(s"upsertPoints: rename failed for $name")
+  }
+
   /** V5: list collections (catalog listing / SHOW PARTITIONS analog). */
   def collectionNames(): Seq[String] = {
     val base = new java.io.File(basePath)

@@ -292,6 +292,21 @@ object Soak {
         graft.search.NnGraph.graphTopK(emb, nndGraph, qs, 10,
           beamWidth = 16, iters = 4, sampleSize = 16).count()
       }
+      // graph point-DELETE at mult× vectors: a FIXED 100-id tombstone
+      // batch (ids [100, 200) — disjoint from the query set) through
+      // deleteFromGraph. Tombstoning is two broadcast anti-joins and
+      // the re-link is ≤ batch × k bounded beam walks; the repair round
+      // is one NN-descent pass over the survivor edge set — ≈ a third
+      // of nnd_build and scaling like it, vs a full rebuild's
+      // init + 3 rounds. The line prices retention-pass maintenance
+      // honestly: cheaper than rebuild by a constant factor, linear
+      // like everything that touches every node's adjacency.
+      val tNndDelete = time {
+        graft.search.NnGraph.deleteFromGraph(emb, nndGraph,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+            .select(col("vec_id")),
+          k = 10, beamWidth = 16, iters = 4, sampleSize = 16).count()
+      }
 
       // dedup_minhash_recall meter at mult× DISJOINT replicas: every
       // token carries its replica id, so shingle dfs stay CONSTANT as
@@ -393,7 +408,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -62,6 +62,36 @@ class VectorStoreSpec extends SparkSpec {
     assert(store.collectionNames().isEmpty)
   }
 
+  test("point maintenance: deletePoints expires ids from storage and search; upsertPoints replaces by id") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-points").toString
+    val store = new VectorStore(spark, base)
+    val m = HashingEmbedder.modelsByName("hash-64")
+    val rows = (0 until 6)
+      .map(i => (i.toLong, s"original doc $i", HashingEmbedder.embed(s"doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    store.createCollection("c", rows, "row_order")
+    // delete two points (plus one absent id — idempotent, not an error)
+    val removed = store.deletePoints("c", Seq(1L, 4L, 99L))
+    assert(removed == 2, s"removed $removed")
+    val ids = store.read("c").select("id").as[Long].collect().toSet
+    assert(ids == Set(0L, 2L, 3L, 5L))
+    // a deleted point can never come back from search
+    val q = Seq((0L, HashingEmbedder.embed("doc 1", m))).toDF("query_id", "qvec")
+    val hits = store.search("c", q, 6).collect().map(_.getAs[Long]("id"))
+    assert(hits.nonEmpty && !hits.contains(1L) && !hits.contains(4L))
+    // upsert: id 2 replaced, id 9 added, everything else untouched
+    val up = Seq(
+        (2L, "replaced doc 2", HashingEmbedder.embed("replaced", m), 0L),
+        (9L, "new doc 9", HashingEmbedder.embed("brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order")
+    store.upsertPoints("c", up)
+    val byId = store.read("c").select("id", "content").as[(Long, String)]
+      .collect().toMap
+    assert(byId.keySet == Set(0L, 2L, 3L, 5L, 9L))
+    assert(byId(2L) == "replaced doc 2" && byId(9L) == "new doc 9")
+    assert(byId(0L) == "original doc 0")
+  }
+
   test("compact rewrites the file layout without changing a row") {
     val base = java.nio.file.Files.createTempDirectory("vstore-compact").toString
     val store = new VectorStore(spark, base)
