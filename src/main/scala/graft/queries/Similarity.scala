@@ -724,7 +724,7 @@ object Similarity {
       NnGraph.deleteFromGraph(emb, nnGraphFrame(spark, dir),
         emb.filter(col("vec_id") >= DeleteLo && col("vec_id") < DeleteHi)
           .select(col("vec_id")),
-        GraphK, BeamWidth, BeamIters, NndSample)
+        GraphK)
     }
 
   // survivors-only REBUILD — the quality yardstick the delete path is
@@ -744,12 +744,14 @@ object Similarity {
     * (Qdrant deletes points without rebuilding the HNSW; the repo's V4
     * drops whole collections only): the full graph tombstones vec_ids
     * [25, 50) via [[graft.search.NnGraph.deleteFromGraph]] (drop their
-    * edges, beam re-link every survivor that lost an out-edge, one
-    * repair round over survivors), then the standard 10 queries run
-    * over the updated artifact. No deleted id can appear — the graph no
-    * longer contains them and the seeds/scoring see only survivors
-    * (NnGraphSpec pins it). Rank-only output; the oracle replays
-    * build, tombstone, re-link, repair, and search end to end.
+    * edges, bridge every survivor that lost an edge u→d through d's
+    * own surviving out-neighbors — the standard HNSW/Vamana deletion
+    * repair, one equi-join — then one repair round over survivors),
+    * and the standard 10 queries run over the updated artifact. No
+    * deleted id can appear — the graph no longer contains them and the
+    * seeds/scoring see only survivors (NnGraphSpec pins it). Rank-only
+    * output; the oracle replays build, tombstone, bridge, repair, and
+    * search end to end.
     */
   def annGraphDelete(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.NnGraph
@@ -781,6 +783,48 @@ object Similarity {
       .unionAll(row("ann_graph_rebuild", "graph_delete_rebuild")(
         NnGraph.graphTopK(surv, rebuiltSurvivorGraphFrame(spark, dir),
           queries, K, BeamWidth, BeamIters, NndSample)))
+      .orderBy(col("algo"))
+  }
+
+  /** Quantized-navigation graph search with exact float RESCORE —
+    * Qdrant's scalar-quantization + HNSW + `rescore=true` production
+    * memory configuration, and the GRAPH row of the quantizer × index
+    * matrix (IVF already has flat/SQ8/PQ/residual-PQ/binary/RP cells):
+    * navigation walks the SAME float-built graph artifact but scores
+    * candidates with int8 integer dots — at 100 TB the quantized
+    * vectors are the 4× smaller set that lives in executor memory
+    * while the float originals stay on storage — and the final beam
+    * (width 16 ⊇ top-10, the built-in 1.6× oversampling) is re-ranked
+    * with exact float dots over ≤ 16 fetched rows per query. Integer
+    * dots are exact, so the navigation replay is hash-stable;
+    * rank-only output (the rescore is float). [[annRecallGraphSq]]
+    * prices the int8 navigation at sf0.01.
+    */
+  def annGraphSq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.NnGraph
+    val emb = Tables.embeddings(spark, dir)
+    val qemb = emb.select(col("vec_id"),
+      transform(quantize127(col("embedding")), x => x.cast("float"))
+        .as("embedding"))
+    val navQ = qemb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scoreQ = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    NnGraph.graphTopKRescored(qemb, navQ, emb, scoreQ,
+        nnGraphFrame(spark, dir), K, BeamWidth, BeamIters, NndSample)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the quantized-navigation graph path beside the float
+    * graph path, both vs exact — the graph analog of the trained-SQ8
+    * finding (int8 scoring at ~zero recall cost): two integer rows.
+    */
+  def annRecallGraphSq(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_graph_sq",
+        replayIds(spark, dir, "graph_sq")(annGraphSq(spark, dir)))
+      .unionAll(recallOf("ann_graph",
+        replayIds(spark, dir, "graph")(annGraph(spark, dir))))
       .orderBy(col("algo"))
   }
 
@@ -1627,14 +1671,15 @@ object Similarity {
        |  WHERE e.label = qe.qlabel)""".stripMargin
 
   /** The delete pipeline replay, ending at `dm1` — the tombstoned,
-    * re-linked, repaired graph: survivors (`surv`), the full graph
-    * `g3` stripped of every edge touching a deleted id (`kept`), each
-    * survivor that lost an out-edge re-searching the tombstoned graph
-    * over survivors (beam pfx `da`, survivor seeds `dseeds`), its new
-    * out-edges cut at k with self excluded (`dnew`), merge + re-prune
-    * (`dm0`), one repair round against the SURVIVOR table (`dm1`).
-    * Mirrors [[graft.search.NnGraph.deleteFromGraph]] step for step;
-    * requires [[duckNnGraphCtes]] (for `g3`) in scope.
+    * bridged, repaired graph: survivors (`surv`), the full graph `g3`
+    * stripped of every edge touching a deleted id (`kept`), the
+    * through-the-deleted-node bridge (lost edges u→d joined with d's
+    * surviving out-edges d→v, fresh dots, self excluded — `dnew`),
+    * merge + re-prune (`dm0`), one repair round against the SURVIVOR
+    * table (`dm1`). Also `dseeds`, the survivor seed sample the
+    * post-delete SERVE search enters from. Mirrors
+    * [[graft.search.NnGraph.deleteFromGraph]] step for step; requires
+    * [[duckNnGraphCtes]] (for `g3`) in scope.
     */
   private val duckDeleteGraphCtes: String =
     s"""surv AS MATERIALIZED (
@@ -1644,25 +1689,24 @@ object Similarity {
        |  SELECT id, nbr, sim FROM g3
        |  WHERE (id < $DeleteLo OR id >= $DeleteHi)
        |    AND (nbr < $DeleteLo OR nbr >= $DeleteHi)),
-       |aff AS MATERIALIZED (
-       |  SELECT DISTINCT id FROM g3
+       |dlost AS MATERIALIZED (
+       |  SELECT id, nbr AS d FROM g3
        |  WHERE (id < $DeleteLo OR id >= $DeleteHi)
        |    AND nbr >= $DeleteLo AND nbr < $DeleteHi),
-       |aq AS MATERIALIZED (
-       |  SELECT s.vec_id AS query_id, s.embedding AS qv
-       |  FROM surv s JOIN aff a ON s.vec_id = a.id),
-       |dseeds AS MATERIALIZED (
-       |  SELECT vec_id AS seed_id, embedding AS svec FROM surv
-       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
-       |  LIMIT $NndSample),
-       |${duckBeamCtesFor("kept", "aq", "surv", "dseeds", "da")},
+       |dout AS MATERIALIZED (
+       |  SELECT id AS d, nbr AS v FROM g3
+       |  WHERE id >= $DeleteLo AND id < $DeleteHi
+       |    AND (nbr < $DeleteLo OR nbr >= $DeleteHi)),
+       |dbridge AS MATERIALIZED (
+       |  SELECT DISTINCT l.id, o.v AS nbr
+       |  FROM dlost l JOIN dout o ON l.d = o.d
+       |  WHERE l.id <> o.v),
        |dnew AS MATERIALIZED (
-       |  SELECT query_id AS id, vec_id AS nbr, sim FROM (
-       |    SELECT query_id, vec_id, sim,
-       |      row_number() OVER (PARTITION BY query_id
-       |                    ORDER BY sim DESC, vec_id ASC) AS rn
-       |    FROM dab4 WHERE vec_id <> query_id)
-       |  WHERE rn <= $GraphK),
+       |  SELECT b.id, b.nbr,
+       |         ${duckDot("ea.embedding", "eb.embedding")} AS sim
+       |  FROM dbridge b
+       |  JOIN embeddings ea ON b.id = ea.vec_id
+       |  JOIN embeddings eb ON b.nbr = eb.vec_id),
        |dm0 AS MATERIALIZED (
        |  SELECT id, nbr, sim FROM (
        |    SELECT id, nbr, sim,
@@ -1673,7 +1717,39 @@ object Similarity {
        |            UNION ALL SELECT id, nbr, sim FROM dnew)
        |          GROUP BY 1, 2))
        |  WHERE rn <= $GraphK),
-       |${nndIter("dm0", "dm1", "surv")}""".stripMargin
+       |${nndIter("dm0", "dm1", "surv")},
+       |dseeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id, embedding AS svec FROM surv
+       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NndSample)""".stripMargin
+
+  /** Quantized-navigation replay shared by the graph-SQ pair: int8
+    * index (`qv8` — quantize127 as exact-integer DOUBLE lists),
+    * quantized queries (`q8`), quantized seed sample (`sq8seeds` —
+    * the SAME md5-ranked ids as the float seeds), the beam ladder over
+    * the FLOAT-built `g3` (pfx `sq`), then the exact-float rescore of
+    * the final beam (`sqresc`). Requires [[duckNnGraphCtes]] and the
+    * float `q` CTE in scope.
+    */
+  private val duckGraphSqCtes: String =
+    s"""qv8 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> greatest(-127.0,
+       |    least(127.0, floor(CAST(x AS DOUBLE) * 127 + 0.5)))) AS embedding
+       |  FROM embeddings),
+       |q8 AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM qv8
+       |  WHERE vec_id < $NumQueries),
+       |sq8seeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id, embedding AS svec FROM qv8
+       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NndSample),
+       |${duckBeamCtesFor("g3", "q8", "qv8", "sq8seeds", "sq")},
+       |sqresc AS (
+       |  SELECT b.query_id, b.vec_id,
+       |         ${duckDot("e.embedding", "qq.qv")} AS sim
+       |  FROM sqb4 b
+       |  JOIN embeddings e ON b.vec_id = e.vec_id
+       |  JOIN q qq ON qq.query_id = b.query_id)""".stripMargin
 
   /** One tune-sweep rung's replay over the shared construction (`g3`,
     * `nseeds`, `q`): the (bw, it) beam ladder under prefix `t{bw}`,
@@ -1731,6 +1807,8 @@ object Similarity {
     "ann_graph_delete" -> (annGraphDelete _),
     "ann_recall_graph_delete" -> (annRecallGraphDelete _),
     "ann_tune_beam" -> (annTuneBeam _),
+    "ann_graph_sq" -> (annGraphSq _),
+    "ann_recall_graph_sq" -> (annRecallGraphSq _),
     "ann_rp" -> (annRp _),
     "ann_rp_ivf" -> (annRpIvf _),
     "ann_recall_rp" -> (annRecallRp _),
@@ -2522,6 +2600,49 @@ object Similarity {
          |$rungRows)
          |ORDER BY beam_width""".stripMargin
     },
+    // quantized navigation over the float-built graph + exact rescore
+    // of the final beam — int dots are exact, so the walk replays
+    // hash-stable; rank-only (the rescore is float)
+    "ann_graph_sq" ->
+      s"""WITH $pqQCte,
+         |$duckNnGraphCtes,
+         |$duckGraphSqCtes
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         |      AS rank,
+         |    vec_id
+         |  FROM sqresc) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // int8-navigation vs float-navigation graph recall against exact —
+    // the graph analog of the trained-SQ8 zero-cost measurement
+    "ann_recall_graph_sq" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |$duckNnGraphCtes,
+         |$duckGraphSqCtes,
+         |${topKIdsCte("sqresc", "sqk")},
+         |$duckBeamCtes,
+         |gk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM b4) WHERE rn <= $K)
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_graph' AS algo,
+         |    (SELECT count(*) FROM gk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_graph_sq' AS algo,
+         |    (SELECT count(*) FROM sqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     // Recall@k of five approximate paths vs exact: each path's replay
     // (already proven engine-identical by its own rank-only oracle)
     "ann_binary" ->

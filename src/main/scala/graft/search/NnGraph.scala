@@ -281,6 +281,35 @@ object NnGraph {
       .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
       .select("query_id", "vec_id", "sim")
 
+  /** Graph search with QUANTIZED navigation + exact rescore — the
+    * production memory configuration (Qdrant scalar quantization with
+    * `rescore=true` over its HNSW; Faiss `IndexRefineFlat` over a
+    * compressed base): the walk runs over `navIndex`/`navQueries`
+    * (e.g. the int8 vectors — the 4× smaller set that actually fits in
+    * executor memory at 100 TB), and the FINAL beam — beamWidth ≥ k,
+    * the built-in oversampling — is re-ranked with exact dots over
+    * `scoreIndex`/`scoreQueries` (the float originals, fetched only
+    * for ≤ beamWidth rows per query). Output (query_id, rank, vec_id),
+    * rank by (exact sim DESC, vec_id ASC).
+    */
+  def graphTopKRescored(navIndex: DataFrame, navQueries: DataFrame,
+      scoreIndex: DataFrame, scoreQueries: DataFrame, graph: DataFrame,
+      k: Int, beamWidth: Int, iters: Int, sampleSize: Int): DataFrame = {
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val beam = beamWithSims(navIndex, graph, navQueries, beamWidth, iters,
+      sampleSize)
+    scoreIndex.select(col("vec_id").cast("long"), col("embedding"))
+      .join(broadcast(beam.select("query_id", "vec_id")), "vec_id")
+      .join(broadcast(scoreQueries.select(col("query_id").cast("long"),
+        col("qvec"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .select(col("query_id"),
+        row_number().over(qw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= k)
+  }
+
   /** The beam walk itself — final beam WITH similarities (query_id,
     * vec_id, sim). [[graphTopK]] ranks it; [[insertIntoGraph]] and
     * [[deleteFromGraph]] turn it into a node's out-edges.
@@ -497,28 +526,31 @@ object NnGraph {
     *     in-edge pointing at a deleted node (the graph no longer knows
     *     the ids — nothing can navigate to them, so no deleted id can
     *     ever be returned, by construction rather than by post-filter);
-    *  2. RE-LINK: every survivor that LOST an out-edge beam-searches
-    *     the tombstoned graph over survivors for replacement neighbors
-    *     (its own vector as the query, self excluded) and re-top-ks its
-    *     adjacency — the repair-orphaned-edges step every HNSW deletion
-    *     design needs, restated as |affected| bounded beam walks;
+    *  2. RE-LINK THROUGH THE DELETED NODES: every survivor u that lost
+    *     its edge u→d is offered d's own SURVIVING out-neighbors as
+    *     replacement candidates — the standard HNSW/Vamana deletion
+    *     repair ("connect the orphan through the deleted node's
+    *     neighborhood"): d's out-list is exactly the locality u was
+    *     reaching through d, and it is already IN the graph, so the
+    *     re-link is ONE equi-join (lost edges ⋈ deleted out-edges) +
+    *     fresh dots — never a search. (A first cut re-beam-searched
+    *     every orphan from the seed sample: recall 90 but 2–4× the
+    *     cost of a full REBUILD in the Soak ladder — a repair that
+    *     costs more than reconstruction fails the operator's purpose.)
     *  3. one NN-descent repair round over the merged graph against the
-    *     SURVIVOR table — re-linked nodes gain visibility of each
+    *     SURVIVOR table — bridged nodes gain visibility of each
     *     other's neighborhoods, the same +recall role the insert path's
     *     repair round plays.
     *
     * Returns the updated graph as a fresh parquet artifact (the
     * [[buildGraph]] serve contract). Scale shape: tombstoning is two
     * broadcast anti-joins (the delete batch is small by contract);
-    * re-linking is |affected| ≤ |deleted| × k beam walks, each with the
-    * corpus-independent candidate budget; the repair round shuffles
+    * re-linking is one |lost-edges| × k equi-join (≤ |deleted| × k²
+    * candidate rows — corpus-independent); the repair round shuffles
     * only edge frames. Nothing rebuilds, nothing is corpus².
     */
   def deleteFromGraph(index: DataFrame, graph: DataFrame,
-      deleteIds: DataFrame, k: Int, beamWidth: Int, iters: Int,
-      sampleSize: Int): DataFrame = {
-    val qw = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id").asc)
+      deleteIds: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
     val del = deleteIds.select(col("vec_id").cast("long"))
     val vecsAll = index.select(col("vec_id").cast("long"), col("embedding"))
@@ -532,19 +564,27 @@ object NnGraph {
       .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"),
         "left_anti")
       .select("id", "nbr", "sim")
-    // 2. survivors that lost an out-edge re-search over survivors
-    val affected = keptSrc
+    // 2. bridge candidates: u→d lost edges joined with d's surviving
+    // out-edges d→v gives (u, v); score fresh, drop self
+    val lost = keptSrc
       .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"),
         "left_semi")
-      .select(col("id")).distinct()
-    val affQ = survivors
-      .join(broadcast(affected.select(col("id").as("vec_id"))), "vec_id")
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    val newOut = beamWithSims(survivors, kept, affQ, beamWidth, iters,
-        sampleSize)
-      .filter(col("vec_id") =!= col("query_id")) // a node may not re-link to itself
-      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= k)
-      .select(col("query_id").as("id"), col("vec_id").as("nbr"), col("sim"))
+      .select(col("id"), col("nbr").as("d"))
+    val delOut = graph
+      .join(broadcast(del.select(col("vec_id").as("id"))), Seq("id"),
+        "left_semi")
+      .join(broadcast(del.select(col("vec_id").as("nbr"))), Seq("nbr"),
+        "left_anti")
+      .select(col("id").as("d"), col("nbr").as("v"))
+    val bridge = lost.join(delOut, "d")
+      .filter(col("id") =!= col("v"))
+      .select(col("id"), col("v").as("nbr")).distinct()
+    val newOut = bridge
+      .join(vecsAll.select(col("vec_id").as("id"),
+        col("embedding").as("va")), "id")
+      .join(vecsAll.select(col("vec_id").as("nbr"),
+        col("embedding").as("vb")), "nbr")
+      .select(col("id"), col("nbr"), Vec.dot(col("va"), col("vb")).as("sim"))
     val merged = barrier(kept.unionByName(newOut)
       .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

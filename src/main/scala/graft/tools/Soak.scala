@@ -294,18 +294,20 @@ object Soak {
       }
       // graph point-DELETE at mult× vectors: a FIXED 100-id tombstone
       // batch (ids [100, 200) — disjoint from the query set) through
-      // deleteFromGraph. Tombstoning is two broadcast anti-joins and
-      // the re-link is ≤ batch × k bounded beam walks; the repair round
-      // is one NN-descent pass over the survivor edge set — ≈ a third
-      // of nnd_build and scaling like it, vs a full rebuild's
+      // deleteFromGraph. Tombstoning is two broadcast anti-joins, the
+      // re-link is ONE lost-edges ⋈ deleted-out-edges join (≤ batch×k²
+      // candidate rows, corpus-independent), and the repair round is
+      // one NN-descent pass over the survivor edge set — ≈ a third of
+      // nnd_build and scaling like it, vs a full rebuild's
       // init + 3 rounds. The line prices retention-pass maintenance
       // honestly: cheaper than rebuild by a constant factor, linear
-      // like everything that touches every node's adjacency.
+      // like everything that touches every node's adjacency. (A first
+      // cut re-beam-searched every orphan: 8.9/18.0 s at 1×/4× vs the
+      // build's 4.8/4.7 — a repair costlier than reconstruction.)
       val tNndDelete = time {
         graft.search.NnGraph.deleteFromGraph(emb, nndGraph,
           emb.filter(col("vec_id") >= 100 && col("vec_id") < 200)
-            .select(col("vec_id")),
-          k = 10, beamWidth = 16, iters = 4, sampleSize = 16).count()
+            .select(col("vec_id")), k = 10).count()
       }
 
       // dedup_minhash_recall meter at mult× DISJOINT replicas: every

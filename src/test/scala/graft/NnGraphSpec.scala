@@ -152,8 +152,7 @@ class NnGraphSpec extends SparkSpec {
     val idx = all.toDF("vec_id", "embedding")
     val g0 = NnGraph.buildGraph(idx, k = 4, iters = 2, sampleSize = 8)
     val del = (4L until 8L).toDF("vec_id")
-    val g1 = NnGraph.deleteFromGraph(idx, g0, del, k = 4, beamWidth = 8,
-      iters = 3, sampleSize = 8)
+    val g1 = NnGraph.deleteFromGraph(idx, g0, del, k = 4)
     val edges = g1.collect().map(r => (r.getLong(0), r.getLong(1)))
     val deleted = (4L until 8L).toSet
     // no deleted id on EITHER side of any edge — unreachable by construction
@@ -179,9 +178,11 @@ class NnGraphSpec extends SparkSpec {
 
   test("measured delete recall: tombstone+repair ~ survivors-only rebuild") {
     // the delete path's whole point: expire documents without a rebuild
-    // at no quality cost (sweep: 90 vs 88 at sf0.01 — the tombstoned
+    // at no quality cost (sweep: 92 vs 88 at sf0.01 — the tombstoned
     // graph starts from the FULL build's knowledge, so it can even edge
-    // out the rebuild). Allow the same band the insert meter uses.
+    // out the rebuild; the bridge repair also beat the first-cut beam
+    // re-link's 90 at a fraction of its cost). Allow the same band the
+    // insert meter uses.
     val rows = graft.queries.Similarity.annRecallGraphDelete(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Set("ann_graph_delete", "ann_graph_rebuild"))
@@ -210,6 +211,36 @@ class NnGraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.find(t => t._1 == 16 && t._2 == 4).get._3 == prod("ann_graph"),
       s"tune middle rung vs ann_recall_graph: $rows vs $prod")
+  }
+
+  test("measured quantized-navigation recall: int8 walk + rescore ~ float walk") {
+    // the graph analog of the trained-SQ8 zero-cost finding: navigating
+    // with integer dots and rescoring the final beam exactly should
+    // cost ~nothing vs the float walk (the rescore recovers int8
+    // tie-collapse inside the beam; only a candidate the int8 walk
+    // never visits is lost)
+    val rows = graft.queries.Similarity.annRecallGraphSq(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("ann_graph", "ann_graph_sq"))
+    assert(rows("ann_graph_sq") >= rows("ann_graph") - 10,
+      s"sq ${rows("ann_graph_sq")} vs float ${rows("ann_graph")}")
+    assert(rows("ann_graph_sq") >= 70,
+      s"quantized-navigation recall regression: ${rows("ann_graph_sq")}")
+  }
+
+  test("graphTopKRescored: rescored hits are a subset of the navigation beam, ranks dense") {
+    val g = NnGraph.buildGraph(emb, k = 8, iters = 2, sampleSize = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // nav == score here (identity "quantization") must reproduce
+    // graphTopK exactly — the rescore is then a no-op re-rank
+    val a = NnGraph.graphTopKRescored(emb, queries, emb, queries, g,
+        k = 7, beamWidth = 12, iters = 3, sampleSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = NnGraph.graphTopK(emb, g, queries, k = 7, beamWidth = 12,
+        iters = 3, sampleSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "identity rescore must equal the plain walk")
   }
 
   test("measured recall: graph path beats the sampled-cell IVF path on the fixture") {
