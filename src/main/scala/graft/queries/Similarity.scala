@@ -828,6 +828,63 @@ object Similarity {
       .orderBy(col("algo"))
   }
 
+  /** Sign-bit-navigation graph search with exact float RESCORE — the
+    * BINARY row of the quantizer × graph matrix, beside
+    * [[annGraphSq]]'s int8 row (Qdrant supports binary quantization
+    * under its HNSW with `rescore`/`oversampling` — the most
+    * aggressive production memory config, 1 bit/dim = 32× smaller
+    * than float32 and 4× smaller than SQ8): navigation walks the SAME
+    * float-built graph artifact scoring candidates with ±1 sign
+    * vectors. For sign vectors the dot is d − 2·Hamming, so ranking
+    * by the ±1 dot IS ranking by Hamming distance — the XOR+popcount
+    * scan [[annBinary]] runs flat here drives the walk, with the same
+    * tie-break (sim DESC = ham ASC, vec_id ASC). The final beam
+    * (width 16 ⊇ top-10, the built-in 1.6× oversampling) is re-ranked
+    * with exact float dots over ≤ 32 fetched rows per query. ±1 dots
+    * are exact integers (|Σ| ≤ 64), so the navigation replay is
+    * hash-stable; rank-only output (the rescore is float).
+    *
+    * The walk runs at 2× the float path's beam ([[BqBeamWidth]] = 32)
+    * — the oversampling BQ deployments configure (Qdrant's BQ guide
+    * recommends 2–4×; sign dots take only ~65 distinct values over 64
+    * dims, so a width-16 beam drowns in ties and measured 40/100 at
+    * sf0.001 where 2× measures 55, 57 at sf0.01; int8 needs none and
+    * holds 86/83 — the [[annRecallGraphBinary]] pairing prices
+    * exactly that 32×-memory-for-recall trade).
+    */
+  def annGraphBinary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.NnGraph
+    val emb = Tables.embeddings(spark, dir)
+    val bemb = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => when(x > lit(0.0f), lit(1.0f)).otherwise(lit(-1.0f)))
+        .as("embedding"))
+    val navQ = bemb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scoreQ = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    NnGraph.graphTopKRescored(bemb, navQ, emb, scoreQ,
+        nnGraphFrame(spark, dir), K, BqBeamWidth, BeamIters, NndSample)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The binary walk's oversampled beam — 2× the float/int8 width. */
+  private[queries] val BqBeamWidth = 2 * BeamWidth
+
+  /** Recall@10 of sign-bit navigation beside int8 navigation, both
+    * over the float-built graph with exact rescore, both vs exact —
+    * the memory/recall frontier of the graph family's two production
+    * quantization configs in one artifact (32× codes vs 4× codes).
+    */
+  def annRecallGraphBinary(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_graph_binary",
+        replayIds(spark, dir, "graph_bq")(annGraphBinary(spark, dir)))
+      .unionAll(recallOf("ann_graph_sq",
+        replayIds(spark, dir, "graph_sq")(annGraphSq(spark, dir))))
+      .orderBy(col("algo"))
+  }
+
   /** The graph family's tuning rungs: (beamWidth, iters) from cheap to
     * thorough, middle rung = the production config. */
   private[queries] val TuneBeamRungs = Seq((8, 3), (16, 4), (32, 5))
@@ -941,6 +998,40 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Ann.ivfPqTopK(emb, queries, centroids, K, nprobe = 4)
       .select(col("query_id"), col("rank"), col("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token vectors per late-interaction "document"/query — consecutive
+    * vec_ids grouped in fours (doc_id = vec_id div 4), making every
+    * fixture vector a token vector of some multi-vector document. */
+  val MaxsimTok = 4
+
+  /** Query documents for the late-interaction retriever (their 4×5 =
+    * 20 token vectors are the broadcast side). */
+  val MaxsimQueries = 5
+
+  /** Late-interaction (ColBERT) retrieval over multi-vector documents
+    * ([[graft.search.Knn.maxsimTopK]]): consecutive fixture vectors
+    * grouped in fours form each document's token vectors, the first
+    * [[MaxsimQueries]] documents are the queries, and
+    * score(q, d) = Σ_i max_j dot(q_i, d_j) ranks documents — the
+    * token-level interaction model single-vector retrieval loses
+    * (a production reranker's scoring stage). Rank-only output
+    * (query_id, rank, doc_id); every per-token max is order-exact and
+    * the sum folds in fixed qt order, so the score is cross-engine
+    * reproducible and ranks hash-stable. The oracle replays token
+    * scoring, per-token max, fixed-order sum, and the top-k cut.
+    */
+  def retrieveMaxsim(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir)
+    val docs = emb.select(expr(s"vec_id div $MaxsimTok").as("doc_id"),
+      col("vec_id"), col("embedding"))
+    val qtok = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(expr(s"vec_id div $MaxsimTok").as("query_id"),
+        expr(s"vec_id % $MaxsimTok").as("qt"),
+        col("embedding").as("qvec"))
+    Knn.maxsimTopK(docs, qtok, K, MaxsimTok)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1751,6 +1842,35 @@ object Similarity {
        |  JOIN embeddings e ON b.vec_id = e.vec_id
        |  JOIN q qq ON qq.query_id = b.query_id)""".stripMargin
 
+  /** Sign-bit navigation replay shared by the graph-binary pair: ±1
+    * vectors (`qvb` — exact-integer DOUBLE lists, the binary-code
+    * `v > 0` convention), sign queries (`qb`), sign seed sample
+    * (`bqseeds` — the SAME md5-ranked ids as the float seeds), the
+    * beam ladder over the FLOAT-built `g3` (pfx `bq`), then the
+    * exact-float rescore of the final beam (`bqresc`). Requires
+    * [[duckNnGraphCtes]] and the float `q` CTE in scope.
+    */
+  private val duckGraphBqCtes: String =
+    s"""qvb AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(-1.0 AS DOUBLE) END) AS embedding
+       |  FROM embeddings),
+       |qb AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM qvb
+       |  WHERE vec_id < $NumQueries),
+       |bqseeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id, embedding AS svec FROM qvb
+       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NndSample),
+       |${duckBeamCtesFor("g3", "qb", "qvb", "bqseeds", "bq", BqBeamWidth)},
+       |bqresc AS (
+       |  SELECT b.query_id, b.vec_id,
+       |         ${duckDot("e.embedding", "qq.qv")} AS sim
+       |  FROM bqb4 b
+       |  JOIN embeddings e ON b.vec_id = e.vec_id
+       |  JOIN q qq ON qq.query_id = b.query_id)""".stripMargin
+
   /** One tune-sweep rung's replay over the shared construction (`g3`,
     * `nseeds`, `q`): the (bw, it) beam ladder under prefix `t{bw}`,
     * its accumulated candidate set (round 0 = the full seed sample —
@@ -1806,6 +1926,8 @@ object Similarity {
     "ann_recall_graph_insert" -> (annRecallGraphInsert _),
     "ann_graph_delete" -> (annGraphDelete _),
     "ann_recall_graph_delete" -> (annRecallGraphDelete _),
+    "ann_graph_binary" -> (annGraphBinary _),
+    "ann_recall_graph_binary" -> (annRecallGraphBinary _),
     "ann_tune_beam" -> (annTuneBeam _),
     "ann_graph_sq" -> (annGraphSq _),
     "ann_recall_graph_sq" -> (annRecallGraphSq _),
@@ -1828,6 +1950,7 @@ object Similarity {
     "ann_recall_nprobe_residual" -> (annRecallNprobeResidual _),
     "ann_recall_trained" -> (annRecallTrained _),
     "retrieve_mmr" -> (retrieveMmr _),
+    "retrieve_maxsim" -> (retrieveMaxsim _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
 
@@ -2643,6 +2766,45 @@ object Similarity {
          |    (SELECT count(*) FROM sqk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
          |ORDER BY algo""".stripMargin,
+    // sign-bit navigation over the float-built graph + exact rescore
+    // — ±1 dots are exact integers, so the walk replays hash-stable;
+    // rank-only (the rescore is float)
+    "ann_graph_binary" ->
+      s"""WITH $pqQCte,
+         |$duckNnGraphCtes,
+         |$duckGraphBqCtes
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         |      AS rank,
+         |    vec_id
+         |  FROM bqresc) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // 1-bit navigation vs int8 navigation graph recall against exact —
+    // the memory/recall frontier of the two production quantization
+    // configs over the same graph artifact
+    "ann_recall_graph_binary" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |$duckNnGraphCtes,
+         |$duckGraphBqCtes,
+         |${topKIdsCte("bqresc", "bqk")},
+         |$duckGraphSqCtes,
+         |${topKIdsCte("sqresc", "sqk")}
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_graph_binary' AS algo,
+         |    (SELECT count(*) FROM bqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_graph_sq' AS algo,
+         |    (SELECT count(*) FROM sqk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     // Recall@k of five approximate paths vs exact: each path's replay
     // (already proven engine-identical by its own rank-only oracle)
     "ann_binary" ->
@@ -3429,6 +3591,33 @@ object Similarity {
          |${mmrStep("sel4", 5)}
          |SELECT query_id, CAST(step AS INTEGER) AS step, vec_id
          |FROM sel5 ORDER BY query_id, step""".stripMargin,
+    // Late-interaction replay: per-(query-token, doc) max over the
+    // doc's token vectors (max is order-exact), per-token maxes summed
+    // in FIXED qt order (the left-fold parenthesization matches the
+    // Spark reduce), top-k cut — rank-only output
+    "retrieve_maxsim" ->
+      s"""WITH qt AS (
+         |  SELECT vec_id // $MaxsimTok AS query_id,
+         |         vec_id % $MaxsimTok AS qt, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
+         |qtmax AS (
+         |  SELECT q.query_id, q.qt, e.vec_id // $MaxsimTok AS doc_id,
+         |         max(${duckDot("q.qvec", "e.embedding")}) AS mx
+         |  FROM embeddings e CROSS JOIN qt q
+         |  GROUP BY 1, 2, 3),
+         |mscore AS (
+         |  SELECT query_id, doc_id,
+         |    ${(0 until MaxsimTok)
+              .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
+              .reduce((a, b) => s"($a + $b)")} AS sim
+         |  FROM qtmax GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, doc_id ASC) AS INTEGER)
+         |      AS rank
+         |  FROM mscore) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     // PQ replay — rank-only compare (ties to vec_id) absorbing float
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->

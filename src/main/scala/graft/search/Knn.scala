@@ -124,6 +124,49 @@ object Knn {
       .toDF("query_id", "vec_id", "rank", "sim")
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia,
+    * SIGIR 2020): query and document are BOTH multi-vector (one vector
+    * per token) and `score(q, d) = Σ_{i∈q} max_{j∈d} dot(q_i, d_j)` —
+    * each query token finds its best-matching document token, and the
+    * per-token winners sum. The interaction model production rerankers
+    * (ColBERT/PLAID) run where single-vector retrieval loses
+    * token-level signal. `index` carries (doc_id, vec_id, embedding) —
+    * token vectors grouped by doc; `queryTokens` (query_id, qt, qvec)
+    * with `qt` a dense 0..tokPerQuery−1 token ordinal.
+    *
+    * Scale shape: query tokens broadcast (|queries|×tokens rows, the
+    * bruteForceTopK discipline — the index never shuffles raw); the
+    * per-(query, doc, qt) max is ONE map-side-combined hash aggregate
+    * (max is order-exact, so this replays bit-stable); the
+    * per-(query, doc) score sums the tokPerQuery maxes in FIXED qt
+    * order (conditional max projections + a left-fold addition chain —
+    * the double accumulation is engine-identical, no
+    * accumulation-order exposure); the final top-k runs through the
+    * bounded-heap tail ([[topKOfSims]]), never a corpus-wide sort.
+    *
+    * Output: (query_id LONG, rank INT, doc_id LONG), rank 1..k by
+    * score desc, doc_id asc tie-break.
+    */
+  def maxsimTopK(index: DataFrame, queryTokens: DataFrame, k: Int,
+      tokPerQuery: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val perTok = index
+      .crossJoin(broadcast(queryTokens))
+      .select(col("query_id"), col("qt"), col("doc_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .groupBy(col("query_id"), col("doc_id"), col("qt"))
+      .agg(max(col("sim")).as("mx"))
+    val parts = (0 until tokPerQuery).map(t =>
+      max(when(col("qt") === t, col("mx"))).as(s"m$t"))
+    val score = perTok.groupBy(col("query_id"), col("doc_id"))
+      .agg(parts.head, parts.tail: _*)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        (0 until tokPerQuery).map(t => col(s"m$t")).reduce(_ + _).as("sim"))
+    topKOfSims(score.as[(Long, Long, Double)], k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * — the diversity step RAG retrievers run after candidate
     * generation: greedily pick `k` of `kCand` candidates maximizing

@@ -1226,6 +1226,43 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("maxsimTopK: one token per doc degenerates to exact single-vector top-k") {
+    // with tokPerQuery = 1 and doc_id = vec_id the late-interaction
+    // score collapses to score(q, d) = dot(q, d) — the TRUE invariant
+    // tying the ColBERT scorer back to bruteForceTopK
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir)
+    val docs = emb.select(col("vec_id").as("doc_id"), col("vec_id"),
+      col("embedding"))
+    val qtok = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), lit(0).as("qt"),
+        col("embedding").as("qvec"))
+    val got = Knn.maxsimTopK(docs, qtok, 7, tokPerQuery = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = graft.search.Knn.bruteForceTopK(emb, queries, 7)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == exact, "single-token maxsim must equal exact knn")
+  }
+
+  test("retrieve_maxsim: self-document retrieved; ranks dense 1..k per query") {
+    // for unit-norm token vectors score(q, q) = tokPerQuery (every
+    // token's best match is itself at dot = 1), the maximum possible —
+    // the query's own document cannot miss its top-k
+    val rows = Similarity.retrieveMaxsim(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until Similarity.MaxsimQueries).toSet)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to Similarity.K),
+        s"query $q ranks not dense")
+      assert(g.exists(_._3 == q),
+        s"query $q did not retrieve its own document")
+    }
+  }
+
   test("q8 market share: shares bounded, years in the window") {
     // value-exactness is the DuckDB oracle's job; this pins the output
     // contract — a share is a fraction of its own denominator and the

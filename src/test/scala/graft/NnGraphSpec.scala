@@ -228,6 +228,47 @@ class NnGraphSpec extends SparkSpec {
       s"quantized-navigation recall regression: ${rows("ann_graph_sq")}")
   }
 
+  test("measured sign-bit-navigation recall: 1-bit walk + rescore stays usable, int8 stays close to float") {
+    // the BQ row of the graph x quantizer matrix: sign vectors carry
+    // only the orientation octant, so some recall loss vs int8 is
+    // expected — the meter exists to PRICE it; it must not collapse
+    // (a sub-half recall would mean the d-2*ham ranking is broken)
+    val rows = graft.queries.Similarity.annRecallGraphBinary(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("ann_graph_binary", "ann_graph_sq"))
+    assert(rows("ann_graph_binary") >= 50,
+      s"sign-bit-navigation recall collapse: ${rows("ann_graph_binary")}")
+    assert(rows("ann_graph_binary") <= rows("ann_graph_sq") + 10,
+      s"binary ${rows("ann_graph_binary")} vs sq ${rows("ann_graph_sq")}: " +
+        "1-bit navigation beating 8-bit by a wide margin suggests a " +
+        "scoring mixup")
+  }
+
+  test("annGraphBinary: beam covering the whole corpus degenerates to exact top-k") {
+    // with the corpus no larger than the seed sample every vector is
+    // scored at entry, survives the sign-dot beam (width >= corpus),
+    // and the exact-float rescore IS exact search — the true invariant
+    // (the annBinary r = n degeneration, graph edition)
+    val tiny = emb.filter(col("vec_id") < 12)
+    val g = NnGraph.buildGraph(tiny, k = 4, iters = 1, sampleSize = 16)
+    val queries = tiny.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val btiny = tiny.select(col("vec_id"),
+      transform(col("embedding"),
+        x => when(x > lit(0.0f), lit(1.0f)).otherwise(lit(-1.0f)))
+        .as("embedding"))
+    val navQ = btiny.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = NnGraph.graphTopKRescored(btiny, navQ, tiny, queries, g,
+        k = 5, beamWidth = 12, iters = 2, sampleSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = graft.search.Knn.bruteForceTopK(tiny, queries, 5)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == exact, "full-coverage sign-bit walk + exact rescore " +
+      "must equal exact top-k")
+  }
+
   test("graphTopKRescored: rescored hits are a subset of the navigation beam, ranks dense") {
     val g = NnGraph.buildGraph(emb, k = 8, iters = 2, sampleSize = 16)
     val queries = emb.filter(col("vec_id") < 5)
