@@ -108,6 +108,69 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Bloom bit-array size / hash count for the ingest screen. 16384
+    * bits holds |existing|×bands ≈ 1000 keys at kn/m ≈ 0.18 → ~0.5%
+    * per-key false-positive rate; a deployment sizes m to its corpus. */
+  private[queries] val BloomBits = 16384
+  private[queries] val BloomHashes = 3
+
+  /** Incremental-ingest near-dup screening — the batch-vs-corpus shape
+    * a daily pipeline actually runs (screen TODAY's batch against the
+    * accumulated corpus WITHOUT joining the corpus): the existing side
+    * (even doc_ids, standing in for yesterday's corpus) contributes
+    * only a Bloom filter of its MinHash-LSH band keys (m=16384 bits,
+    * k=3, md5-derived positions — the `bloom_semi_join` bit
+    * convention; at 100 TB the m-bit set is the ONE corpus-sized
+    * artifact that ships to executors); the incoming batch (odd
+    * doc_ids) probes it map-side, and only bloom-POSITIVE band keys
+    * reach the exact verify join against the existing band table (the
+    * runtime-filter contract: rows that cannot match never shuffle).
+    * Per incoming doc: bloom-positive band count, exactly-shared band
+    * count (the LSH candidate rule — ≥1 shared band = near-dup
+    * candidate), and the flag. n_bloom_pos ≥ n_shared_bands always (a
+    * Bloom filter never false-negatives — spec-pinned); the gap is
+    * the measured false-positive rate at this m/k/n. All-integer
+    * output; the oracle replays signatures, banding, bit derivation,
+    * probe, and verify.
+    */
+  def dedupBloomIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.shingleSet(docs, "doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhash(sh, 16), 4)
+    val existing = bands.filter(col("id") % 2 === 0)
+      .select(col("band"), col("bkey")).distinct()
+    val incoming = bands.filter(col("id") % 2 === 1)
+    def bitOf(i: Int) =
+      (conv(substring(md5(concat(lit(s"bloom$i|"), col("band").cast("string"),
+        lit("|"), col("bkey"))), 1, 4), 16, 10).cast("int") % BloomBits)
+        .as("bit")
+    val bits = (0 until BloomHashes).map(i => existing.select(bitOf(i)))
+      .reduce(_ union _).distinct()
+    // a band key is bloom-positive iff all k of its positions are set
+    // (union-all keeps k rows per key; the count sees all of them)
+    val pos = (0 until BloomHashes)
+      .map(i => incoming.select(col("id"), col("band"), col("bkey"), bitOf(i)))
+      .reduce(_ union _)
+      .join(broadcast(bits), "bit")
+      .groupBy(col("id"), col("band"), col("bkey"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+      .select(col("id"), col("band"), col("bkey"))
+    val verified = pos.join(existing, Seq("band", "bkey"), "left_semi")
+    val nPos = pos.groupBy(col("id")).agg(count(lit(1)).as("n_bloom_pos"))
+    val nShared = verified.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    incoming.select(col("id")).distinct()
+      .join(nPos, Seq("id"), "left")
+      .join(nShared, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_bloom_pos"), lit(0L)).as("n_bloom_pos"),
+        coalesce(col("n_shared_bands"), lit(0L)).as("n_shared_bands"),
+        when(coalesce(col("n_shared_bands"), lit(0L)) > 0, 1).otherwise(0)
+          .as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
   /** n-gram Jaccard near-dup pairs (threshold 0.8). The shingle set
     * feeds the hot-shingle count AND the capped pair join — cache it,
     * as the minhash path does. Cache lifecycle: plan-keyed, so repeated
@@ -1116,6 +1179,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_bloom_ingest" -> (dedupBloomIngest _),
     "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_spans" -> (decontaminateSpans _),
@@ -1557,6 +1621,43 @@ object DedupQueries {
          |SELECT j.a, j.b, round(j.jac, 4) AS jac
          |FROM jacs j JOIN cands c ON j.a = c.a AND j.b = c.b
          |WHERE j.jac >= 0.7 ORDER BY j.a, j.b""".stripMargin,
+    // Bloom-gated ingest screen replay: signatures + bands (the
+    // minhash CTEs), existing band keys → k=3 md5 bit positions,
+    // incoming keys probed (all-bits-set = positive), positives
+    // verified exactly — the n_bloom_pos/n_shared_bands gap IS the
+    // measured false-positive rate
+    "dedup_bloom_ingest" -> {
+      def bit(pfx: String): String =
+        s"CAST(('0x' || substr(md5('bloom' || CAST(i.i AS VARCHAR) || '|' ||" +
+          s" CAST(${pfx}band AS VARCHAR) || '|' || ${pfx}bkey), 1, 4))" +
+          s" AS BIGINT) % $BloomBits"
+      s"""WITH sh AS ($duckShingleSet),
+         |$duckMinhashCands,
+         |ex AS (SELECT DISTINCT band, bkey FROM bands WHERE id % 2 = 0),
+         |inc AS (SELECT id, band, bkey FROM bands WHERE id % 2 = 1),
+         |bbits AS (
+         |  SELECT DISTINCT ${bit("")} AS bit
+         |  FROM ex, range($BloomHashes) i(i)),
+         |probe AS (
+         |  SELECT inc.id, inc.band, inc.bkey, ${bit("inc.")} AS bit
+         |  FROM inc, range($BloomHashes) i(i)),
+         |pos AS (
+         |  SELECT id, band, bkey FROM probe JOIN bbits USING (bit)
+         |  GROUP BY 1, 2, 3 HAVING count(*) = $BloomHashes),
+         |ver AS (
+         |  SELECT p.id, p.band, p.bkey FROM pos p JOIN ex USING (band, bkey)),
+         |np AS (SELECT id, count(*) AS n FROM pos GROUP BY id),
+         |ns AS (SELECT id, count(*) AS n FROM ver GROUP BY id)
+         |SELECT d.id AS doc_id,
+         |  coalesce(np.n, 0) AS n_bloom_pos,
+         |  coalesce(ns.n, 0) AS n_shared_bands,
+         |  CAST(CASE WHEN coalesce(ns.n, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         |    AS is_near_dup
+         |FROM (SELECT DISTINCT id FROM inc) d
+         |LEFT JOIN np ON d.id = np.id
+         |LEFT JOIN ns ON d.id = ns.id
+         |ORDER BY doc_id""".stripMargin
+    },
     // per-verified-pair estimator error: matching signature components
     // out of 16 vs the raw true Jaccard (m/16.0 is exact; the error
     // compares RAW doubles, rounding output-only — the house rule)

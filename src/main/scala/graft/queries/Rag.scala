@@ -116,6 +116,42 @@ object Rag {
       .orderBy("model", "query_id", "rank")
   }
 
+  /** Context-window token budget for [[ragContextPack]] — sized so a
+    * typical fixture query fits 2–4 retrieved chunks. */
+  val CtxBudget = 600
+
+  /** Context assembly — the SERVING-side step after retrieval that the
+    * reference's consumer runs before prompting an LLM: the top-10
+    * retrieved chunks (the `rag_retrieval` slice, first hashing model)
+    * are packed into the context window in rank order under a
+    * [[CtxBudget]]-token budget using the reference's token heuristic
+    * (words + chars/4, src/utils.py:30-35). `included` is the prefix
+    * rule (cumulative tokens ≤ budget — cum is monotone, so this IS
+    * take-while); every rank row is emitted with its running total so
+    * the packing decision is auditable. One window over ≤ 10 rows per
+    * query — the retrieval output is already per-query bounded, so the
+    * packer adds no corpus-scale work at any SF. The oracle chains the
+    * bit-exact retrieval replay into the token count and running sum.
+    */
+  def ragContextPack(spark: SparkSession, dir: String): DataFrame = {
+    import graft.embed.HashingEmbedder
+    import graft.text.TextFns
+    import org.apache.spark.sql.expressions.Window
+    val model = HashingEmbedder.models.head
+    val embedded = embedded2(spark, dir)
+    val chunks = embedded.filter(col("model") === model.name)
+      .select(col("chunk_id"), col("content"))
+    val hits = ragRetrieval(spark, dir).filter(col("model") === model.name)
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    hits.join(chunks, "chunk_id")
+      .select(col("query_id"), col("rank"), col("chunk_id"),
+        TextFns.tokenCount(col("content")).as("tok"))
+      .withColumn("cum_tokens", sum(col("tok")).over(w))
+      .withColumn("included",
+        when(col("cum_tokens") <= CtxBudget, 1).otherwise(0))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-config IR metrics over the oracle-checked retrieval slice —
     * extends the rag_retrieval proof through relevance (R1), top-k/MRR/
     * avg-similarity (R2–R5), expected-source resolution (R6) and
@@ -184,6 +220,7 @@ object Rag {
     "chunk_table_aware" -> chunkQuery("table_aware", Seq("is_table", "chunk_type")) _,
     "rag_eval" -> (ragEval _),
     "rag_summary" -> (ragSummary _),
+    "rag_context_pack" -> (ragContextPack _),
   )
 
   // ---- fixture-degenerate DuckDB oracles (see scaladoc above) --------
@@ -263,6 +300,33 @@ object Rag {
        |  FROM sims)
        |SELECT model, query_id, rank, chunk_id FROM ranked WHERE rank <= 10
        |ORDER BY model, query_id, rank""".stripMargin
+
+  // retrieval replay (first model only) → chunk token counts → running
+  // sum → prefix-rule inclusion; sum() is CAST BIGINT (DuckDB sums
+  // integers into HUGEINT) and rank ties are impossible (row_number)
+  private val ragContextPackOracle: String =
+    s"""${ragSimsCtes(graft.embed.HashingEmbedder.models.take(1))},
+       |ranked AS (
+       |  SELECT query_id, sf,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, sf || '_fixed_size_0' ASC)
+       |         AS INTEGER) AS rank
+       |  FROM sims),
+       |ctx AS (
+       |  SELECT r.query_id, r.rank, r.sf || '_fixed_size_0' AS chunk_id,
+       |    ${tokCount("d.content")} AS tok
+       |  FROM ranked r JOIN docs d ON r.sf = d.sf
+       |  WHERE r.rank <= 10),
+       |packed AS (
+       |  SELECT query_id, rank, chunk_id, tok,
+       |    CAST(sum(tok) OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM ctx)
+       |SELECT query_id, rank, chunk_id, CAST(tok AS INTEGER) AS tok,
+       |  cum_tokens,
+       |  CAST(CASE WHEN cum_tokens <= $CtxBudget THEN 1 ELSE 0 END AS INTEGER)
+       |    AS included
+       |FROM packed ORDER BY query_id, rank""".stripMargin
 
   /** CTE chain shared by the metrics-slice oracles: sims → ranked →
     * hits → relevance → per-query metrics. */
@@ -391,6 +455,7 @@ object Rag {
     "rag_retrieval" -> ragRetrievalOracle,
     "rag_metrics" -> ragMetricsOracle,
     "rag_summary" -> ragSummaryOracle,
+    "rag_context_pack" -> ragContextPackOracle,
     "chunk_fixed_size" -> chunkOracle("fixed_size", "trim(text)", "trim(text)",
       "1 AS sentence_count"),
     "chunk_recursive" -> chunkOracle("recursive", "trim(text)", "text",

@@ -1226,6 +1226,57 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("rag_context_pack: inclusion is a rank-prefix; running totals reconcile") {
+    val rows = graft.queries.Rag.ragContextPack(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length), s"$q ranks")
+      // cum is the exact running sum of toks in rank order
+      var cum = 0L
+      byRank.foreach { case (_, _, _, tok, c, inc) =>
+        cum += tok
+        assert(c == cum, s"$q cum $c vs $cum")
+        assert(inc == (if (c <= graft.queries.Rag.CtxBudget) 1 else 0))
+      }
+      // prefix property: once a row is excluded, every later row is too
+      val incs = byRank.map(_._6).toSeq
+      assert(!incs.sliding(2).exists(w => w.head == 0 && w.last == 1),
+        s"$q inclusion not a prefix: ${incs.mkString(",")}")
+    }
+  }
+
+  test("dedup_bloom_ingest: no false negatives; shared-band counts equal brute force") {
+    import graft.dedup.Dedup
+    import graft.queries.DedupQueries
+    val rows = DedupQueries.dedupBloomIngest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(rows.length == 250)
+    // a Bloom filter never false-negatives: every truly-shared band key
+    // is bloom-positive, so n_bloom_pos >= n_shared_bands row by row
+    rows.foreach { case (d, pos, shared, flag) =>
+      assert(pos >= shared, s"doc $d: bloom_pos $pos < shared $shared")
+      assert(flag == (if (shared > 0) 1 else 0), s"doc $d flag")
+    }
+    // brute-force shared-band recomputation from the same band frame
+    val bands = Dedup.lshBands(Dedup.minhash(
+        Dedup.shingleSet(Tables.documents(spark, dir), "doc_id", "text"), 16), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val exKeys = bands.filter(_._1 % 2 == 0).map(t => (t._2, t._3)).toSet
+    val expect = bands.filter(_._1 % 2 == 1)
+      .groupBy(_._1).view
+      .mapValues(_.count(t => exKeys((t._2, t._3)))).toMap
+    rows.foreach { case (d, _, shared, _) =>
+      assert(shared == expect.getOrElse(d, 0),
+        s"doc $d shared $shared vs brute ${expect.getOrElse(d, 0)}")
+    }
+    // the screen has signal on this corpus: some candidates found
+    assert(rows.map(_._4).sum > 0, "no near-dup candidates at all")
+  }
+
   test("maxsimTopK: one token per doc degenerates to exact single-vector top-k") {
     // with tokPerQuery = 1 and doc_id = vec_id the late-interaction
     // score collapses to score(q, d) = dot(q, d) — the TRUE invariant
