@@ -139,12 +139,33 @@ object Bm25 {
     val bm = bm25Ranked(docs, toks)
       .filter(col("rank") <= K)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
+    val cosTop = cosRanked(docs, toks)
+      .filter(col("r_cos") <= K)
+      .select(col("query_id"), col("doc_id"), col("r_cos"))
 
-    // hashing-TF embeddings (the embed_hash construction) for docs and
-    // the 8-token query texts; cosine over shared buckets
-    // The L2 norm is a window sum over the per-id bucket counts already
-    // grouped in flight — no aggregate+join round trip. cnt² values are
-    // integer-valued doubles, so the window sum is order-independent.
+    val fused = bm.join(cosTop, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Semantic leg shared by the fusion queries: hashing-TF embeddings
+    * (the embed_hash construction) for docs and the 8-token query
+    * texts, cosine over shared buckets, ranked per query — (query_id,
+    * doc_id, cos, r_cos). The L2 norm is a window sum over the per-id
+    * bucket counts already grouped in flight — no aggregate+join round
+    * trip. cnt² values are integer-valued doubles, so the window sum
+    * is order-independent; the dot folds in sorted order (the house
+    * accumulation contract).
+    */
+  private def cosRanked(docs: DataFrame, toks: DataFrame): DataFrame = {
     def tfVec(terms: DataFrame): DataFrame = {
       val tf = terms
         .select(col("id"), (TextFns.md5Int(col("t")) % 64).as("bucket"))
@@ -167,20 +188,50 @@ object Bm25 {
       .agg(expr("aggregate(array_sort(collect_list(p)), 0D, (a, x) -> a + x)").as("cos"))
     val wCos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id").asc)
-    val cosTop = cos.withColumn("r_cos", row_number().over(wCos))
-      .filter(col("r_cos") <= K)
-      .select(col("query_id"), col("doc_id"), col("r_cos"))
+    cos.withColumn("r_cos", row_number().over(wCos))
+  }
 
-    val fused = bm.join(cosTop, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(60) + col("r_bm")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)))
-    val wR = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
-    fused
-      .withColumn("rank", row_number().over(wR))
+  /** Hybrid retrieval by RELATIVE-SCORE fusion — the other fusion mode
+    * production hybrid search ships beside RRF (Weaviate
+    * `relativeScoreFusion`, the default since 1.24; Qdrant score-based
+    * fusion): each retriever's top-10 scores are min-max normalized to
+    * [0, 1] WITHIN the query's retrieved set, the fused score is the
+    * mean of the two normalized scores (a missing leg contributes 0 —
+    * the RRF absence convention). Unlike RRF, score GAPS survive: a
+    * runaway BM25 winner stays far ahead instead of collapsing to
+    * 1/(60+1) vs 1/(60+2). Degenerate guard: a leg whose top-k scores
+    * are all equal normalizes to 1.0 (all equally best) — mirrored in
+    * the oracle CASE. Normalization divides identical doubles on both
+    * engines (the legs' scores are sorted-fold sums), so the fused
+    * ordering is engine-exact; output rounds r6, the `hybrid_rrf`
+    * convention.
+    */
+  def hybridMinmax(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsOf(spark, dir)
+    val toks = toksOf(docs)
+    def normed(top: DataFrame, score: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+      top.withColumn("mn", min(col(score)).over(w))
+        .withColumn("mx", max(col(score)).over(w))
+        .select(col("query_id"), col("doc_id"),
+          when(col("mx") > col("mn"),
+            (col(score) - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(1.0)).as(out))
+    }
+    val bm = normed(bm25Ranked(docs, toks).filter(col("rank") <= K),
+      "score", "nb")
+    val cs = normed(cosRanked(docs, toks).filter(col("r_cos") <= K),
+      "cos", "nc")
+    val fused = bm.join(cs, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("fscore",
+        (coalesce(col("nb"), lit(0.0)) + coalesce(col("nc"), lit(0.0))) / 2)
+    val wR = Window.partitionBy(col("query_id"))
+      .orderBy(col("fscore").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wR))
       .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("fscore"), 6).as("fscore"))
       .orderBy("query_id", "rank")
   }
 
@@ -221,9 +272,42 @@ object Bm25 {
        |      ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
        |  FROM scored)""".stripMargin
 
+  // cosine-leg CTE chain ending in cranked(query_id, doc_id, cos, r_cos)
+  // — shared by the two fusion oracles. Requires `toks` (from
+  // duckBm25Ranked) in scope.
+  private val duckHybridCos =
+    s"""dtf AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket,
+       |         CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |dnrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM dtf GROUP BY 1),
+       |qtf AS (
+       |  SELECT query_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
+       |         CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM (SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+       |          unnest(list_slice($duckToks, 1, 8)) AS t
+       |        FROM documents WHERE doc_id < 12)
+       |  GROUP BY 1, 2),
+       |qnrm AS (SELECT query_id, sqrt(sum(cnt * cnt)) AS nrm FROM qtf GROUP BY 1),
+       |cosv AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    list_aggregate(list_sort(list((d.cnt / dn.nrm) * (q.cnt / qn.nrm))), 'sum')
+       |      AS cos
+       |  FROM dtf d
+       |  JOIN qtf q USING (bucket)
+       |  JOIN dnrm dn ON d.doc_id = dn.doc_id
+       |  JOIN qnrm qn ON q.query_id = qn.query_id
+       |  GROUP BY 1, 2),
+       |cranked AS (
+       |  SELECT query_id, doc_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS r_cos
+       |  FROM cosv)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25TopK _),
     "hybrid_rrf" -> (hybridRrf _),
+    "hybrid_minmax" -> (hybridMinmax _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -234,33 +318,7 @@ object Bm25 {
          |ORDER BY query_id, rank""".stripMargin,
     "hybrid_rrf" ->
       s"""WITH $duckBm25Ranked,
-         |dtf AS (
-         |  SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS bucket,
-         |         CAST(count(*) AS DOUBLE) AS cnt
-         |  FROM toks GROUP BY 1, 2),
-         |dnrm AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM dtf GROUP BY 1),
-         |qtf AS (
-         |  SELECT query_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS bucket,
-         |         CAST(count(*) AS DOUBLE) AS cnt
-         |  FROM (SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
-         |          unnest(list_slice($duckToks, 1, 8)) AS t
-         |        FROM documents WHERE doc_id < 12)
-         |  GROUP BY 1, 2),
-         |qnrm AS (SELECT query_id, sqrt(sum(cnt * cnt)) AS nrm FROM qtf GROUP BY 1),
-         |cosv AS (
-         |  SELECT q.query_id, d.doc_id,
-         |    list_aggregate(list_sort(list((d.cnt / dn.nrm) * (q.cnt / qn.nrm))), 'sum')
-         |      AS cos
-         |  FROM dtf d
-         |  JOIN qtf q USING (bucket)
-         |  JOIN dnrm dn ON d.doc_id = dn.doc_id
-         |  JOIN qnrm qn ON q.query_id = qn.query_id
-         |  GROUP BY 1, 2),
-         |cranked AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS r_cos
-         |  FROM cosv),
+         |$duckHybridCos,
          |fused AS (
          |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
          |         coalesce(b.doc_id, c.doc_id) AS doc_id,
@@ -276,6 +334,45 @@ object Bm25 {
          |  FROM fused)
          |SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf
          |FROM rranked WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // relative-score fusion replay: per-query min-max over each leg's
+    // top-k (all-equal leg -> 1.0, the Spark CASE), mean of the two
+    // normalized scores with absent legs contributing 0
+    "hybrid_minmax" ->
+      s"""WITH $duckBm25Ranked,
+         |$duckHybridCos,
+         |bn AS (
+         |  SELECT query_id, doc_id,
+         |    CASE WHEN max(score) OVER (PARTITION BY query_id)
+         |              > min(score) OVER (PARTITION BY query_id)
+         |         THEN (score - min(score) OVER (PARTITION BY query_id))
+         |              / (max(score) OVER (PARTITION BY query_id)
+         |                 - min(score) OVER (PARTITION BY query_id))
+         |         ELSE 1.0 END AS nb
+         |  FROM ranked WHERE rank <= $K),
+         |cn AS (
+         |  SELECT query_id, doc_id,
+         |    CASE WHEN max(cos) OVER (PARTITION BY query_id)
+         |              > min(cos) OVER (PARTITION BY query_id)
+         |         THEN (cos - min(cos) OVER (PARTITION BY query_id))
+         |              / (max(cos) OVER (PARTITION BY query_id)
+         |                 - min(cos) OVER (PARTITION BY query_id))
+         |         ELSE 1.0 END AS nc
+         |  FROM cranked WHERE r_cos <= $K),
+         |mfused AS (
+         |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+         |         coalesce(b.doc_id, c.doc_id) AS doc_id,
+         |         (coalesce(b.nb, 0) + coalesce(c.nc, 0)) / 2 AS fscore
+         |  FROM bn b
+         |  FULL OUTER JOIN cn c
+         |    ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+         |mranked AS (
+         |  SELECT query_id, doc_id, fscore,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY fscore DESC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM mfused)
+         |SELECT query_id, rank, doc_id, round(fscore, 6) AS fscore
+         |FROM mranked WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
   )
 }

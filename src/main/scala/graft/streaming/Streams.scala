@@ -296,6 +296,44 @@ object Streams {
       }
   }
 
+  case class CanonicalState(canonical: Long)
+  case class CanonicalUpdate(fingerprint: String, canonical: Long,
+      changed: Boolean)
+
+  /** Streaming exact-dedup canonicalization — the INGEST-TIME form of
+    * the batch `dedup_exact` (per content fingerprint, canonical doc =
+    * MINIMUM doc_id): each arriving (fingerprint, doc_id) merges into
+    * one long of keyed state via min. Min is commutative + idempotent,
+    * so the final state is independent of arrival order and
+    * micro-batch split — the [[cohortStream]] proof shape, spec-proved
+    * equal to the batch group-min under shuffled one-file-per-trigger
+    * arrival. An update row with `changed = false` means the arrival
+    * was a duplicate of something already canonical — the signal an
+    * ingest sink uses to drop the incoming copy; `changed = true` with
+    * a LOWERED canonical means a late-arriving earlier doc displaced
+    * the previous keeper (the retraction case batch dedup never sees —
+    * a downstream sink keyed on fingerprint overwrites to converge).
+    * Fingerprints are computed by the CALLER with the same Catalyst
+    * expressions as the batch query (md5 ∘ normalized — a stateless
+    * select lifts to streaming), so no JVM replica of the
+    * normalization exists to drift.
+    */
+  def dedupStream(fps: Dataset[(String, Long)]): Dataset[CanonicalUpdate] = {
+    import fps.sparkSession.implicits._
+    fps.groupByKey(_._1)
+      .mapGroupsWithState[CanonicalState, CanonicalUpdate](
+          GroupStateTimeout.NoTimeout) {
+        (fp: String, batch: Iterator[(String, Long)],
+            state: GroupState[CanonicalState]) =>
+          val minId = batch.map(_._2).min
+          val prev = state.getOption
+          val canon = prev.map(p => math.min(p.canonical, minId))
+            .getOrElse(minId)
+          state.update(CanonicalState(canon))
+          CanonicalUpdate(fp, canon, changed = prev.forall(_.canonical != canon))
+      }
+  }
+
   case class RetentionState(buf: Seq[Long], cohortDay: Option[Long],
       seen: Seq[Int])
   case class RetentionHit(user_id: Long, cohort: String, week_offset: Int)

@@ -472,6 +472,39 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming dedup canonicalization equals the batch group-min under shuffled arrival") {
+    import graft.text.TextFns
+    val tmp = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(md5(TextFns.normalized(col("text"))).as("fingerprint"),
+        col("doc_id"))
+    // shuffled multi-file layout + one file per trigger: arrival order
+    // bears no relation to doc_id order
+    docs.orderBy(md5(col("doc_id").cast("string"))).coalesce(5)
+      .write.mode("overwrite").parquet(tmp)
+    val q = Streams.dedupStream(spark.readStream
+        .schema("fingerprint STRING, doc_id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp).as[(String, Long)])
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // min-merge state is monotone: the smallest emitted canonical per
+    // fingerprint is the final state, and must equal the batch min
+    val streamed = spark.table("dedupstream")
+      .groupBy("fingerprint").agg(min(col("canonical")).as("c"))
+      .as[(String, Long)].collect().toMap
+    val batch = docs.groupBy("fingerprint").agg(min(col("doc_id")).as("c"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch, "streamed canonicals differ from batch")
+    // and the batch side IS dedup_exact's dup_of column
+    val viaQuery = graft.queries.DedupQueries
+      .dedupExact(spark, "/root/testdata/sf0.001")
+      .select(col("fingerprint"), col("dup_of")).distinct()
+      .as[(String, Long)].collect().toMap
+    assert(streamed == viaQuery, "streamed canonicals differ from dedup_exact")
+  }
+
   test("streaming cohort assignment equals the batch retention cohorts") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-coh").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.001")

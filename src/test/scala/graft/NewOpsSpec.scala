@@ -1226,6 +1226,23 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("hybrid_minmax: fused scores in [0,1]; each query's winner carries a full leg") {
+    val rows = graft.queries.Bm25.hybridMinmax(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, _, s) =>
+      assert(s >= 0.0 && s <= 1.0, s"$q fused score $s outside [0,1]")
+    }
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length), s"$q ranks")
+      // min-max puts each leg's best doc at 1.0, so the fused winner
+      // scores at least 1.0/2 (that doc is in the outer union)
+      assert(g.minBy(_._2)._4 >= 0.5,
+        s"$q winner ${g.minBy(_._2)._4} < 0.5 — a leg's max is missing")
+    }
+  }
+
   test("rag_context_pack: inclusion is a rank-prefix; running totals reconcile") {
     val rows = graft.queries.Rag.ragContextPack(spark, dir)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
