@@ -1286,6 +1286,84 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** Per-document unigram ENTROPY — the lexical-diversity signal
+    * quality filters read beside length/stopword ratios (template spam
+    * and keyword-stuffed SEO text sit at the low end; natural prose
+    * near the top): H = ln n − (Σ c·ln c)/n over the doc's token
+    * counts, plus evenness H/ln(distinct) (Pielou — 1.0 = uniform).
+    * One (doc, token) count aggregate, then a per-doc fold; the
+    * Σ c·ln c terms fold in SORTED order (the sample_mixture
+    * accumulation contract) so the double sum is engine-identical;
+    * outputs round r4 (the bigram_lm float contract). Scale: the count
+    * aggregate is map-side combinable on (doc, token); per-doc state
+    * is the doc's distinct-token list — document-bounded, never
+    * corpus-bounded.
+    */
+  def tokEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokEntropyOf(Tables.documents(spark, dir))
+
+  /** [[tokEntropy]] over an explicit (doc_id, text) frame — the spec
+    * entry point (uniform doc ⇒ H = ln n, evenness 1; constant doc ⇒
+    * both 0). */
+  private[graft] def tokEntropyOf(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        expr("aggregate(array_sort(collect_list(CAST(c AS DOUBLE) * ln(c))), " +
+          "0D, (a, x) -> a + x)").as("s"))
+      .withColumn("hraw",
+        log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(col("hraw"), 4).as("entropy"),
+        when(col("n_distinct") > 1,
+          round(col("hraw") / log(col("n_distinct").cast("double")), 4))
+          .otherwise(lit(0.0)).as("evenness"))
+      .orderBy("doc_id")
+  }
+
+  /** NO-SPLIT sequence packing — the packer an SFT/eval pipeline runs
+    * when documents must not straddle sequence boundaries (loss
+    * masking across unrelated examples): next-fit per shard bucket —
+    * docs in doc_id order, a doc joins the current bin iff it fits
+    * (fill + tok ≤ 2048), else opens a new bin; an oversized doc gets
+    * a bin of its own (from empty state the pure rule sends it to the
+    * next bin — both engines replay the same fold, so the convention
+    * is pinned, not debated). Complements [[packSequences]] (which
+    * cuts documents) and [[packStats]] (which counts the straddles
+    * this packer pays capacity to avoid). All-integer output.
+    *
+    * Scale shape: the fold is inherently sequential WITHIN a bucket
+    * (bin state resets are not prefix-sum decomposable) but
+    * independent ACROSS buckets — the shard-count knob is the
+    * parallelism, exactly [[packSequences]]'s contract; per-task
+    * state is one bucket's (id, tok) list. The oracle replays the
+    * fold as a recursive CTE.
+    */
+  def packNosplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cap = 2048L
+    val nb = 32L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % nb).as("bucket"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (bucket, it) =>
+        var bin = 0L
+        var fill = 0L
+        it.toArray.sortBy(_._1).iterator.map { case (doc, _, tok) =>
+          if (fill + tok <= cap) fill += tok else { bin += 1L; fill = tok }
+          (doc, bucket, tok, bin, fill)
+        }
+      }
+      .toDF("doc_id", "bucket", "n_tokens", "bin", "fill_after")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing under the TRAINED tokenizer — [[packSequences]]
     * with real BPE token counts instead of the chars/4 heuristic: the
     * budget a training run actually packs against is post-tokenizer,
@@ -1539,6 +1617,8 @@ object TextAnalysis {
     "text_normalize" -> (textNormalize _),
     "pack_sequences" -> (packSequences _),
     "pack_stats" -> (packStats _),
+    "pack_nosplit" -> (packNosplit _),
+    "tok_entropy" -> (tokEntropy _),
     "text_repetition" -> (textRepetition _),
     "sample_mixture" -> (sampleMixture _),
     "pii_redact" -> (piiRedact _),
@@ -1710,6 +1790,59 @@ object TextAnalysis {
          |SELECT doc_id, bucket, n_tokens, start_offset,
          |  CAST(bucket * 1000000 + start_offset // 2048 AS BIGINT) AS seq_id
          |FROM offs ORDER BY doc_id""".stripMargin,
+    // per-doc token-count fold: sorted c·ln(c) terms summed
+    // left-to-right, entropy/evenness from the raw value, r4 output
+    "tok_entropy" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    list_aggregate(list_sort(list(CAST(c AS DOUBLE) * ln(c))), 'sum')
+         |      AS s
+         |  FROM tc GROUP BY doc_id),
+         |hr AS (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |    ln(n_tokens) - s / n_tokens AS hraw
+         |  FROM h)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(hraw, 4) AS entropy,
+         |  CASE WHEN n_distinct > 1 THEN round(hraw / ln(n_distinct), 4)
+         |       ELSE 0.0 END AS evenness
+         |FROM hr ORDER BY doc_id""".stripMargin,
+    // next-fit fold replayed as a recursive CTE: base row from the
+    // (bin=0, fill=0) start state, each step the same fits-or-new-bin
+    // CASE as the Spark per-bucket fold
+    "pack_nosplit" ->
+      s"""WITH RECURSIVE toksz AS (
+         |  SELECT doc_id, doc_id % 32 AS bucket,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len($duckToks) + CAST(length(text) // 4 AS INTEGER) END
+         |         AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |numbered AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |  FROM toksz),
+         |pack AS (
+         |  SELECT bucket, rn, doc_id, n_tokens,
+         |    CAST(CASE WHEN n_tokens <= 2048 THEN 0 ELSE 1 END AS BIGINT)
+         |      AS bin,
+         |    n_tokens AS fill
+         |  FROM numbered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+         |    CASE WHEN p.fill + s.n_tokens <= 2048 THEN p.bin
+         |         ELSE p.bin + 1 END,
+         |    CASE WHEN p.fill + s.n_tokens <= 2048 THEN p.fill + s.n_tokens
+         |         ELSE s.n_tokens END
+         |  FROM pack p JOIN numbered s
+         |    ON s.bucket = p.bucket AND s.rn = p.rn + 1)
+         |SELECT doc_id, bucket, n_tokens, bin, fill AS fill_after
+         |FROM pack ORDER BY doc_id""".stripMargin,
     // the pack_sequences window replayed, aggregated per bucket; the
     // straddle test and seq count are integer division on non-negative
     // longs (floor == trunc), identical in both engines

@@ -1226,6 +1226,47 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("tok_entropy: uniform doc hits ln(n)/evenness 1, constant doc hits 0, bounds hold") {
+    val docs = Seq(
+      (1L, "a b c d"),          // all distinct: H = ln 4, evenness = 1
+      (2L, "x x x x x"),        // constant: H = 0, evenness = 0 (guard)
+      (3L, "a a b b b b")       // mixed: 0 < H < ln 2... < ln n
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokEntropyOf(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows(1L)._3 == math.floor(math.log(4.0) * 1e4 + 0.5) / 1e4)
+    assert(rows(1L)._4 == 1.0)
+    assert(rows(2L)._3 == 0.0 && rows(2L)._4 == 0.0)
+    val (n3, d3, h3, e3) = rows(3L)
+    assert(n3 == 6 && d3 == 2)
+    assert(h3 > 0.0 && h3 <= math.log(2.0) + 1e-9, s"h3 $h3")
+    assert(e3 > 0.0 && e3 <= 1.0)
+  }
+
+  test("pack_nosplit: fold replays exactly; no bin over capacity except a lone oversized doc") {
+    val cap = 2048L
+    val rows = TextAnalysis.packNosplit(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (bucket, g) =>
+      val ordered = g.sortBy(_._1)
+      // replay the next-fit fold from (bin 0, fill 0)
+      var bin = 0L; var fill = 0L
+      ordered.foreach { case (doc, _, tok, b, f) =>
+        if (fill + tok <= cap) fill += tok else { bin += 1; fill = tok }
+        assert(b == bin && f == fill, s"doc $doc: ($b,$f) vs ($bin,$fill)")
+      }
+      // bin totals never exceed cap unless the bin holds one oversized doc
+      ordered.groupBy(_._4).foreach { case (bi, docs) =>
+        val tot = docs.map(_._3).sum
+        assert(tot <= cap || docs.length == 1,
+          s"bucket $bucket bin $bi total $tot over cap with ${docs.length} docs")
+      }
+    }
+  }
+
   test("hybrid_minmax: fused scores in [0,1]; each query's winner carries a full leg") {
     val rows = graft.queries.Bm25.hybridMinmax(spark, dir)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
