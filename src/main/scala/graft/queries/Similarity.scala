@@ -1035,6 +1035,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-query-token gather size for two-stage maxsim retrieval. */
+  private[queries] val MaxsimCandTok = 8
+
+  /** TWO-STAGE late-interaction retrieval — the shape ColBERT actually
+    * serves (gather-then-rescore; PLAID refines the gather further):
+    * stage 1, each query TOKEN runs an ordinary single-vector top-k
+    * over the token index (k = [[MaxsimCandTok]] token hits → owner
+    * docs — the per-token "gather" that makes late interaction
+    * servable, because a full maxsim against every doc is a
+    * corpus-scale interaction); stage 2, the union of gathered docs
+    * per query is scored with EXACT maxsim ([[graft.search.Knn
+    * .maxsimTopKCandidates]]) and top-10 kept. Candidate budget per
+    * query ≤ tokPerQuery × candTok docs, corpus-size-INDEPENDENT —
+    * the graph-search budget discipline applied to multi-vector
+    * retrieval. Rank-only output; [[maxsimRecall]] prices the gather
+    * against full maxsim. The oracle replays gather, union, restricted
+    * scoring, and the cut.
+    */
+  def retrieveMaxsimAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir)
+    val docs = emb.select(expr(s"vec_id div $MaxsimTok").as("doc_id"),
+      col("vec_id"), col("embedding"))
+    // stage 1: each query token (keyed by its own vec_id) gathers its
+    // top token hits; owner docs form the candidate set
+    val tokQ = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cands = Knn.bruteForceTopK(emb, tokQ, MaxsimCandTok)
+      .select(expr(s"query_id div $MaxsimTok").as("query_id"),
+        expr(s"vec_id div $MaxsimTok").as("doc_id"))
+      .distinct()
+    // stage 2: exact maxsim over candidates only
+    val qtok = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(expr(s"vec_id div $MaxsimTok").as("query_id"),
+        expr(s"vec_id % $MaxsimTok").as("qt"),
+        col("embedding").as("qvec"))
+    Knn.maxsimTopKCandidates(docs, qtok, cands, K, MaxsimTok)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of two-stage maxsim vs the full interaction — one
+    * integer row (hits, n = queries × k), the `ann_recall` contract
+    * for the multi-vector family.
+    */
+  def maxsimRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = replayIds(spark, dir, "maxsim") {
+      retrieveMaxsim(spark, dir)
+        .select(col("query_id"), col("doc_id").as("vec_id"))
+    }
+    replayIds(spark, dir, "maxsim_ann") {
+      retrieveMaxsimAnn(spark, dir)
+        .select(col("query_id"), col("doc_id").as("vec_id"))
+    }
+      .join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit("retrieve_maxsim_ann").as("algo"), col("hits"),
+        lit((MaxsimQueries * K).toLong).as("n"))
+  }
+
   /** MMR diversity re-rank (Carbonell & Goldstein 1998): top-20
     * candidates per query, then 5 greedy picks maximizing
     * 0.7·sim(q,d) − 0.3·max sim(d, selected) — the step RAG retrievers
@@ -1871,6 +1930,70 @@ object Similarity {
        |  JOIN embeddings e ON b.vec_id = e.vec_id
        |  JOIN q qq ON qq.query_id = b.query_id)""".stripMargin
 
+  /** Full-interaction maxsim replay ending at `mscore` (query_id,
+    * doc_id, sim): query tokens, per-(token, doc) max, fixed-qt-order
+    * sum (the left-fold parenthesization matches the Spark reduce).
+    */
+  private val duckMaxsimCtes: String =
+    s"""qt AS (
+       |  SELECT vec_id // $MaxsimTok AS query_id,
+       |         vec_id % $MaxsimTok AS qt, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
+       |qtmax AS (
+       |  SELECT q.query_id, q.qt, e.vec_id // $MaxsimTok AS doc_id,
+       |         max(${duckDot("q.qvec", "e.embedding")}) AS mx
+       |  FROM embeddings e CROSS JOIN qt q
+       |  GROUP BY 1, 2, 3),
+       |mscore AS (
+       |  SELECT query_id, doc_id,
+       |    ${(0 until MaxsimTok)
+            .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
+            .reduce((a, b) => s"($a + $b)")} AS sim
+       |  FROM qtmax GROUP BY 1, 2)""".stripMargin
+
+  /** Two-stage maxsim replay: per-token gather (`mg`), candidate union
+    * (`mcand`), restricted scoring ending at `ascore`. Requires
+    * [[duckMaxsimCtes]]' `qt` in scope.
+    */
+  private val duckMaxsimAnnCtes: String =
+    s"""mtq AS (
+       |  SELECT vec_id AS tqid, embedding AS qvec FROM embeddings
+       |  WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
+       |mg AS (
+       |  SELECT tqid, vec_id FROM (
+       |    SELECT q.tqid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.tqid
+       |        ORDER BY ${duckDot("q.qvec", "e.embedding")} DESC,
+       |                 e.vec_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN mtq q) WHERE rn <= $MaxsimCandTok),
+       |mcand AS (
+       |  SELECT DISTINCT tqid // $MaxsimTok AS query_id,
+       |         vec_id // $MaxsimTok AS doc_id
+       |  FROM mg),
+       |aqtmax AS (
+       |  SELECT c.query_id, q.qt, c.doc_id,
+       |         max(${duckDot("q.qvec", "e.embedding")}) AS mx
+       |  FROM mcand c
+       |  JOIN embeddings e ON e.vec_id // $MaxsimTok = c.doc_id
+       |  JOIN qt q ON q.query_id = c.query_id
+       |  GROUP BY 1, 2, 3),
+       |ascore AS (
+       |  SELECT query_id, doc_id,
+       |    ${(0 until MaxsimTok)
+            .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
+            .reduce((a, b) => s"($a + $b)")} AS sim
+       |  FROM aqtmax GROUP BY 1, 2)""".stripMargin
+
+  /** Final top-k cut over a (query_id, doc_id, sim) CTE. */
+  private def maxsimCut(src: String): String =
+    s"""SELECT query_id, rank, doc_id FROM (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, doc_id ASC) AS INTEGER)
+       |      AS rank
+       |  FROM $src) WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** One tune-sweep rung's replay over the shared construction (`g3`,
     * `nseeds`, `q`): the (bw, it) beam ladder under prefix `t{bw}`,
     * its accumulated candidate set (round 0 = the full seed sample —
@@ -1951,6 +2074,8 @@ object Similarity {
     "ann_recall_trained" -> (annRecallTrained _),
     "retrieve_mmr" -> (retrieveMmr _),
     "retrieve_maxsim" -> (retrieveMaxsim _),
+    "retrieve_maxsim_ann" -> (retrieveMaxsimAnn _),
+    "maxsim_recall" -> (maxsimRecall _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
 
@@ -3596,28 +3721,34 @@ object Similarity {
     // in FIXED qt order (the left-fold parenthesization matches the
     // Spark reduce), top-k cut — rank-only output
     "retrieve_maxsim" ->
-      s"""WITH qt AS (
-         |  SELECT vec_id // $MaxsimTok AS query_id,
-         |         vec_id % $MaxsimTok AS qt, embedding AS qvec
-         |  FROM embeddings WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
-         |qtmax AS (
-         |  SELECT q.query_id, q.qt, e.vec_id // $MaxsimTok AS doc_id,
-         |         max(${duckDot("q.qvec", "e.embedding")}) AS mx
-         |  FROM embeddings e CROSS JOIN qt q
-         |  GROUP BY 1, 2, 3),
-         |mscore AS (
-         |  SELECT query_id, doc_id,
-         |    ${(0 until MaxsimTok)
-              .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
-              .reduce((a, b) => s"($a + $b)")} AS sim
-         |  FROM qtmax GROUP BY 1, 2)
-         |SELECT query_id, rank, doc_id FROM (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |                       ORDER BY sim DESC, doc_id ASC) AS INTEGER)
-         |      AS rank
-         |  FROM mscore) WHERE rank <= $K
-         |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $duckMaxsimCtes
+         |${maxsimCut("mscore")}""".stripMargin,
+    // Two-stage replay: per-token gather (single-vector top-k in token
+    // space), candidate-doc union, restricted exact maxsim, cut
+    "retrieve_maxsim_ann" ->
+      s"""WITH $duckMaxsimCtes,
+         |$duckMaxsimAnnCtes
+         |${maxsimCut("ascore")}""".stripMargin,
+    // two-stage vs full-interaction recall — one integer row
+    "maxsim_recall" ->
+      s"""WITH $duckMaxsimCtes,
+         |$duckMaxsimAnnCtes,
+         |xmk AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, doc_id ASC) AS rn
+         |    FROM mscore) WHERE rn <= $K),
+         |amk AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, doc_id ASC) AS rn
+         |    FROM ascore) WHERE rn <= $K)
+         |SELECT 'retrieve_maxsim_ann' AS algo,
+         |  (SELECT count(*) FROM amk a JOIN xmk x
+         |     ON a.query_id = x.query_id AND a.doc_id = x.doc_id) AS hits,
+         |  CAST(${MaxsimQueries * K} AS BIGINT) AS n""".stripMargin,
     // PQ replay — rank-only compare (ties to vec_id) absorbing float
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->

@@ -167,6 +167,33 @@ object Knn {
       .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
   }
 
+  /** [[maxsimTopK]] restricted to a candidate (query_id, doc_id) set —
+    * the scoring half of two-stage ColBERT retrieval (gather per-token
+    * candidates cheaply, exact-maxsim only those docs). `cands` is
+    * small per query (the gather's union), so it broadcasts; the index
+    * sheds every non-candidate row at the join before any dot.
+    */
+  def maxsimTopKCandidates(index: DataFrame, queryTokens: DataFrame,
+      cands: DataFrame, k: Int, tokPerQuery: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val perTok = index
+      .join(broadcast(cands.select(col("query_id"), col("doc_id"))), "doc_id")
+      .join(broadcast(queryTokens), "query_id")
+      .select(col("query_id"), col("qt"), col("doc_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .groupBy(col("query_id"), col("doc_id"), col("qt"))
+      .agg(max(col("sim")).as("mx"))
+    val parts = (0 until tokPerQuery).map(t =>
+      max(when(col("qt") === t, col("mx"))).as(s"m$t"))
+    val score = perTok.groupBy(col("query_id"), col("doc_id"))
+      .agg(parts.head, parts.tail: _*)
+      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
+        (0 until tokPerQuery).map(t => col(s"m$t")).reduce(_ + _).as("sim"))
+    topKOfSims(score.as[(Long, Long, Double)], k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * — the diversity step RAG retrievers run after candidate
     * generation: greedily pick `k` of `kCand` candidates maximizing

@@ -1356,6 +1356,30 @@ class NewOpsSpec extends SparkSpec {
     assert(got == exact, "single-token maxsim must equal exact knn")
   }
 
+  test("retrieve_maxsim_ann: candidates contain each query's own doc; recall meter consistent") {
+    // stage-1 gather always finds the query's own tokens (a token's
+    // top-hit is itself), so the self-document is a candidate and —
+    // scoring the maximum possible maxsim — survives to rank 1..k
+    val rows = Similarity.retrieveMaxsimAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until Similarity.MaxsimQueries).toSet)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.map(_._2).max),
+        s"query $q ranks not dense")
+      assert(g.exists(_._3 == q), s"query $q lost its own document")
+    }
+    // the meter equals a direct intersection of the two query outputs
+    val exact = Similarity.retrieveMaxsim(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows.count(t => exact((t._1, t._3)))
+    val meter = Similarity.maxsimRecall(spark, dir).collect().head
+    assert(meter.getLong(1) == hits.toLong,
+      s"meter ${meter.getLong(1)} vs direct $hits")
+    assert(meter.getLong(1) >= (Similarity.MaxsimQueries *
+      Similarity.K * 6) / 10, s"two-stage recall collapsed: $meter")
+  }
+
   test("retrieve_maxsim: self-document retrieved; ranks dense 1..k per query") {
     // for unit-norm token vectors score(q, q) = tokPerQuery (every
     // token's best match is itself at dot = 1), the maximum possible —
