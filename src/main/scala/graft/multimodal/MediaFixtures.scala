@@ -348,6 +348,27 @@ object MediaFixtures {
     }
   }
 
+  /** Sawtooth 8-bit mono WAVs — sample i of doc id is (id + 5·i) mod
+    * 256 over n = (id%5+1)·50 frames at 8 kHz: the VARYING-content
+    * audio fixture whose resample the oracle recomputes per output
+    * sample from doc_id arithmetic (the [[gradientMedia]] convention
+    * on the audio axis; the constant [[uniformWavs]] could not pin
+    * frame SELECTION — any subset of a constant is the constant).
+    */
+  def sawtoothWavs(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = 8000
+        val frames = ((id % 5 + 1) * 50).toInt
+        val payload = wav8(rate,
+          (0 until frames).map(i => ((id + 5L * i) % 256).toInt): _*)
+        Multimodal.MediaRow(id, "audio", payload,
+          Multimodal.MediaMeta("wav", 0, 0, frames * 1000L / rate, rate))
+      }
+    }
+  }
+
   def uniformMedia(docs: DataFrame): Dataset[Multimodal.MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>

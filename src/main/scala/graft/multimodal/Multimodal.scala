@@ -131,6 +131,32 @@ object Multimodal {
     }.toDF("media_id", "src_w", "src_h", "gray")
   }
 
+  /** Nearest-neighbor audio RESAMPLE to a fixed frame count — the
+    * audio-preprocessing twin of [[resizeNearest]] (a training pipeline
+    * batches fixed-length windows the same way vision batches fixed
+    * H×W): real AudioSystem decode, then out[j] = sample[j·n div out]
+    * — the same floor source mapping as the image path. Expects the
+    * 8-bit mono fixture (sample byte IS the unsigned sample value);
+    * narrow per-partition map, fixed `outFrames` batch shape regardless
+    * of source duration.
+    */
+  def resampleNearest(media: Dataset[MediaRow], outFrames: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"resample fixture expects 8-bit mono, got media ${m.media_id}")
+        val data = ais.readAllBytes()
+        val n = data.length
+        val out = (0 until outFrames).map(j => data(j * n / outFrames) & 0xff)
+        (m.media_id, n, out)
+      }
+    }.toDF("media_id", "src_frames", "samples")
+  }
+
   /** Batched feature extraction — the mapInPandas shape: the work runs
     * once per partition over an iterator of rows, so codec setup (class
     * loading, ImageIO plugin registry) amortizes per batch, not per row.

@@ -157,6 +157,25 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Nearest-neighbor audio resample with a decoded-CONTENT oracle —
+    * [[mediaResize]]'s audio twin: sawtooth 8-bit WAVs
+    * ([[MediaFixtures.sawtoothWavs]] — sample i of doc id is
+    * (id + 5i) mod 256) are AudioSystem-decoded and resampled to 8
+    * frames, and DuckDB recomputes every output sample from doc_id
+    * arithmetic: s(j) = (id + 5·(j·n div 8)) mod 256 over
+    * n = (id%5+1)·50. Hash-pins the real decode, the floor frame
+    * selection, and output order — the fixed-window batching contract
+    * an audio pipeline trains on. All-integer output.
+    */
+  def mediaAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    val base = Multimodal.resampleNearest(
+      MediaFixtures.sawtoothWavs(Tables.documents(spark, dir)), 8)
+    val sampleCols = (0 until 8).map(j =>
+      element_at(col("samples"), j + 1).as(s"s$j"))
+    base.select(Seq(col("media_id"), col("src_frames")) ++ sampleCols: _*)
+      .orderBy("media_id")
+  }
+
   /** Media-ingest contract gate — the `docs_profile`/`embed_contract`
     * shape for the multimodal batch: ONE row proving the whole batch
     * decoded through the REAL codec path (n_decoded counts successful
@@ -194,6 +213,7 @@ object MultimodalQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_contract" -> (mediaContract _),
     "media_resize" -> (mediaResize _),
+    "media_audio_resample" -> (mediaAudioResample _),
     "media_meta" -> (mediaMeta _),
     "media_features" -> (mediaFeatures _),
     "media_frames" -> (mediaFrames _),
@@ -251,6 +271,15 @@ object MultimodalQueries {
          |  ${g(0, 1)} AS g10,
          |  ${g(1, 1)} AS g11
          |FROM documents ORDER BY media_id""".stripMargin
+    },
+    "media_audio_resample" -> {
+      def s(j: Int) =
+        s"CAST((doc_id + 5 * (($j * n) // 8)) % 256 AS INTEGER) AS s$j"
+      s"""WITH d AS (
+         |  SELECT doc_id, (doc_id % 5 + 1) * 50 AS n FROM documents)
+         |SELECT doc_id AS media_id, CAST(n AS INTEGER) AS src_frames,
+         |  ${(0 until 8).map(s).mkString(",\n  ")}
+         |FROM d ORDER BY media_id""".stripMargin
     },
     "media_audio_histogram" ->
       """SELECT doc_id AS media_id,

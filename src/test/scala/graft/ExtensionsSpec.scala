@@ -1067,6 +1067,21 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 5) // 5000ms / 1000ms
   }
 
+  test("resampleNearest: floor frame selection on a hand-built WAV; full-rate is identity") {
+    val samples = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100)
+    val rows = Seq(Multimodal.MediaRow(3L, "audio",
+      MediaFixtures.wav8(8000, samples: _*),
+      Multimodal.MediaMeta("wav", 0, 0, 1L, 8000))).toDS()
+    // 10 frames -> 4: out[j] = sample[j*10/4] = samples(0,2,5,7)
+    val down = Multimodal.resampleNearest(rows, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(down.head == ((3L, 10, Seq(10, 30, 60, 80))))
+    // outFrames = n degenerates to the identity (j*n/n = j)
+    val same = Multimodal.resampleNearest(rows, samples.length)
+      .collect().head.getSeq[Int](2)
+    assert(same == samples)
+  }
+
   test("real PNG decodes to a luminance-histogram feature") {
     // 2×2 truecolor PNG, gray values 0/64/128/255 → bins 0,16,32,63
     val rows = Seq(Multimodal.MediaRow(7L, "image",
