@@ -266,6 +266,41 @@ object Similarity {
         .otherwise(size(col("embedding")))).as("max_dim"))
   }
 
+  /** Embedding-space ANISOTROPY meter (Ethayarajh, EMNLP 2019): the
+    * expected cosine between two random corpus vectors — near 0 for an
+    * isotropic (healthy, spread-out) space, approaching 1 under
+    * representation collapse, the diagnostic an embedding-pipeline
+    * owner reads before trusting cosine retrieval at all. Computed by
+    * the sum-vector identity, NEVER pairwise:
+    * E[u·v | u≠v] = (‖Σv‖² − Σ‖v‖²) / (n(n−1)) — one componentwise sum
+    * (64 keys, map-side combined) + one scalar pass, so the meter
+    * costs one corpus scan at any scale. Float discipline: ‖Σv‖²
+    * folds the component sums in index order (sorted-struct fold);
+    * the corpus sums carry sub-1e-12 accumulation drift absorbed by
+    * the output rounding (the bigram_lm contract).
+    */
+  def embedAnisotropy(spark: SparkSession, dir: String): DataFrame =
+    embedAnisotropyOf(Tables.embeddings(spark, dir))
+
+  /** [[embedAnisotropy]] over an explicit embedding frame — the spec
+    * entry point (identical vectors ⇒ 1.0; an orthonormal set ⇒ 0.0). */
+  private[graft] def embedAnisotropyOf(emb: DataFrame): DataFrame = {
+    import graft.functions.Vec
+    val e = emb.filter(col("embedding").isNotNull)
+    val comp = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(sum(col("x").cast("double")).as("s"))
+    val s2 = comp.agg(expr(
+      "aggregate(array_sort(collect_list(struct(i, s))), 0D, " +
+        "(a, p) -> a + p.s * p.s)").as("s2"))
+    val base = e.agg(count(lit(1)).cast("double").as("n"),
+      sum(Vec.dot(col("embedding"), col("embedding"))).as("sumn2"))
+    base.crossJoin(s2).select(
+      col("n").cast("long").as("n_vectors"),
+      round(col("sumn2") / col("n"), 4).as("mean_norm2"),
+      round((col("s2") - col("sumn2")) / (col("n") * (col("n") - 1)), 6)
+        .as("avg_pairwise_cos"))
+  }
+
   /** Corpus-balance clustering report — the curation-side reuse of the
     * Lloyd-trained coarse cells (train once, assign everywhere: the
     * trainedCents artifact is the SAME one the IVF family probes):
@@ -2063,6 +2098,7 @@ object Similarity {
     "sample_cluster" -> (sampleCluster _),
     "coreset_kcenter" -> (coresetKcenter _),
     "embed_contract" -> (embedContract _),
+    "embed_anisotropy" -> (embedAnisotropy _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -2966,6 +3002,27 @@ object Similarity {
          |FROM ($duckBinaryRHitsUnion)
          |WHERE hits >= $TuneTarget
          |ORDER BY r LIMIT 1""".stripMargin,
+    // sum-vector identity replay: componentwise sums, index-ordered
+    // square fold, the same two scalars
+    "embed_anisotropy" ->
+      s"""WITH comp AS (
+         |  SELECT i, sum(CAST(x AS DOUBLE)) AS s
+         |  FROM (SELECT unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings WHERE embedding IS NOT NULL)
+         |  GROUP BY i),
+         |s2 AS (
+         |  SELECT list_aggregate(
+         |    list_transform(list(s ORDER BY i), v -> v * v), 'sum') AS s2
+         |  FROM comp),
+         |base AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         sum(${duckDot("embedding", "embedding")}) AS sumn2
+         |  FROM embeddings WHERE embedding IS NOT NULL)
+         |SELECT CAST(n AS BIGINT) AS n_vectors,
+         |  round(sumn2 / n, 4) AS mean_norm2,
+         |  round((s2 - sumn2) / (n * (n - 1)), 6) AS avg_pairwise_cos
+         |FROM base, s2""".stripMargin,
     "embed_contract" ->
       s"""SELECT count(*) AS n_vectors,
          |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)

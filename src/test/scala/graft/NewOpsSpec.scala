@@ -1226,6 +1226,22 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("embed_anisotropy: identical vectors measure 1.0, an orthonormal set measures 0.0") {
+    def frame(vs: Seq[Array[Float]]) =
+      vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+    val u = Array.fill(4)(0.5f) // unit vector
+    val same = Similarity.embedAnisotropyOf(frame(Seq.fill(6)(u)))
+      .collect().head
+    assert(same.getLong(0) == 6 && same.getDouble(1) == 1.0)
+    assert(same.getDouble(2) == 1.0, s"identical-vector anisotropy $same")
+    val basis = (0 until 4).map { i =>
+      val a = Array.fill(4)(0f); a(i) = 1f; a
+    }
+    val ortho = Similarity.embedAnisotropyOf(frame(basis)).collect().head
+    assert(ortho.getDouble(2) == 0.0, s"orthonormal anisotropy $ortho")
+  }
+
   test("tok_entropy: uniform doc hits ln(n)/evenness 1, constant doc hits 0, bounds hold") {
     val docs = Seq(
       (1L, "a b c d"),          // all distinct: H = ln 4, evenness = 1
