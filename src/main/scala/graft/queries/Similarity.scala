@@ -301,6 +301,87 @@ object Similarity {
         .as("avg_pairwise_cos"))
   }
 
+  /** Top PRINCIPAL COMPONENT of the embedding corpus by power
+    * iteration — the spectral half of the space-health toolkit beside
+    * [[embedAnisotropy]] (the dominant direction + its eigenvalue tell
+    * an embedding owner how much of the corpus variance lives on ONE
+    * axis; a rogue dimension or collapsed space shows up here first;
+    * "all-but-the-top" post-processing (Mu & Viswanath, ICLR 2018)
+    * removes exactly this component).
+    *
+    * Scale shape: the d×d Gramian accumulates PER PARTITION in a flat
+    * array and emits once per partition (MLlib's
+    * `RowMatrix.computeGramianMatrix` treeAggregate shape — the corpus
+    * is scanned once and never shuffled; driver state is d² doubles,
+    * d = 64 here; larger d blocks or sketches the Gramian without
+    * changing the contract). The 3-round power iteration runs on the
+    * DRIVER over the collected matrix (the Lloyd codebook-staging
+    * pattern) from the exact start x₀ = 1/√d = 0.125.
+    *
+    * Float discipline (the trained-oracle contract): covariance
+    * entries snap to the 1e-6 grid (`roundMean`'s formula) before
+    * iterating, every iteration's normalized vector snaps again, and all
+    * folds run in ascending index order — DuckDB replays the IDENTICAL
+    * trajectory (matrix-vector products as j-ordered list folds, IEEE
+    * sqrt is correctly rounded in both engines). Output: one row per
+    * dimension (loading r6) + the Rayleigh eigenvalue (r4).
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame =
+    embedPcaOf(Tables.embeddings(spark, dir), 64)
+
+  /** [[embedPca]] over an explicit embedding frame with dimension `d`
+    * — the spec entry point (a ±e₀ corpus has C = diag(1, 0, …): one
+    * iteration lands on e₀ exactly, λ = 1). */
+  private[graft] def embedPcaOf(emb: DataFrame, d: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def snap(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val parts = emb
+      .filter(col("embedding").isNotNull)
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val acc = Array.ofDim[Double](d * d)
+        val mu = Array.ofDim[Double](d)
+        var n = 0L
+        it.foreach { v =>
+          var i = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            mu(i) += xi
+            var j = 0
+            while (j < d) { acc(i * d + j) += xi * v(j); j += 1 }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((acc, mu, n))
+      }.collect()
+    val s = Array.ofDim[Double](d * d)
+    val m = Array.ofDim[Double](d)
+    var n = 0L
+    parts.foreach { case (acc, mu, pn) =>
+      var k = 0
+      while (k < d * d) { s(k) += acc(k); k += 1 }
+      var i = 0
+      while (i < d) { m(i) += mu(i); i += 1 }
+      n += pn
+    }
+    val c = Array.tabulate(d, d)((i, j) =>
+      snap(s(i * d + j) / n - (m(i) / n) * (m(j) / n)))
+    var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 3) {
+      val y = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * x(j)).sum)
+      val nrm = math.sqrt((0 until d).map(i => y(i) * y(i)).sum)
+      x = y.map(v => snap(v / nrm))
+    }
+    val cx = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * x(j)).sum)
+    val lambda = (0 until d).map(i => x(i) * cx(i)).sum
+    (0 until d).map(i => (i, x(i), lambda)).toDF("dim_i", "loading", "lambda")
+      .select(col("dim_i"), round(col("loading"), 6).as("loading"),
+        round(col("lambda"), 4).as("lambda"))
+      .orderBy("dim_i")
+  }
+
   /** Corpus-balance clustering report — the curation-side reuse of the
     * Lloyd-trained coarse cells (train once, assign everywhere: the
     * trainedCents artifact is the SAME one the IVF family probes):
@@ -2099,6 +2180,7 @@ object Similarity {
     "coreset_kcenter" -> (coresetKcenter _),
     "embed_contract" -> (embedContract _),
     "embed_anisotropy" -> (embedAnisotropy _),
+    "embed_pca" -> (embedPca _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -3002,6 +3084,58 @@ object Similarity {
          |FROM ($duckBinaryRHitsUnion)
          |WHERE hits >= $TuneTarget
          |ORDER BY r LIMIT 1""".stripMargin,
+    // Gramian + power-iteration replay: raw moment sums, snapped
+    // covariance, x0 = 0.125, three (matrix-vector, normalize, snap)
+    // rounds as j-ordered list folds, Rayleigh eigenvalue
+    "embed_pca" -> {
+      def pcaIter(xk: String, y: String, xn: String): String =
+        s"""$y AS MATERIALIZED (
+           |  SELECT cv.i,
+           |    list_aggregate(list(cv.c * x.x ORDER BY cv.j), 'sum') AS y
+           |  FROM cv JOIN $xk x ON cv.j = x.i GROUP BY cv.i),
+           |${y}n AS (
+           |  SELECT sqrt(list_aggregate(
+           |    list_transform(list(y ORDER BY i), v -> v * v), 'sum')) AS nrm
+           |  FROM $y),
+           |$xn AS MATERIALIZED (
+           |  SELECT i, floor((y / nrm) * 1e6 + 0.5) / 1e6 AS x
+           |  FROM $y, ${y}n)""".stripMargin
+      s"""WITH s AS MATERIALIZED (
+         |  SELECT i.i AS i, j.j AS j,
+         |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)
+         |        * CAST(e.embedding[CAST(j.j AS INTEGER)] AS DOUBLE)) AS sij
+         |  FROM embeddings e, range(1, 65) i(i), range(1, 65) j(j)
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY 1, 2),
+         |m AS MATERIALIZED (
+         |  SELECT i.i AS i,
+         |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)) AS si,
+         |    count(*) AS n
+         |  FROM embeddings e, range(1, 65) i(i)
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY 1),
+         |cv AS MATERIALIZED (
+         |  SELECT s.i, s.j,
+         |    floor((s.sij / mi.n - (mi.si / mi.n) * (mj.si / mj.n)) * 1e6
+         |          + 0.5) / 1e6 AS c
+         |  FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i),
+         |x0 AS (SELECT i.i AS i, CAST(0.125 AS DOUBLE) AS x
+         |       FROM range(1, 65) i(i)),
+         |${pcaIter("x0", "y1", "x1")},
+         |${pcaIter("x1", "y2", "x2")},
+         |${pcaIter("x2", "y3", "x3")},
+         |cx AS (
+         |  SELECT cv.i,
+         |    list_aggregate(list(cv.c * x.x ORDER BY cv.j), 'sum') AS y
+         |  FROM cv JOIN x3 x ON cv.j = x.i GROUP BY cv.i),
+         |lam AS (
+         |  SELECT list_aggregate(list(x3.x * cx.y ORDER BY x3.i), 'sum') AS l
+         |  FROM x3 JOIN cx ON x3.i = cx.i)
+         |SELECT CAST(x3.i - 1 AS INTEGER) AS dim_i,
+         |  round(x3.x, 6) AS loading,
+         |  round(lam.l, 4) AS lambda
+         |FROM x3, lam ORDER BY dim_i""".stripMargin
+    },
     // sum-vector identity replay: componentwise sums, index-ordered
     // square fold, the same two scalars
     "embed_anisotropy" ->

@@ -1226,6 +1226,26 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("embed_pca: a one-axis corpus recovers e0 with eigenvalue 1; loadings unit-norm on the fixture") {
+    // vectors +/-e0 in equal measure: mean 0, C = diag(1, 0, ...) after
+    // snapping - one power step lands exactly on e0, lambda = 1
+    val pm = (0 until 8).map { i =>
+      val v = Array.fill(4)(0f); v(0) = if (i % 2 == 0) 1f else -1f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.embedPcaOf(pm, 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (0 until 4))
+    assert(math.abs(rows.head._2) == 1.0, s"e0 loading ${rows.head._2}")
+    rows.tail.foreach(r => assert(r._2 == 0.0, s"dim ${r._1} loading ${r._2}"))
+    assert(rows.head._3 == 1.0, s"lambda ${rows.head._3}")
+    // fixture: the returned component is (snapped-then-rounded) unit
+    val fx = Similarity.embedPca(spark, dir)
+      .collect().map(_.getDouble(1))
+    val norm2 = fx.map(v => v * v).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"loading norm^2 $norm2")
+  }
+
   test("embed_anisotropy: identical vectors measure 1.0, an orthonormal set measures 0.0") {
     def frame(vs: Seq[Array[Float]]) =
       vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
