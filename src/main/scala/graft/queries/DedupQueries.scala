@@ -133,8 +133,12 @@ object DedupQueries {
     * output; the oracle replays signatures, banding, bit derivation,
     * probe, and verify.
     */
-  def dedupBloomIngest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def dedupBloomIngest(spark: SparkSession, dir: String): DataFrame =
+    dedupBloomIngestOf(Tables.documents(spark, dir))
+
+  /** [[dedupBloomIngest]] over an explicit documents frame — the
+    * spec/soak entry point. */
+  private[graft] def dedupBloomIngestOf(docs: DataFrame): DataFrame = {
     val sh = Dedup.shingleSet(docs, "doc_id", "text")
     val bands = Dedup.lshBands(Dedup.minhash(sh, 16), 4)
     val existing = bands.filter(col("id") % 2 === 0)

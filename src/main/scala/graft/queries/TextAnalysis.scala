@@ -1343,11 +1343,17 @@ object TextAnalysis {
     * state is one bucket's (id, tok) list. The oracle replays the
     * fold as a recursive CTE.
     */
-  def packNosplit(spark: SparkSession, dir: String): DataFrame = {
+  def packNosplit(spark: SparkSession, dir: String): DataFrame =
+    packNosplitOf(Tables.documents(spark, dir))
+
+  /** [[packNosplit]] over an explicit documents frame — the spec/soak
+    * entry point. */
+  private[graft] def packNosplitOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val cap = 2048L
     val nb = 32L
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), (col("doc_id") % nb).as("bucket"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
       .as[(Long, Long, Long)]

@@ -310,6 +310,52 @@ object Soak {
             .select(col("vec_id")), k = 10).count()
       }
 
+      // full-interaction maxsim at mult× vectors (docs = vec_id div 4
+      // token groups, 5 fixed queries): the (query, doc, qt) max
+      // aggregate is the only corpus-sized exchange (map-side
+      // combined), the top-k tail is bounded heaps — expect ~linear
+      val maxsimQ = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") / 4).cast("long").as("query_id"),
+          (col("vec_id") % 4).as("qt"), col("embedding").as("qvec"))
+      val maxsimDocs = emb.select((col("vec_id") / 4).cast("long").as("doc_id"),
+        col("vec_id"), col("embedding"))
+      val tMaxsim = time {
+        graft.search.Knn.maxsimTopK(maxsimDocs, maxsimQ, 10, 4).count()
+      }
+      // two-stage maxsim: the gather is 20 single-vector top-8 scans
+      // (bounded heaps), scoring touches <= 32 candidate docs/query —
+      // the flat-over-corpus stage; expect the gather's knn-like line
+      val tMaxsimAnn = time {
+        val tq = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val cands = graft.search.Knn.bruteForceTopK(emb, tq, 8)
+          .select((col("query_id") / 4).cast("long").as("query_id"),
+            (col("vec_id") / 4).cast("long").as("doc_id"))
+          .distinct()
+        graft.search.Knn.maxsimTopKCandidates(maxsimDocs, maxsimQ, cands,
+          10, 4).count()
+      }
+      // Gramian + power iteration at mult× vectors: the d×d partition
+      // accumulators make the corpus scan the ONLY growing stage
+      // (4096 multiply-adds per row); iteration cost is driver-constant
+      val tPca = time {
+        graft.queries.Similarity.embedPcaOf(emb, 64).count()
+      }
+      // Bloom ingest screen at mult× documents: band signatures are the
+      // corpus-sized work (one |docs|-row aggregate), the bit set stays
+      // m-bounded and broadcast, the verify join carries only
+      // bloom-positive keys — expect ~linear in rows
+      val tBloomIngest = time {
+        graft.queries.DedupQueries.dedupBloomIngestOf(corpus(m)).count()
+      }
+      // no-split packing at mult× documents over the FIXED 32 buckets:
+      // per-task fold state grows with corpus/32 (the shard-count knob
+      // a deployment turns with corpus size — held fixed here to
+      // measure the fold itself)
+      val tPackNosplit = time {
+        graft.queries.TextAnalysis.packNosplitOf(corpus(m)).count()
+      }
+
       // dedup_minhash_recall meter at mult× DISJOINT replicas: every
       // token carries its replica id, so shingle dfs stay CONSTANT as
       // rows grow and the uncapped true-pair join's Σdf² cost is linear
@@ -410,7 +456,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }
