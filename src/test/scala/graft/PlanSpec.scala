@@ -649,6 +649,64 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("retrieve_maxsim: query tokens only ever broadcast; no sort-merge, no cartesian") {
+    val df = Similarity.retrieveMaxsim(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the token scoring is index × broadcast(query tokens); the doc
+    // grain aggregates are hash aggregates; the tail is the typed heap
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("dedup_bloom_ingest: the bit set broadcasts; verify join never sort-merges") {
+    val df = graft.queries.DedupQueries.dedupBloomIngest(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("hybrid_minmax: the only sort-merge is the FullOuter fusion of two top-k legs") {
+    val df = graft.queries.Bm25.hybridMinmax(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // a FULL OUTER equi-join cannot broadcast; both sides are top-k
+    // outputs (≤ queries×k rows at ANY corpus size), so the SMJ is
+    // bounded by construction — pin that it is the ONLY one and that
+    // it is the FullOuter fusion join, not a corpus-side join
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.nonEmpty && smj.forall(_.contains("FullOuter")), plan)
+  }
+
+  test("embed_anisotropy: one componentwise aggregate, no join of any kind") {
+    val df = Similarity.embedAnisotropy(spark, dir)
+    df.collect()
+    val plan = planOf(df)
+    // the two scalar legs combine via a 1-row nested-loop cross — fine;
+    // no hash/sort-merge join and certainly nothing corpus-sized
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("pack_nosplit: exactly one hash exchange (the bucket key) plus the report sort") {
+    val df = graft.queries.TextAnalysis.packNosplit(spark, dir)
+    df.collect()
+    val whole = planOf(df)
+    val plan = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    // the groupByKey extractor materializes the bucket as `value#N` in
+    // the exchange key — pin the COUNT (one corpus exchange), not the
+    // synthetic column name
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, plan)
+  }
+
   test("salted aggregate matches the direct aggregate") {
     val li = Tables.lineitem(spark, dir)
     val direct = li.groupBy("l_returnflag")
