@@ -294,10 +294,15 @@ object Similarity {
         "(a, p) -> a + p.s * p.s)").as("s2"))
     val base = e.agg(count(lit(1)).cast("double").as("n"),
       sum(Vec.dot(col("embedding"), col("embedding"))).as("sumn2"))
+    // guards: n = 0 (empty corpus) and n = 1 (no pairs exist) would
+    // divide by zero under ANSI mode — emit NULL ratios instead of
+    // throwing (DegenerateInputsSpec; the upstream gate rejects n ≤ 1)
     base.crossJoin(s2).select(
       col("n").cast("long").as("n_vectors"),
-      round(col("sumn2") / col("n"), 4).as("mean_norm2"),
-      round((col("s2") - col("sumn2")) / (col("n") * (col("n") - 1)), 6)
+      when(col("n") > 0, round(col("sumn2") / col("n"), 4))
+        .as("mean_norm2"),
+      when(col("n") > 1,
+        round((col("s2") - col("sumn2")) / (col("n") * (col("n") - 1)), 6))
         .as("avg_pairwise_cos"))
   }
 
@@ -366,6 +371,11 @@ object Similarity {
       while (i < d) { m(i) += mu(i); i += 1 }
       n += pn
     }
+    // empty corpus: no Gramian exists — emit no component rather than
+    // 64 rows of NaN (the anisotropy guard's driver-side twin)
+    if (n == 0L)
+      return Seq.empty[(Int, Double, Double)]
+        .toDF("dim_i", "loading", "lambda")
     val c = Array.tabulate(d, d)((i, j) =>
       snap(s(i * d + j) / n - (m(i) / n) * (m(j) / n)))
     var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -3154,8 +3164,10 @@ object Similarity {
          |         sum(${duckDot("embedding", "embedding")}) AS sumn2
          |  FROM embeddings WHERE embedding IS NOT NULL)
          |SELECT CAST(n AS BIGINT) AS n_vectors,
-         |  round(sumn2 / n, 4) AS mean_norm2,
-         |  round((s2 - sumn2) / (n * (n - 1)), 6) AS avg_pairwise_cos
+         |  CASE WHEN n > 0 THEN round(sumn2 / n, 4) END AS mean_norm2,
+         |  CASE WHEN n > 1
+         |       THEN round((s2 - sumn2) / (n * (n - 1)), 6) END
+         |    AS avg_pairwise_cos
          |FROM base, s2""".stripMargin,
     "embed_contract" ->
       s"""SELECT count(*) AS n_vectors,

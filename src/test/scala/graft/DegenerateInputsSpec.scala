@@ -269,6 +269,81 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(graft.queries.Similarity.coresetKcenterOf(spark, none, 8).collect().isEmpty)
   }
 
+  test("maxsim: k beyond the doc count yields dense ranks 1..n; single-doc corpus works") {
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // 3 docs of 4 tokens; ask for k=10
+    val tiny = emb.filter(col("vec_id") < 12)
+    val docs = tiny.select(expr("vec_id div 4").as("doc_id"), col("vec_id"),
+      col("embedding"))
+    val qtok = tiny.filter(col("vec_id") < 4)
+      .select(expr("vec_id div 4").as("query_id"),
+        expr("vec_id % 4").as("qt"), col("embedding").as("qvec"))
+    val got = Knn.maxsimTopK(docs, qtok, 10, 4)
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(got == (1 to 3), s"expected dense ranks 1..3, got $got")
+    // single doc
+    val one = Knn.maxsimTopK(docs.filter(col("doc_id") === 0), qtok, 10, 4)
+      .collect()
+    assert(one.length == 1 && one.head.getInt(1) == 1)
+  }
+
+  test("pack_nosplit: empty corpus packs nothing; a lone oversized doc takes bin 1") {
+    val none = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+    assert(graft.queries.TextAnalysis.packNosplitOf(none).collect().isEmpty)
+    // one doc over the 2048 budget: from the (bin 0, fill 0) start the
+    // pure fits-or-new-bin rule sends it to bin 1 (pinned convention)
+    val big = Seq((5L, "s", ("w " * 3000).trim, "en", 6000L))
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+    val row = graft.queries.TextAnalysis.packNosplitOf(big).collect().head
+    assert(row.getLong(3) == 1L && row.getLong(4) == row.getLong(2),
+      s"oversized doc: $row")
+  }
+
+  test("bloom ingest: an all-existing corpus has no incoming rows; all-incoming has no bloom hits") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val allEven = docs.filter(col("doc_id") % 2 === 0)
+    assert(graft.queries.DedupQueries.dedupBloomIngestOf(allEven)
+      .collect().isEmpty, "no odd ids -> empty screen output")
+    val allOdd = docs.filter(col("doc_id") % 2 === 1)
+    val rows = graft.queries.DedupQueries.dedupBloomIngestOf(allOdd).collect()
+    // empty existing side -> empty bloom -> nothing can be positive
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getInt(3) == 0), "empty bloom must admit nothing")
+  }
+
+  test("entropy and anisotropy survive empty frames and single rows") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.queries.TextAnalysis.tokEntropyOf(noDocs).collect().isEmpty)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val an = graft.queries.Similarity.embedAnisotropyOf(noVecs).collect()
+    // empty corpus: n = 0 -> the aggregate row carries 0 vectors and
+    // null/NaN-free integer count; ratios are undefined and must not
+    // THROW (the contract is no crash; a gate upstream rejects n = 0)
+    assert(an.length == 1 && an.head.getLong(0) == 0L)
+    // single vector: no pairs exist — n(n−1) = 0 — must not throw
+    val oneV = Seq((0L, Array.fill(64)(0.125f))).toDF("vec_id", "embedding")
+    assert(graft.queries.Similarity.embedAnisotropyOf(oneV)
+      .collect().head.getLong(0) == 1L)
+    // PCA on an empty corpus: no component rows, never 64 NaNs
+    assert(graft.queries.Similarity.embedPcaOf(noVecs, 64)
+      .collect().isEmpty)
+  }
+
+  test("audio resample: sub-outFrames sources repeat frames rather than failing") {
+    import graft.multimodal.{MediaFixtures, Multimodal}
+    // 3 frames resampled UP to 8: out[j] = sample[j*3/8] — indexes
+    // 0,0,0,1,1,1,2,2 (floor mapping; no interpolation, no crash)
+    val rows = Seq(Multimodal.MediaRow(9L, "audio",
+      MediaFixtures.wav8(8000, 10, 20, 30),
+      Multimodal.MediaMeta("wav", 0, 0, 1L, 8000))).toDS()
+    val out = Multimodal.resampleNearest(rows, 8)
+      .collect().head.getSeq[Int](2)
+    assert(out == Seq(10, 10, 10, 20, 20, 20, 30, 30), out.toString)
+  }
+
   test("nearest-neighbor resize: identity at source dims, top-left at 1x1") {
     import graft.multimodal.{MediaFixtures, Multimodal}
     val docs = Seq((6L, "x"), (7L, "y")).toDF("doc_id", "text")
