@@ -266,6 +266,28 @@ object Similarity {
         .otherwise(size(col("embedding")))).as("max_dim"))
   }
 
+  /** Hard-negative mining — the training-data-prep step of embedding
+    * finetuning (DPR/SBERT curation: random in-batch negatives are
+    * easy, the INFORMATIVE negatives are the nearest wrong-label
+    * vectors): per anchor (the standard query sample), the top-5
+    * highest-cosine vectors whose `label` DIFFERS from the anchor's
+    * ([[graft.search.Knn.hardNegatives]] — broadcast anchors, label
+    * anti-filter before any dot, bounded heaps). Rank-only output
+    * with the negative's label re-attached (all ≠ the anchor's by
+    * construction); the oracle replays the anti-filtered scan.
+    */
+  def mineHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir)
+    val anchors = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    Knn.hardNegatives(emb, anchors, 5)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-space ANISOTROPY meter (Ethayarajh, EMNLP 2019): the
     * expected cosine between two random corpus vectors — near 0 for an
     * isotropic (healthy, spread-out) space, approaching 1 under
@@ -2191,6 +2213,7 @@ object Similarity {
     "embed_contract" -> (embedContract _),
     "embed_anisotropy" -> (embedAnisotropy _),
     "embed_pca" -> (embedPca _),
+    "mine_hard_negatives" -> (mineHardNegatives _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -3094,6 +3117,24 @@ object Similarity {
          |FROM ($duckBinaryRHitsUnion)
          |WHERE hits >= $TuneTarget
          |ORDER BY r LIMIT 1""".stripMargin,
+    // anti-filtered scan replay: wrong-label rows only, exact dots,
+    // top-5 cut with the house tie-break
+    "mine_hard_negatives" ->
+      s"""WITH a AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |hs AS (
+         |  SELECT a.query_id, e.vec_id, e.label,
+         |         ${duckDot("e.embedding", "a.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN a
+         |  WHERE e.label <> a.qlabel AND e.vec_id <> a.query_id)
+         |SELECT query_id, rank, vec_id, label FROM (
+         |  SELECT query_id, vec_id, label,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         |      AS rank
+         |  FROM hs) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // Gramian + power-iteration replay: raw moment sums, snapped
     // covariance, x0 = 0.125, three (matrix-vector, normalize, snap)
     // rounds as j-ordered list folds, Rayleigh eigenvalue

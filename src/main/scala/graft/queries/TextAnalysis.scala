@@ -1221,6 +1221,41 @@ object TextAnalysis {
     out
   }
 
+  /** Per-source PII rate report — the governance rollup a data owner
+    * reads beside the per-doc [[piiRedact]] (which feed is leaking
+    * emails/IPs/phones, and at what rate): per ingest source — docs,
+    * docs containing ANY PII, per-category match totals, and the
+    * affected fraction. Counts reuse [[graft.text.Redact]]'s exact
+    * regexes (the ASCII-safe Java/RE2-agreeing subset), counted on
+    * the RAW text per category (overlap masking is the rewrite's
+    * concern, not the census's). One narrow scan + one aggregate onto
+    * |sources| keys — the dup_rate_by_source shape for PII.
+    */
+  def piiBySource(spark: SparkSession, dir: String): DataFrame =
+    piiBySourceOf(Tables.documents(spark, dir))
+
+  /** [[piiBySource]] over an explicit (source, text) frame — the spec
+    * entry point (the fixture corpus carries zero PII — a hash-checked
+    * corpus fact; the census arithmetic is pinned on planted PII). */
+  private[graft] def piiBySourceOf(docs: DataFrame): DataFrame = {
+    import graft.text.Redact
+    val d = docs
+      .select(col("source"),
+        Redact.nEmails(col("text")).cast("long").as("e"),
+        Redact.nIpv4(col("text")).cast("long").as("i"),
+        Redact.nPhones(col("text")).cast("long").as("p"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("e") + col("i") + col("p") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("e")).as("n_emails"),
+        sum(col("i")).as("n_ipv4"),
+        sum(col("p")).as("n_phones"))
+      .withColumn("pii_rate",
+        round(col("n_docs_with_pii").cast("double") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
   /** Text normalization for training corpora: lowercase, collapse
     * whitespace, mask digit runs as `<num>`. Patterns stay in the
     * ASCII-safe regex subset where Java regex and RE2 agree exactly.
@@ -1628,6 +1663,7 @@ object TextAnalysis {
     "text_repetition" -> (textRepetition _),
     "sample_mixture" -> (sampleMixture _),
     "pii_redact" -> (piiRedact _),
+    "pii_by_source" -> (piiBySource _),
     "boilerplate_frac" -> (boilerplateFrac _),
     "substring_dedup" -> (substringDedup _),
     "span_dedup_rewrite" -> (spanDedupRewrite _),
@@ -1947,6 +1983,27 @@ object TextAnalysis {
         |    regexp_replace(lower(trim(text)), '[0-9]+', '<num>', 'g'),
         |    '\s+', ' ', 'g')) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // raw-text census per category, one |sources|-key aggregate; the
+    // rate divides exact longs, rounded r4
+    "pii_by_source" -> {
+      import graft.text.Redact
+      def cnt(re: String) = s"len(regexp_extract_all(text, '$re'))"
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(${cnt(Redact.EmailRe)} AS BIGINT) AS e,
+         |    CAST(${cnt(Redact.Ipv4Re)} AS BIGINT) AS i,
+         |    CAST(${cnt(Redact.PhoneRe)} AS BIGINT) AS p
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_with_pii,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(i) AS BIGINT) AS n_ipv4,
+         |  CAST(sum(p) AS BIGINT) AS n_phones,
+         |  round(CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 4) AS pii_rate
+         |FROM d GROUP BY source ORDER BY source""".stripMargin
+    },
     "pii_redact" -> {
       import graft.text.Redact
       s"""WITH r1 AS (

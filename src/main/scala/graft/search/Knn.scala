@@ -167,6 +167,29 @@ object Knn {
       .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
   }
 
+  /** Hardest in-corpus NEGATIVES per anchor: top-k by cosine among
+    * vectors with a DIFFERENT label — the hard-negative mining step of
+    * embedding-finetuning data prep (in-batch random negatives are
+    * easy; the informative ones are the nearest wrong-label vectors —
+    * the DPR/SBERT curation recipe). `anchors` carries (query_id,
+    * qvec, qlabel) and is broadcast; the label anti-filter prunes rows
+    * BEFORE any dot; the tail is the bounded-heap merge — the
+    * bruteForceTopK scale shape with an inequality pre-filter.
+    */
+  def hardNegatives(index: DataFrame, anchors: DataFrame,
+      k: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val sims = index
+      .crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("qlabel") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .as[(Long, Long, Double)]
+    topKOfSims(sims, k)
+  }
+
   /** [[maxsimTopK]] restricted to a candidate (query_id, doc_id) set —
     * the scoring half of two-stage ColBERT retrieval (gather per-token
     * candidates cheaply, exact-maxsim only those docs). `cands` is

@@ -1226,6 +1226,39 @@ class NewOpsSpec extends SparkSpec {
     assert(auc(Seq((1, 0.9), (0, 0.8), (1, 0.7), (0, 0.1))) == 0.75)
   }
 
+  test("pii_by_source: planted PII counts per category; clean feeds report zero") {
+    val docs = Seq(
+      ("feedA", "contact bob@example.com or alice@test.org today"),
+      ("feedA", "server at 10.0.0.1 answered"),
+      ("feedA", "nothing sensitive here"),
+      ("feedB", "call 555-123-4567 or 555 987 6543 now"),
+      ("feedC", "perfectly clean text")
+    ).toDF("source", "text")
+    val rows = TextAnalysis.piiBySourceOf(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(rows("feedA") == ((3L, 2L, 2L, 1L, 0L, 0.6667)))
+    assert(rows("feedB") == ((1L, 1L, 0L, 0L, 2L, 1.0)))
+    assert(rows("feedC") == ((1L, 0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("mine_hard_negatives: every mined negative has a different label than its anchor") {
+    val emb = Tables.embeddings(spark, dir)
+    val anchorLabel = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.mineHardNegatives(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length), s"$q ranks")
+      g.foreach { case (_, _, v, l) =>
+        assert(l != anchorLabel(q), s"negative $v shares anchor $q's label")
+      }
+    }
+  }
+
   test("embed_pca: a one-axis corpus recovers e0 with eigenvalue 1; loadings unit-norm on the fixture") {
     // vectors +/-e0 in equal measure: mean 0, C = diag(1, 0, ...) after
     // snapping - one power step lands exactly on e0, lambda = 1
