@@ -34,22 +34,27 @@ object Bench {
     * out windows where it does.
     *
     * Current value: round-17 quiet-window measurement at the FINAL
-    * 216-query surface: 77.880 s min-of-clean-runs (load_avg
-    * [2.7, 2.9], contended=false; second clean 216 run 83.617 — the
-    * documented window spread). Same-session ladder: 77.726 and
-    * 78.309 s at 214 (both contended=false) — the fifteen queries
-    * added after the 201-surface stamp (ann_graph_binary/
-    * ann_recall_graph_binary, retrieve_maxsim/retrieve_maxsim_ann/
-    * maxsim_recall, dedup_bloom_ingest, rag_context_pack,
-    * hybrid_minmax, pack_nosplit, tok_entropy, media_audio_resample,
-    * embed_anisotropy, embed_pca, mine_hard_negatives, pii_by_source)
-    * price at ~6.0 s summed per-query (q_enc: hybrid_minmax 1.87 —
-    * it rebuilds both retrieval legs like hybrid_rrf's 1.80, fusion
-    * itself is cheap; ann_graph_binary 0.92; media_audio_resample
-    * 0.64; mine_hard_negatives 0.23; pii_by_source 0.13; the rest
-    * ≤ 0.44 each), against ~2.3 s of observed total movement over
-    * the 201-surface band — the carried surface got slightly faster
-    * in the same windows.
+    * 217-query surface: 84.331 s min-of-clean-runs (load_avg
+    * [2.5, 2.3], contended=false; second clean 217 run 84.381 —
+    * ±0.06% agreement). The session ladder shows the level is window
+    * weather at fixed code: 77.726/78.309 s at 214 and
+    * 77.880/83.617 s at 216 earlier the same night, and the 77.88-run
+    * vs 84.38-run per-query comparison over the 216 shared queries
+    * spreads the 6.3 s delta thinly across the WHOLE surface (largest
+    * single mover 0.29 s — textrank; no code-attributable regression).
+    * The sixteen queries added after the 201-surface stamp
+    * (ann_graph_binary/ann_recall_graph_binary, retrieve_maxsim/
+    * retrieve_maxsim_ann/maxsim_recall, dedup_bloom_ingest,
+    * rag_context_pack, hybrid_minmax, pack_nosplit, tok_entropy,
+    * media_audio_resample, embed_anisotropy, embed_pca,
+    * mine_hard_negatives, pii_by_source, embed_abtt) price at ~6.2 s
+    * summed per-query (q_enc: hybrid_minmax 1.87 — it rebuilds both
+    * retrieval legs like hybrid_rrf's 1.80, fusion itself is cheap;
+    * ann_graph_binary 0.92; media_audio_resample 0.64; embed_abtt
+    * 0.25 AFTER the typed-map rewrite — the all-Catalyst HOF chain
+    * re-expanded per element under CollapseProject and measured
+    * 148.8 s, the winnow-planner blowup class caught by this bench;
+    * the rest ≤ 0.44 each).
     * Mid-round history (same session): 75.600 s at 201 (pass totals
     * 136.9/81.0/82.6; load [2.3, 2.9]) — the quiet-window RE-STAMP
     * round-16 verdict #1 asked for (the r16 82.207 at 195 embedded a
@@ -68,8 +73,8 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 77.880
-  private[graft] val CleanRefQueries = 216
+  private[graft] val CleanRefTotal = 84.331
+  private[graft] val CleanRefQueries = 217
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order

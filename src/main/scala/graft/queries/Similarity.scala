@@ -266,6 +266,72 @@ object Similarity {
         .otherwise(size(col("embedding")))).as("max_dim"))
   }
 
+  /** ALL-BUT-THE-TOP post-processing, measured — the report→act
+    * closure of the embedding-health family (the decontaminate/winnow
+    * rewrite pattern applied to [[embedPca]]'s report): every vector
+    * is centered (− the snapped mean), its top-component projection
+    * removed (v′ = v_c − (v_c·x)x — Mu & Viswanath, ICLR 2018), and
+    * re-unit-normalized; the output is ONE row pricing the effect —
+    * corpus anisotropy BEFORE and AFTER beside the removed eigenvalue
+    * (the claim the paper makes, measured on this corpus instead of
+    * cited). All per-row ops are exact IEEE arithmetic over the
+    * snapped (μ, x) model, so both engines transform identical
+    * vectors; the two anisotropy legs reuse the sum-vector identity.
+    * Scale: one Gramian scan (the model) + two anisotropy scans —
+    * three corpus passes, no shuffle beyond 64-key aggregates.
+    */
+  def embedAbtt(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val before = embedAnisotropyOf(emb)
+      .select(col("n_vectors"), col("avg_pairwise_cos").as("aniso_before"))
+    pcaModel(emb, d) match {
+      case None =>
+        before.select(col("n_vectors"), lit(null).cast("double")
+            .as("lambda_removed"), col("aniso_before"),
+          lit(null).cast("double").as("aniso_after"))
+      case Some((mu, x, lambda, _)) =>
+        // the per-vector transform runs as a TYPED narrow map with the
+        // tiny (μ, x) model in the closure — the all-Catalyst HOF
+        // chain re-expands the whole expression tree per element under
+        // CollapseProject (the winnow-planner blowup class; measured
+        // 148.8 s vs sub-second at sf0.1). Every op below is the exact
+        // IEEE sequence the oracle replays: center, ascending-index
+        // projection fold, removal, ascending-index norm fold, divide.
+        import spark.implicits._
+        val dd = mu.length
+        val unit = emb.select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .mapPartitions { it =>
+            it.map { case (id, v) =>
+              val c = new Array[Double](dd)
+              var i = 0
+              while (i < dd) { c(i) = v(i).toDouble - mu(i); i += 1 }
+              var p = 0.0
+              i = 0
+              while (i < dd) { p += c(i) * x(i); i += 1 }
+              val w = new Array[Double](dd)
+              i = 0
+              while (i < dd) { w(i) = c(i) - p * x(i); i += 1 }
+              var s2 = 0.0
+              i = 0
+              while (i < dd) { s2 += w(i) * w(i); i += 1 }
+              val nr = math.sqrt(s2)
+              val u = new Array[Double](dd)
+              i = 0
+              while (i < dd) { u(i) = if (nr > 0) w(i) / nr else 0.0; i += 1 }
+              (id, u)
+            }
+          }.toDF("vec_id", "embedding")
+        val after = embedAnisotropyOf(unit)
+          .select(col("avg_pairwise_cos").as("aniso_after"))
+        before.crossJoin(after)
+          .select(col("n_vectors"),
+            round(lit(lambda), 4).as("lambda_removed"),
+            col("aniso_before"), col("aniso_after"))
+    }
+  }
+
   /** Hard-negative mining — the training-data-prep step of embedding
     * finetuning (DPR/SBERT curation: random in-batch negatives are
     * easy, the INFORMATIVE negatives are the nearest wrong-label
@@ -362,6 +428,30 @@ object Similarity {
   private[graft] def embedPcaOf(emb: DataFrame, d: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    pcaModel(emb, d) match {
+      case None =>
+        // empty corpus: no Gramian exists — emit no component rather
+        // than 64 rows of NaN (the anisotropy guard's driver-side twin)
+        Seq.empty[(Int, Double, Double)].toDF("dim_i", "loading", "lambda")
+      case Some((_, x, lambda, _)) =>
+        (0 until d).map(i => (i, x(i), lambda))
+          .toDF("dim_i", "loading", "lambda")
+          .select(col("dim_i"), round(col("loading"), 6).as("loading"),
+            round(col("lambda"), 4).as("lambda"))
+          .orderBy("dim_i")
+    }
+  }
+
+  /** The collected PCA model behind [[embedPcaOf]] and [[embedAbtt]]:
+    * per-component means snapped to the 1e-6 grid, the snapped top
+    * component, the Rayleigh eigenvalue, and n — or None on an empty
+    * corpus. One Gramian scan (per-partition d×d accumulators) + the
+    * driver-side 3-round power iteration.
+    */
+  private def pcaModel(emb: DataFrame, d: Int)
+      : Option[(Array[Double], Array[Double], Double, Long)] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     def snap(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
     val parts = emb
       .filter(col("embedding").isNotNull)
@@ -393,11 +483,7 @@ object Similarity {
       while (i < d) { m(i) += mu(i); i += 1 }
       n += pn
     }
-    // empty corpus: no Gramian exists — emit no component rather than
-    // 64 rows of NaN (the anisotropy guard's driver-side twin)
-    if (n == 0L)
-      return Seq.empty[(Int, Double, Double)]
-        .toDF("dim_i", "loading", "lambda")
+    if (n == 0L) return None
     val c = Array.tabulate(d, d)((i, j) =>
       snap(s(i * d + j) / n - (m(i) / n) * (m(j) / n)))
     var x = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -408,10 +494,8 @@ object Similarity {
     }
     val cx = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * x(j)).sum)
     val lambda = (0 until d).map(i => x(i) * cx(i)).sum
-    (0 until d).map(i => (i, x(i), lambda)).toDF("dim_i", "loading", "lambda")
-      .select(col("dim_i"), round(col("loading"), 6).as("loading"),
-        round(col("lambda"), 4).as("lambda"))
-      .orderBy("dim_i")
+    val mus = Array.tabulate(d)(i => snap(m(i) / n))
+    Some((mus, x, lambda, n))
   }
 
   /** Corpus-balance clustering report — the curation-side reuse of the
@@ -2078,6 +2162,58 @@ object Similarity {
        |  JOIN embeddings e ON b.vec_id = e.vec_id
        |  JOIN q qq ON qq.query_id = b.query_id)""".stripMargin
 
+  /** PCA model replay shared by the embed_pca / embed_abtt oracles:
+    * raw moment sums (`s`, `m`), snapped covariance (`cv`), the three
+    * power rounds (x0 → x3, each normalize + 1e-6 snap), Rayleigh
+    * eigenvalue (`lam`). Folds are j-ordered list sums — the driver
+    * loop's ascending-index accumulation, replayed.
+    */
+  private val duckPcaCtes: String = {
+    def pcaIter(xk: String, y: String, xn: String): String =
+      s"""$y AS MATERIALIZED (
+         |  SELECT cv.i,
+         |    list_aggregate(list(cv.c * x.x ORDER BY cv.j), 'sum') AS y
+         |  FROM cv JOIN $xk x ON cv.j = x.i GROUP BY cv.i),
+         |${y}n AS (
+         |  SELECT sqrt(list_aggregate(
+         |    list_transform(list(y ORDER BY i), v -> v * v), 'sum')) AS nrm
+         |  FROM $y),
+         |$xn AS MATERIALIZED (
+         |  SELECT i, floor((y / nrm) * 1e6 + 0.5) / 1e6 AS x
+         |  FROM $y, ${y}n)""".stripMargin
+    s"""s AS MATERIALIZED (
+       |  SELECT i.i AS i, j.j AS j,
+       |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)
+       |        * CAST(e.embedding[CAST(j.j AS INTEGER)] AS DOUBLE)) AS sij
+       |  FROM embeddings e, range(1, 65) i(i), range(1, 65) j(j)
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY 1, 2),
+       |m AS MATERIALIZED (
+       |  SELECT i.i AS i,
+       |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)) AS si,
+       |    count(*) AS n
+       |  FROM embeddings e, range(1, 65) i(i)
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY 1),
+       |cv AS MATERIALIZED (
+       |  SELECT s.i, s.j,
+       |    floor((s.sij / mi.n - (mi.si / mi.n) * (mj.si / mj.n)) * 1e6
+       |          + 0.5) / 1e6 AS c
+       |  FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i),
+       |x0 AS (SELECT i.i AS i, CAST(0.125 AS DOUBLE) AS x
+       |       FROM range(1, 65) i(i)),
+       |${pcaIter("x0", "y1", "x1")},
+       |${pcaIter("x1", "y2", "x2")},
+       |${pcaIter("x2", "y3", "x3")},
+       |cx AS (
+       |  SELECT cv.i,
+       |    list_aggregate(list(cv.c * x.x ORDER BY cv.j), 'sum') AS y
+       |  FROM cv JOIN x3 x ON cv.j = x.i GROUP BY cv.i),
+       |lam AS (
+       |  SELECT list_aggregate(list(x3.x * cx.y ORDER BY x3.i), 'sum') AS l
+       |  FROM x3 JOIN cx ON x3.i = cx.i)""".stripMargin
+  }
+
   /** Full-interaction maxsim replay ending at `mscore` (query_id,
     * doc_id, sim): query tokens, per-(token, doc) max, fixed-qt-order
     * sum (the left-fold parenthesization matches the Spark reduce).
@@ -2214,6 +2350,7 @@ object Similarity {
     "embed_anisotropy" -> (embedAnisotropy _),
     "embed_pca" -> (embedPca _),
     "mine_hard_negatives" -> (mineHardNegatives _),
+    "embed_abtt" -> (embedAbtt _),
     "ann_recall_binary" -> (annRecallBinary _),
     "ann_recall_binary_r" -> (annRecallBinaryR _),
     "ann_tune_r" -> (annTuneR _),
@@ -3138,55 +3275,77 @@ object Similarity {
     // Gramian + power-iteration replay: raw moment sums, snapped
     // covariance, x0 = 0.125, three (matrix-vector, normalize, snap)
     // rounds as j-ordered list folds, Rayleigh eigenvalue
-    "embed_pca" -> {
-      def pcaIter(xk: String, y: String, xn: String): String =
-        s"""$y AS MATERIALIZED (
-           |  SELECT cv.i,
-           |    list_aggregate(list(cv.c * x.x ORDER BY cv.j), 'sum') AS y
-           |  FROM cv JOIN $xk x ON cv.j = x.i GROUP BY cv.i),
-           |${y}n AS (
-           |  SELECT sqrt(list_aggregate(
-           |    list_transform(list(y ORDER BY i), v -> v * v), 'sum')) AS nrm
-           |  FROM $y),
-           |$xn AS MATERIALIZED (
-           |  SELECT i, floor((y / nrm) * 1e6 + 0.5) / 1e6 AS x
-           |  FROM $y, ${y}n)""".stripMargin
-      s"""WITH s AS MATERIALIZED (
-         |  SELECT i.i AS i, j.j AS j,
-         |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)
-         |        * CAST(e.embedding[CAST(j.j AS INTEGER)] AS DOUBLE)) AS sij
-         |  FROM embeddings e, range(1, 65) i(i), range(1, 65) j(j)
-         |  WHERE e.embedding IS NOT NULL
-         |  GROUP BY 1, 2),
-         |m AS MATERIALIZED (
-         |  SELECT i.i AS i,
-         |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)) AS si,
-         |    count(*) AS n
-         |  FROM embeddings e, range(1, 65) i(i)
-         |  WHERE e.embedding IS NOT NULL
-         |  GROUP BY 1),
-         |cv AS MATERIALIZED (
-         |  SELECT s.i, s.j,
-         |    floor((s.sij / mi.n - (mi.si / mi.n) * (mj.si / mj.n)) * 1e6
-         |          + 0.5) / 1e6 AS c
-         |  FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i),
-         |x0 AS (SELECT i.i AS i, CAST(0.125 AS DOUBLE) AS x
-         |       FROM range(1, 65) i(i)),
-         |${pcaIter("x0", "y1", "x1")},
-         |${pcaIter("x1", "y2", "x2")},
-         |${pcaIter("x2", "y3", "x3")},
-         |cx AS (
-         |  SELECT cv.i,
-         |    list_aggregate(list(cv.c * x.x ORDER BY cv.j), 'sum') AS y
-         |  FROM cv JOIN x3 x ON cv.j = x.i GROUP BY cv.i),
-         |lam AS (
-         |  SELECT list_aggregate(list(x3.x * cx.y ORDER BY x3.i), 'sum') AS l
-         |  FROM x3 JOIN cx ON x3.i = cx.i)
+    "embed_pca" ->
+      s"""WITH $duckPcaCtes
          |SELECT CAST(x3.i - 1 AS INTEGER) AS dim_i,
          |  round(x3.x, 6) AS loading,
          |  round(lam.l, 4) AS lambda
-         |FROM x3, lam ORDER BY dim_i""".stripMargin
-    },
+         |FROM x3, lam ORDER BY dim_i""".stripMargin,
+    // all-but-the-top replay: the pca model chain, per-vector center →
+    // project → remove → re-normalize (exact IEEE ops on the snapped
+    // μ/x model), then BOTH anisotropy legs via the sum-vector identity
+    "embed_abtt" ->
+      s"""WITH $duckPcaCtes,
+         |mus AS MATERIALIZED (
+         |  SELECT i, floor((si / n) * 1e6 + 0.5) / 1e6 AS mu FROM m),
+         |ve AS MATERIALIZED (
+         |  SELECT e.vec_id, i.i AS i,
+         |    CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE) - mus.mu AS c
+         |  FROM embeddings e, range(1, 65) i(i), mus
+         |  WHERE mus.i = i.i AND e.embedding IS NOT NULL),
+         |pj AS MATERIALIZED (
+         |  SELECT ve.vec_id,
+         |    list_aggregate(list(ve.c * x.x ORDER BY ve.i), 'sum') AS p
+         |  FROM ve JOIN x3 x ON ve.i = x.i GROUP BY ve.vec_id),
+         |vw AS MATERIALIZED (
+         |  SELECT ve.vec_id, ve.i, ve.c - pj.p * x.x AS w
+         |  FROM ve JOIN pj ON ve.vec_id = pj.vec_id
+         |  JOIN x3 x ON ve.i = x.i),
+         |vn AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(list_aggregate(
+         |    list_transform(list(w ORDER BY i), v -> v * v), 'sum')) AS nr
+         |  FROM vw GROUP BY vec_id),
+         |vu AS MATERIALIZED (
+         |  SELECT vw.vec_id, vw.i,
+         |    CASE WHEN vn.nr > 0 THEN vw.w / vn.nr
+         |         ELSE CAST(0.0 AS DOUBLE) END AS u
+         |  FROM vw JOIN vn ON vw.vec_id = vn.vec_id),
+         |compb AS (
+         |  SELECT i, sum(CAST(x AS DOUBLE)) AS sc
+         |  FROM (SELECT unnest(embedding) AS x,
+         |               generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings WHERE embedding IS NOT NULL)
+         |  GROUP BY i),
+         |s2b AS (
+         |  SELECT list_aggregate(
+         |    list_transform(list(sc ORDER BY i), v -> v * v), 'sum') AS s2
+         |  FROM compb),
+         |baseb AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |         sum(${duckDot("embedding", "embedding")}) AS sumn2
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |compa AS (SELECT i, sum(u) AS sc FROM vu GROUP BY i),
+         |s2a AS (
+         |  SELECT list_aggregate(
+         |    list_transform(list(sc ORDER BY i), v -> v * v), 'sum') AS s2
+         |  FROM compa),
+         |basea AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(n2) AS sumn2
+         |  FROM (SELECT vec_id, list_aggregate(
+         |          list_transform(list(u ORDER BY i), v -> v * v), 'sum')
+         |            AS n2
+         |        FROM vu GROUP BY vec_id))
+         |SELECT CAST(baseb.n AS BIGINT) AS n_vectors,
+         |  round(lam.l, 4) AS lambda_removed,
+         |  CASE WHEN baseb.n > 1
+         |       THEN round((s2b.s2 - baseb.sumn2)
+         |                  / (baseb.n * (baseb.n - 1)), 6) END
+         |    AS aniso_before,
+         |  CASE WHEN basea.n > 1
+         |       THEN round((s2a.s2 - basea.sumn2)
+         |                  / (basea.n * (basea.n - 1)), 6) END
+         |    AS aniso_after
+         |FROM baseb, s2b, basea, s2a, lam""".stripMargin,
     // sum-vector identity replay: componentwise sums, index-ordered
     // square fold, the same two scalars
     "embed_anisotropy" ->

@@ -1279,6 +1279,23 @@ class NewOpsSpec extends SparkSpec {
     assert(math.abs(norm2 - 1.0) < 1e-3, s"loading norm^2 $norm2")
   }
 
+  test("embed_abtt: removed eigenvalue equals embed_pca's; anisotropy drops to the centered-identity value") {
+    val row = Similarity.embedAbtt(spark, dir).collect().head
+    val n = row.getLong(0)
+    val lambda = row.getDouble(1)
+    val before = row.getDouble(2)
+    val after = row.getDouble(3)
+    val pcaLambda = Similarity.embedPca(spark, dir)
+      .select(col("lambda")).distinct().collect().head.getDouble(0)
+    assert(lambda == pcaLambda, s"abtt $lambda vs pca $pcaLambda")
+    // centering forces the sum vector to ~0, so the expected pairwise
+    // cosine of the re-normalized vectors sits at ~ -1/(n-1) — the
+    // analytic identity, measured (and strictly below the raw value)
+    assert(after < before, s"after $after not below before $before")
+    assert(math.abs(after - (-1.0 / (n - 1))) < 5e-4,
+      s"after $after vs centered identity ${-1.0 / (n - 1)}")
+  }
+
   test("embed_anisotropy: identical vectors measure 1.0, an orthonormal set measures 0.0") {
     def frame(vs: Seq[Array[Float]]) =
       vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
