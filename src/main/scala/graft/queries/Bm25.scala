@@ -68,8 +68,55 @@ object Bm25 {
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
       cols: _*)
 
+  // Collected top-K retrieval legs per (session, dir) — the replayIds
+  // discipline (VERDICT r17 #3): bm25_topk, hybrid_rrf and
+  // hybrid_minmax all consume the SAME two ranked legs (fusion differs,
+  // the legs don't), and each leg is ≤ queries × K = 120 rows — the
+  // same volume a broadcast would ship through the driver — so the
+  // first caller pays the leg build and every later query re-plants
+  // the rows as a LocalRelation instead of re-running retrieval.
+  // Weakly session-keyed (SessionMemo): a strong key would pin the
+  // session and void every other weak memo (the round-13 find).
+  private val legMemo =
+    new graft.SessionMemo[(String, String), Array[(String, Long, Double, Int)]]
+
+  private def legFrame(spark: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = legMemo.computeIfAbsent(spark, (dir, tag)) {
+      build.as[(String, Long, Double, Int)].collect()
+        .sortBy(t => (t._1, t._4))
+    }
+    rows.toSeq.toDF("query_id", "doc_id", "score", "rank")
+  }
+
+  /** BM25 top-K leg (query_id, doc_id, score, rank ≤ K) — built once
+    * per (session, dir). */
+  private def bm25Leg(spark: SparkSession, dir: String): DataFrame =
+    legFrame(spark, dir, "bm") {
+      val docs = docsOf(spark, dir)
+      bm25Ranked(docs, toksOf(docs))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("doc_id").cast("long"),
+          col("score"), col("rank"))
+    }
+
+  /** Cosine top-K leg (query_id, doc_id, cos score, r_cos ≤ K) — built
+    * once per (session, dir). */
+  private def cosLeg(spark: SparkSession, dir: String): DataFrame =
+    legFrame(spark, dir, "cos") {
+      val docs = docsOf(spark, dir)
+      cosRanked(docs, toksOf(docs))
+        .filter(col("r_cos") <= K)
+        .select(col("query_id"), col("doc_id").cast("long"),
+          col("cos"), col("r_cos"))
+    }
+
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25TopKOf(docsOf(spark, dir))
+    bm25Leg(spark, dir)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+      .orderBy("query_id", "rank")
 
   /** BM25 top-k over any documents table (doc_id, text) — the operator
     * behind [[bm25TopK]]; also driven by the Soak scaling harness.
@@ -134,14 +181,10 @@ object Bm25 {
     * rank inputs inherit the BM25/embed_hash determinism contracts.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsOf(spark, dir)
-    val toks = toksOf(docs) // tokenize runs off the cached docs partitions
-    val bm = bm25Ranked(docs, toks)
-      .filter(col("rank") <= K)
+    val bm = bm25Leg(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_bm"))
-    val cosTop = cosRanked(docs, toks)
-      .filter(col("r_cos") <= K)
-      .select(col("query_id"), col("doc_id"), col("r_cos"))
+    val cosTop = cosLeg(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_cos"))
 
     val fused = bm.join(cosTop, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
@@ -208,21 +251,17 @@ object Bm25 {
     */
   def hybridMinmax(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = docsOf(spark, dir)
-    val toks = toksOf(docs)
-    def normed(top: DataFrame, score: String, out: String): DataFrame = {
+    def normed(top: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy(col("query_id"))
-      top.withColumn("mn", min(col(score)).over(w))
-        .withColumn("mx", max(col(score)).over(w))
+      top.withColumn("mn", min(col("score")).over(w))
+        .withColumn("mx", max(col("score")).over(w))
         .select(col("query_id"), col("doc_id"),
           when(col("mx") > col("mn"),
-            (col(score) - col("mn")) / (col("mx") - col("mn")))
+            (col("score") - col("mn")) / (col("mx") - col("mn")))
             .otherwise(lit(1.0)).as(out))
     }
-    val bm = normed(bm25Ranked(docs, toks).filter(col("rank") <= K),
-      "score", "nb")
-    val cs = normed(cosRanked(docs, toks).filter(col("r_cos") <= K),
-      "cos", "nc")
+    val bm = normed(bm25Leg(spark, dir), "nb")
+    val cs = normed(cosLeg(spark, dir), "nc")
     val fused = bm.join(cs, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("fscore",
         (coalesce(col("nb"), lit(0.0)) + coalesce(col("nc"), lit(0.0))) / 2)

@@ -282,7 +282,12 @@ object Similarity {
     */
   def embedAbtt(spark: SparkSession, dir: String): DataFrame = {
     val d = 64
-    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    // dimension filter beside the null filter: the typed transform map
+    // below indexes v(0..63) and would throw on a short vector (ADVICE
+    // r17) — wrong-dimension rows are excluded from BOTH the transform
+    // and the anisotropy legs, so before/after stay over the same set
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
     val before = embedAnisotropyOf(emb)
       .select(col("n_vectors"), col("avg_pairwise_cos").as("aniso_before"))
     pcaModel(emb, d) match {
@@ -454,7 +459,12 @@ object Similarity {
     import spark.implicits._
     def snap(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
     val parts = emb
-      .filter(col("embedding").isNotNull)
+      // the accumulation loop indexes v(0..d-1): a short vector would
+      // throw ArrayIndexOutOfBoundsException and fail the whole job,
+      // unlike the Catalyst paths (Vec.dot min-lengths, posexplode
+      // yields what exists) — degrade identically by dropping
+      // wrong-dimension rows (ADVICE r17; embed_contract reports them)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
       .select(col("embedding")).as[Array[Float]]
       .mapPartitions { it =>
         val acc = Array.ofDim[Double](d * d)
@@ -490,6 +500,11 @@ object Similarity {
     for (_ <- 1 to 3) {
       val y = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * x(j)).sum)
       val nrm = math.sqrt((0 until d).map(i => y(i) * y(i)).sum)
+      // zero-covariance corpus (all vectors identical): y = Cx = 0, so
+      // the normalize would mint NaN loadings that propagate into
+      // embed_pca/embed_abtt output — treat it as "no component exists"
+      // (ADVICE r17; the empty-corpus branch's degenerate twin)
+      if (nrm == 0.0) return None
       x = y.map(v => snap(v / nrm))
     }
     val cx = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * x(j)).sum)

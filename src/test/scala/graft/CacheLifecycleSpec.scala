@@ -21,6 +21,10 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(cachedRddCount == 0)
 
     graft.queries.Bm25.bm25TopK(spark, dir).count()
+    // the fusion pair consumes the memoized retrieval legs (VERDICT
+    // r17 #3) — repeated fusions must not re-park anything
+    graft.queries.Bm25.hybridRrf(spark, dir).count()
+    graft.queries.Bm25.hybridMinmax(spark, dir).count()
     graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
     graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
     graft.queries.Similarity.annRecall(spark, dir).count()
@@ -55,6 +59,8 @@ class CacheLifecycleSpec extends SparkSpec {
     var afterFirst = 0
     for (it <- 1 to 3) {
       graft.queries.Bm25.bm25TopK(spark, dir).count()
+      graft.queries.Bm25.hybridRrf(spark, dir).count()
+      graft.queries.Bm25.hybridMinmax(spark, dir).count()
       graft.queries.DedupQueries.dedupMinhashLsh(spark, dir).count()
       graft.queries.DedupQueries.dedupNgramJaccard(spark, dir).count()
       graft.queries.Similarity.annRecall(spark, dir).count()

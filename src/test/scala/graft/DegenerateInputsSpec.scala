@@ -332,6 +332,24 @@ class DegenerateInputsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("PCA survives a constant corpus and wrong-dimension vectors") {
+    // constant corpus: zero covariance -> Cx = 0 on the first power
+    // round -> the normalize would mint NaN loadings (ADVICE r17);
+    // pcaModel must treat nrm = 0 as "no component exists"
+    val const = (0L until 5L).map(i => (i, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    assert(graft.queries.Similarity.embedPcaOf(const, 64).collect().isEmpty)
+    // a short vector must be DROPPED (the Catalyst paths' graceful
+    // degradation), not throw ArrayIndexOutOfBoundsException in the
+    // Gramian loop — the remaining 64-dim rows still yield a component
+    val mixed = (Seq((0L, Array.fill(3)(1.0f))) ++
+        (1L until 6L).map(i => (i, Array.tabulate(64)(j =>
+          if (j == 0) i.toFloat else 0.1f))))
+      .toDF("vec_id", "embedding")
+    val rows = graft.queries.Similarity.embedPcaOf(mixed, 64).collect()
+    assert(rows.length == 64 && rows.forall(r => !r.getDouble(1).isNaN))
+  }
+
   test("audio resample: sub-outFrames sources repeat frames rather than failing") {
     import graft.multimodal.{MediaFixtures, Multimodal}
     // 3 frames resampled UP to 8: out[j] = sample[j*3/8] — indexes
