@@ -117,5 +117,47 @@ final class FrameMemo[K] {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The memoized frame if one is registered AND its view still
+    * resolves — None otherwise (never builds). The index-maintenance
+    * hook: an updater only touches artifacts that exist.
+    */
+  def peek(spark: SparkSession, key: K): Option[org.apache.spark.sql.DataFrame] = {
+    val m = names.entries(spark)
+    val n = m.get(key)
+    if (n == null) None
+    else
+      try Some(spark.table(n))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** REPLACE the memoized frame for `key` (registering a fresh view) —
+    * the incremental-maintenance write path: an upsert/delete updates
+    * one collection's artifact in place of the old one. The superseded
+    * view is dropped; concurrent readers holding the old DataFrame
+    * keep working (the plan outlives the catalog entry).
+    */
+  def put(spark: SparkSession, key: K)(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val m = names.entries(spark)
+    val n = "graft_memo_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    df.createOrReplaceTempView(n)
+    val prev = m.put(key, n)
+    if (prev != null)
+      try spark.catalog.dropTempView(prev): Unit
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
+  /** Forget the memoized frame for `key` (dropping its view) — the
+    * invalidation hook for destructive rewrites (collection drop /
+    * recreate): a stale artifact must not serve a replaced dataset.
+    */
+  def drop(spark: SparkSession, key: K): Unit = {
+    val n = names.entries(spark).remove(key)
+    if (n != null)
+      try spark.catalog.dropTempView(n): Unit
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
   private[graft] def liveSessions: Int = names.liveSessions
 }

@@ -3,7 +3,44 @@ package graft.index
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.search.Knn
+import graft.search.{Knn, NnGraph}
+
+/** Per-collection graph-index state shared by every [[VectorStore]]
+  * instance over the same path: the serving contract is PER COLLECTION
+  * (the reference holds one Qdrant collection — one HNSW — per
+  * strategy×model pair, src/vector_db.py:22-26), so artifacts key on
+  * (store path, collection) and maintenance on one collection can
+  * never touch another's graph.
+  */
+object VectorStore {
+  // artifact memo: weakly session-keyed (FrameMemo — the DataFrame
+  // value must not pin the session), inner key = (basePath, collection)
+  private val graphMemo = new graft.FrameMemo[(String, String)]
+
+  // FULL-build census per (store, collection) — the spec hook proving
+  // upsert/delete maintain incrementally: maintenance must never bump
+  // a collection's count, and collection A's maintenance must never
+  // bump B's
+  private val graphBuilds = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.AtomicLong]
+  private def bump(key: (String, String)): Unit = {
+    graphBuilds.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet(): Unit
+  }
+  private[graft] def graphBuildsOf(base: String, name: String): Long = {
+    val c = graphBuilds.get((base, name))
+    if (c == null) 0L else c.get()
+  }
+
+  // graph parameters — the graph family's production rung (NN-descent
+  // k=10 over 3 rounds, beam 16 over 4 rounds, 16 md5-ranked seeds)
+  val GraphK = 10
+  val NndIters = 3
+  val BeamWidth = 16
+  val BeamIters = 4
+  val NndSample = 16
+}
 
 /** Partitioned-parquet vector store — the Spark restatement of the
   * reference's embedded Qdrant manager (reference: src/vector_db.py).
@@ -45,6 +82,9 @@ class VectorStore(spark: SparkSession, basePath: String) {
     spark.createDataFrame(withId, schema)
       .write.mode("overwrite")
       .parquet(s"$basePath/collection=$name")
+    // recreate-on-exists semantics: a replaced dataset invalidates any
+    // memoized graph artifact (the next graphSearch rebuilds fresh)
+    VectorStore.graphMemo.drop(spark, gkey(name))
   }
 
   /** V3: exact cosine top-k within one collection (vector_db.py:93-119). */
@@ -52,18 +92,52 @@ class VectorStore(spark: SparkSession, basePath: String) {
     Knn.bruteForceTopK(read(collection), queries, k, idCol = "id")
       .withColumnRenamed("vec_id", "id")
 
+  private def gkey(name: String): (String, String) = (basePath, name)
+
+  private def asIndex(df: DataFrame): DataFrame =
+    df.select(col("id").as("vec_id"), col("embedding"))
+
+  /** The collection's NN-descent graph artifact: full-built on first
+    * use (ONE build per collection — [[VectorStore.graphBuildsOf]]
+    * counts them), then kept current INCREMENTALLY by
+    * [[upsertPoints]]/[[deletePoints]] (HNSW insert/delete, never a
+    * rebuild). Keyed (store path, collection): maintenance on one
+    * collection cannot touch another's artifact.
+    */
+  def graphOf(name: String): DataFrame =
+    VectorStore.graphMemo.computeIfAbsent(spark, gkey(name)) {
+      VectorStore.bump(gkey(name))
+      NnGraph.buildGraph(asIndex(read(name)), VectorStore.GraphK,
+        VectorStore.NndIters, VectorStore.NndSample)
+    }
+
+  /** V3's graph-index path: beam search over THIS collection's
+    * artifact — the per-collection serving contract of the reference's
+    * store (one HNSW per Qdrant collection, src/vector_db.py:22-54).
+    * `queries` carries (query_id, qvec); output (query_id, rank, id).
+    */
+  def graphSearch(name: String, queries: DataFrame, k: Int): DataFrame =
+    NnGraph.graphTopK(asIndex(read(name)), graphOf(name), queries, k,
+        VectorStore.BeamWidth, VectorStore.BeamIters, VectorStore.NndSample)
+      .withColumnRenamed("vec_id", "id")
+
   /** Read one collection (partition-pruned). */
   def read(collection: String): DataFrame =
     spark.read.parquet(s"$basePath/collection=$collection")
 
-  /** V4: drop a collection. */
-  def deleteCollection(name: String): Unit = {
+  /** V4: drop a collection. Also forgets any graph artifact (a stale
+    * graph must never serve a recreated collection); the internal
+    * write-to-temp swaps pass `dropGraph = false` — their callers
+    * maintain the artifact incrementally instead.
+    */
+  def deleteCollection(name: String, dropGraph: Boolean = true): Unit = {
     val dir = new java.io.File(s"$basePath/collection=$name")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete(): Unit
     }
     if (dir.exists) rm(dir)
+    if (dropGraph) VectorStore.graphMemo.drop(spark, gkey(name))
   }
 
   /** Point-level DELETE within a collection — the other half of the
@@ -88,9 +162,20 @@ class VectorStore(spark: SparkSession, basePath: String) {
     val kept = df.filter(!col("id").isin(ids: _*))
     kept.write.mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
-    deleteCollection(name)
+    deleteCollection(name, dropGraph = false)
     if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
       throw new java.io.IOException(s"deletePoints: rename failed for $name")
+    // graph maintenance: if this collection serves a graph artifact,
+    // tombstone + bridge-repair it (NnGraph.deleteFromGraph) — never
+    // rebuild. The post-swap read IS the survivor table the repair
+    // scores against.
+    VectorStore.graphMemo.peek(spark, gkey(name)).foreach { g =>
+      import spark.implicits._
+      val del = ids.toDF("vec_id")
+      VectorStore.graphMemo.put(spark, gkey(name))(
+        NnGraph.deleteFromGraph(asIndex(read(name)), g, del,
+          VectorStore.GraphK))
+    }
     before - after
   }
 
@@ -108,9 +193,26 @@ class VectorStore(spark: SparkSession, basePath: String) {
     existing.join(rows.select(col("id")), Seq("id"), "left_anti")
       .unionByName(rows.select(existing.columns.map(col).toIndexedSeq: _*))
       .write.mode("overwrite").parquet(tmp)
-    deleteCollection(name)
+    deleteCollection(name, dropGraph = false)
     if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
       throw new java.io.IOException(s"upsertPoints: rename failed for $name")
+    // graph maintenance (HNSW update = delete + insert): tombstone
+    // every upserted id (replaced points forget their stale edges;
+    // tombstoning an absent id is a no-op), then insert all upserted
+    // rows as new nodes via search-then-connect — never a rebuild, and
+    // never another collection's artifact.
+    VectorStore.graphMemo.peek(spark, gkey(name)).foreach { g =>
+      val upIds = rows.select(col("id").as("vec_id"))
+      val g1 = NnGraph.deleteFromGraph(asIndex(read(name)), g, upIds,
+        VectorStore.GraphK)
+      val base = read(name)
+        .join(rows.select(col("id")), Seq("id"), "left_anti")
+      VectorStore.graphMemo.put(spark, gkey(name))(
+        NnGraph.insertIntoGraph(asIndex(base), g1,
+          rows.select(col("id").as("vec_id"), col("embedding")),
+          VectorStore.GraphK, VectorStore.BeamWidth,
+          VectorStore.BeamIters, VectorStore.NndSample))
+    }
   }
 
   /** V5: list collections (catalog listing / SHOW PARTITIONS analog). */
@@ -140,7 +242,9 @@ class VectorStore(spark: SparkSession, basePath: String) {
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    deleteCollection(name)
+    // layout-only rewrite: contents are row-identical, so any graph
+    // artifact stays valid — keep it
+    deleteCollection(name, dropGraph = false)
     if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
       throw new java.io.IOException(s"compact: rename failed for $name")
   }

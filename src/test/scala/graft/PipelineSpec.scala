@@ -92,6 +92,64 @@ class VectorStoreSpec extends SparkSpec {
     assert(byId(0L) == "original doc 0")
   }
 
+  test("per-collection graph artifacts: maintenance on A never rebuilds A or touches B") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-graph").toString
+    val store = new VectorStore(spark, base)
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def rows(pfx: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, s"$pfx doc $i", HashingEmbedder.embed(s"$pfx doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    store.createCollection("a", rows("alpha", 30), "row_order")
+    store.createCollection("b", rows("beta", 30), "row_order")
+
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+
+    // first search per collection pays exactly ONE full build each
+    assert(store.graphSearch("a", q("alpha doc 3"), 3).collect().nonEmpty)
+    assert(store.graphSearch("b", q("beta doc 3"), 3).collect().nonEmpty)
+    assert(VectorStore.graphBuildsOf(base, "a") == 1L)
+    assert(VectorStore.graphBuildsOf(base, "b") == 1L)
+    val bBefore = store.graphSearch("b", q("beta doc 3"), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    // upsert into A: incremental insert — no rebuild of A, B untouched
+    val up = Seq((50L, "alpha brand new",
+        HashingEmbedder.embed("alpha brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order")
+    store.upsertPoints("a", up)
+    assert(VectorStore.graphBuildsOf(base, "a") == 1L,
+      "upsert must maintain incrementally, not rebuild")
+    assert(VectorStore.graphBuildsOf(base, "b") == 1L,
+      "maintenance on A must never touch B")
+    // the inserted point is served from A's updated artifact (a query
+    // AT the new vector finds it at rank 1 — self-similarity is max)
+    val hit = store.graphSearch("a", q("alpha brand new"), 3)
+      .orderBy("rank").collect()
+    assert(hit.head.getAs[Long]("id") == 50L,
+      s"inserted point not served: ${hit.toSeq}")
+
+    // delete from A: incremental tombstone — the id can never return
+    assert(store.deletePoints("a", Seq(50L)) == 1L)
+    assert(VectorStore.graphBuildsOf(base, "a") == 1L,
+      "delete must maintain incrementally, not rebuild")
+    val after = store.graphSearch("a", q("alpha brand new"), 10)
+      .collect().map(_.getAs[Long]("id"))
+    assert(after.nonEmpty && !after.contains(50L))
+
+    // B's artifact was never rebuilt or modified: identical serving
+    val bAfter = store.graphSearch("b", q("beta doc 3"), 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(bAfter == bBefore, "B's graph changed under A's maintenance")
+    assert(VectorStore.graphBuildsOf(base, "b") == 1L)
+
+    // recreate-on-exists invalidates: a fresh dataset rebuilds fresh
+    store.createCollection("a", rows("gamma", 10), "row_order")
+    assert(store.graphSearch("a", q("gamma doc 1"), 3).collect().nonEmpty)
+    assert(VectorStore.graphBuildsOf(base, "a") == 2L,
+      "recreated collection must rebuild, not serve the stale artifact")
+  }
+
   test("compact rewrites the file layout without changing a row") {
     val base = java.nio.file.Files.createTempDirectory("vstore-compact").toString
     val store = new VectorStore(spark, base)
