@@ -21,7 +21,12 @@ import graft.model.Document
   * aggregation + watermark covers late event data; sessionization uses
   * explicit keyed state.
   */
-object Streams {
+// extends Serializable: typed-closure bodies calling sibling helpers
+// (md5hex/bloomBandKeys from bloomIngestStream's flatMap) compile to
+// `this.helper(...)` and capture the object — stateless, so shipping
+// it is free, and the alternative (re-binding every helper as a local
+// function) re-litigates this on every new operator
+object Streams extends Serializable {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -175,6 +180,91 @@ object Streams {
             out.result().iterator
           }
       }
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** One document's (band, md5 band key) pairs — [[bandKeys]] with the
+    * batch chain's md5 band-key encoding (`Dedup.lshBands` emits
+    * md5(pipe-joined signature slice)), so a streaming key equals the
+    * batch key for identical text.
+    */
+  private[graft] def bloomBandKeys(content: String, numHashes: Int,
+      rowsPerBand: Int): Seq[(Int, String)] =
+    bandKeys(content, numHashes, rowsPerBand).map { k =>
+      val Array(band, vals) = k.split(":", 2)
+      (band.toInt, md5hex(vals))
+    }
+
+  /** Stream-static Bloom near-dup screen — the streaming lift of the
+    * batch ingest screen (`DedupQueries.dedupBloomIngest`): the
+    * accumulated corpus ships only (a) its m-bit Bloom set of MinHash
+    * band keys — collected here into a 2 KB closure from `existing`,
+    * the one corpus-sized artifact that reaches executors — and
+    * (b) the exact (band, bkey) table the verify join probes. Each
+    * incoming document computes its band keys ROW-LOCALLY (the
+    * [[bandKeys]] construction with the batch md5 key encoding),
+    * probes the bit set map-side, and only bloom-POSITIVE keys reach
+    * the stream-static verify join (the batch screen's runtime-filter
+    * contract, unchanged). Output per screened document: (doc_id,
+    * n_bloom_pos, n_shared_bands, is_near_dup), exactly the batch
+    * columns.
+    *
+    * Batching can NEVER matter: everything upstream of the final
+    * per-document aggregate is stateless row-local work against the
+    * static side, and a document's band rows all ride its own
+    * micro-batch — so any micro-batch split yields the identical
+    * screen (the dedupStream associativity discipline; spec-proved
+    * against the batch operator). Run in update mode; per-document
+    * aggregate state is one row per screened doc (a deployment windows
+    * the ingest day and ages it out by watermark). Documents with no
+    * bands (< 3 tokens) are not screened — the batch contract.
+    */
+  def bloomIngestStream(docs: DataFrame, existing: DataFrame,
+      bloomBits: Int = 16384, bloomHashes: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nh = numHashes; val rpb = rowsPerBand
+    val m = bloomBits; val k = bloomHashes
+    def bitOf(i: Int, band: Int, bkey: String): Int =
+      Integer.parseInt(md5hex(s"bloom$i|$band|$bkey").substring(0, 4), 16) % m
+    // the corpus's Bloom set: k bit positions per existing band key,
+    // collected once into a bitset (m bits = 2 KB) — what a daily
+    // pipeline ships instead of the corpus
+    val bitSet = new java.util.BitSet(m)
+    existing.select(col("band").cast("int"), col("bkey"))
+      .distinct().as[(Int, String)].collect()
+      .foreach { case (b, key) =>
+        (0 until k).foreach(i => bitSet.set(bitOf(i, b, key)))
+      }
+    val positive = docs
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val keys = bloomBandKeys(text, nh, rpb)
+        val pos = keys.filter { case (b, key) =>
+          (0 until k).forall(i => bitSet.get(bitOf(i, b, key)))
+        }
+        // the sentinel keeps zero-positive (but banded) docs in the
+        // screen output, as the batch spine does
+        if (keys.isEmpty) Iterator.empty
+        else Iterator.single((id, -1, "", 0)) ++
+          pos.iterator.map { case (b, key) => (id, b, key, 1) }
+      }
+      .toDF("doc_id", "band", "bkey", "probe")
+    positive
+      .join(existing.select(col("band").cast("int"), col("bkey"))
+        .distinct().withColumn("shared", lit(1)),
+        Seq("band", "bkey"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("probe")).as("n_bloom_pos"),
+        sum(coalesce(col("shared"), lit(0))).cast("long")
+          .as("n_shared_bands"))
+      .select(col("doc_id"), col("n_bloom_pos"),
+        col("n_shared_bands"),
+        when(col("n_shared_bands") > 0, 1).otherwise(0).as("is_near_dup"))
   }
 
   /** Keyed sessionization with explicit state: a session closes after

@@ -955,6 +955,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bloom ingest screen: stream equals batch under any micro-batch split") {
+    // even docs = the accumulated corpus, odd docs = the incoming batch
+    // (the batch operator's split); doc 1 republishes doc 0, doc 5
+    // republishes doc 2, doc 3 is clean
+    val texts = Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight nine",
+      3L -> "unrelated words entirely different content here now",
+      4L -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+      5L -> "one two three four five six seven eight nine")
+    val docs = texts.toDF("doc_id", "text")
+    val expected = graft.queries.DedupQueries.dedupBloomIngestOf(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(expected(1L)._3 == 1 && expected(5L)._3 == 1
+      && expected(3L)._3 == 0, s"fixture lost its signal: $expected")
+
+    // the static side the daily pipeline keeps: the corpus band table
+    import graft.dedup.Dedup
+    val existing = Dedup.lshBands(Dedup.minhash(
+        Dedup.shingleSet(docs.filter($"doc_id" % 2 === 0), "doc_id", "text"),
+        16), 4)
+      .select(col("band"), col("bkey")).distinct()
+
+    // incoming docs land one parquet file each — maxFilesPerTrigger=1
+    // then carves one micro-batch per document
+    val in = java.nio.file.Files.createTempDirectory("bloom-stream").toString
+    texts.filter(_._1 % 2 == 1).foreach { case (id, t) =>
+      Seq((id, t)).toDF("doc_id", "content")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+
+    var runId = 0
+    def run(maxFiles: Option[Int]): Map[Long, (Long, Long, Int)] = {
+      runId += 1
+      val name = s"bloom_screen_$runId"
+      val reader = spark.readStream.schema("doc_id LONG, content STRING")
+      val src = maxFiles.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n)).parquet(in)
+      val q = Streams.bloomIngestStream(src, existing)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toMap
+    }
+
+    val oneBatch = run(None)
+    val perDoc = run(Some(1))
+    // split-invariance AND batch equality over the incoming (odd) docs
+    assert(oneBatch == perDoc,
+      s"micro-batch split changed the screen: $oneBatch vs $perDoc")
+    assert(oneBatch == expected,
+      s"stream screen diverged from batch: $oneBatch vs $expected")
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
     Seq(
