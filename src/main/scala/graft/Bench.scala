@@ -33,33 +33,29 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-17 quiet-window measurement at the FINAL
-    * 217-query surface: 84.331 s min-of-clean-runs (load_avg
-    * [2.5, 2.3], contended=false; second clean 217 run 84.381 —
-    * ±0.06% agreement). The session ladder shows the level is window
-    * weather at fixed code: 77.726/78.309 s at 214 and
-    * 77.880/83.617 s at 216 earlier the same night, and the 77.88-run
-    * vs 84.38-run per-query comparison over the 216 shared queries
-    * spreads the 6.3 s delta thinly across the WHOLE surface (largest
-    * single mover 0.29 s — textrank; no code-attributable regression).
-    * The sixteen queries added after the 201-surface stamp
-    * (ann_graph_binary/ann_recall_graph_binary, retrieve_maxsim/
-    * retrieve_maxsim_ann/maxsim_recall, dedup_bloom_ingest,
-    * rag_context_pack, hybrid_minmax, pack_nosplit, tok_entropy,
-    * media_audio_resample, embed_anisotropy, embed_pca,
-    * mine_hard_negatives, pii_by_source, embed_abtt) price at ~6.2 s
-    * summed per-query (q_enc: hybrid_minmax 1.87 — it rebuilds both
-    * retrieval legs like hybrid_rrf's 1.80, fusion itself is cheap;
-    * ann_graph_binary 0.92; media_audio_resample 0.64; embed_abtt
-    * 0.25 AFTER the typed-map rewrite — the all-Catalyst HOF chain
-    * re-expanded per element under CollapseProject and measured
-    * 148.8 s, the winnow-planner blowup class caught by this bench;
-    * the rest ≤ 0.44 each).
-    * Mid-round history (same session): 75.600 s at 201 (pass totals
-    * 136.9/81.0/82.6; load [2.3, 2.9]) — the quiet-window RE-STAMP
-    * round-16 verdict #1 asked for (the r16 82.207 at 195 embedded a
-    * ~14% evening-window slowdown; ladder 72.853 at 199 / 78.633 at
-    * 198, both contended=false).
+    * Current value: round-18 measurement at the 220-query surface:
+    * 81.223 s min over FIVE same-morning contended=false runs
+    * (99.99 / 82.67 / 87.53 / 81.22 / 85.77 — loads all ≤ [2.6, 2.6];
+    * nearest confirming run 82.667, +1.8%; the 99.99 outlier's
+    * per-query diff vs the 81.22 run spreads thinly, largest mover
+    * 0.65 s — window weather, the r17 pattern). A sixth run AFTER the
+    * stamp measured 80.039 (contended=false, loads [2.3, 2.6]) —
+    * confirming the band from below; its artifact is the committed
+    * bench_full.json (clean_ref echo fields match these constants). The re-stamp closes
+    * r17 verdict #2 AND prices the round-18 changes: sharing the two
+    * ranked retrieval legs across bm25_topk/hybrid_rrf/hybrid_minmax
+    * bought back 5.3 s (1.96+1.84+1.52 per-query vs the r17
+    * artifact), and the three new queries cost 2.38 s summed
+    * (retrieve_maxsim_plaid 1.32 — it pays per-token beam walks over
+    * the shared graph artifact; ann_graph_collection 0.70 — two
+    * per-label builds in its memo window; embed_abtt_d 0.36 — one
+    * Gramian + three anisotropy rungs). Net: 220 queries at 81.2 vs
+    * 217 at 84.3.
+    * Round-17 history: 84.331 s at 217 (contended=false, confirm
+    * 84.381 ±0.06%; same-night quiet ladder 77.726/78.309 at 214,
+    * 77.880/83.617 at 216 — level steps were window weather, largest
+    * per-query mover 0.29 s). Mid-r17: 75.600 s at 201 (the
+    * quiet-window RE-STAMP round-16 verdict #1 asked for).
     * Measurement is at the DEFAULT SPARK_GRAFT_CPUS=4 (the driver's
     * own configuration — a 32-thread run measures a different machine
     * shape AND its warmup alone pushes the 1-min load past the gate;
@@ -73,8 +69,8 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 84.331
-  private[graft] val CleanRefQueries = 217
+  private[graft] val CleanRefTotal = 81.223
+  private[graft] val CleanRefQueries = 220
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order
@@ -96,6 +92,25 @@ object Bench {
 
   private[graft] def decodeCs(enc: String): Seq[Double] =
     enc.grouped(3).map(g => java.lang.Long.parseLong(g, 36) / 100.0).toSeq
+
+  /** Width-2 DECISECOND fallback channel (round-17 verdict #7): when
+    * the surface grows past what the 3-char centisecond string fits
+    * under the guard, per-query coverage degrades to 2 chars per query
+    * (0.1 s resolution, "zz" = 129.5 s saturation) instead of dropping
+    * the channel whole — regression detection keeps every entry at the
+    * resolution that still distinguishes real movers (the cross-run
+    * weather spread is ~0.1–0.3 s/query anyway). Decode:
+    * Integer.parseInt(group, 36) / 10.0.
+    */
+  private[graft] def encodeDs(results: Seq[(String, Double)]): String =
+    results.sortBy(_._1).map { case (_, v) =>
+      val ds = math.min(math.round(v * 10).max(0L), 36L * 36 - 1)
+      val s = java.lang.Long.toString(ds, 36)
+      "0" * (2 - s.length) + s
+    }.mkString
+
+  private[graft] def decodeDs(enc: String): Seq[Double] =
+    enc.grouped(2).map(g => java.lang.Long.parseLong(g, 36) / 10.0).toSeq
   // Locale.ROOT: f"%.3f" under a comma-decimal default locale (de_DE)
   // would emit 0,123 and break the machine-parseable line.
   private[graft] def fmtN(n: Int)(v: Double): String =
@@ -384,8 +399,22 @@ object Bench {
     }
     val withEnc = chooseFinalLine(results, finalRecordWith(qEncField),
       provFull, provHex, provWins)
+    val qEncDsField =
+      s""""q_enc":"${encodeDs(results)}","q_enc_doc":"min decisec b36 w2 alpha","""
+    lazy val withDs = chooseFinalLine(results, finalRecordWith(qEncDsField),
+      provFull, provHex, provWins)
     println(if (withEnc.length <= 1900) withEnc
-      else {
+      else if (withDs.length <= 1900) {
+        // width-2 decisecond fallback (round-17 verdict #7): full
+        // per-query coverage at 0.1 s resolution beats no channel at
+        // all — the 3-char centisecond string is in bench_full.json
+        System.err.println(
+          s"[bench] q_enc degraded to the width-2 decisecond channel:" +
+            s" the centisecond string (${qEncField.length} chars)" +
+            " overflowed the 1900-char guard — full precision is in" +
+            " bench_full.json")
+        withDs
+      } else {
         // loud, not silent (ADVICE r16): dropping q_enc whole loses the
         // stdout channel's round-over-round per-query telemetry — the
         // lossless record still lands in bench_full.json, but consumers

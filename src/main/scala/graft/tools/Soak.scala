@@ -335,6 +335,21 @@ object Soak {
         graft.search.Knn.maxsimTopKCandidates(maxsimDocs, maxsimQ, cands,
           10, 4).count()
       }
+      // PLAID-shaped maxsim: the gather walks the ALREADY-BUILT graph
+      // (20 token beam walks, budget corpus-independent) instead of
+      // flat-scanning the token index — this column should stay ~flat
+      // where maxsim_ann's gather grows with the corpus
+      val tMaxsimPlaid = time {
+        val tq = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val cands = graft.search.NnGraph.graphTopK(emb, nndGraph, tq, 8,
+            beamWidth = 16, iters = 4, sampleSize = 16)
+          .select((col("query_id") / 4).cast("long").as("query_id"),
+            (col("vec_id") / 4).cast("long").as("doc_id"))
+          .distinct()
+        graft.search.Knn.maxsimTopKCandidates(maxsimDocs, maxsimQ, cands,
+          10, 4).count()
+      }
       // Gramian + power iteration at mult× vectors: the d×d partition
       // accumulators make the corpus scan the ONLY growing stage
       // (4096 multiply-adds per row); iteration cost is driver-constant
@@ -456,7 +471,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  maxsim_plaid=${tMaxsimPlaid}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -182,6 +182,22 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(queriesMap(line).nonEmpty)
   }
 
+  test("encodeDs: width-2 decisecond fallback round-trips at 0.1 s; saturates at zz") {
+    val rs = Seq("b" -> 1.24, "a" -> 0.0, "c" -> 500.0, "d" -> 0.04)
+    assert(Bench.encodeDs(rs) === "00" + "0c" + "zz" + "00")
+    val rng = new scala.util.Random(11)
+    val many = (0 until 400).map(i => f"q$i%03d" -> rng.nextDouble() * 12)
+    val dec = Bench.decodeDs(Bench.encodeDs(many))
+    val want = many.sortBy(_._1).map(_._2)
+    assert(dec.length === 400)
+    for ((d, w) <- dec.zip(want))
+      assert(math.abs(d - w) <= 0.05 + 1e-9, s"$d vs $w")
+    // the fallback exists because of growth: at 400 queries the w2
+    // string (800 chars) still leaves guard room the w3 one (1200)
+    // would not
+    assert(Bench.encodeDs(many).length === 800)
+  }
+
   test("clean-host reference constants track the live query surface") {
     // CleanRefTotal/CleanRefQueries are hand-maintained measurement
     // constants stamped into every bench record; if the query surface

@@ -1296,6 +1296,27 @@ class NewOpsSpec extends SparkSpec {
       s"after $after vs centered identity ${-1.0 / (n - 1)}")
   }
 
+  test("embed_abtt_d: deflated ladder non-increasing; rung 1 reproduces embed_abtt") {
+    val rows = Similarity.embedAbttD(spark, dir).collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 to Similarity.AbttD),
+      s"rungs ${rows.map(_._1).toSeq}")
+    assert(rows.head._2.isEmpty, "comp 0 must carry no eigenvalue")
+    // deflation extracts the top of the residual spectrum, so the λ
+    // ladder is non-increasing — λ₂ ≤ λ₁ (and both positive here)
+    val l1 = rows(1)._2.get
+    val l2 = rows(2)._2.get
+    assert(l2 <= l1 && l1 > 0, s"lambda ladder not non-increasing: $l1, $l2")
+    // rung 1 IS embed_abtt's configuration: same λ, same before/after
+    val ab = Similarity.embedAbtt(spark, dir).collect().head
+    assert(l1 == ab.getDouble(1), s"rung-1 lambda $l1 vs embed_abtt")
+    assert(rows(0)._3 == ab.getDouble(2), "rung-0 aniso != abtt before")
+    assert(rows(1)._3 == ab.getDouble(3), "rung-1 aniso != abtt after")
+  }
+
   test("embed_anisotropy: identical vectors measure 1.0, an orthonormal set measures 0.0") {
     def frame(vs: Seq[Array[Float]]) =
       vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
@@ -1464,6 +1485,32 @@ class NewOpsSpec extends SparkSpec {
       s"meter ${meter.getLong(1)} vs direct $hits")
     assert(meter.getLong(1) >= (Similarity.MaxsimQueries *
       Similarity.K * 6) / 10, s"two-stage recall collapsed: $meter")
+  }
+
+  test("retrieve_maxsim_plaid: ranks dense; meter row consistent; recall holds") {
+    // the graph gather finds each token's own vector (a unit-norm
+    // token's nearest neighbor is itself, and the walk's entry+expand
+    // rounds reach it on this fixture), so the self-document survives
+    // as a candidate, exactly as in the exact-scan gather
+    val rows = Similarity.retrieveMaxsimPlaid(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until Similarity.MaxsimQueries).toSet)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.map(_._2).max),
+        s"query $q ranks not dense")
+    }
+    // the meter's plaid row equals a direct intersection with the full
+    // interaction's output
+    val exact = Similarity.retrieveMaxsim(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows.count(t => exact((t._1, t._3)))
+    val meter = Similarity.maxsimRecall(spark, dir).collect()
+      .find(_.getString(0) == "retrieve_maxsim_plaid").get
+    assert(meter.getLong(1) == hits.toLong,
+      s"meter ${meter.getLong(1)} vs direct $hits")
+    assert(meter.getLong(1) >= (Similarity.MaxsimQueries *
+      Similarity.K * 6) / 10, s"plaid recall collapsed: $meter")
   }
 
   test("retrieve_maxsim: self-document retrieved; ranks dense 1..k per query") {

@@ -210,7 +210,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bm25 postings only ever broadcast-join — no sort-merge anywhere") {
-    val df = graft.queries.Bm25.bm25TopK(spark, dir)
+    // the pin targets the LEG BUILD (bm25TopKOf — the chain the memo
+    // runs once per (session, dir)); the serving query re-plants the
+    // collected ≤ queries×K rows, checked below
+    val df = graft.queries.Bm25.bm25TopKOf(
+      graft.Tables.documents(spark, dir))
     df.collect()
     val plan = planOf(df)
     // query terms, df and corpus stats all reach the postings via
@@ -218,6 +222,10 @@ class PlanSpec extends SparkSpec {
     // table got shuffled for a join
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // the serving query is the memoized leg: no scan, no join — a
+    // LocalRelation sort only (the replayIds discipline)
+    val serve = planOf(graft.queries.Bm25.bm25TopK(spark, dir))
+    assert(!serve.contains("Join") && !serve.contains("FileScan"), serve)
   }
 
   test("pii_redact is a narrow per-row map — no hash exchange at all") {
@@ -487,6 +495,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"),
       "the construction subtree must not appear in the serve plan")
     // index/graph sides stream against broadcast beam frames
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator
+      .filter(_.contains("SortMergeJoin")).mkString("; "))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("retrieve_maxsim_plaid: the token gather serves from the graph artifact, not a flat scan") {
+    // the PLAID shape's whole point: stage 1's per-token gather walks
+    // the SAME written graph artifact the single-vector family serves
+    // from — a plan without the artifact scan (or with the construction
+    // subtree inlined) would mean the gather still pays a corpus-scale
+    // exact scan or a per-query rebuild, the 100 TB failure mode
+    val df = graft.queries.Similarity.retrieveMaxsimPlaid(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("graft_nngraph_"),
+      "the token gather must scan the written graph artifact")
+    // stage 2's bounded top-k heap (TopKAggregator) legitimately
+    // serializes — the construction concern is covered by the artifact
+    // scan above (a rebuild would inline the checkpointed build RDDs)
+    assert(!plan.contains("MapPartitionsRDD"),
+      "the checkpointed build RDDs must not appear in the serve plan")
     assert(!plan.contains("SortMergeJoin"), plan.linesIterator
       .filter(_.contains("SortMergeJoin")).mkString("; "))
     assert(!plan.contains("CartesianProduct"))
