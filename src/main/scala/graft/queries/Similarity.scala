@@ -1445,7 +1445,7 @@ object Similarity {
   }
 
   /** Per-query-token gather size for two-stage maxsim retrieval. */
-  private[queries] val MaxsimCandTok = 8
+  val MaxsimCandTok = 8
 
   /** TWO-STAGE late-interaction retrieval — the shape ColBERT actually
     * serves (gather-then-rescore; PLAID refines the gather further):
@@ -1551,6 +1551,119 @@ object Similarity {
       .unionAll(row("retrieve_maxsim_plaid", "maxsim_plaid")(
         retrieveMaxsimPlaid(spark, dir)))
       .orderBy(col("algo"))
+  }
+
+  /** Truncation rungs for [[embedMrl]] — prefix lengths of the 64-dim
+    * embedding (the full dimension is the sanity rung: recall must be
+    * 100% there by construction). */
+  val MrlDims = Seq(16, 32, 64)
+
+  /** MATRYOSHKA truncation search (Kusupati et al., NeurIPS 2022 —
+    * "Matryoshka Representation Learning"; the shipped `dimensions`
+    * parameter of OpenAI text-embedding-3): retrieval over the FIRST
+    * d′ dimensions of each embedding, the memory/latency knob a
+    * 100 TB index turns when the full dimension doesn't fit — a d′=16
+    * prefix index is 4× smaller and 4× fewer multiply-adds per scanned
+    * row than d=64, and unlike PQ/SQ it needs NO codebook or training,
+    * just a narrower scan. Per rung d′ ∈ [[MrlDims]]: truncate, rank
+    * by dot(q′, v′)/‖v′‖ (per-query ranking makes the query-side norm
+    * irrelevant — dividing by a per-query constant preserves order, so
+    * it is never computed), exact top-k through the bounded-heap tail,
+    * recall@10 vs the full-dimension exact ids. Output (dim, hits, n)
+    * — the dimension-for-recall curve, measured. All dots and norms
+    * are ascending-index folds and the divide is IEEE-exact on
+    * identical inputs, so ranks replay cross-engine; a zero-norm
+    * prefix is EXCLUDED from the candidate set on both engines (its
+    * cosine is undefined — cannot enter a top-k).
+    */
+  def embedMrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Vec
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val exact = exactIds(spark, dir)
+    val rows = MrlDims.map { d =>
+      val trunc = emb.select(col("vec_id").cast("long"),
+        slice(col("embedding"), 1, d).as("tvec"))
+      val withNrm = trunc.withColumn("nrm",
+        sqrt(aggregate(col("tvec"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+      val queries = trunc.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("tvec").as("qvec"))
+      val sims = withNrm
+        .crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          when(col("nrm") > 0, Vec.dot(col("qvec"), col("tvec")) / col("nrm"))
+            .as("sim"))
+        .filter(col("sim").isNotNull)
+        .as[(Long, Long, Double)]
+      val ids = memoized[Array[(Long, Long)]](spark, dir, s"mrl_$d") {
+        Knn.topKOfSims(sims, K)
+          .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+          .as[(Long, Long)].collect()
+      }
+      val hits = ids.toSeq.toDF("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+      (d, hits, (NumQueries * K).toLong)
+    }
+    rows.toDF("dim", "hits", "n").orderBy("dim")
+  }
+
+  /** Gather-size rungs for [[maxsimTuneGather]] — per-token candidate
+    * counts bracketing the production [[MaxsimCandTok]] = 8. */
+  val MaxsimGatherRungs = Seq(4, 8, 16)
+
+  /** Gather-size TUNING meter for the PLAID serving shape — the
+    * `ann_tune_beam` discipline applied to [[retrieveMaxsimPlaid]]:
+    * ONE graph walk at the largest rung (the per-token beam search is
+    * identical at every rung — only the final cut differs, so rungs
+    * share the walk; top-4 ⊂ top-8 ⊂ top-16 by construction), then
+    * per rung the owner-doc candidate set, exact maxsim over it, and
+    * recall@10 vs the full interaction BESIDE the measured candidate
+    * budget (distinct (query, doc) pairs scored — the cost axis a
+    * deployment trades along; corpus-size-independent at every rung).
+    * The middle rung is the production config, so its hits equal
+    * [[maxsimRecall]]'s plaid row (NewOpsSpec pins that). The oracle
+    * replays the shared walk and all three cuts.
+    */
+  def maxsimTuneGather(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.search.{Knn, NnGraph}
+    val emb = Tables.embeddings(spark, dir)
+    val docs = emb.select(expr(s"vec_id div $MaxsimTok").as("doc_id"),
+      col("vec_id"), col("embedding"))
+    val qtok = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(expr(s"vec_id div $MaxsimTok").as("query_id"),
+        expr(s"vec_id % $MaxsimTok").as("qt"),
+        col("embedding").as("qvec"))
+    val exact = replayIds(spark, dir, "maxsim") {
+      retrieveMaxsim(spark, dir)
+        .select(col("query_id"), col("doc_id").as("vec_id"))
+    }
+    val tokQ = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val walk = memoized[Array[(Long, Int, Long)]](spark, dir, "plaidWalk") {
+      NnGraph.graphTopK(emb, nnGraphFrame(spark, dir), tokQ,
+          MaxsimGatherRungs.max, BeamWidth, BeamIters, NndSample)
+        .select(col("query_id").cast("long"), col("rank"),
+          col("vec_id").cast("long"))
+        .as[(Long, Int, Long)].collect()
+    }
+    val rows = MaxsimGatherRungs.map { ct =>
+      val cands = walk.filter(_._2 <= ct)
+        .map { case (tq, _, v) => (tq / MaxsimTok, v / MaxsimTok) }
+        .distinct.sorted
+      val ids = memoized[Array[(Long, Long)]](spark, dir, s"plaidRung_$ct") {
+        Knn.maxsimTopKCandidates(docs, qtok,
+            cands.toSeq.toDF("query_id", "doc_id"), K, MaxsimTok)
+          .select(col("query_id").cast("long"), col("doc_id").cast("long"))
+          .as[(Long, Long)].collect()
+      }
+      val hits = ids.toSeq.toDF("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+      (ct, hits, (MaxsimQueries * K).toLong, cands.length.toLong)
+    }
+    rows.toDF("cand_tok", "hits", "n", "cands").orderBy("cand_tok")
   }
 
   /** MMR diversity re-rank (Carbonell & Goldstein 1998): top-20
@@ -2567,11 +2680,17 @@ object Similarity {
     * at `pscore`. Requires [[duckNnGraphCtes]] and [[duckMaxsimCtes]]'
     * `qt` in scope.
     */
-  private val duckMaxsimPlaidCtes: String =
+  /** The shared per-token walk (token queries `pmq` + the `pm` beam
+    * ladder over `g3`) — consumed by the plaid replay below AND the
+    * gather-size tune oracle (one walk, several cuts). */
+  private val duckPlaidWalkCtes: String =
     s"""pmq AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
-       |${duckBeamCtesFor("g3", "pmq", "embeddings", "nseeds", "pm")},
+       |${duckBeamCtesFor("g3", "pmq", "embeddings", "nseeds", "pm")}""".stripMargin
+
+  private val duckMaxsimPlaidCtes: String =
+    s"""$duckPlaidWalkCtes,
        |pmg AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -2595,6 +2714,68 @@ object Similarity {
             .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
             .reduce((a, b) => s"($a + $b)")} AS sim
        |  FROM pqtmax GROUP BY 1, 2)""".stripMargin
+
+  /** One gather-size rung's replay over the shared walk (`pmb4`) and
+    * `qt`: the rank-`ct` cut (`tg${ct}g`), owner-doc candidates
+    * (`tg${ct}c`), restricted maxsim (`tg${ct}m`/`tg${ct}s`), and the
+    * top-K ids (`tg${ct}k`).
+    */
+  private def tuneGatherRungCtes(ct: Int): String =
+    s"""tg${ct}g AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM pmb$BeamIters) WHERE rn <= $ct),
+       |tg${ct}c AS (
+       |  SELECT DISTINCT query_id // $MaxsimTok AS query_id,
+       |         vec_id // $MaxsimTok AS doc_id
+       |  FROM tg${ct}g),
+       |tg${ct}m AS (
+       |  SELECT c.query_id, q.qt, c.doc_id,
+       |         max(${duckDot("q.qvec", "e.embedding")}) AS mx
+       |  FROM tg${ct}c c
+       |  JOIN embeddings e ON e.vec_id // $MaxsimTok = c.doc_id
+       |  JOIN qt q ON q.query_id = c.query_id
+       |  GROUP BY 1, 2, 3),
+       |tg${ct}s AS (
+       |  SELECT query_id, doc_id,
+       |    ${(0 until MaxsimTok)
+            .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
+            .reduce((a, b) => s"($a + $b)")} AS sim
+       |  FROM tg${ct}m GROUP BY 1, 2),
+       |tg${ct}k AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, doc_id ASC) AS rn
+       |    FROM tg${ct}s) WHERE rn <= $K)""".stripMargin
+
+  /** One MRL truncation rung: prefix vectors (`mrl$d`), per-vector
+    * prefix norms (`mrln$d`), prefix queries (`mrlq$d`), and the exact
+    * top-K by dot/norm (`mrlk$d`) with zero-norm prefixes excluded.
+    */
+  private def mrlRungCtes(d: Int): String =
+    s"""mrl$d AS MATERIALIZED (
+       |  SELECT vec_id, list_slice(embedding, 1, $d) AS tv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |mrln$d AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(list_aggregate(list_transform(tv,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+       |  FROM mrl$d),
+       |mrlq$d AS (
+       |  SELECT vec_id AS query_id, tv AS qv FROM mrl$d
+       |  WHERE vec_id < $NumQueries),
+       |mrlk$d AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckDot("q.qv", "e.tv")} / n.nrm DESC,
+       |                 e.vec_id ASC) AS rn
+       |    FROM mrl$d e
+       |    JOIN mrln$d n ON e.vec_id = n.vec_id
+       |    CROSS JOIN mrlq$d q
+       |    WHERE n.nrm > 0) WHERE rn <= $K)""".stripMargin
 
   /** Final top-k cut over a (query_id, doc_id, sim) CTE. */
   private def maxsimCut(src: String): String =
@@ -2695,6 +2876,8 @@ object Similarity {
     "retrieve_maxsim_ann" -> (retrieveMaxsimAnn _),
     "retrieve_maxsim_plaid" -> (retrieveMaxsimPlaid _),
     "maxsim_recall" -> (maxsimRecall _),
+    "maxsim_tune_gather" -> (maxsimTuneGather _),
+    "embed_mrl" -> (embedMrl _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
 
@@ -4580,6 +4763,49 @@ object Similarity {
          |       ON p.query_id = x.query_id AND p.doc_id = x.doc_id) AS hits,
          |    CAST(${MaxsimQueries * K} AS BIGINT) AS n)
          |ORDER BY algo""".stripMargin,
+    // gather-size tune replay: ONE shared walk, three cuts, each rung's
+    // restricted maxsim + top-K + candidate budget vs the full
+    // interaction's top-K
+    "maxsim_tune_gather" ->
+      s"""WITH $duckMaxsimCtes,
+         |$duckNnGraphCtes,
+         |$duckPlaidWalkCtes,
+         |xmk AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, doc_id ASC) AS rn
+         |    FROM mscore) WHERE rn <= $K),
+         |${MaxsimGatherRungs.map(tuneGatherRungCtes).mkString(",\n")}
+         |SELECT cand_tok, hits, n, cands FROM (
+         |${MaxsimGatherRungs.map(ct =>
+            s"""  SELECT CAST($ct AS INTEGER) AS cand_tok,
+               |    (SELECT count(*) FROM tg${ct}k a JOIN xmk x
+               |       ON a.query_id = x.query_id AND a.doc_id = x.doc_id)
+               |      AS hits,
+               |    CAST(${MaxsimQueries * K} AS BIGINT) AS n,
+               |    (SELECT count(*) FROM tg${ct}c) AS cands""".stripMargin)
+            .mkString("\n  UNION ALL\n")})
+         |ORDER BY cand_tok""".stripMargin,
+    // MRL truncation replay: per rung, prefix slices + prefix norms +
+    // the exact dot/norm ranking, hits vs the full-dimension exact ids
+    "embed_mrl" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |${MrlDims.map(mrlRungCtes).mkString(",\n")}
+         |SELECT dim, hits, n FROM (
+         |${MrlDims.map(d =>
+            s"""  SELECT CAST($d AS INTEGER) AS dim,
+               |    (SELECT count(*) FROM mrlk$d a JOIN xk x
+               |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id)
+               |      AS hits,
+               |    CAST(${NumQueries * K} AS BIGINT) AS n""".stripMargin)
+            .mkString("\n  UNION ALL\n")})
+         |ORDER BY dim""".stripMargin,
     // PQ replay — rank-only compare (ties to vec_id) absorbing float
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->

@@ -88,7 +88,10 @@ object Knn {
 
   /** Shared top-k tail: per-partition bounded heaps, then the typed
     * bounded-buffer merge. `sims` is (query_id, vec_id, sim). */
-  private[search] def topKOfSims(sims: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+  // private[graft]: the bounded-heap tail is the house top-k for ANY
+  // (query, id, sim) frame — query modules with custom scoring (the
+  // MRL truncation rungs) consume it directly
+  private[graft] def topKOfSims(sims: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       k: Int): DataFrame = {
     val spark = sims.sparkSession
     import spark.implicits._

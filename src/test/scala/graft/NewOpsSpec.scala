@@ -1513,6 +1513,33 @@ class NewOpsSpec extends SparkSpec {
       Similarity.K * 6) / 10, s"plaid recall collapsed: $meter")
   }
 
+  test("maxsim_tune_gather: monotone rungs; production rung equals the plaid meter row") {
+    val rows = Similarity.maxsimTuneGather(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.MaxsimGatherRungs)
+    // a larger gather can only add candidates: budgets strictly grow,
+    // hits never drop (top-4 ⊂ top-8 ⊂ top-16 by construction)
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 < b._3 }, rows.toSeq.toString)
+    // the middle rung IS retrieve_maxsim_plaid's configuration
+    val plaid = Similarity.maxsimRecall(spark, dir).collect()
+      .find(_.getString(0) == "retrieve_maxsim_plaid").get.getLong(1)
+    val mid = rows.find(_._1 == Similarity.MaxsimCandTok).get._2
+    assert(mid == plaid, s"rung-$mid vs plaid-meter $plaid")
+  }
+
+  test("embed_mrl: full-dimension rung is exact by construction; recall grows with dim") {
+    val rows = Similarity.embedMrl(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.MrlDims)
+    // d' = 64 is no truncation at all: the ranking is the exact search
+    // (same dots, same tie-breaks), so recall must be 100%
+    val full = rows.last
+    assert(full._2 == full._3, s"full-dim rung not exact: $full")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      s"recall not monotone in dim: ${rows.toSeq}")
+  }
+
   test("retrieve_maxsim: self-document retrieved; ranks dense 1..k per query") {
     // for unit-norm token vectors score(q, q) = tokPerQuery (every
     // token's best match is itself at dot = 1), the maximum possible —
