@@ -1578,11 +1578,99 @@ object Similarity {
     */
   def embedMrl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val exact = exactIds(spark, dir)
+    val rows = MrlDims.map { d =>
+      val hits = mrlPrefixTopK(spark, dir, d)
+        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+      (d, hits, (NumQueries * K).toLong)
+    }
+    rows.toDF("dim", "hits", "n").orderBy("dim")
+  }
+
+  /** Funnel parameters for [[annMrlFunnel]]: propose at the narrowest
+    * [[MrlDims]] prefix, rescore [[MrlFunnelCand]] proposals exactly. */
+  private[queries] val MrlFunnelDim = 16
+  private[queries] val MrlFunnelCand = 50
+
+  /** ADAPTIVE (funnel) retrieval over Matryoshka prefixes — how MRL is
+    * actually served (Kusupati et al. 2022, §4 "Adaptive Retrieval";
+    * the same propose-then-rescore shape as `ann_pq_refined`): stage 1
+    * ranks by the d′ = [[MrlFunnelDim]] prefix (4× narrower scan — the
+    * stage that touches the corpus), keeping [[MrlFunnelCand]]
+    * proposals per query; stage 2 rescores ONLY the proposals with
+    * exact full-dimension dots and keeps the top-k. The funnel buys
+    * back most of what raw truncation loses ([[annRecallMrlFunnel]]
+    * measures both) while the full-width vectors are read for ≤ 50
+    * rows per query instead of the corpus. Rank-only output; the
+    * oracle replays prefix ranking, the proposal cut, and the exact
+    * rescore.
+    */
+  def annMrlFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.functions.Vec
     import graft.search.Knn
     val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
-    val exact = exactIds(spark, dir)
-    val rows = MrlDims.map { d =>
+    val d = MrlFunnelDim
+    val trunc = emb.select(col("vec_id").cast("long"),
+      slice(col("embedding"), 1, d).as("tvec"))
+    val withNrm = trunc.withColumn("nrm",
+      sqrt(aggregate(col("tvec"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+    val pq = trunc.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("tvec").as("qvec"))
+    val sims = withNrm
+      .crossJoin(broadcast(pq))
+      .select(col("query_id"), col("vec_id"),
+        when(col("nrm") > 0, Vec.dot(col("qvec"), col("tvec")) / col("nrm"))
+          .as("sim"))
+      .filter(col("sim").isNotNull)
+      .as[(Long, Long, Double)]
+    val proposals = Knn.topKOfSims(sims, MrlFunnelCand)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact full-dimension rescore of the proposals only
+    val fullQ = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qvec"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .join(broadcast(proposals), "vec_id")
+      .join(broadcast(fullQ), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .select(col("query_id"),
+        row_number().over(qw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the MRL funnel beside raw prefix-only truncation at
+    * the same d′ — two integer rows pricing what the exact rescore
+    * buys back (the `ann_recall` contract; prefix-only recall comes
+    * from [[embedMrl]]'s d′ = 16 rung machinery).
+    */
+  def annRecallMrlFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_mrl_funnel",
+        replayIds(spark, dir, "mrl_funnel")(
+          annMrlFunnel(spark, dir)
+            .select(col("query_id"), col("vec_id"))))
+      .unionAll(recallOf("ann_mrl_prefix",
+        replayIds(spark, dir, "mrl_prefix")(
+          mrlPrefixTopK(spark, dir, MrlFunnelDim))))
+      .orderBy(col("algo"))
+  }
+
+  /** Prefix-only top-K ids at dimension `d` — [[embedMrl]]'s rung
+    * ranking exposed for the funnel comparison (same memo key as the
+    * rung, so the meter never recomputes it). */
+  private def mrlPrefixTopK(spark: SparkSession, dir: String,
+      d: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Vec
+    import graft.search.Knn
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val ids = memoized[Array[(Long, Long)]](spark, dir, s"mrl_$d") {
       val trunc = emb.select(col("vec_id").cast("long"),
         slice(col("embedding"), 1, d).as("tvec"))
       val withNrm = trunc.withColumn("nrm",
@@ -1597,16 +1685,11 @@ object Similarity {
             .as("sim"))
         .filter(col("sim").isNotNull)
         .as[(Long, Long, Double)]
-      val ids = memoized[Array[(Long, Long)]](spark, dir, s"mrl_$d") {
-        Knn.topKOfSims(sims, K)
-          .select(col("query_id").cast("long"), col("vec_id").cast("long"))
-          .as[(Long, Long)].collect()
-      }
-      val hits = ids.toSeq.toDF("query_id", "vec_id")
-        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
-      (d, hits, (NumQueries * K).toLong)
+      Knn.topKOfSims(sims, K)
+        .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+        .as[(Long, Long)].collect()
     }
-    rows.toDF("dim", "hits", "n").orderBy("dim")
+    ids.toSeq.toDF("query_id", "vec_id")
   }
 
   /** Gather-size rungs for [[maxsimTuneGather]] — per-token candidate
@@ -2777,6 +2860,40 @@ object Similarity {
        |    CROSS JOIN mrlq$d q
        |    WHERE n.nrm > 0) WHERE rn <= $K)""".stripMargin
 
+  /** The MRL funnel's shared replay: d′ = [[MrlFunnelDim]] prefixes
+    * (`mf`), prefix norms (`mfn`), prefix queries (`mfq`), the
+    * [[MrlFunnelCand]]-proposal cut (`mfp`), and the exact
+    * full-dimension rescore (`mfs` — query_id, vec_id, sim). Requires
+    * the full-dim `q` CTE ([[pqQCte]]) in scope.
+    */
+  private def duckMrlFunnelCtes: String =
+    s"""mf AS MATERIALIZED (
+       |  SELECT vec_id, list_slice(embedding, 1, $MrlFunnelDim) AS tv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |mfn AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(list_aggregate(list_transform(tv,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+       |  FROM mf),
+       |mfq AS (
+       |  SELECT vec_id AS query_id, tv AS qv FROM mf
+       |  WHERE vec_id < $NumQueries),
+       |mfp AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT fq.query_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY fq.query_id
+       |        ORDER BY ${duckDot("fq.qv", "e.tv")} / n.nrm DESC,
+       |                 e.vec_id ASC) AS rn
+       |    FROM mf e
+       |    JOIN mfn n ON e.vec_id = n.vec_id
+       |    CROSS JOIN mfq fq
+       |    WHERE n.nrm > 0) WHERE rn <= $MrlFunnelCand),
+       |mfs AS (
+       |  SELECT p.query_id, p.vec_id,
+       |         ${duckDot("e.embedding", "qq.qv")} AS sim
+       |  FROM mfp p
+       |  JOIN embeddings e ON p.vec_id = e.vec_id
+       |  JOIN q qq ON qq.query_id = p.query_id)""".stripMargin
+
   /** Final top-k cut over a (query_id, doc_id, sim) CTE. */
   private def maxsimCut(src: String): String =
     s"""SELECT query_id, rank, doc_id FROM (
@@ -2878,6 +2995,8 @@ object Similarity {
     "maxsim_recall" -> (maxsimRecall _),
     "maxsim_tune_gather" -> (maxsimTuneGather _),
     "embed_mrl" -> (embedMrl _),
+    "ann_mrl_funnel" -> (annMrlFunnel _),
+    "ann_recall_mrl_funnel" -> (annRecallMrlFunnel _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
 
@@ -4806,6 +4925,41 @@ object Similarity {
                |    CAST(${NumQueries * K} AS BIGINT) AS n""".stripMargin)
             .mkString("\n  UNION ALL\n")})
          |ORDER BY dim""".stripMargin,
+    // funnel replay: prefix ranking at d'=16, the 50-proposal cut,
+    // exact full-dimension rescore, rank-only
+    "ann_mrl_funnel" ->
+      s"""WITH $pqQCte,
+         |$duckMrlFunnelCtes
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         |      AS rank
+         |  FROM mfs) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // funnel-vs-prefix recall: the exact side, the funnel's rescored
+    // top-K, and the prefix-only top-K at the same d' — two rows
+    "ann_recall_mrl_funnel" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |$duckMrlFunnelCtes,
+         |${topKIdsCte("mfs", "fk")},
+         |${mrlRungCtes(MrlFunnelDim)}
+         |SELECT algo, hits, n FROM (
+         |  SELECT 'ann_mrl_funnel' AS algo,
+         |    (SELECT count(*) FROM fk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+         |    CAST(${NumQueries * K} AS BIGINT) AS n
+         |  UNION ALL
+         |  SELECT 'ann_mrl_prefix' AS algo,
+         |    (SELECT count(*) FROM mrlk$MrlFunnelDim a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+         |    CAST(${NumQueries * K} AS BIGINT) AS n)
+         |ORDER BY algo""".stripMargin,
     // PQ replay — rank-only compare (ties to vec_id) absorbing float
     // machinery differences, exactly like ann_ivf_trained.
     "ann_pq" ->

@@ -1540,6 +1540,24 @@ class NewOpsSpec extends SparkSpec {
       s"recall not monotone in dim: ${rows.toSeq}")
   }
 
+  test("ann_mrl_funnel: exact rescore dominates prefix-only retrieval; ranks dense") {
+    val rows = Similarity.annMrlFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.map(_._2).max),
+        s"query $q ranks not dense")
+    }
+    // the TRUE invariant: the prefix top-10 is a subset of the 50
+    // proposals, and exact-top-10 members always win an exact rescore
+    // within any subset — so funnel hits >= prefix hits, always
+    val meter = Similarity.annRecallMrlFunnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(meter("ann_mrl_funnel") >= meter("ann_mrl_prefix"),
+      s"rescore lost recall: $meter")
+    assert(meter("ann_mrl_funnel") > 0, s"funnel found nothing: $meter")
+  }
+
   test("retrieve_maxsim: self-document retrieved; ranks dense 1..k per query") {
     // for unit-norm token vectors score(q, q) = tokPerQuery (every
     // token's best match is itself at dot = 1), the maximum possible —
