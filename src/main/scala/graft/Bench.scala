@@ -33,10 +33,26 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-18 measurement at the FINAL 224-query
-    * surface: 83.907 s — min of the 224 pair (90.466 / 83.907, both
-    * contended=false, loads ≤ [2.2, 2.9]; the funnel pair
-    * ann_mrl_funnel 0.37 + ann_recall_mrl_funnel 0.09 cost 0.46 s).
+    * Current value: round-19 measurement at the 227-query surface:
+    * 85.464 s — min of the pair (85.464 / 87.112, both
+    * contended=false, loads ≤ [2.0, 2.0]). The three queries added
+    * this round price at ~2.3 s summed (ann_mrl_graph_funnel 1.34 —
+    * the 50-wide prefix-graph walk; retrieve_maxsim_pq 1.00 —
+    * per-token walks scoring decoded PQ tokens; ann_recall_mrl_graph
+    * 0.09), on top of the r18 224-surface band of 83.907 — net: more
+    * surface, same level (85.5 − 2.3 ≈ 83.2 ≈ the r18 stamp, within
+    * window noise). The round-19 beam-walk fusion (windowless
+    * intermediate rounds — single-stage jobs) holds the graph family
+    * at its r18 per-query levels while halving each serve's stage
+    * count (the contended-spread lever: r18's 9.5× ann_graph_insert
+    * spread came from per-round exchanges amplifying host noise);
+    * ann_graph_insert reads 0.92 clean here (vs 0.73–0.88 r18 clean
+    * at the 7-fewer-query surface — window-level, not code: ann_graph
+    * itself moved 0.84 → 0.84/0.98 across the same runs).
+    * Round-18 history: 83.907 s at the 224 surface — min of the pair
+    * (90.466 / 83.907, both contended=false, loads ≤ [2.2, 2.9]; the
+    * funnel pair ann_mrl_funnel 0.37 + ann_recall_mrl_funnel 0.09
+    * cost 0.46 s).
     * The level embeds late-morning window drift: the SAME morning's
     * 222-surface ladder right beneath it measured
     * 79.350 / 81.863 / 73.724 contended=false (then post-stamp
@@ -85,8 +101,8 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 83.907
-  private[graft] val CleanRefQueries = 224
+  private[graft] val CleanRefTotal = 85.464
+  private[graft] val CleanRefQueries = 227
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order

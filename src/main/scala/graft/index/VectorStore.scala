@@ -17,6 +17,33 @@ object VectorStore {
   // value must not pin the session), inner key = (basePath, collection)
   private val graphMemo = new graft.FrameMemo[(String, String)]
 
+  // trained-PQ codebook memo: plain driver arrays (no session pin),
+  // weakly session-keyed, inner key = (basePath, collection)
+  private val cwMemo =
+    new graft.SessionMemo[(String, String), Array[Array[Array[Float]]]]
+
+  // TRAIN census per (store, collection) — the spec hook proving
+  // codebooks train once per collection lifetime (memo hits and
+  // cold-start loads must never bump it)
+  private val cwTrains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.AtomicLong]
+  private def bumpTrain(key: (String, String)): Unit = {
+    cwTrains.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet(): Unit
+  }
+  private[graft] def cwTrainsOf(base: String, name: String): Long = {
+    val c = cwTrains.get((base, name))
+    if (c == null) 0L else c.get()
+  }
+
+  // PQ parameters — the quantizer family's production rung (m=8
+  // subspaces, 16 codes, 2 Lloyd iterations — the ann_pq_trained
+  // configuration)
+  val PqM = 8
+  val PqCodes = 16
+  val PqIters = 2
+
   // FULL-build census per (store, collection) — the spec hook proving
   // upsert/delete maintain incrementally: maintenance must never bump
   // a collection's count, and collection A's maintenance must never
@@ -85,9 +112,14 @@ class VectorStore(spark: SparkSession, basePath: String) {
     // recreate-on-exists semantics: a replaced dataset invalidates any
     // memoized graph artifact AND any persisted one (the stamp would
     // already refuse to serve it; deleting reclaims the space) — the
-    // next graphSearch rebuilds fresh
+    // next graphSearch rebuilds fresh. Trained codebooks are dataset
+    // artifacts too: a recreate retrains (unlike upsert/delete, which
+    // keep them — the Faiss train-once contract).
     VectorStore.graphMemo.drop(spark, gkey(name))
     pruneGraphDirs(name, keep = None)
+    VectorStore.cwMemo.entries(spark).remove(gkey(name))
+    val pqDir = new java.io.File(s"$basePath/.pq/$name")
+    if (pqDir.exists) rmTree(pqDir)
   }
 
   /** V3: exact cosine top-k within one collection (vector_db.py:93-119). */
@@ -207,6 +239,75 @@ class VectorStore(spark: SparkSession, basePath: String) {
         VectorStore.BeamWidth, VectorStore.BeamIters, VectorStore.NndSample)
       .withColumnRenamed("vec_id", "id")
 
+  // ---- persisted per-collection PQ codebooks (VERDICT r18 #7) -------
+  //
+  // The quantizer is the store's OTHER trained artifact: codebooks key
+  // on (store path, collection) exactly like the graph, persist under
+  // `basePath/.pq/<collection>/v1/` for cold-start serving, and train
+  // at most once per collection lifetime. Unlike the graph they do NOT
+  // stamp-couple to the file layout: a trained product quantizer stays
+  // valid across upserts/deletes (Faiss trains once and add()s forever;
+  // retraining per ingest batch would thrash the codes) — only a
+  // collection RECREATE (new dataset semantics) invalidates them.
+
+  private def pqRoot(name: String): java.io.File =
+    new java.io.File(s"$basePath/.pq/$name/v1")
+
+  private def persistCodebooks(name: String,
+      cw: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- cw.indices
+      c <- cw(j).indices
+    } yield (j, c, cw(j)(c).toSeq)
+    rows.toDF("j", "code", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(pqRoot(name).toString)
+  }
+
+  private def loadPersistedCodebooks(
+      name: String): Option[Array[Array[Array[Float]]]] = {
+    val dir = pqRoot(name)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) return None
+    import spark.implicits._
+    val rows = spark.read.parquet(dir.toString)
+      .select(col("j"), col("code"), col("cw"))
+      .as[(Int, Int, Array[Float])].collect()
+    if (rows.isEmpty) return None
+    val m = rows.map(_._1).max + 1
+    Some(Array.tabulate(m) { j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3)
+    })
+  }
+
+  /** The collection's Lloyd-trained PQ codebooks: loaded from the
+    * store's persisted copy when present (cold start — zero training),
+    * trained on first-ever use (ONE training per collection lifetime —
+    * [[VectorStore.cwTrainsOf]] counts them) and persisted. Keyed
+    * (store path, collection): one collection's codebooks never serve
+    * another's codes.
+    */
+  def codebooksOf(name: String): Array[Array[Array[Float]]] =
+    VectorStore.cwMemo.computeIfAbsent(spark, gkey(name)) {
+      loadPersistedCodebooks(name).getOrElse {
+        VectorStore.bumpTrain(gkey(name))
+        val cw = graft.search.Ann.trainPqCodebooks(asIndex(read(name)),
+          VectorStore.PqM, VectorStore.PqCodes, VectorStore.PqIters)
+        persistCodebooks(name, cw)
+        cw
+      }
+    }
+
+  /** V3's memory-bounded path: ADC top-k over THIS collection's
+    * trained codebooks — the Faiss IndexPQ serve beside [[search]]'s
+    * exact scan and [[graphSearch]]'s graph walk, composing the same
+    * per-collection artifact discipline (train once, persist with the
+    * store, serve cold).
+    */
+  def searchCompressed(name: String, queries: DataFrame, k: Int): DataFrame =
+    graft.search.Ann.pqTopKWith(asIndex(read(name)), queries, k,
+        VectorStore.PqM, codebooksOf(name))
+      .select(col("query_id"), col("rank"), col("vec_id").as("id"))
+
   /** Read one collection (partition-pruned). */
   def read(collection: String): DataFrame =
     spark.read.parquet(s"$basePath/collection=$collection")
@@ -223,6 +324,9 @@ class VectorStore(spark: SparkSession, basePath: String) {
       VectorStore.graphMemo.drop(spark, gkey(name))
       val root = graphRoot(name)
       if (root.exists) rmTree(root)
+      VectorStore.cwMemo.entries(spark).remove(gkey(name))
+      val pqDir = new java.io.File(s"$basePath/.pq/$name")
+      if (pqDir.exists) rmTree(pqDir)
     }
   }
 

@@ -1447,6 +1447,14 @@ object Similarity {
   /** Per-query-token gather size for two-stage maxsim retrieval. */
   val MaxsimCandTok = 8
 
+  /** Per-token gather cut for the COMPRESSED (PQ-token) PLAID shape —
+    * 2× [[MaxsimCandTok]], the oversample-before-rescore convention of
+    * quantized retrieval (Qdrant `oversampling`, Faiss
+    * IndexRefineFlat's `k_factor`): quantization error in stage-1
+    * scores is bought back by a wider gather that the exact stage-2
+    * re-ranks. */
+  val MaxsimPqCandTok = 16
+
   /** TWO-STAGE late-interaction retrieval — the shape ColBERT actually
     * serves (gather-then-rescore; PLAID refines the gather further):
     * stage 1, each query TOKEN runs an ordinary single-vector top-k
@@ -1550,7 +1558,65 @@ object Similarity {
     row("retrieve_maxsim_ann", "maxsim_ann")(retrieveMaxsimAnn(spark, dir))
       .unionAll(row("retrieve_maxsim_plaid", "maxsim_plaid")(
         retrieveMaxsimPlaid(spark, dir)))
+      .unionAll(row("retrieve_maxsim_pq", "maxsim_pq")(
+        retrieveMaxsimPq(spark, dir)))
       .orderBy(col("algo"))
+  }
+
+  /** PLAID with the COMPRESSED token index — the other half of
+    * Santhanam et al. 2022 (§3): [[retrieveMaxsimPlaid]]'s stage-1
+    * gather walks the same shared graph artifact, but every scored
+    * token vector is read from the PQ-coded index (the Lloyd-TRAINED
+    * codebooks of `ann_pq_trained`, reused — m=8 codes per 64-dim
+    * token, an 8×-smaller token index than float32 at scan time) while
+    * queries stay full-width float (asymmetric-distance scoring:
+    * dot(q, decode(codes)) ≡ the ADC sum). Stage 2 rescores the
+    * gathered docs from the FULL-WIDTH originals — exactly the
+    * decompression-free serve / exact-rescore split a production
+    * late-interaction store ships. Rank-only output; the oracle
+    * replays codebook training, encode/decode, the per-token beam
+    * walk over the compressed index, and the restricted full-width
+    * maxsim. [[maxsimRecall]] prices compressed-gather beside
+    * float-gather and the exact scan: 29 vs 38 vs 40 of 50 at sf0.01
+    * — the 8× memory saving costs 9 recall points at the oversampled
+    * cut (17 without oversampling), the measured version of the
+    * PLAID paper's size/quality trade.
+    */
+  def retrieveMaxsimPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.{Ann, Knn, NnGraph}
+    val emb = Tables.embeddings(spark, dir)
+    val docs = emb.select(expr(s"vec_id div $MaxsimTok").as("doc_id"),
+      col("vec_id"), col("embedding"))
+    // the compressed token index: decode(encode(x)) over the SAME
+    // trained codebooks ann_pq_trained serves from (train once, query
+    // many — the artifact-reuse convention)
+    val decoded = Ann.pqDecoded(emb, 8, trainedRawCw(spark, dir))
+    // stage 1: each query token walks the shared graph artifact,
+    // scoring COMPRESSED token vectors against its full-width self —
+    // at the 2× OVERSAMPLED per-token cut (the compressed-proposal
+    // convention: Qdrant quantized search oversamples before rescore,
+    // Faiss IndexRefineFlat sets k_factor > 1 — quantization error is
+    // bought back by gathering wider and letting the exact stage-2
+    // re-rank; budget stays corpus-size-independent)
+    val tokQ = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // navigation stays at the production beam width: a 2× beam was
+    // measured NOT to help (27 vs 29 of 50 at sf0.01 — compressed
+    // scores reorder the wider beam's tail without improving the
+    // gathered set), so the oversampling lives entirely in the
+    // per-token cut above
+    val cands = NnGraph.graphTopK(decoded, nnGraphFrame(spark, dir), tokQ,
+        MaxsimPqCandTok, BeamWidth, BeamIters, NndSample)
+      .select(expr(s"query_id div $MaxsimTok").as("query_id"),
+        expr(s"vec_id div $MaxsimTok").as("doc_id"))
+      .distinct()
+    // stage 2: exact full-width maxsim over candidates only
+    val qtok = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
+      .select(expr(s"vec_id div $MaxsimTok").as("query_id"),
+        expr(s"vec_id % $MaxsimTok").as("qt"),
+        col("embedding").as("qvec"))
+    Knn.maxsimTopKCandidates(docs, qtok, cands, K, MaxsimTok)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Truncation rungs for [[embedMrl]] — prefix lengths of the 64-dim
@@ -1690,6 +1756,105 @@ object Similarity {
         .as[(Long, Long)].collect()
     }
     ids.toSeq.toDF("query_id", "vec_id")
+  }
+
+  /** NN-descent graph over the d′ = [[MrlFunnelDim]] PREFIX vectors —
+    * the funnel's propose-stage index (VERDICT r18 #4): the build costs
+    * 4× less per dot than the full-width graph (same machinery, same
+    * md5 seed ids — the seed ranking hashes vec_ids, not vectors), and
+    * walking it makes the funnel's stage 1 corpus-size-INDEPENDENT
+    * (the flat d′=16 scan in [[annMrlFunnel]] is 4× cheaper than a
+    * full-width scan but still touches every row). Built once per
+    * (session, dir), the trained-index memo convention.
+    */
+  /** RE-NORMALIZED d′ = [[MrlFunnelDim]] prefix index (vec_id,
+    * embedding float[d′]) — Matryoshka serving truncates THEN
+    * re-normalizes (Kusupati et al. 2022, §3: prefixes are trained to
+    * be unit-norm-comparable only after re-normalization), which also
+    * makes the graph walk's raw-dot metric ORDER-EQUIVALENT to the
+    * flat funnel's dot/‖d‖ ranking (the query-side norm is a per-query
+    * constant). Stored at float width (the 100 TB memory story: the
+    * narrow index stays 4× smaller); zero-norm prefixes are excluded
+    * on both engines.
+    */
+  private def mrlPrefixIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    emb.select(col("vec_id").cast("long"),
+        slice(col("embedding"), 1, MrlFunnelDim).as("tvec"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("tvec"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("tvec"),
+          x => (x.cast("double") / col("nrm")).cast("float"))
+          .as("embedding"))
+  }
+
+  private def mrlGraphFrame(spark: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent(spark, dir + "#mrl") {
+      graft.search.NnGraph.buildGraph(mrlPrefixIndex(spark, dir),
+        GraphK, NndIters, NndSample)
+    }
+
+  /** MRL funnel with a GRAPH propose stage — [[annMrlFunnel]] with its
+    * one remaining corpus-scale pass retired: stage 1 beam-searches the
+    * prefix graph ([[mrlGraphFrame]]) at beamWidth = [[MrlFunnelCand]]
+    * so the final beam IS the 50-proposal set (raw prefix dots — the
+    * house graph-walk metric; budget ≤ sample + iters × 50 × (k+1)
+    * candidates per query, corpus-size-independent), and stage 2
+    * rescores ONLY the proposals with exact full-dimension dots —
+    * byte-identical to the flat funnel's rescore. The width axis
+    * (Matryoshka truncation) composed with the graph-index axis, the
+    * way a production store serves truncated embeddings at scale.
+    * Rank-only output; the oracle replays the prefix-graph
+    * construction, the beam walk, and the exact rescore.
+    */
+  def annMrlGraphFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vec
+    import graft.search.NnGraph
+    val emb = Tables.embeddings(spark, dir).filter(col("embedding").isNotNull)
+    val prefixIndex = mrlPrefixIndex(spark, dir)
+    val prefixQ = prefixIndex.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // stage 1: proposals by beam search over the PREFIX graph artifact
+    val proposals = NnGraph.graphTopK(prefixIndex, mrlGraphFrame(spark, dir),
+        prefixQ, MrlFunnelCand, MrlFunnelCand, BeamIters, NndSample)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: exact full-dimension rescore of the proposals only (the
+    // annMrlFunnel rescore, verbatim)
+    val fullQ = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").cast("long").as("query_id"),
+        col("embedding").as("qvec"))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    emb.select(col("vec_id").cast("long"), col("embedding"))
+      .join(broadcast(proposals), "vec_id")
+      .join(broadcast(fullQ), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      .select(col("query_id"),
+        row_number().over(qw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the graph-propose funnel beside the flat-scan funnel
+    * — two integer rows pricing what retiring the corpus-scale propose
+    * pass costs in quality (the `ann_recall` contract; the flat row
+    * shares [[annRecallMrlFunnel]]'s replay memo).
+    */
+  def annRecallMrlGraph(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_mrl_graph_funnel",
+        replayIds(spark, dir, "mrl_graph_funnel")(
+          annMrlGraphFunnel(spark, dir)
+            .select(col("query_id"), col("vec_id"))))
+      .unionAll(recallOf("ann_mrl_funnel",
+        replayIds(spark, dir, "mrl_funnel")(
+          annMrlFunnel(spark, dir)
+            .select(col("query_id"), col("vec_id")))))
+      .orderBy(col("algo"))
   }
 
   /** Gather-size rungs for [[maxsimTuneGather]] — per-token candidate
@@ -2798,6 +2963,57 @@ object Similarity {
             .reduce((a, b) => s"($a + $b)")} AS sim
        |  FROM pqtmax GROUP BY 1, 2)""".stripMargin
 
+  /** Compressed-gather replay (the [[retrieveMaxsimPq]] contract):
+    * trained codebooks over raw subvectors (`sub` → `cb1` → `cb2`, the
+    * ann_pq_trained ladder), encode-all + decode (`dec` — the
+    * reconstructed token index the walk scores against), decoded seed
+    * sample (`dseeds`), the per-token beam ladder over `g3` scoring
+    * decoded vectors (pfx `pp`), the [[MaxsimCandTok]] cut (`ppg`),
+    * candidate-doc union (`ppc`), and FULL-WIDTH restricted scoring
+    * ending at `ppscore`. Requires [[duckNnGraphCtes]]' `g3`,
+    * [[pqCbCtes]]' `cb`/`sub`, the raw-subvector `sv`, and
+    * [[duckMaxsimCtes]]' `qt` in scope.
+    */
+  private val duckMaxsimPqCtes: String =
+    s"""${pqTrainIter("sub", "cb1")},
+       |${pqTrainIter("cb1", "cb2")},
+       |${pqEncCte("cb2")},
+       |dec AS MATERIALIZED (
+       |  SELECT e.vec_id, flatten(list(s.cw ORDER BY e.j)) AS embedding
+       |  FROM enc e JOIN cb2 s ON e.j = s.j AND e.code = s.code
+       |  GROUP BY e.vec_id),
+       |dseeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id, embedding AS svec FROM dec
+       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NndSample),
+       |ppq AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
+       |${duckBeamCtesFor("g3", "ppq", "dec", "dseeds", "pp")},
+       |ppg AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY sim DESC, vec_id ASC) AS rn
+       |    FROM ppb$BeamIters) WHERE rn <= $MaxsimPqCandTok),
+       |ppc AS (
+       |  SELECT DISTINCT query_id // $MaxsimTok AS query_id,
+       |         vec_id // $MaxsimTok AS doc_id
+       |  FROM ppg),
+       |ppm AS (
+       |  SELECT c.query_id, q.qt, c.doc_id,
+       |         max(${duckDot("q.qvec", "e.embedding")}) AS mx
+       |  FROM ppc c
+       |  JOIN embeddings e ON e.vec_id // $MaxsimTok = c.doc_id
+       |  JOIN qt q ON q.query_id = c.query_id
+       |  GROUP BY 1, 2, 3),
+       |ppscore AS (
+       |  SELECT query_id, doc_id,
+       |    ${(0 until MaxsimTok)
+            .map(t => s"max(CASE WHEN qt = $t THEN mx END)")
+            .reduce((a, b) => s"($a + $b)")} AS sim
+       |  FROM ppm GROUP BY 1, 2)""".stripMargin
+
   /** One gather-size rung's replay over the shared walk (`pmb4`) and
     * `qt`: the rank-`ct` cut (`tg${ct}g`), owner-doc candidates
     * (`tg${ct}c`), restricted maxsim (`tg${ct}m`/`tg${ct}s`), and the
@@ -2893,6 +3109,42 @@ object Similarity {
        |  FROM mfp p
        |  JOIN embeddings e ON p.vec_id = e.vec_id
        |  JOIN q qq ON qq.query_id = p.query_id)""".stripMargin
+
+  /** The MRL GRAPH-funnel replay (the [[annMrlGraphFunnel]] contract):
+    * prefix relation (`mrlp`), the full NN-descent construction over
+    * it (`mpg3` — the parameterized [[duckNnGraphCtesFor]] on the 4×
+    * narrower vectors), prefix queries (`mpq`), the
+    * [[MrlFunnelCand]]-wide beam walk whose final beam IS the proposal
+    * set (`mgb{BeamIters}`), and the exact full-dimension rescore
+    * (`mgs` — query_id, vec_id, sim). Requires the full-dim `q` CTE
+    * ([[pqQCte]]) in scope.
+    */
+  private def duckMrlGraphFunnelCtes: String =
+    s"""mrlp0 AS MATERIALIZED (
+       |  SELECT vec_id, list_slice(embedding, 1, $MrlFunnelDim) AS tv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |mrlpn AS MATERIALIZED (
+       |  SELECT vec_id, sqrt(list_aggregate(list_transform(tv,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+       |  FROM mrlp0),
+       |mrlp AS MATERIALIZED (
+       |  SELECT t.vec_id,
+       |    list_transform(t.tv,
+       |      x -> CAST(CAST(x AS DOUBLE) / n.nrm AS FLOAT)) AS embedding
+       |  FROM mrlp0 t JOIN mrlpn n ON t.vec_id = n.vec_id
+       |  WHERE n.nrm > 0),
+       |${duckNnGraphCtesFor("mrlp", "mp")},
+       |mpq AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM mrlp
+       |  WHERE vec_id < $NumQueries),
+       |${duckBeamCtesFor("mpg3", "mpq", "mrlp", "mpnseeds", "mg",
+          MrlFunnelCand)},
+       |mgs AS (
+       |  SELECT b.query_id, b.vec_id,
+       |         ${duckDot("e.embedding", "qq.qv")} AS sim
+       |  FROM mgb$BeamIters b
+       |  JOIN embeddings e ON b.vec_id = e.vec_id
+       |  JOIN q qq ON qq.query_id = b.query_id)""".stripMargin
 
   /** Final top-k cut over a (query_id, doc_id, sim) CTE. */
   private def maxsimCut(src: String): String =
@@ -2996,6 +3248,9 @@ object Similarity {
     "maxsim_tune_gather" -> (maxsimTuneGather _),
     "embed_mrl" -> (embedMrl _),
     "ann_mrl_funnel" -> (annMrlFunnel _),
+    "ann_mrl_graph_funnel" -> (annMrlGraphFunnel _),
+    "ann_recall_mrl_graph" -> (annRecallMrlGraph _),
+    "retrieve_maxsim_pq" -> (retrieveMaxsimPq _),
     "ann_recall_mrl_funnel" -> (annRecallMrlFunnel _),
     "retrieve_mmr_ann" -> (retrieveMmrAnn _),
   )
@@ -4862,13 +5117,31 @@ object Similarity {
          |$duckNnGraphCtes,
          |$duckMaxsimPlaidCtes
          |${maxsimCut("pscore")}""".stripMargin,
+    // compressed-gather replay: codebook training, encode/decode, the
+    // per-token beam ladder scoring decoded tokens, candidate union,
+    // restricted FULL-WIDTH maxsim, cut
+    "retrieve_maxsim_pq" ->
+      s"""WITH $duckMaxsimCtes,
+         |$pqCbCtes,
+         |sv AS (
+         |  SELECT e.vec_id, j.j AS j, ${duckSub("e.embedding", "j.j")} AS sv
+         |  FROM embeddings e, range(8) j(j)),
+         |$duckNnGraphCtes,
+         |$duckMaxsimPqCtes
+         |${maxsimCut("ppscore")}""".stripMargin,
     // served-shapes vs full-interaction recall — one integer row per
-    // gather (exact-scan two-stage beside the graph-ANN PLAID shape)
+    // gather (exact-scan two-stage, the float graph-ANN PLAID shape,
+    // and the compressed-token PLAID shape)
     "maxsim_recall" ->
       s"""WITH $duckMaxsimCtes,
          |$duckMaxsimAnnCtes,
          |$duckNnGraphCtes,
          |$duckMaxsimPlaidCtes,
+         |$pqCbCtes,
+         |sv AS (
+         |  SELECT e.vec_id, j.j AS j, ${duckSub("e.embedding", "j.j")} AS sv
+         |  FROM embeddings e, range(8) j(j)),
+         |$duckMaxsimPqCtes,
          |xmk AS (
          |  SELECT query_id, doc_id FROM (
          |    SELECT query_id, doc_id,
@@ -4886,7 +5159,13 @@ object Similarity {
          |    SELECT query_id, doc_id,
          |      row_number() OVER (PARTITION BY query_id
          |                    ORDER BY sim DESC, doc_id ASC) AS rn
-         |    FROM pscore) WHERE rn <= $K)
+         |    FROM pscore) WHERE rn <= $K),
+         |qmk AS (
+         |  SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, doc_id ASC) AS rn
+         |    FROM ppscore) WHERE rn <= $K)
          |SELECT algo, hits, n FROM (
          |  SELECT 'retrieve_maxsim_ann' AS algo,
          |    (SELECT count(*) FROM amk a JOIN xmk x
@@ -4895,6 +5174,11 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'retrieve_maxsim_plaid' AS algo,
          |    (SELECT count(*) FROM pmk p JOIN xmk x
+         |       ON p.query_id = x.query_id AND p.doc_id = x.doc_id) AS hits,
+         |    CAST(${MaxsimQueries * K} AS BIGINT) AS n
+         |  UNION ALL
+         |  SELECT 'retrieve_maxsim_pq' AS algo,
+         |    (SELECT count(*) FROM qmk p JOIN xmk x
          |       ON p.query_id = x.query_id AND p.doc_id = x.doc_id) AS hits,
          |    CAST(${MaxsimQueries * K} AS BIGINT) AS n)
          |ORDER BY algo""".stripMargin,
@@ -4973,6 +5257,43 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'ann_mrl_prefix' AS algo,
          |    (SELECT count(*) FROM mrlk$MrlFunnelDim a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+         |    CAST(${NumQueries * K} AS BIGINT) AS n)
+         |ORDER BY algo""".stripMargin,
+    // graph-funnel replay: prefix-graph construction (NN-descent over
+    // the d'=16 slices), the 50-wide beam walk as the proposal set,
+    // exact full-dimension rescore, rank-only
+    "ann_mrl_graph_funnel" ->
+      s"""WITH $pqQCte,
+         |$duckMrlGraphFunnelCtes
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+         |      AS rank
+         |  FROM mgs) WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    // graph-funnel vs flat-funnel recall: the exact side, both
+    // funnels' rescored top-K — two rows
+    "ann_recall_mrl_graph" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |$duckMrlGraphFunnelCtes,
+         |${topKIdsCte("mgs", "gk")},
+         |$duckMrlFunnelCtes,
+         |${topKIdsCte("mfs", "fk")}
+         |SELECT algo, hits, n FROM (
+         |  SELECT 'ann_mrl_funnel' AS algo,
+         |    (SELECT count(*) FROM fk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
+         |    CAST(${NumQueries * K} AS BIGINT) AS n
+         |  UNION ALL
+         |  SELECT 'ann_mrl_graph_funnel' AS algo,
+         |    (SELECT count(*) FROM gk a JOIN xk x
          |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits,
          |    CAST(${NumQueries * K} AS BIGINT) AS n)
          |ORDER BY algo""".stripMargin,

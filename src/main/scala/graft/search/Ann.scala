@@ -468,6 +468,59 @@ object Ann {
     cw
   }
 
+  /** DECODED (reconstructed) index from PQ codes — decode(encode(x)):
+    * every vector is replaced by the concatenation of its per-subspace
+    * L2-argmin codewords (strict `<` scan, ties to the lowest code —
+    * the [[pqTopKWith]] encode loop verbatim), i.e. the float
+    * materialization of the m-byte compressed row. dot(q, decoded)
+    * equals the ADC sum Σ_j LUT[j][code_j] by construction (identical
+    * per-subspace codeword dots), so scoring decoded vectors IS
+    * asymmetric-distance scoring — expressed this way so the shared
+    * graph-walk machinery consumes the compressed index unchanged
+    * (the PLAID/ColBERTv2 token-index trade: Santhanam et al. 2022,
+    * §3 — centroid+residual codes in place of float tokens). A
+    * production layout persists the code bytes and decodes at scan
+    * time in exactly this narrow map; the float originals are read
+    * only by a rescore stage.
+    */
+  def pqDecoded(index: DataFrame, m: Int,
+      cw: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    if (cw.isEmpty)
+      return Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val sub = cw(0)(0).length
+    val nc = cw(0).length
+    val mm = m
+    val bcCw = spark.sparkContext.broadcast(cw)
+    index.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCw.value
+        it.map { case (id, v) =>
+          val out = new Array[Float](mm * sub)
+          var j = 0
+          while (j < mm) {
+            var best = 0; var bestD = Double.PositiveInfinity
+            var c = 0
+            while (c < nc) {
+              var dd = 0.0; var d = 0
+              while (d < sub) {
+                val diff = v(j * sub + d).toDouble - cs(j)(c)(d).toDouble
+                dd += diff * diff
+                d += 1
+              }
+              if (dd < bestD) { bestD = dd; best = c }
+              c += 1
+            }
+            System.arraycopy(cs(j)(best), 0, out, j * sub, sub)
+            j += 1
+          }
+          (id, out)
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
   /** [[pqTopK]] with explicit codebooks `cw(j)(c)` (all subspaces the
     * same width; from [[sampleCodebooks]] or [[trainPqCodebooks]]). */
   def pqTopKWith(index: DataFrame, queries: DataFrame, k: Int,

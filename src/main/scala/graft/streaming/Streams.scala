@@ -267,6 +267,58 @@ object Streams extends Serializable {
         when(col("n_shared_bands") > 0, 1).otherwise(0).as("is_near_dup"))
   }
 
+  /** The INGEST LOOP — stream → screen → embed → upsert, the steady
+    * state of a training-data pipeline's index (VERDICT r18 #3; the
+    * reference's §3.3 indexing path run continuously instead of once,
+    * reference main.py:415-461 rebuilds per run): each micro-batch of
+    * documents is (optionally) screened against the existing corpus's
+    * Bloom band-key set ([[bloomIngestStream]] — near-dups never reach
+    * the index), embedded row-locally ([[HashingEmbedder]]), and
+    * upserted into the collection via
+    * [[graft.index.VectorStore.upsertPoints]] — which already
+    * maintains the collection's graph artifact INCREMENTALLY (HNSW
+    * delete+insert, never a rebuild) and persists it for cold-start
+    * serving. `docs` must carry `doc_id`, `content`, and every other
+    * payload column the collection's schema expects (upsertPoints
+    * aligns columns by name).
+    *
+    * Returns the un-started writer so the caller owns trigger/
+    * checkpoint config; foreachBatch runs on the DRIVER, so the store
+    * handle rides the closure without serialization. Scale shape per
+    * batch: screen is row-local probes against a 2 KB bitset, embed is
+    * a narrow map, upsert is the store's write-to-temp + incremental
+    * graph maintenance — nothing corpus² per batch, nothing rebuilt.
+    */
+  def ingestIndexStream(docs: DataFrame, store: graft.index.VectorStore,
+      collection: String, existingBands: Option[DataFrame] = None,
+      model: HashingEmbedder.Model = HashingEmbedder.models.head)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val embedUdf = udf((text: String) => HashingEmbedder.embed(text, model))
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // screen: drop near-dups against the existing corpus's band
+        // keys — bloomIngestStream's screen body is split-invariant
+        // (row-local probes + a stream-static verify join), reused
+        // here on the static micro-batch frame
+        val kept = existingBands match {
+          case Some(bands) =>
+            val dups = bloomIngestStream(batch, bands)
+              .filter(col("is_near_dup") === 1)
+              .select(col("doc_id"))
+            batch.join(dups, Seq("doc_id"), "left_anti")
+          case None => batch
+        }
+        val rows = kept
+          .withColumn("embedding", embedUdf(col("content")))
+          .withColumnRenamed("doc_id", "id")
+        // an all-duplicates batch upserts nothing (upsertPoints would
+        // otherwise rewrite the partition and touch the graph for a
+        // no-op)
+        if (!rows.isEmpty) store.upsertPoints(collection, rows)
+        ()
+      }
+  }
+
   /** Keyed sessionization with explicit state: a session closes after
     * `gapSeconds` of silence; each batch emits the updated (or closed)
     * session per user.

@@ -350,6 +350,61 @@ object Soak {
         graft.search.Knn.maxsimTopKCandidates(maxsimDocs, maxsimQ, cands,
           10, 4).count()
       }
+      // PLAID with the COMPRESSED token index at mult× tokens: codebook
+      // training is two narrow passes (linear), the walk scores decoded
+      // PQ tokens (the 8×-smaller index bytes) at the 2×-oversampled
+      // cut, rescore reads full-width for the gathered docs only —
+      // expect the plaid column's near-flat serve plus a linear train
+      val tMaxsimPq = time {
+        val cw = graft.search.Ann.trainPqCodebooks(emb, m = 8,
+          numCodes = 16, iters = 2)
+        val dec = graft.search.Ann.pqDecoded(emb, 8, cw)
+        val tq = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val cands = graft.search.NnGraph.graphTopK(dec, nndGraph, tq, 16,
+            beamWidth = 16, iters = 4, sampleSize = 16)
+          .select((col("query_id") / 4).cast("long").as("query_id"),
+            (col("vec_id") / 4).cast("long").as("doc_id"))
+          .distinct()
+        graft.search.Knn.maxsimTopKCandidates(maxsimDocs, maxsimQ, cands,
+          10, 4).count()
+      }
+      // MRL graph funnel at mult× vectors: the build runs on the
+      // 4×-narrower re-normalized prefixes (expect ~nnd_build/4 per
+      // dot), the 50-wide walk proposes corpus-independently, the
+      // rescore reads full-width for ≤ 50 rows/query
+      val mrlPrefix = emb
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("tvec"))
+        .withColumn("nrm", sqrt(aggregate(col("tvec"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+        .filter(col("nrm") > 0)
+        .select(col("vec_id"), transform(col("tvec"),
+          x => (x.cast("double") / col("nrm")).cast("float"))
+          .as("embedding"))
+      var mrlGraph: DataFrame = null
+      val tMrlgBuild = time {
+        mrlGraph = graft.search.NnGraph.buildGraph(mrlPrefix, k = 10,
+          iters = 3, sampleSize = 16)
+      }
+      val tMrlgServe = time {
+        val pq10 = mrlPrefix.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val props = graft.search.NnGraph.graphTopK(mrlPrefix, mrlGraph,
+            pq10, 50, beamWidth = 50, iters = 4, sampleSize = 16)
+          .select(col("query_id"), col("vec_id"))
+        val fullQ = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val qw = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        emb.join(broadcast(props), "vec_id")
+          .join(broadcast(fullQ), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.Vec.dot(col("qvec"), col("embedding")).as("sim"))
+          .select(col("query_id"), row_number().over(qw).as("rank"),
+            col("vec_id"))
+          .filter(col("rank") <= 10).count()
+      }
       // Gramian + power iteration at mult× vectors: the d×d partition
       // accumulators make the corpus scan the ONLY growing stage
       // (4096 multiply-adds per row); iteration cost is driver-constant
@@ -471,7 +526,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  maxsim_plaid=${tMaxsimPlaid}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  maxsim_plaid=${tMaxsimPlaid}%6.2f s  maxsim_pq=${tMaxsimPq}%6.2f s  mrlg_build=${tMrlgBuild}%6.2f s  mrlg_serve=${tMrlgServe}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

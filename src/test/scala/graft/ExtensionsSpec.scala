@@ -1014,6 +1014,93 @@ class StreamingSpec extends SparkSpec {
       s"stream screen diverged from batch: $oneBatch vs $expected")
   }
 
+  test("ingest loop: stream → screen → embed → upsert serves like the batch upsert; no rebuild per batch; dups never indexed") {
+    import graft.index.VectorStore
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+    def mkStore(): (VectorStore, String) = {
+      val base = java.nio.file.Files.createTempDirectory("ingest-loop").toString
+      val store = new VectorStore(spark, base)
+      val rows = (0 until 20)
+        .map(i => (i.toLong, s"seed document number $i",
+          HashingEmbedder.embed(s"seed document number $i", m)))
+        .toDF("row_order", "content", "embedding")
+      store.createCollection("c", rows, "row_order")
+      // first search pays the one full build; every later maintenance
+      // must be incremental
+      assert(store.graphSearch("c", q("seed document number 3"), 3)
+        .collect().nonEmpty)
+      assert(VectorStore.graphBuildsOf(base, "c") == 1L)
+      (store, base)
+    }
+    // the existing corpus's band-key table — the screen's static side
+    import graft.dedup.Dedup
+    val seedDocs = (0 until 20)
+      .map(i => (i.toLong, s"seed document number $i")).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhash(
+        Dedup.shingleSet(seedDocs, "doc_id", "text"), 16), 4)
+      .select(col("band"), col("bkey")).distinct()
+
+    // incoming: six fresh docs + one republication of seed doc 0 (the
+    // screen must drop it) — one parquet file each so maxFilesPerTrigger
+    // carves any split
+    val fresh = (100L to 105L).map(i => (i, i, s"fresh arrival number $i"))
+    val dup = (110L, 110L, "seed document number 0")
+    val in = java.nio.file.Files.createTempDirectory("ingest-in").toString
+    (fresh :+ dup).foreach { case (id, ro, t) =>
+      Seq((id, ro, t)).toDF("doc_id", "row_order", "content")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    def runStream(store: VectorStore, maxFiles: Option[Int]): Unit = {
+      val reader = spark.readStream
+        .schema("doc_id LONG, row_order LONG, content STRING")
+      val src = maxFiles.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n)).parquet(in)
+      val sq = Streams.ingestIndexStream(src, store, "c", Some(bands), m)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.processAllAvailable(); sq.stop()
+    }
+
+    // leg 1: ONE micro-batch — must serve exactly like ONE direct
+    // upsertPoints of the same screened rows (foreachBatch IS that call)
+    val (storeS, baseS) = mkStore()
+    runStream(storeS, None)
+    val (storeB, baseB) = mkStore()
+    storeB.upsertPoints("c", fresh.map { case (id, ro, t) =>
+        (id, ro, t, HashingEmbedder.embed(t, m)) }
+      .toDF("id", "row_order", "content", "embedding"))
+    val panel = Seq("fresh arrival number 102", "seed document number 7",
+      "fresh arrival number 105")
+    panel.foreach { text =>
+      val a = storeS.graphSearch("c", q(text), 5).orderBy("rank").collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSeq
+      val b = storeB.graphSearch("c", q(text), 5).orderBy("rank").collect()
+        .map(r => (r.getInt(1), r.getLong(2))).toSeq
+      assert(a == b, s"stream != batch for '$text': $a vs $b")
+    }
+
+    // leg 2: per-file micro-batches — same final contents, still ZERO
+    // rebuilds (each batch maintains incrementally), every fresh doc
+    // self-served at rank 1, the republication never indexed
+    val (storeP, baseP) = mkStore()
+    runStream(storeP, Some(1))
+    import spark.implicits._
+    val idsP = storeP.read("c").select("id").as[Long].collect().toSet
+    val idsS = storeS.read("c").select("id").as[Long].collect().toSet
+    assert(idsP == idsS, s"split changed contents: $idsP vs $idsS")
+    assert(!idsP.contains(110L), "screened near-dup reached the index")
+    assert(idsP.intersect((100L to 105L).toSet) == (100L to 105L).toSet)
+    assert(VectorStore.graphBuildsOf(baseP, "c") == 1L,
+      "per-batch maintenance must never rebuild")
+    assert(VectorStore.graphBuildsOf(baseS, "c") == 1L)
+    fresh.foreach { case (id, _, t) =>
+      val hit = storeP.graphSearch("c", q(t), 3).orderBy("rank").collect()
+      assert(hit.head.getLong(2) == id,
+        s"stream-ingested doc $id not self-served: ${hit.toSeq}")
+    }
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
     Seq(

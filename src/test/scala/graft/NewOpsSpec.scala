@@ -1513,6 +1513,27 @@ class NewOpsSpec extends SparkSpec {
       Similarity.K * 6) / 10, s"plaid recall collapsed: $meter")
   }
 
+  test("retrieve_maxsim_pq: ranks dense; meter row consistent; compressed gather still retrieves") {
+    val rows = Similarity.retrieveMaxsimPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until Similarity.MaxsimQueries).toSet)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.map(_._2).max),
+        s"query $q ranks not dense")
+    }
+    // the meter's pq row equals a direct intersection with the full
+    // interaction's output (the plaid-row discipline)
+    val exact = Similarity.retrieveMaxsim(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = rows.count(t => exact((t._1, t._3)))
+    val meter = Similarity.maxsimRecall(spark, dir).collect()
+      .find(_.getString(0) == "retrieve_maxsim_pq").get
+    assert(meter.getLong(1) == hits.toLong,
+      s"meter ${meter.getLong(1)} vs direct $hits")
+    assert(meter.getLong(1) > 0, s"compressed gather found nothing: $meter")
+  }
+
   test("maxsim_tune_gather: monotone rungs; production rung equals the plaid meter row") {
     val rows = Similarity.maxsimTuneGather(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3))).sortBy(_._1)
@@ -1556,6 +1577,28 @@ class NewOpsSpec extends SparkSpec {
     assert(meter("ann_mrl_funnel") >= meter("ann_mrl_prefix"),
       s"rescore lost recall: $meter")
     assert(meter("ann_mrl_funnel") > 0, s"funnel found nothing: $meter")
+  }
+
+  test("ann_mrl_graph_funnel: self-query retrieved at rank 1; ranks dense; both recall rows present") {
+    val rows = Similarity.annMrlGraphFunnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.map(_._2).max),
+        s"query $q ranks not dense")
+      // the query IS an index vector and its normalized prefix is its
+      // own nearest prefix neighbor (cosine 1, the walk's entry set
+      // reaches it through the graph) — the exact full-width rescore
+      // then puts the self-vector at rank 1 (unit-norm corpus: the
+      // self dot is the global max)
+      assert(g.find(_._2 == 1).exists(_._3 == q),
+        s"query $q self-vector not at rank 1: ${g.toSeq.sortBy(_._2)}")
+    }
+    val meter = Similarity.annRecallMrlGraph(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(meter.keySet == Set("ann_mrl_funnel", "ann_mrl_graph_funnel"),
+      s"meter rows: $meter")
+    assert(meter("ann_mrl_graph_funnel") > 0, s"graph funnel found nothing: $meter")
   }
 
   test("retrieve_maxsim: self-document retrieved; ranks dense 1..k per query") {

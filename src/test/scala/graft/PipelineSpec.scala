@@ -217,6 +217,62 @@ class VectorStoreSpec extends SparkSpec {
       "a recreated dataset must rebuild, not serve the stale artifact")
   }
 
+  test("per-collection codebooks: train once, serve compressed, cold-start load, recreate retrains") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-cw").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def rows(pfx: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, s"$pfx doc $i", HashingEmbedder.embed(s"$pfx doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+    val store = new VectorStore(spark, base)
+    store.createCollection("a", rows("alpha", 30), "row_order")
+    store.createCollection("b", rows("beta", 30), "row_order")
+
+    // first use trains exactly once per collection; the second call is
+    // a memo hit
+    val cwA = store.codebooksOf("a")
+    assert(cwA.length == VectorStore.PqM)
+    assert(store.codebooksOf("a") eq cwA)
+    assert(VectorStore.cwTrainsOf(base, "a") == 1L)
+    assert(VectorStore.cwTrainsOf(base, "b") == 0L,
+      "training A must never touch B")
+
+    // compressed serve: k ranked rows, the self-query's own vector in
+    // the ADC top-k (decode error cannot displace a unit-norm self
+    // match out of the top 3 on this fixture)
+    val hits = store.searchCompressed("a", q("alpha doc 4"), 3)
+      .orderBy("rank").collect()
+    assert(hits.length == 3)
+    assert(hits.map(_.getAs[Long]("id")).contains(4L), hits.toSeq.toString)
+
+    // upsert keeps the trained quantizer (the Faiss train-once
+    // contract: add() never retrains)
+    store.upsertPoints("a", Seq((50L, "alpha brand new",
+        HashingEmbedder.embed("alpha brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order"))
+    assert(store.codebooksOf("a") eq cwA)
+    assert(VectorStore.cwTrainsOf(base, "a") == 1L)
+
+    // cold start: a fresh session loads the persisted codebooks —
+    // zero training, identical values
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    val cwA2 = store2.codebooksOf("a")
+    assert(VectorStore.cwTrainsOf(base, "a") == 1L,
+      "a fresh session must load persisted codebooks, not retrain")
+    assert(cwA2.length == cwA.length &&
+      cwA2.zip(cwA).forall { case (x, y) =>
+        x.zip(y).forall { case (u, v) => u.sameElements(v) } },
+      "persisted codebooks must round-trip bit-exact")
+
+    // recreate invalidates: a new dataset retrains
+    store2.createCollection("a", rows("gamma", 10), "row_order")
+    store2.codebooksOf("a")
+    assert(VectorStore.cwTrainsOf(base, "a") == 2L,
+      "a recreated collection must retrain, not serve stale codebooks")
+  }
+
   test("compact rewrites the file layout without changing a row") {
     val base = java.nio.file.Files.createTempDirectory("vstore-compact").toString
     val store = new VectorStore(spark, base)

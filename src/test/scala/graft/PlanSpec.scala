@@ -520,6 +520,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ann_mrl_graph_funnel: proposals serve from the prefix-graph artifact, rescore stays broadcast") {
+    // the graph funnel's point (VERDICT r18 #4): stage 1 must walk the
+    // WRITTEN prefix-graph artifact — a plan without the artifact scan
+    // (or with the NN-descent construction subtree inlined) would mean
+    // the propose stage still touches every row or rebuilds per query,
+    // exactly the corpus-scale pass this operator retires
+    val df = graft.queries.Similarity.annMrlGraphFunnel(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("graft_nngraph_"),
+      "proposals must scan the written prefix-graph artifact")
+    assert(!plan.contains("MapPartitionsRDD"),
+      "the checkpointed build RDDs must not appear in the serve plan")
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator
+      .filter(_.contains("SortMergeJoin")).mkString("; "))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("winnow_runs: four window passes and the run aggregate ride ONE pair exchange") {
     // segmentation = total-count window + lag/running-sum on pa (both
     // over (a, b)) + lag/running-sum on pb (over (a, b, run_id)), then
