@@ -61,6 +61,26 @@ object NnGraph {
     s
   }
 
+  /** Driver-side replica of [[graft.functions.DotProduct]] over
+    * collected Row sequences (float or double elements — the only
+    * types graft_dot admits): min-length, per-element double cast,
+    * left-to-right double accumulation — bit-identical, so a beam
+    * computed from driver dots equals one computed in the plan.
+    */
+  private def dotRows(a: scala.collection.Seq[Any],
+      b: scala.collection.Seq[Any]): Double = {
+    def d(x: Any): Double = x match {
+      case f: java.lang.Float  => f.toDouble
+      case v: java.lang.Double => v
+      case other => throw new IllegalArgumentException(
+        s"graft_dot element: ${other.getClass}")
+    }
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { s += d(a(i)) * d(b(i)); i += 1 }
+    s
+  }
+
   private def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -351,16 +371,22 @@ object NnGraph {
     // round when the caller derives queries from the corpus); the
     // FINAL lazy round keeps the caller's frame so the serve plan is
     // unchanged (PlanSpec pins it)
+    val qRows = q.collect().sortBy(_.getLong(0))
     val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(q.collect().sortBy(_.getLong(0)): _*),
-      q.schema)
+      java.util.Arrays.asList(qRows: _*), q.schema)
 
-    // round 0: raw seed scores collected, top-beamWidth on the driver
+    // round 0 runs ON THE DRIVER: the seed sample collects (the one
+    // job this round costs — it replaces the broadcast-exchange +
+    // crossJoin-collect pair) and the ≤ |queries| × sample entry dots
+    // are [[dotRows]] — bit-identical to the graft_dot plan form, so
+    // the entry beam is unchanged
+    val seedRows = seeds.collect()
     var beam = driverTop(
-      qLocal.crossJoin(broadcast(seeds))
-        .select(col("query_id"), col("seed_id").as("vec_id"),
-          Vec.dot(col("qvec"), col("svec")).as("sim"))
-        .as[(Long, Long, Double)].collect(),
+      for {
+        qr <- qRows
+        sr <- seedRows
+      } yield (qr.getLong(0), sr.getLong(0),
+        dotRows(qr.getSeq[Any](1), sr.getSeq[Any](1))),
       beamWidth)
     for (_ <- 1 until iters) {
       beam = driverTop(
@@ -404,14 +430,18 @@ object NnGraph {
     // beamWithSims discipline: every round broadcasts it anyway, so
     // re-planting it as driver rows stops each eager round from
     // re-executing the caller's query subplan
+    val qRows = q.collect().sortBy(_.getLong(0))
     val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(q.collect().sortBy(_.getLong(0)): _*),
-      q.schema)
-    // round 0: the full seed sample is scored per query
-    val entry = qLocal.crossJoin(broadcast(seeds))
-      .select(col("query_id"), col("seed_id").as("vec_id"),
-        Vec.dot(col("qvec"), col("svec")).as("sim"))
-      .as[(Long, Long, Double)].collect()
+      java.util.Arrays.asList(qRows: _*), q.schema)
+    // round 0 on the driver (the beamWithSims discipline): the full
+    // seed sample is scored per query via [[dotRows]] — one seed
+    // collect instead of a broadcast + crossJoin-collect pair
+    val seedRows = seeds.collect()
+    val entry: Array[(Long, Long, Double)] = for {
+      qr <- qRows
+      sr <- seedRows
+    } yield (qr.getLong(0), sr.getLong(0),
+      dotRows(qr.getSeq[Any](1), sr.getSeq[Any](1)))
     entry.foreach(r => candAll += ((r._1, r._2)))
     var beam = driverTop(entry, beamWidth)
     for (_ <- 1 to iters) {
