@@ -22,6 +22,19 @@ object VectorStore {
   private val cwMemo =
     new graft.SessionMemo[(String, String), Array[Array[Array[Float]]]]
 
+  // STALENESS GUARDS for cross-session mutation (the store path is
+  // shared state; a session's memo can outlive a mutation performed
+  // by ANOTHER session's store over the same path): the content stamp
+  // the memoized graph frame was resolved at, and the identity token
+  // the memoized codebooks were loaded/trained at — validated on every
+  // lookup against the path's CURRENT state (a driver listing / one
+  // small file read), dropping the stale entry instead of serving it
+  // (graph: a pruned artifact dir would otherwise throw forever;
+  // codebooks: a recreated dataset would otherwise be scored with the
+  // old quantizer, silently).
+  private val graphStampMemo = new graft.SessionMemo[(String, String), String]
+  private val cwTokenMemo = new graft.SessionMemo[(String, String), String]
+
   // TRAIN census per (store, collection) — the spec hook proving
   // codebooks train once per collection lifetime (memo hits and
   // cold-start loads must never bump it)
@@ -116,8 +129,10 @@ class VectorStore(spark: SparkSession, basePath: String) {
     // artifacts too: a recreate retrains (unlike upsert/delete, which
     // keep them — the Faiss train-once contract).
     VectorStore.graphMemo.drop(spark, gkey(name))
+    VectorStore.graphStampMemo.entries(spark).remove(gkey(name))
     pruneGraphDirs(name, keep = None)
     VectorStore.cwMemo.entries(spark).remove(gkey(name))
+    VectorStore.cwTokenMemo.entries(spark).remove(gkey(name))
     val pqDir = new java.io.File(s"$basePath/.pq/$name")
     if (pqDir.exists) rmTree(pqDir)
   }
@@ -216,18 +231,30 @@ class VectorStore(spark: SparkSession, basePath: String) {
     * Keyed (store path, collection): maintenance on one collection
     * cannot touch another's artifact.
     */
-  def graphOf(name: String): DataFrame =
-    VectorStore.graphMemo.computeIfAbsent(spark, gkey(name)) {
+  def graphOf(name: String): DataFrame = {
+    val key = gkey(name)
+    val cur = collStamp(name)
+    // cross-session staleness guard: another store over this path may
+    // have mutated the collection (pruning the artifact dir this
+    // session's memoized frame scans) — a memo resolved at a different
+    // stamp is dropped, never served
+    val recorded = VectorStore.graphStampMemo.entries(spark).get(key)
+    if (recorded != null && recorded != cur)
+      VectorStore.graphMemo.drop(spark, key)
+    val g = VectorStore.graphMemo.computeIfAbsent(spark, key) {
       loadPersistedGraph(name).getOrElse {
-        VectorStore.bump(gkey(name))
+        VectorStore.bump(key)
         val dir = stampDir(name)
-        val g = NnGraph.buildGraph(asIndex(read(name)), VectorStore.GraphK,
-          VectorStore.NndIters, VectorStore.NndSample,
+        val built = NnGraph.buildGraph(asIndex(read(name)),
+          VectorStore.GraphK, VectorStore.NndIters, VectorStore.NndSample,
           artifactDir = Some(dir))
         pruneGraphDirs(name, keep = Some(dir))
-        g
+        built
       }
     }
+    VectorStore.graphStampMemo.entries(spark).put(key, cur): Unit
+    g
+  }
 
   /** V3's graph-index path: beam search over THIS collection's
     * artifact — the per-collection serving contract of the reference's
@@ -262,6 +289,20 @@ class VectorStore(spark: SparkSession, basePath: String) {
     } yield (j, c, cw(j)(c).toSeq)
     rows.toDF("j", "code", "cw")
       .coalesce(1).write.mode("overwrite").parquet(pqRoot(name).toString)
+    // identity token beside the parquet (underscore-prefixed — the data
+    // source ignores it): the cross-session staleness check compares a
+    // memoized entry's token against this file, so a recreate (which
+    // deletes the dir) invalidates every session's memo on next lookup
+    java.nio.file.Files.write(
+      new java.io.File(pqRoot(name), "_token").toPath,
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8")): Unit
+  }
+
+  /** The persisted codebooks' identity token — None when absent. */
+  private def cwToken(name: String): Option[String] = {
+    val f = new java.io.File(pqRoot(name), "_token")
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
   }
 
   private def loadPersistedCodebooks(
@@ -286,16 +327,30 @@ class VectorStore(spark: SparkSession, basePath: String) {
     * (store path, collection): one collection's codebooks never serve
     * another's codes.
     */
-  def codebooksOf(name: String): Array[Array[Array[Float]]] =
-    VectorStore.cwMemo.computeIfAbsent(spark, gkey(name)) {
+  def codebooksOf(name: String): Array[Array[Array[Float]]] = {
+    val key = gkey(name)
+    // cross-session staleness guard: a recreate by ANOTHER session
+    // deletes the persisted dir (and its token) — a memo recorded at a
+    // token the disk no longer carries would silently score the new
+    // dataset with the old quantizer, so it is dropped instead
+    val recorded = VectorStore.cwTokenMemo.entries(spark).get(key)
+    if (recorded != null && !cwToken(name).contains(recorded)) {
+      VectorStore.cwMemo.entries(spark).remove(key)
+      VectorStore.cwTokenMemo.entries(spark).remove(key)
+    }
+    val cw = VectorStore.cwMemo.computeIfAbsent(spark, key) {
       loadPersistedCodebooks(name).getOrElse {
-        VectorStore.bumpTrain(gkey(name))
-        val cw = graft.search.Ann.trainPqCodebooks(asIndex(read(name)),
+        VectorStore.bumpTrain(key)
+        val trained = graft.search.Ann.trainPqCodebooks(asIndex(read(name)),
           VectorStore.PqM, VectorStore.PqCodes, VectorStore.PqIters)
-        persistCodebooks(name, cw)
-        cw
+        persistCodebooks(name, trained)
+        trained
       }
     }
+    cwToken(name).foreach(t =>
+      VectorStore.cwTokenMemo.entries(spark).put(key, t): Unit)
+    cw
+  }
 
   /** V3's memory-bounded path: ADC top-k over THIS collection's
     * trained codebooks — the Faiss IndexPQ serve beside [[search]]'s
@@ -322,9 +377,11 @@ class VectorStore(spark: SparkSession, basePath: String) {
     if (dir.exists) rmTree(dir)
     if (dropGraph) {
       VectorStore.graphMemo.drop(spark, gkey(name))
+      VectorStore.graphStampMemo.entries(spark).remove(gkey(name))
       val root = graphRoot(name)
       if (root.exists) rmTree(root)
       VectorStore.cwMemo.entries(spark).remove(gkey(name))
+      VectorStore.cwTokenMemo.entries(spark).remove(gkey(name))
       val pqDir = new java.io.File(s"$basePath/.pq/$name")
       if (pqDir.exists) rmTree(pqDir)
     }
@@ -380,6 +437,8 @@ class VectorStore(spark: SparkSession, basePath: String) {
         VectorStore.GraphK, artifactDir = Some(dir))
       pruneGraphDirs(name, keep = Some(dir))
       VectorStore.graphMemo.put(spark, gkey(name))(updated)
+      VectorStore.graphStampMemo.entries(spark)
+        .put(gkey(name), collStamp(name)): Unit
     }
     before - after
   }
@@ -423,6 +482,8 @@ class VectorStore(spark: SparkSession, basePath: String) {
         artifactDir = Some(dir))
       pruneGraphDirs(name, keep = Some(dir))
       VectorStore.graphMemo.put(spark, gkey(name))(updated)
+      VectorStore.graphStampMemo.entries(spark)
+        .put(gkey(name), collStamp(name)): Unit
     }
   }
 
@@ -470,6 +531,8 @@ class VectorStore(spark: SparkSession, basePath: String) {
       g.write.mode("overwrite").parquet(dir)
       pruneGraphDirs(name, keep = Some(dir))
       VectorStore.graphMemo.put(spark, gkey(name))(spark.read.parquet(dir))
+      VectorStore.graphStampMemo.entries(spark)
+        .put(gkey(name), collStamp(name)): Unit
     }
   }
 

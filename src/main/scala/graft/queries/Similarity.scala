@@ -1582,15 +1582,30 @@ object Similarity {
     * cut (17 without oversampling), the measured version of the
     * PLAID paper's size/quality trade.
     */
+  /** The PQ code rows of the token index, written once per (session,
+    * dir) as a parquet artifact — the Faiss write-index step for the
+    * compressed layout: the encode argmin never re-runs at serve time,
+    * and every walk round scans the 8×-smaller code rows.
+    */
+  private def pqTokenCodesFrame(spark: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent(spark, dir + "#pqtok") {
+      import graft.search.{Ann, NnGraph}
+      NnGraph.writeArtifact(Ann.pqEncodeFrame(Tables.embeddings(spark, dir),
+        8, trainedRawCw(spark, dir)))
+    }
+
   def retrieveMaxsimPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.search.{Ann, Knn, NnGraph}
     val emb = Tables.embeddings(spark, dir)
     val docs = emb.select(expr(s"vec_id div $MaxsimTok").as("doc_id"),
       col("vec_id"), col("embedding"))
-    // the compressed token index: decode(encode(x)) over the SAME
-    // trained codebooks ann_pq_trained serves from (train once, query
-    // many — the artifact-reuse convention)
-    val decoded = Ann.pqDecoded(emb, 8, trainedRawCw(spark, dir))
+    // the compressed token index: CODE ROWS written once as an
+    // artifact (the 8×-smaller layout a store persists — encode's
+    // argmin runs once per index, not once per scan), decoded at scan
+    // time by a cheap codeword gather. Same trained codebooks
+    // ann_pq_trained serves from (train once, query many).
+    val decoded = Ann.pqDecodeFrame(pqTokenCodesFrame(spark, dir),
+      trainedRawCw(spark, dir))
     // stage 1: each query token walks the shared graph artifact,
     // scoring COMPRESSED token vectors against its full-width self —
     // at the 2× OVERSAMPLED per-token cut (the compressed-proposal
@@ -2968,8 +2983,9 @@ object Similarity {
     * ann_pq_trained ladder), encode-all + decode (`dec` — the
     * reconstructed token index the walk scores against), decoded seed
     * sample (`dseeds`), the per-token beam ladder over `g3` scoring
-    * decoded vectors (pfx `pp`), the [[MaxsimCandTok]] cut (`ppg`),
-    * candidate-doc union (`ppc`), and FULL-WIDTH restricted scoring
+    * decoded vectors (pfx `pp`), the 2×-oversampled
+    * [[MaxsimPqCandTok]] cut (`ppg`), candidate-doc union (`ppc`),
+    * and FULL-WIDTH restricted scoring
     * ending at `ppscore`. Requires [[duckNnGraphCtes]]' `g3`,
     * [[pqCbCtes]]' `cb`/`sub`, the raw-subvector `sv`, and
     * [[duckMaxsimCtes]]' `qt` in scope.

@@ -484,11 +484,23 @@ object Ann {
     * only by a rescore stage.
     */
   def pqDecoded(index: DataFrame, m: Int,
+      cw: Array[Array[Array[Float]]]): DataFrame =
+    pqDecodeFrame(pqEncodeFrame(index, m, cw), cw)
+
+  /** The PQ CODE ROWS (vec_id, codes int[m]) — the persistable
+    * 8–16×-smaller index a production layout actually stores: each
+    * code is the per-subspace L2-argmin over `cw` (strict `<` scan,
+    * ties to the lowest code — the [[pqTopKWith]] encode loop
+    * verbatim). Write these once as an artifact and decode at scan
+    * time ([[pqDecodeFrame]]) — the encode argmin (m × codes × subDim
+    * work per row) then runs ONCE per index, not once per scan.
+    */
+  def pqEncodeFrame(index: DataFrame, m: Int,
       cw: Array[Array[Array[Float]]]): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     if (cw.isEmpty)
-      return Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      return Seq.empty[(Long, Array[Int])].toDF("vec_id", "codes")
     val sub = cw(0)(0).length
     val nc = cw(0).length
     val mm = m
@@ -498,7 +510,7 @@ object Ann {
       .mapPartitions { it =>
         val cs = bcCw.value
         it.map { case (id, v) =>
-          val out = new Array[Float](mm * sub)
+          val out = new Array[Int](mm)
           var j = 0
           while (j < mm) {
             var best = 0; var bestD = Double.PositiveInfinity
@@ -513,7 +525,36 @@ object Ann {
               if (dd < bestD) { bestD = dd; best = c }
               c += 1
             }
-            System.arraycopy(cs(j)(best), 0, out, j * sub, sub)
+            out(j) = best
+            j += 1
+          }
+          (id, out)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** Decode code rows back to float vectors at scan time — a cheap
+    * codeword GATHER (no argmin): (vec_id, embedding float[m·subDim])
+    * where embedding = the concatenation of each code's codeword.
+    */
+  def pqDecodeFrame(codes: DataFrame,
+      cw: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    if (cw.isEmpty)
+      return Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val sub = cw(0)(0).length
+    val mm = cw.length
+    val bcCw = spark.sparkContext.broadcast(cw)
+    codes.select(col("vec_id").cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val cs = bcCw.value
+        it.map { case (id, cArr) =>
+          val out = new Array[Float](mm * sub)
+          var j = 0
+          while (j < mm) {
+            System.arraycopy(cs(j)(cArr(j)), 0, out, j * sub, sub)
             j += 1
           }
           (id, out)

@@ -133,7 +133,7 @@ object NnGraph {
     * Some(dir)` and the artifact lands there directly (no scratch
     * copy), surviving JVM restart for cold-start serving.
     */
-  private def writeArtifact(edges: DataFrame,
+  private[graft] def writeArtifact(edges: DataFrame,
       target: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val out = target.getOrElse(java.nio.file.Files.createDirectories(

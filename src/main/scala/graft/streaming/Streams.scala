@@ -221,31 +221,44 @@ object Streams extends Serializable {
     * aggregate state is one row per screened doc (a deployment windows
     * the ingest day and ages it out by watermark). Documents with no
     * bands (< 3 tokens) are not screened — the batch contract.
+    * (Scaladoc documents [[bloomIngestStream]] below; the helpers in
+    * between are its extracted engine.)
     */
-  def bloomIngestStream(docs: DataFrame, existing: DataFrame,
-      bloomBits: Int = 16384, bloomHashes: Int = 3,
-      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  /** Bit positions of one band key in the ingest Bloom filter. */
+  private def bloomBitOf(i: Int, band: Int, bkey: String, m: Int): Int =
+    Integer.parseInt(md5hex(s"bloom$i|$band|$bkey").substring(0, 4), 16) % m
+
+  /** Fold band keys into `bitSet` — the screen's incremental state
+    * update (the ingest loop grows ONE bitset batch over batch instead
+    * of rebuilding it from the corpus band table per micro-batch).
+    */
+  private[streaming] def bloomAdd(bitSet: java.util.BitSet,
+      keys: Iterable[(Int, String)], m: Int, k: Int): Unit =
+    keys.foreach { case (b, key) =>
+      (0 until k).foreach(i => bitSet.set(bloomBitOf(i, b, key, m)))
+    }
+
+  /** The screen body over a PREBUILT bitset and verify-side band
+    * table — the shared engine of [[bloomIngestStream]] (which builds
+    * the bitset from `existing` per call) and [[ingestIndexStream]]
+    * (which owns long-lived screen state and grows it per batch).
+    */
+  private[streaming] def bloomScreen(docs: DataFrame, existing: DataFrame,
+      bitSet: java.util.BitSet, bloomBits: Int, bloomHashes: Int,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
     import docs.sparkSession.implicits._
     val nh = numHashes; val rpb = rowsPerBand
     val m = bloomBits; val k = bloomHashes
     def bitOf(i: Int, band: Int, bkey: String): Int =
-      Integer.parseInt(md5hex(s"bloom$i|$band|$bkey").substring(0, 4), 16) % m
-    // the corpus's Bloom set: k bit positions per existing band key,
-    // collected once into a bitset (m bits = 2 KB) — what a daily
-    // pipeline ships instead of the corpus
-    val bitSet = new java.util.BitSet(m)
-    existing.select(col("band").cast("int"), col("bkey"))
-      .distinct().as[(Int, String)].collect()
-      .foreach { case (b, key) =>
-        (0 until k).foreach(i => bitSet.set(bitOf(i, b, key)))
-      }
+      bloomBitOf(i, band, bkey, m)
+    val localBits = bitSet.clone().asInstanceOf[java.util.BitSet]
     val positive = docs
       .select(col("doc_id").cast("long"), col("content"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val keys = bloomBandKeys(text, nh, rpb)
         val pos = keys.filter { case (b, key) =>
-          (0 until k).forall(i => bitSet.get(bitOf(i, b, key)))
+          (0 until k).forall(i => localBits.get(bitOf(i, b, key)))
         }
         // the sentinel keeps zero-positive (but banded) docs in the
         // screen output, as the batch spine does
@@ -267,54 +280,141 @@ object Streams extends Serializable {
         when(col("n_shared_bands") > 0, 1).otherwise(0).as("is_near_dup"))
   }
 
+  def bloomIngestStream(docs: DataFrame, existing: DataFrame,
+      bloomBits: Int = 16384, bloomHashes: Int = 3,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    // the corpus's Bloom set: k bit positions per existing band key,
+    // collected once into a bitset (m bits = 2 KB) — what a daily
+    // pipeline ships instead of the corpus
+    val bitSet = new java.util.BitSet(bloomBits)
+    bloomAdd(bitSet,
+      existing.select(col("band").cast("int"), col("bkey"))
+        .distinct().as[(Int, String)].collect(),
+      bloomBits, bloomHashes)
+    bloomScreen(docs, existing, bitSet, bloomBits, bloomHashes,
+      numHashes, rowsPerBand)
+  }
+
   /** The INGEST LOOP — stream → screen → embed → upsert, the steady
     * state of a training-data pipeline's index (VERDICT r18 #3; the
     * reference's §3.3 indexing path run continuously instead of once,
     * reference main.py:415-461 rebuilds per run): each micro-batch of
-    * documents is (optionally) screened against the existing corpus's
-    * Bloom band-key set ([[bloomIngestStream]] — near-dups never reach
-    * the index), embedded row-locally ([[HashingEmbedder]]), and
-    * upserted into the collection via
-    * [[graft.index.VectorStore.upsertPoints]] — which already
+    * documents is exact-deduped WITHIN the batch (lowest doc_id wins),
+    * screened against the ACCUMULATED near-dup state — the pre-stream
+    * corpus's band keys PLUS every previously kept batch's, so a
+    * republication of a streamed document is caught too — embedded
+    * row-locally ([[HashingEmbedder]]), and upserted into the
+    * collection via [[graft.index.VectorStore.upsertPoints]], which
     * maintains the collection's graph artifact INCREMENTALLY (HNSW
     * delete+insert, never a rebuild) and persists it for cold-start
     * serving. `docs` must carry `doc_id`, `content`, and every other
     * payload column the collection's schema expects (upsertPoints
-    * aligns columns by name).
+    * aligns columns by name). Screen granularity: a NON-identical
+    * near-dup pair arriving in the SAME micro-batch passes (state
+    * grows at batch boundaries — the micro-batch is the screen's
+    * resolution); every later batch sees both.
     *
     * Returns the un-started writer so the caller owns trigger/
     * checkpoint config; foreachBatch runs on the DRIVER, so the store
-    * handle rides the closure without serialization. Scale shape per
-    * batch: screen is row-local probes against a 2 KB bitset, embed is
-    * a narrow map, upsert is the store's write-to-temp + incremental
-    * graph maintenance — nothing corpus² per batch, nothing rebuilt.
+    * handle and the screen state ride the closure without
+    * serialization. Scale shape per batch: screen is row-local probes
+    * against the long-lived 2 KB bitset (built ONCE at stream start,
+    * grown in place per batch — never rebuilt from the corpus band
+    * table), the verify join touches bloom-positive keys only, embed
+    * is a narrow map, the kept rows materialize exactly once
+    * (localCheckpoint), and upsert is the store's write-to-temp +
+    * incremental graph maintenance — nothing corpus² per batch,
+    * nothing rebuilt, no per-batch driver pass over the corpus.
     */
   def ingestIndexStream(docs: DataFrame, store: graft.index.VectorStore,
       collection: String, existingBands: Option[DataFrame] = None,
       model: HashingEmbedder.Model = HashingEmbedder.models.head)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val embedUdf = udf((text: String) => HashingEmbedder.embed(text, model))
+    val m = 16384; val k = 3; val nh = 16; val rpb = 4
+    // LONG-LIVED screen state, owned by the stream (driver-side, built
+    // ONCE at start instead of per batch): the mutable 2 KB bitset,
+    // and the exact verify-side band table — which GROWS by each kept
+    // batch's bands so later batches screen against everything already
+    // ingested, not just the pre-stream corpus (the accumulated-corpus
+    // contract; per-batch the new keys are ≤ bands-per-doc × batch
+    // rows — the volume the batch's own joins already ship). The
+    // growing table is localCheckpoint-barriered per batch (flat plan,
+    // no per-batch lineage growth), superseded rounds released.
+    val state = existingBands.map { b0 =>
+      val spark0 = b0.sparkSession
+      import spark0.implicits._
+      val frame0 = b0.select(col("band").cast("int"), col("bkey"))
+        .distinct().localCheckpoint()
+      val bits = new java.util.BitSet(m)
+      bloomAdd(bits, frame0.as[(Int, String)].collect(), m, k)
+      (bits, new java.util.concurrent.atomic.AtomicReference(frame0))
+    }
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // screen: drop near-dups against the existing corpus's band
-        // keys — bloomIngestStream's screen body is split-invariant
-        // (row-local probes + a stream-static verify join), reused
-        // here on the static micro-batch frame
-        val kept = existingBands match {
-          case Some(bands) =>
-            val dups = bloomIngestStream(batch, bands)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        // exact INTRA-batch dedup first (lowest doc_id wins — two
+        // identical documents arriving in one micro-batch would
+        // otherwise both pass the prior-state screen); near-dup
+        // granularity within a single micro-batch is the documented
+        // boundary — non-identical near-dups in the SAME batch pass,
+        // every batch AFTER sees them in the grown state
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(graft.text.TextFns.normalized(col("content"))))
+          .orderBy(col("doc_id"))
+        val batchD = batch
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        // screen against the ACCUMULATED state (prior corpus + every
+        // previously kept batch): row-local bitset probes, exact
+        // verify join on bloom-positive keys only
+        val kept = state match {
+          case Some((bits, bandsRef)) =>
+            val dups = bloomScreen(batchD, bandsRef.get(), bits, m, k,
+                nh, rpb)
               .filter(col("is_near_dup") === 1)
               .select(col("doc_id"))
-            batch.join(dups, Seq("doc_id"), "left_anti")
-          case None => batch
+            batchD.join(dups, Seq("doc_id"), "left_anti")
+          case None => batchD
         }
+        // one materialization of the screened+embedded rows (the
+        // emptiness check, the upsert's two references, and the
+        // state update below would otherwise re-run the screen and
+        // the embed UDF ~4×)
         val rows = kept
           .withColumn("embedding", embedUdf(col("content")))
           .withColumnRenamed("doc_id", "id")
-        // an all-duplicates batch upserts nothing (upsertPoints would
-        // otherwise rewrite the partition and touch the graph for a
-        // no-op)
-        if (!rows.isEmpty) store.upsertPoints(collection, rows)
+          .localCheckpoint()
+        try {
+          // an all-duplicates batch upserts nothing (upsertPoints
+          // would otherwise rewrite the partition and touch the graph
+          // for a no-op)
+          if (!rows.isEmpty) {
+            store.upsertPoints(collection, rows)
+            // grow the screen state with the KEPT documents' bands
+            state.foreach { case (bits, bandsRef) =>
+              val newKeys = rows.select(col("id"), col("content"))
+                .as[(Long, String)]
+                .flatMap { case (_, text) => bloomBandKeys(text, nh, rpb) }
+                .distinct().collect()
+              bloomAdd(bits, newKeys, m, k)
+              val prev = bandsRef.get()
+              val grown = prev
+                .unionByName(newKeys.toSeq.toDF("band", "bkey"))
+                .distinct().localCheckpoint()
+              bandsRef.set(grown)
+              prev.queryExecution.analyzed.collectFirst {
+                case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+              }.foreach(_.unpersist(blocking = false))
+            }
+          }
+        } finally {
+          rows.queryExecution.analyzed.collectFirst {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+          }.foreach(_.unpersist(blocking = false))
+        }
         ()
       }
   }

@@ -1043,15 +1043,37 @@ class StreamingSpec extends SparkSpec {
       .select(col("band"), col("bkey")).distinct()
 
     // incoming: six fresh docs + one republication of seed doc 0 (the
-    // screen must drop it) — one parquet file each so maxFilesPerTrigger
-    // carves any split
-    val fresh = (100L to 105L).map(i => (i, i, s"fresh arrival number $i"))
+    // screen must drop it) + one republication of STREAMED doc 100
+    // (the accumulated-state screen must drop it: in per-file mode it
+    // arrives batches after 100; in one-batch mode the intra-batch
+    // exact dedup catches it) — one parquet file each, with explicit
+    // ascending mtimes so maxFilesPerTrigger=1 processes them in this
+    // order (FileStreamSource takes oldest-first)
+    // fresh docs interleave SHARED vocabulary with id-specific tokens:
+    // every 3-token shingle contains an id token, so no two docs share
+    // a shingle (the screen must not cross-flag them — a first fixture
+    // of near-identical texts was LEGITIMATELY flagged), while the
+    // shared words keep their embeddings mutually similar enough that
+    // the incremental graph stays navigable to each of them (a second
+    // fixture of fully-orthogonal token sets produced an unreachable
+    // node — every backlink pruned, the known graph-index behavior on
+    // no-one's-neighbor vectors)
+    val fresh = (100L to 105L).map(i =>
+      (i, i, s"retrieval x$i corpus y$i quality z$i training w$i"))
     val dup = (110L, 110L, "seed document number 0")
+    val dupOfStreamed = (120L, 120L,
+      "retrieval x100 corpus y100 quality z100 training w100")
     val in = java.nio.file.Files.createTempDirectory("ingest-in").toString
-    (fresh :+ dup).foreach { case (id, ro, t) =>
-      Seq((id, ro, t)).toDF("doc_id", "row_order", "content")
-        .coalesce(1).write.mode("append").parquet(in)
-    }
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    ((fresh :+ dup) :+ dupOfStreamed).zipWithIndex
+      .foreach { case ((id, ro, t), i) =>
+        val before = Option(new java.io.File(in).listFiles())
+          .getOrElse(Array.empty).toSet
+        Seq((id, ro, t)).toDF("doc_id", "row_order", "content")
+          .coalesce(1).write.mode("append").parquet(in)
+        Option(new java.io.File(in).listFiles()).getOrElse(Array.empty)
+          .filterNot(before).foreach(_.setLastModified(t0 + i * 10000L))
+      }
     def runStream(store: VectorStore, maxFiles: Option[Int]): Unit = {
       val reader = spark.readStream
         .schema("doc_id LONG, row_order LONG, content STRING")
@@ -1070,8 +1092,7 @@ class StreamingSpec extends SparkSpec {
     storeB.upsertPoints("c", fresh.map { case (id, ro, t) =>
         (id, ro, t, HashingEmbedder.embed(t, m)) }
       .toDF("id", "row_order", "content", "embedding"))
-    val panel = Seq("fresh arrival number 102", "seed document number 7",
-      "fresh arrival number 105")
+    val panel = Seq(fresh(2)._3, "seed document number 7", fresh(5)._3)
     panel.foreach { text =>
       val a = storeS.graphSearch("c", q(text), 5).orderBy("rank").collect()
         .map(r => (r.getInt(1), r.getLong(2))).toSeq
@@ -1090,6 +1111,9 @@ class StreamingSpec extends SparkSpec {
     val idsS = storeS.read("c").select("id").as[Long].collect().toSet
     assert(idsP == idsS, s"split changed contents: $idsP vs $idsS")
     assert(!idsP.contains(110L), "screened near-dup reached the index")
+    assert(!idsP.contains(120L),
+      "republication of a STREAMED doc reached the index — the screen " +
+        "state is not accumulating across batches")
     assert(idsP.intersect((100L to 105L).toSet) == (100L to 105L).toSet)
     assert(VectorStore.graphBuildsOf(baseP, "c") == 1L,
       "per-batch maintenance must never rebuild")

@@ -217,6 +217,54 @@ class VectorStoreSpec extends SparkSpec {
       "a recreated dataset must rebuild, not serve the stale artifact")
   }
 
+  test("cross-session mutation: a session's memoized graph and codebooks never outlive another session's writes") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-xsess").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def rows(pfx: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, s"$pfx doc $i", HashingEmbedder.embed(s"$pfx doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+
+    val store1 = new VectorStore(spark, base)
+    store1.createCollection("c", rows("kappa", 30), "row_order")
+    assert(store1.graphSearch("c", q("kappa doc 2"), 3).collect().nonEmpty)
+    store1.codebooksOf("c")
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L)
+    assert(VectorStore.cwTrainsOf(base, "c") == 1L)
+
+    // session 2 MUTATES the collection (upsert): its maintenance
+    // prunes the artifact dir session 1's memoized frame scans — the
+    // stamp guard must drop session 1's stale memo and serve the
+    // post-upsert persisted artifact (not throw FileNotFound, not
+    // rebuild)
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    store2.upsertPoints("c", Seq((77L, "kappa brand new",
+        HashingEmbedder.embed("kappa brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order"))
+    val hit = store1.graphSearch("c", q("kappa brand new"), 3)
+      .orderBy("rank").collect()
+    assert(hit.head.getAs[Long]("id") == 77L,
+      s"session 1 must serve the post-upsert artifact: ${hit.toSeq}")
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L,
+      "the stamp guard must reload the maintained artifact, not rebuild")
+    // codebooks survive an upsert (train-once) in BOTH sessions
+    store1.codebooksOf("c")
+    assert(VectorStore.cwTrainsOf(base, "c") == 1L)
+
+    // session 2 RECREATES the collection: session 1's memoized
+    // codebooks would silently score the new dataset with the old
+    // quantizer — the token guard must force a retrain/reload instead
+    store2.createCollection("c", rows("lambda", 12), "row_order")
+    store1.codebooksOf("c")
+    assert(VectorStore.cwTrainsOf(base, "c") == 2L,
+      "session 1 must not serve the old dataset's codebooks")
+    assert(store1.graphSearch("c", q("lambda doc 3"), 3).collect().nonEmpty)
+    assert(VectorStore.graphBuildsOf(base, "c") == 2L,
+      "session 1 must rebuild for the recreated dataset")
+  }
+
   test("per-collection codebooks: train once, serve compressed, cold-start load, recreate retrains") {
     val base = java.nio.file.Files.createTempDirectory("vstore-cw").toString
     val m = HashingEmbedder.modelsByName("hash-64")
