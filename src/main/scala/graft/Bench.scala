@@ -34,8 +34,22 @@ object Bench {
     * out windows where it does.
     *
     * Current value: round-19 measurement at the 227-query surface:
-    * 85.464 s — min of the pair (85.464 / 87.112, both
-    * contended=false, loads ≤ [2.0, 2.0]). The three queries added
+    * 68.972 s (contended=false, loads [2.5, 1.7]) — the min of FOUR
+    * contended=false runs at this surface as the day's windows
+    * quieted: mid-round pair 85.464/87.112 (loads ≤ [2.0, 2.0]), then
+    * at the final code 79.267 (loads [1.5, 2.2], pass totals
+    * 160.5/87.9/88.0) and 68.972. The 85.5 → 79.3 step is partly the
+    * post-pair commits (driver entry round: every graph serve lost a
+    * job, retrieve_maxsim_plaid 1.04 → 0.90, ann_graph_filtered
+    * 0.87 → 0.76; the PQ codes artifact: encode argmin no longer
+    * re-runs per walk round) and the 79.3 → 69.0 step is IDENTICAL
+    * measurement-path code — both steps spread thinly per query
+    * (largest movers 0.22 s and 0.35 s across 227 queries, the
+    * window-weather signature per the band convention). Post-stamp
+    * confirm run: 80.657 contended=false at loads [2.0, 2.0] (the
+    * committed bench_full.json — its clean_ref echo matches these
+    * constants); the day's full clean ladder at this surface is
+    * 68.97/79.27/80.66/85.46/87.11. The three queries added
     * this round price at ~2.3 s summed (ann_mrl_graph_funnel 1.34 —
     * the 50-wide prefix-graph walk; retrieve_maxsim_pq 1.00 —
     * per-token walks scoring decoded PQ tokens; ann_recall_mrl_graph
@@ -46,9 +60,9 @@ object Bench {
     * at its r18 per-query levels while halving each serve's stage
     * count (the contended-spread lever: r18's 9.5× ann_graph_insert
     * spread came from per-round exchanges amplifying host noise);
-    * ann_graph_insert reads 0.92 clean here (vs 0.73–0.88 r18 clean
-    * at the 7-fewer-query surface — window-level, not code: ann_graph
-    * itself moved 0.84 → 0.84/0.98 across the same runs).
+    * ann_graph_insert reads 0.73 in the stamped run (0.92 in the
+    * mid-round pair's window) — at the r18 clean floor with a
+    * 3-query-larger surface and ~half the stages exposed to weather.
     * Round-18 history: 83.907 s at the 224 surface — min of the pair
     * (90.466 / 83.907, both contended=false, loads ≤ [2.2, 2.9]; the
     * funnel pair ann_mrl_funnel 0.37 + ann_recall_mrl_funnel 0.09
@@ -101,7 +115,7 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 85.464
+  private[graft] val CleanRefTotal = 68.972
   private[graft] val CleanRefQueries = 227
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
