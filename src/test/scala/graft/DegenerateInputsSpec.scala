@@ -242,6 +242,30 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(enc.toSeq == Seq((0L, 5L, 5L)))
   }
 
+  test("PQ encode/decode frames survive empty corpora; decode∘encode is identity on a one-codeword book") {
+    import graft.search.Ann
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // empty corpus → empty sampled codebooks → empty code/decoded
+    // frames, never an NPE or a 0-length subvector slice
+    val cwE = Ann.sampleCodebooks(empty, m = 8, numCodes = 16)
+    assert(cwE.isEmpty)
+    assert(Ann.pqEncodeFrame(empty, 8, cwE).count() == 0)
+    assert(Ann.pqDecodeFrame(
+      Seq.empty[(Long, Array[Int])].toDF("vec_id", "codes"), cwE).count() == 0)
+    // singleton corpus: the only sample IS every subspace's only
+    // codeword, so decode(encode(x)) must reproduce x bit-for-bit —
+    // the reconstruction-optimality floor case
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) / 8).toFloat)
+    val one = Seq((7L, v)).toDF("vec_id", "embedding")
+    val cw1 = Ann.sampleCodebooks(one, m = 8, numCodes = 16)
+    assert(cw1.length == 8 && cw1(0).length == 1)
+    val dec = Ann.pqDecodeFrame(Ann.pqEncodeFrame(one, 8, cw1), cw1)
+      .as[(Long, Array[Float])].collect()
+    assert(dec.length == 1 && dec.head._1 == 7L &&
+      dec.head._2.sameElements(v),
+      "decode∘encode must be the identity when x is the only codeword")
+  }
+
   test("LR trainer returns zero weights on an empty corpus, never NPEs") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     val w = graft.queries.Quality.trainWeightsOf(
