@@ -309,6 +309,14 @@ class VectorStore(spark: SparkSession, basePath: String) {
       name: String): Option[Array[Array[Array[Float]]]] = {
     val dir = pqRoot(name)
     if (!new java.io.File(dir, "_SUCCESS").isFile) return None
+    // _token is written AFTER the parquet commit (persistCodebooks), so
+    // a crash in between leaves valid-looking codebooks with no
+    // identity — a session that loaded them would record no token and
+    // the cross-session staleness guard in codebooksOf would go inert
+    // (a later recreate by another session would silently serve the
+    // old quantizer). Treat the tokenless artifact as invalid: retrain
+    // and re-persist, which mints a fresh token (ADVICE r19).
+    if (cwToken(name).isEmpty) return None
     import spark.implicits._
     val rows = spark.read.parquet(dir.toString)
       .select(col("j"), col("code"), col("cw"))
@@ -406,11 +414,22 @@ class VectorStore(spark: SparkSession, basePath: String) {
     * persisted artifact stamped for the pre-mutation contents — so a
     * fresh session's upsert/delete still maintains incrementally
     * instead of orphaning the persisted graph (whose stamp the swap is
-    * about to invalidate).
+    * about to invalidate). Carries the SAME cross-session staleness
+    * guard as [[graphOf]] (ADVICE r19): a memo resolved at a different
+    * stamp means another session mutated the collection (and pruned
+    * the artifact dir the memoized frame scans) — serving it here
+    * would run maintenance jobs over deleted files and throw AFTER the
+    * data rename already committed; drop it and fall back to the
+    * persisted artifact stamped for the current pre-mutation contents.
     */
-  private def graphToMaintain(name: String): Option[DataFrame] =
-    VectorStore.graphMemo.peek(spark, gkey(name))
+  private def graphToMaintain(name: String): Option[DataFrame] = {
+    val key = gkey(name)
+    val recorded = VectorStore.graphStampMemo.entries(spark).get(key)
+    if (recorded != null && recorded != collStamp(name))
+      VectorStore.graphMemo.drop(spark, key)
+    VectorStore.graphMemo.peek(spark, key)
       .orElse(loadPersistedGraph(name))
+  }
 
   def deletePoints(name: String, ids: Seq[Long]): Long = {
     val src = s"$basePath/collection=$name"

@@ -132,14 +132,24 @@ object NnGraph {
     * the Qdrant/Faiss write-index contract — passes `target =
     * Some(dir)` and the artifact lands there directly (no scratch
     * copy), surviving JVM restart for cold-start serving.
+    *
+    * `prev` names the superseded checkpoint to release once the write
+    * has consumed it — passed EXPLICITLY by the caller (ADVICE r19):
+    * the old form pattern-matched `edges`' analyzed plan for its first
+    * LogicalRDD, which happened to be the superseded round only
+    * because unionByName lists it first; a caller frame reachable
+    * through the composed plan (e.g. the ingest loop's checkpointed
+    * batch rows) could have traversed first and lost its blocks while
+    * still in use.
     */
   private[graft] def writeArtifact(edges: DataFrame,
-      target: Option[String] = None): DataFrame = {
+      target: Option[String] = None,
+      prev: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     val out = target.getOrElse(java.nio.file.Files.createDirectories(
       artifactRoot.resolve("g" + artifactSeq.incrementAndGet())).toString)
     edges.write.mode("overwrite").parquet(out)
-    rddOf(edges).foreach(_.unpersist(blocking = false))
+    prev.flatMap(rddOf).foreach(_.unpersist(blocking = false))
     spark.read.parquet(out)
   }
 
@@ -234,10 +244,11 @@ object NnGraph {
     // the LAST round rides the artifact write itself (one fused job
     // instead of checkpoint-then-copy): refineRound references `edges`
     // ~5 times, but edges is the flat previous checkpoint, so the
-    // re-reads are cheap scans, not plan replication; writeArtifact's
-    // unpersist then releases that superseded round
-    if (iters == 0) writeArtifact(edges, artifactDir)
-    else writeArtifact(refineRound(vecs, edges, k, w), artifactDir)
+    // re-reads are cheap scans, not plan replication; writeArtifact
+    // then releases that superseded round (named explicitly as `prev`)
+    if (iters == 0) writeArtifact(edges, artifactDir, prev = Some(edges))
+    else writeArtifact(refineRound(vecs, edges, k, w), artifactDir,
+      prev = Some(edges))
   }
 
   /** Greedy beam search over a built graph: per query, the beam starts
@@ -513,7 +524,8 @@ object NnGraph {
         col("embedding"))
       .unionByName(newVecs.select(col("vec_id").cast("long"),
         col("embedding")))
-    writeArtifact(refineRound(fullVecs, merged, k, w), artifactDir)
+    writeArtifact(refineRound(fullVecs, merged, k, w), artifactDir,
+      prev = Some(merged))
   }
 
   /** FILTERED graph search — the production filtered-HNSW contract
@@ -673,7 +685,8 @@ object NnGraph {
     // 3. one repair round over survivors only — fused into the
     // artifact write (the insertIntoGraph discipline: refineRound's
     // references to `merged` are flat-checkpoint re-reads, and
-    // writeArtifact's unpersist releases the merged round)
-    writeArtifact(refineRound(survivors, merged, k, w), artifactDir)
+    // writeArtifact releases the merged round, named as `prev`)
+    writeArtifact(refineRound(survivors, merged, k, w), artifactDir,
+      prev = Some(merged))
   }
 }

@@ -326,10 +326,23 @@ object Streams extends Serializable {
     * (localCheckpoint), and upsert is the store's write-to-temp +
     * incremental graph maintenance — nothing corpus² per batch,
     * nothing rebuilt, no per-batch driver pass over the corpus.
+    *
+    * RESTART DURABILITY (VERDICT r19 #4 — the streaming analog of the
+    * store's graph/codebook artifact persistence): with `screenDir`
+    * set, every kept batch's band keys are ALSO appended as parquet
+    * under `screenDir/bands`, and a (re)started stream seeds its
+    * screen from that table (unioned with any caller-supplied
+    * `existingBands`) — so a near-dup of a document ingested by a
+    * PREVIOUS incarnation is still screened with zero caller-side
+    * band re-derivation. The 2 KB bitset is derived state: it rebuilds
+    * from the persisted bands in the same one pass that seeds the
+    * verify table. Without `screenDir` the accumulated state is
+    * driver-memory only and dies with the stream (the r19 boundary).
     */
   def ingestIndexStream(docs: DataFrame, store: graft.index.VectorStore,
       collection: String, existingBands: Option[DataFrame] = None,
-      model: HashingEmbedder.Model = HashingEmbedder.models.head)
+      model: HashingEmbedder.Model = HashingEmbedder.models.head,
+      screenDir: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val embedUdf = udf((text: String) => HashingEmbedder.embed(text, model))
     val m = 16384; val k = 3; val nh = 16; val rpb = 4
@@ -342,11 +355,26 @@ object Streams extends Serializable {
     // rows — the volume the batch's own joins already ship). The
     // growing table is localCheckpoint-barriered per batch (flat plan,
     // no per-batch lineage growth), superseded rounds released.
-    val state = existingBands.map { b0 =>
-      val spark0 = b0.sparkSession
+    // ALWAYS built (ADVICE r19): a stream started with NO pre-existing
+    // corpus begins from an empty table and still accumulates, so
+    // later batches screen against everything already ingested — the
+    // scaladoc's republication contract holds unconditionally.
+    val state = {
+      val spark0 = docs.sparkSession
       import spark0.implicits._
-      val frame0 = b0.select(col("band").cast("int"), col("bkey"))
-        .distinct().localCheckpoint()
+      // previous-incarnation bands (restart durability) — present only
+      // when a prior stream with this screenDir kept at least one batch
+      val persisted: Option[DataFrame] = screenDir.flatMap { d =>
+        val bd = new java.io.File(d, "bands")
+        val hasData = Option(bd.listFiles())
+          .exists(_.exists(_.getName.startsWith("part-")))
+        if (hasData) Some(spark0.read.parquet(bd.toString)) else None
+      }
+      val seeded = (existingBands.toSeq ++ persisted.toSeq)
+        .map(_.select(col("band").cast("int"), col("bkey")))
+        .reduceOption(_.unionByName(_))
+        .getOrElse(Seq.empty[(Int, String)].toDF("band", "bkey"))
+      val frame0 = seeded.distinct().localCheckpoint()
       val bits = new java.util.BitSet(m)
       bloomAdd(bits, frame0.as[(Int, String)].collect(), m, k)
       (bits, new java.util.concurrent.atomic.AtomicReference(frame0))
@@ -370,14 +398,13 @@ object Streams extends Serializable {
         // screen against the ACCUMULATED state (prior corpus + every
         // previously kept batch): row-local bitset probes, exact
         // verify join on bloom-positive keys only
-        val kept = state match {
-          case Some((bits, bandsRef)) =>
-            val dups = bloomScreen(batchD, bandsRef.get(), bits, m, k,
-                nh, rpb)
-              .filter(col("is_near_dup") === 1)
-              .select(col("doc_id"))
-            batchD.join(dups, Seq("doc_id"), "left_anti")
-          case None => batchD
+        val kept = {
+          val (bits, bandsRef) = state
+          val dups = bloomScreen(batchD, bandsRef.get(), bits, m, k,
+              nh, rpb)
+            .filter(col("is_near_dup") === 1)
+            .select(col("doc_id"))
+          batchD.join(dups, Seq("doc_id"), "left_anti")
         }
         // one materialization of the screened+embedded rows (the
         // emptiness check, the upsert's two references, and the
@@ -394,21 +421,30 @@ object Streams extends Serializable {
           if (!rows.isEmpty) {
             store.upsertPoints(collection, rows)
             // grow the screen state with the KEPT documents' bands
-            state.foreach { case (bits, bandsRef) =>
-              val newKeys = rows.select(col("id"), col("content"))
-                .as[(Long, String)]
-                .flatMap { case (_, text) => bloomBandKeys(text, nh, rpb) }
-                .distinct().collect()
-              bloomAdd(bits, newKeys, m, k)
-              val prev = bandsRef.get()
-              val grown = prev
-                .unionByName(newKeys.toSeq.toDF("band", "bkey"))
-                .distinct().localCheckpoint()
-              bandsRef.set(grown)
-              prev.queryExecution.analyzed.collectFirst {
-                case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-              }.foreach(_.unpersist(blocking = false))
+            val (bits, bandsRef) = state
+            val newKeys = rows.select(col("id"), col("content"))
+              .as[(Long, String)]
+              .flatMap { case (_, text) => bloomBandKeys(text, nh, rpb) }
+              .distinct().collect()
+            bloomAdd(bits, newKeys, m, k)
+            // restart durability: the kept batch's bands append to the
+            // persisted table BEFORE the in-memory state grows — a
+            // crash between upsert and this write re-ingests at most
+            // one batch's near-dups on restart (the exact intra-batch
+            // screen still catches identical re-deliveries), never
+            // loses a previously persisted band
+            screenDir.foreach { d =>
+              newKeys.toSeq.toDF("band", "bkey").write.mode("append")
+                .parquet(new java.io.File(d, "bands").toString)
             }
+            val prev = bandsRef.get()
+            val grown = prev
+              .unionByName(newKeys.toSeq.toDF("band", "bkey"))
+              .distinct().localCheckpoint()
+            bandsRef.set(grown)
+            prev.queryExecution.analyzed.collectFirst {
+              case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+            }.foreach(_.unpersist(blocking = false))
           }
         } finally {
           rows.queryExecution.analyzed.collectFirst {

@@ -1125,6 +1125,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ingest loop: restarted stream still screens near-dups of docs the PREVIOUS incarnation kept (persisted screen state)") {
+    import graft.index.VectorStore
+    val m = HashingEmbedder.modelsByName("hash-64")
+    // two independent store+screen universes: one WITH screenDir (the
+    // durable path under test), one WITHOUT (the r19 boundary control —
+    // proving the persistence is what closes it)
+    def mkUniverse(): (VectorStore, String, String, String) = {
+      val base = java.nio.file.Files.createTempDirectory("ingest-rs").toString
+      val store = new VectorStore(spark, base)
+      val rows = (0 until 8)
+        .map(i => (i.toLong, s"seed document number $i",
+          HashingEmbedder.embed(s"seed document number $i", m)))
+        .toDF("row_order", "content", "embedding")
+      store.createCollection("c", rows, "row_order")
+      val in = java.nio.file.Files.createTempDirectory("ingest-rs-in").toString
+      val screen = java.nio.file.Files.createTempDirectory("ingest-rs-sc").toString
+      (store, base, in, screen)
+    }
+    def writeDoc(in: String, id: Long, text: String): Unit =
+      Seq((id, id, text)).toDF("doc_id", "row_order", "content")
+        .coalesce(1).write.mode("append").parquet(in)
+    // one incarnation: a FRESH ingestIndexStream call (fresh driver
+    // state — exactly what a restart produces), existingBands = None
+    // (zero caller-side band re-derivation, the done-bar)
+    def incarnation(store: VectorStore, in: String,
+        screen: Option[String]): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, row_order LONG, content STRING").parquet(in)
+      val sq = Streams.ingestIndexStream(src, store, "c", None, m, screen)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.processAllAvailable(); sq.stop()
+    }
+    val doc = "retrieval x100 corpus y100 quality z100 training w100"
+
+    // durable universe: incarnation 1 ingests doc 100; incarnation 2
+    // (new stream, new state, SAME screenDir) sees a republication of
+    // it plus one fresh doc — the dup must be screened from the
+    // persisted bands alone, the fresh doc must land
+    val (storeD, _, inD, screenD) = mkUniverse()
+    writeDoc(inD, 100L, doc)
+    incarnation(storeD, inD, Some(screenD))
+    val inD2 = java.nio.file.Files.createTempDirectory("ingest-rs-in2").toString
+    writeDoc(inD2, 200L, doc) // republication across the restart
+    writeDoc(inD2, 201L, "wholly different a201 b201 c201 d201 e201")
+    incarnation(storeD, inD2, Some(screenD))
+    val idsD = storeD.read("c").select("id").as[Long].collect().toSet
+    assert(idsD.contains(100L) && idsD.contains(201L),
+      s"fresh docs must land: $idsD")
+    assert(!idsD.contains(200L),
+      "near-dup of a pre-restart streamed doc reached the index — " +
+        "the screen state did not survive the restart")
+
+    // control universe: same two incarnations WITHOUT screenDir — the
+    // dup passes (driver-memory state died with incarnation 1), the
+    // r19 boundary this feature closes
+    val (storeC, _, inC, _) = mkUniverse()
+    writeDoc(inC, 100L, doc)
+    incarnation(storeC, inC, None)
+    val inC2 = java.nio.file.Files.createTempDirectory("ingest-rs-in3").toString
+    writeDoc(inC2, 200L, doc)
+    incarnation(storeC, inC2, None)
+    val idsC = storeC.read("c").select("id").as[Long].collect().toSet
+    assert(idsC.contains(200L),
+      "control: without screenDir the restarted stream cannot know " +
+        s"the previous incarnation's docs, so 200 should pass: $idsC")
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
     Seq(

@@ -265,6 +265,69 @@ class VectorStoreSpec extends SparkSpec {
       "session 1 must rebuild for the recreated dataset")
   }
 
+  test("cross-session mutation guard covers MAINTENANCE too: upsert after another session's recreate must not touch pruned artifacts") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-xmut").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def rows(pfx: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, s"$pfx doc $i", HashingEmbedder.embed(s"$pfx doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+
+    val store1 = new VectorStore(spark, base)
+    store1.createCollection("c", rows("mu", 25), "row_order")
+    assert(store1.graphSearch("c", q("mu doc 2"), 3).collect().nonEmpty)
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L)
+
+    // session 2 RECREATES the collection — pruning every graph
+    // artifact dir session 1's memoized frame scans
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    store2.createCollection("c", rows("nu", 12), "row_order")
+
+    // session 1 now MUTATES: graphToMaintain must drop its stale memo
+    // (ADVICE r19 — the old peek ran maintenance jobs over deleted
+    // files and threw AFTER the data rename committed) and, with no
+    // persisted artifact for the recreated contents, skip maintenance
+    store1.upsertPoints("c", Seq((77L, "nu brand new",
+        HashingEmbedder.embed("nu brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order"))
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L,
+      "a skipped maintenance pass must not rebuild")
+    // the next serve builds fresh over the post-recreate + upsert data
+    val hit = store1.graphSearch("c", q("nu brand new"), 3)
+      .orderBy("rank").collect()
+    assert(hit.head.getAs[Long]("id") == 77L, hit.toSeq.toString)
+    assert(VectorStore.graphBuildsOf(base, "c") == 2L)
+  }
+
+  test("codebooks persisted WITHOUT a token (crash window) are treated as stale, never served guard-less") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-notok").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    val rows = (0 until 30)
+      .map(i => (i.toLong, s"pi doc $i", HashingEmbedder.embed(s"pi doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    val store = new VectorStore(spark, base)
+    store.createCollection("a", rows, "row_order")
+    store.codebooksOf("a")
+    assert(VectorStore.cwTrainsOf(base, "a") == 1L)
+    // simulate the crash between the parquet commit and the _token
+    // write: valid _SUCCESS parquet, no identity
+    val tok = new java.io.File(s"$base/.pq/a/v1/_token")
+    assert(tok.isFile)
+    assert(tok.delete())
+    // a fresh session must NOT load the tokenless artifact (its memo
+    // would record no token and the staleness guard would go inert —
+    // ADVICE r19): it retrains and re-persists, minting a new token
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    store2.codebooksOf("a")
+    assert(VectorStore.cwTrainsOf(base, "a") == 2L,
+      "tokenless codebooks must be treated as invalid")
+    assert(new java.io.File(s"$base/.pq/a/v1/_token").isFile,
+      "the retrain must re-persist with a fresh token")
+  }
+
   test("per-collection codebooks: train once, serve compressed, cold-start load, recreate retrains") {
     val base = java.nio.file.Files.createTempDirectory("vstore-cw").toString
     val m = HashingEmbedder.modelsByName("hash-64")
