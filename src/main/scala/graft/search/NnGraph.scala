@@ -61,26 +61,6 @@ object NnGraph {
     s
   }
 
-  /** Driver-side replica of [[graft.functions.DotProduct]] over
-    * collected Row sequences (float or double elements — the only
-    * types graft_dot admits): min-length, per-element double cast,
-    * left-to-right double accumulation — bit-identical, so a beam
-    * computed from driver dots equals one computed in the plan.
-    */
-  private def dotRows(a: scala.collection.Seq[Any],
-      b: scala.collection.Seq[Any]): Double = {
-    def d(x: Any): Double = x match {
-      case f: java.lang.Float  => f.toDouble
-      case v: java.lang.Double => v
-      case other => throw new IllegalArgumentException(
-        s"graft_dot element: ${other.getClass}")
-    }
-    val n = math.min(a.length, b.length)
-    var s = 0.0; var i = 0
-    while (i < n) { s += d(a(i)) * d(b(i)); i += 1 }
-    s
-  }
-
   private def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -364,50 +344,79 @@ object NnGraph {
       queries: DataFrame, beamWidth: Int, iters: Int,
       sampleSize: Int): DataFrame = {
     val spark = index.sparkSession
-    import spark.implicits._
     val qw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     val vecs = index.select(col("vec_id").cast("long"), col("embedding"))
     val q = queries.select(col("query_id").cast("long"), col("qvec"))
     val seeds = seedSample(index, sampleSize)
     if (iters == 0) return entryBeam(q, seeds, beamWidth, qw)
+    // the FINAL round uses the CALLER's query frame, not the prelude's
+    // re-planted one, so the serve plan is unchanged (PlanSpec pins it)
+    val (_, beam) = walkPrelude(spark, vecs, graph, q, seeds,
+      beamWidth, iters)
+    roundScored(vecs, graph, q, planted(spark, beam))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
+      .select("query_id", "vec_id", "sim")
+  }
 
-    def planted(beam: Array[(Long, Long, Double)]): DataFrame =
-      spark.createDataset(beam.sortBy(t => (t._1, t._2)).toIndexedSeq)
-        .toDF("query_id", "vec_id", "sim")
+  private def planted(spark: org.apache.spark.sql.SparkSession,
+      beam: Array[(Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(beam.sortBy(t => (t._1, t._2)).toIndexedSeq)
+      .toDF("query_id", "vec_id", "sim")
+  }
 
-    // the query frame is ≤ |queries| rows by contract (it broadcasts
-    // every round anyway) — collect it ONCE so the iters-1 eager
-    // rounds stop re-executing its subplan (an index-table scan per
-    // round when the caller derives queries from the corpus); the
-    // FINAL lazy round keeps the caller's frame so the serve plan is
-    // unchanged (PlanSpec pins it)
-    val qRows = q.collect().sortBy(_.getLong(0))
-    val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), q.schema)
-
-    // round 0 runs ON THE DRIVER: the seed sample collects (the one
-    // job this round costs — it replaces the broadcast-exchange +
-    // crossJoin-collect pair) and the ≤ |queries| × sample entry dots
-    // are [[dotRows]] — bit-identical to the graft_dot plan form, so
-    // the entry beam is unchanged
-    val seedRows = seeds.collect()
+  /** The walk's driver-side prelude, shared by the lazy serve
+    * ([[beamWithSims]]) and the insert path: ONE fused eager job
+    * collecting the query frame AND the seed sample (a tagged union —
+    * previously two sequential jobs; both frames are ≤ sample/|queries|
+    * rows by contract, and both vectors are cast to double for the
+    * union, which is value-exact and matches [[dotRows]]' own per-
+    * element double cast), the driver entry beam, and the iters−1
+    * intermediate rounds (each a single eager job). Returns the
+    * re-planted query frame (query_id, qvec double[]) and the beam
+    * entering the FINAL round.
+    */
+  private def walkPrelude(spark: org.apache.spark.sql.SparkSession,
+      vecs: DataFrame, graph: DataFrame, q: DataFrame, seeds: DataFrame,
+      beamWidth: Int, iters: Int)
+      : (DataFrame, Array[(Long, Long, Double)]) = {
+    import spark.implicits._
+    val both = q.select(lit(0).as("t"), col("query_id").as("id"),
+        col("qvec").cast("array<double>").as("v"))
+      .unionByName(seeds.select(lit(1).as("t"), col("seed_id").as("id"),
+        col("svec").cast("array<double>").as("v")))
+      .as[(Int, Long, Array[Double])].collect()
+    val qRows = both.filter(_._1 == 0).map(t => (t._2, t._3))
+      .sortBy(_._1)
+    val seedRows = both.filter(_._1 == 1).map(t => (t._2, t._3))
+      .sortBy(_._1)
+    // re-planted query frame for the eager intermediate rounds (the
+    // caller's subplan would otherwise re-execute per round); double
+    // element type is fine — graft_dot casts per element to double
+    // anyway, so every downstream sim is bit-identical
+    val qLocal = spark.createDataset(qRows.toIndexedSeq)
+      .toDF("query_id", "qvec")
+    // round 0 ON THE DRIVER: ≤ |queries| × sample entry dots via
+    // [[dotFF]]'s double twin — left-to-right double accumulation,
+    // bit-identical to the graft_dot plan form
     var beam = driverTop(
       for {
-        qr <- qRows
-        sr <- seedRows
-      } yield (qr.getLong(0), sr.getLong(0),
-        dotRows(qr.getSeq[Any](1), sr.getSeq[Any](1))),
+        (qid, qv) <- qRows
+        (sid, sv) <- seedRows
+      } yield (qid, sid, {
+        var s = 0.0; val n = math.min(qv.length, sv.length); var i = 0
+        while (i < n) { s += qv(i) * sv(i); i += 1 }
+        s
+      }),
       beamWidth)
     for (_ <- 1 until iters) {
       beam = driverTop(
-        roundScored(vecs, graph, qLocal, planted(beam))
+        roundScored(vecs, graph, qLocal, planted(spark, beam))
           .as[(Long, Long, Double)].collect(),
         beamWidth)
     }
-    roundScored(vecs, graph, q, planted(beam))
-      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
-      .select("query_id", "vec_id", "sim")
+    (qLocal, beam)
   }
 
   /** Driver-side (sim DESC, id ASC) top-k per query — bit-identical to
@@ -437,29 +446,30 @@ object NnGraph {
     val vecs = index.select(col("vec_id").cast("long"), col("embedding"))
     val seeds = seedSample(index, sampleSize)
     val candAll = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-    // one collect of the (by-contract tiny) query frame — the
-    // beamWithSims discipline: every round broadcasts it anyway, so
-    // re-planting it as driver rows stops each eager round from
-    // re-executing the caller's query subplan
-    val qRows = q.collect().sortBy(_.getLong(0))
-    val qLocal = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), q.schema)
-    // round 0 on the driver (the beamWithSims discipline): the full
-    // seed sample is scored per query via [[dotRows]] — one seed
-    // collect instead of a broadcast + crossJoin-collect pair
-    val seedRows = seeds.collect()
+    // the walkPrelude discipline, accumulation variant: ONE fused
+    // collect of query + seed rows, driver entry dots, then every
+    // round eager with its scored set accumulated
+    val both = q.select(lit(0).as("t"), col("query_id").as("id"),
+        col("qvec").cast("array<double>").as("v"))
+      .unionByName(seeds.select(lit(1).as("t"), col("seed_id").as("id"),
+        col("svec").cast("array<double>").as("v")))
+      .as[(Int, Long, Array[Double])].collect()
+    val qRows = both.filter(_._1 == 0).map(t => (t._2, t._3)).sortBy(_._1)
+    val seedRows = both.filter(_._1 == 1).map(t => (t._2, t._3)).sortBy(_._1)
+    val qLocal = spark.createDataset(qRows.toIndexedSeq)
+      .toDF("query_id", "qvec")
     val entry: Array[(Long, Long, Double)] = for {
-      qr <- qRows
-      sr <- seedRows
-    } yield (qr.getLong(0), sr.getLong(0),
-      dotRows(qr.getSeq[Any](1), sr.getSeq[Any](1)))
+      (qid, qv) <- qRows
+      (sid, sv) <- seedRows
+    } yield (qid, sid, {
+      var s = 0.0; val n = math.min(qv.length, sv.length); var i = 0
+      while (i < n) { s += qv(i) * sv(i); i += 1 }
+      s
+    })
     entry.foreach(r => candAll += ((r._1, r._2)))
     var beam = driverTop(entry, beamWidth)
     for (_ <- 1 to iters) {
-      val beamDf = spark.createDataset(
-          beam.sortBy(t => (t._1, t._2)).toIndexedSeq)
-        .toDF("query_id", "vec_id", "sim")
-      val scored = roundScored(vecs, graph, qLocal, beamDf)
+      val scored = roundScored(vecs, graph, qLocal, planted(spark, beam))
         .as[(Long, Long, Double)].collect()
       scored.foreach(r => candAll += ((r._1, r._2)))
       beam = driverTop(scored, beamWidth)
@@ -496,36 +506,82 @@ object NnGraph {
     val spark = baseIndex.sparkSession
     import spark.implicits._
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
+    val vecs = baseIndex.select(col("vec_id").cast("long"), col("embedding"))
     val newQ = newVecs.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("qvec"))
-    // 1. search-then-connect — the final beam is driver-materialized
-    // (≤ |new| × beamWidth rows) and cut to k with [[driverTop]]'s
-    // bit-identical comparator: `newOut` feeds TWO consumers below
-    // (its own edges and the reversed backlinks), so a lazy walk plan
-    // would run the final navigation round twice inside the merge job
-    val fin = beamWithSims(baseIndex, graph, newQ, beamWidth, iters,
-      sampleSize).as[(Long, Long, Double)].collect()
-    val newOut = spark.createDataset(
-        driverTop(fin, k).sortBy(t => (t._1, t._2)).toIndexedSeq)
+    val seeds = seedSample(baseIndex, sampleSize)
+    // 1. search-then-connect, FUSED (VERDICT r19 #1 — the insert path
+    // ran ~8 sequential driver-coordinated jobs, each a weather
+    // amplifier under host contention): the walk's final round and the
+    // candidate ADJACENCY fetch ride ONE tagged-union job — the round
+    // scores every candidate (beam ∪ its out-neighbors) against its
+    // query, and the same job also returns the graph's out-edges of
+    // every candidate node, which is exactly the evidence the backlink
+    // re-prune needs. Insert total: 1 fused q+seed collect + (iters−1)
+    // intermediate rounds + 1 fused final round + 1 artifact write.
+    val (qLocal, beam) = walkPrelude(spark, vecs, graph, newQ, seeds,
+      beamWidth, iters)
+    val beamDf = planted(spark, beam)
+    val nb = graph
+      .join(broadcast(beamDf.select(col("query_id"), col("vec_id").as("id"))),
+        "id")
+      .select(col("query_id"), col("nbr").as("vec_id"))
+    val cand = beamDf.select("query_id", "vec_id").union(nb).distinct()
+    val scored = vecs
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(qLocal), "query_id")
+      .select(lit(0).as("t"), col("query_id").as("a"), col("vec_id").as("b"),
+        Vec.dot(col("qvec"), col("embedding")).as("sim"))
+    val candEdges = graph
+      .join(broadcast(cand.select(col("vec_id").as("id")).distinct()), "id")
+      .select(lit(1).as("t"), col("id").as("a"), col("nbr").as("b"),
+        col("sim"))
+    val rows = scored.unionByName(candEdges)
+      .as[(Int, Long, Long, Double)].collect()
+    // the new nodes' out-edges: top-k of the final round's scored set —
+    // driverTop(driverTop(x, beamWidth), k) ≡ driverTop(x, k) for
+    // k ≤ beamWidth, so cutting straight to k is bit-identical to the
+    // old collect-the-beam-then-cut
+    val fin = rows.filter(_._1 == 0).map(t => (t._2, t._3, t._4))
+    val newOut = driverTop(fin, k)
+    // 2. backlink re-prune ON THE DRIVER (previously a checkpointed
+    // whole-graph groupBy+window job): only nodes receiving backlinks
+    // change adjacency — every target's full out-edge list is in the
+    // collected candEdges (targets are final-round candidates by
+    // construction), so the merge + (sim DESC, nbr ASC) top-k replays
+    // exactly the old plan's groupBy-max + window cut for the affected
+    // nodes, and untouched nodes keep their rows verbatim via the
+    // anti-join below. The max-collapse is kept for exactness though
+    // vacuous here (a base node's existing edges never point at new
+    // ids — they weren't in the graph).
+    val adjacency = rows.filter(_._1 == 1).map(t => (t._2, t._3, t._4))
+      .groupBy(_._1)
+    val offers = newOut.map { case (nid, bid, s) => (bid, nid, s) }
+    val affected = offers.map(_._1).distinct
+    val updatedBase = affected.flatMap { bid =>
+      val mergedRows = adjacency.getOrElse(bid, Array.empty) ++
+        offers.filter(_._1 == bid)
+      mergedRows.groupBy(t => (t._1, t._2)).valuesIterator
+        .map(_.maxBy(_._3)).toArray
+        .sortBy(t => (-t._3, t._2)).take(k)
+    }
+    val touched = (newOut.map(_._1) ++ affected).distinct.sorted
+    val updatedLocal = spark.createDataset(
+        (newOut ++ updatedBase).sortBy(t => (t._1, t._2)).toIndexedSeq)
       .toDF("id", "nbr", "sim")
-    // 2. backlinks offered to base nodes, adjacency re-pruned
-    val rev = newOut.select(col("nbr").as("id"), col("id").as("nbr"),
-      col("sim"))
-    val merged = barrier(graph.unionByName(newOut).unionByName(rev)
-      .groupBy(col("id"), col("nbr")).agg(max(col("sim")).as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select("id", "nbr", "sim"), None)
+    val touchedDf = spark.createDataset(touched.toIndexedSeq).toDF("id")
+    val merged = graph.select("id", "nbr", "sim")
+      .join(broadcast(touchedDf), Seq("id"), "left_anti")
+      .unionByName(updatedLocal)
     // 3. one repair round over the merged graph with the full table —
-    // fused into the artifact write (refineRound's ~5 references to
-    // `merged` are cheap flat-checkpoint re-reads, so no barrier is
-    // needed between repair and write; writeArtifact's unpersist
-    // releases the merged round)
-    val fullVecs = baseIndex.select(col("vec_id").cast("long"),
-        col("embedding"))
+    // fused into the artifact write. `merged` is flat (one artifact
+    // scan + a broadcast anti-join + a LocalRelation), so refineRound's
+    // ~5 references re-evaluate a cheap subtree instead of needing a
+    // checkpoint barrier — the whole repair+write is ONE job.
+    val fullVecs = vecs
       .unionByName(newVecs.select(col("vec_id").cast("long"),
         col("embedding")))
-    writeArtifact(refineRound(fullVecs, merged, k, w), artifactDir,
-      prev = Some(merged))
+    writeArtifact(refineRound(fullVecs, merged, k, w), artifactDir)
   }
 
   /** FILTERED graph search — the production filtered-HNSW contract
