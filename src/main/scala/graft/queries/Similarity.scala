@@ -1052,6 +1052,59 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("query_id", "rank")
   }
 
+  /** Shard count for the sharded-graph pair — 2 keeps the oracle's
+    * replay at two full constructions (the ann_graph_collection
+    * budget) while exercising every fan-out mechanism; the operators
+    * take any count.
+    */
+  private[queries] val NumShards = 2
+
+  // sharded edge frame per (session, dir) — built once, the artifact
+  // scan is the serve plan (the nnGraphFrame discipline)
+  private def shardedGraphFrame(spark: SparkSession, dir: String): DataFrame =
+    graphMemo.computeIfAbsent(spark, dir + "#shard")(
+      graft.search.NnGraph.buildShardedGraph(Tables.embeddings(spark, dir),
+        NumShards, GraphK, NndIters, NndSample))
+
+  /** SHARDED graph ANN — the 100 TB build-and-serve shape (VERDICT r19
+    * #2; Faiss IndexShards / DiskANN partitioned build): the corpus is
+    * sharded by vec_id mod [[NumShards]], each shard gets an
+    * INDEPENDENT NN-descent graph (built in the job count of ONE build
+    * — [[graft.search.NnGraph.buildShardedGraph]]: edges never cross
+    * shards, so one global refinement round is every shard's round at
+    * once), and each query walks EVERY shard, merging per-query top-k
+    * over the shard beams (a window over ≤ shards × beamWidth rows per
+    * query — never a global sort). A monolithic build is one multi-day
+    * job chain at 100 TB; shards build and serve on independent
+    * executor groups. Rank-only output; the oracle replays BOTH
+    * per-shard constructions, both per-shard walks, and the merge.
+    */
+  def annGraphSharded(spark: SparkSession, dir: String): DataFrame = {
+    import graft.search.NnGraph
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    NnGraph.shardedGraphTopK(emb, shardedGraphFrame(spark, dir), queries,
+        K, NumShards, BeamWidth, BeamIters, NndSample)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Recall@10 of the sharded fan-out vs the monolithic graph at the
+    * SAME per-shard walk budget — two integer rows pricing what
+    * sharding costs in quality (each shard's graph knows only its own
+    * half, but every query also gets numShards × the candidate
+    * budget, so the two effects largely cancel — measured, not
+    * assumed).
+    */
+  def annRecallGraphSharded(spark: SparkSession, dir: String): DataFrame = {
+    val recallOf = recallRow(exactIds(spark, dir)) _
+    recallOf("ann_graph_sharded",
+        replayIds(spark, dir, "graph_sharded")(annGraphSharded(spark, dir)))
+      .unionAll(recallOf("ann_graph",
+        replayIds(spark, dir, "graph")(annGraph(spark, dir))))
+      .orderBy(col("algo"))
+  }
+
   /** Insert-batch split: vectors below this id are the "newly ingested"
     * batch the insert queries add to a graph built on the rest. The
     * standard query set (vec_id < NumQueries) is a SUBSET of the
@@ -1569,18 +1622,23 @@ object Similarity {
     * token vector is read from the PQ-coded index (the Lloyd-TRAINED
     * codebooks of `ann_pq_trained`, reused — m=8 codes per 64-dim
     * token, an 8×-smaller token index than float32 at scan time) while
-    * queries stay full-width float (asymmetric-distance scoring:
-    * dot(q, decode(codes)) ≡ the ADC sum). Stage 2 rescores the
-    * gathered docs from the FULL-WIDTH originals — exactly the
-    * decompression-free serve / exact-rescore split a production
-    * late-interaction store ships. Rank-only output; the oracle
-    * replays codebook training, encode/decode, the per-token beam
-    * walk over the compressed index, and the restricted full-width
-    * maxsim. [[maxsimRecall]] prices compressed-gather beside
-    * float-gather and the exact scan: 29 vs 38 vs 40 of 50 at sf0.01
-    * — the 8× memory saving costs 9 recall points at the oversampled
-    * cut (17 without oversampling), the measured version of the
-    * PLAID paper's size/quality trade.
+    * queries stay full-width float, scored by TRUE asymmetric-distance
+    * lookup ([[graft.search.NnGraph.graphTopKAdc]]: a per-token LUT
+    * over the codebooks, m table lookups per scored row — the
+    * Jégou et al. 2011 ADC scan; the r19 decode-then-dot form computed
+    * the same value with m·subDim multiply-adds and a different float
+    * association, so the oracle replays the LUT order, the pqTopKWith
+    * convention). Stage 2 rescores the gathered docs from the
+    * FULL-WIDTH originals — exactly the decompression-free serve /
+    * exact-rescore split a production late-interaction store ships.
+    * Rank-only output; the oracle replays codebook training, encode,
+    * the per-token LUT, the LUT-scored beam walk over the code rows,
+    * and the restricted full-width maxsim. [[maxsimRecall]] prices
+    * compressed-gather beside float-gather and the exact scan: 29 vs
+    * 38 vs 40 of 50 at sf0.01, UNCHANGED by the LUT rewrite (no
+    * near-tie flipped on the fixture) — the 8× memory saving costs 9
+    * recall points at the oversampled cut (17 without oversampling),
+    * the measured version of the PLAID paper's size/quality trade.
     */
   /** The PQ code rows of the token index, written once per (session,
     * dir) as a parquet artifact — the Faiss write-index step for the
@@ -1595,33 +1653,34 @@ object Similarity {
     }
 
   def retrieveMaxsimPq(spark: SparkSession, dir: String): DataFrame = {
-    import graft.search.{Ann, Knn, NnGraph}
+    import graft.search.{Knn, NnGraph}
     val emb = Tables.embeddings(spark, dir)
     val docs = emb.select(expr(s"vec_id div $MaxsimTok").as("doc_id"),
       col("vec_id"), col("embedding"))
-    // the compressed token index: CODE ROWS written once as an
-    // artifact (the 8×-smaller layout a store persists — encode's
-    // argmin runs once per index, not once per scan), decoded at scan
-    // time by a cheap codeword gather. Same trained codebooks
-    // ann_pq_trained serves from (train once, query many).
-    val decoded = Ann.pqDecodeFrame(pqTokenCodesFrame(spark, dir),
-      trainedRawCw(spark, dir))
-    // stage 1: each query token walks the shared graph artifact,
-    // scoring COMPRESSED token vectors against its full-width self —
-    // at the 2× OVERSAMPLED per-token cut (the compressed-proposal
-    // convention: Qdrant quantized search oversamples before rescore,
-    // Faiss IndexRefineFlat sets k_factor > 1 — quantization error is
-    // bought back by gathering wider and letting the exact stage-2
-    // re-rank; budget stays corpus-size-independent)
+    // stage 1: each query token walks the shared graph artifact over
+    // the CODE ROWS (written once — the 8×-smaller layout a store
+    // persists; same trained codebooks ann_pq_trained serves from)
+    // with TRUE ADC scoring (VERDICT r19 #3): a per-token LUT prices
+    // every (subspace, code) cell once, and a scored row costs m table
+    // lookups instead of the old decode-then-dot's m·subDim
+    // multiply-adds. The per-subspace accumulation reassociates the
+    // float sum, so the oracle replays the LUT order (the pqTopKWith
+    // convention). Cut at the 2× OVERSAMPLED per-token budget (the
+    // compressed-proposal convention: Qdrant quantized search
+    // oversamples before rescore, Faiss IndexRefineFlat sets
+    // k_factor > 1 — quantization error is bought back by gathering
+    // wider and letting the exact stage-2 re-rank; budget stays
+    // corpus-size-independent).
     val tokQ = emb.filter(col("vec_id") < MaxsimQueries * MaxsimTok)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     // navigation stays at the production beam width: a 2× beam was
-    // measured NOT to help (27 vs 29 of 50 at sf0.01 — compressed
-    // scores reorder the wider beam's tail without improving the
-    // gathered set), so the oversampling lives entirely in the
-    // per-token cut above
-    val cands = NnGraph.graphTopK(decoded, nnGraphFrame(spark, dir), tokQ,
-        MaxsimPqCandTok, BeamWidth, BeamIters, NndSample)
+    // measured NOT to help (compressed scores reorder the wider beam's
+    // tail without improving the gathered set), so the oversampling
+    // lives entirely in the per-token cut above
+    val cands = NnGraph.graphTopKAdc(pqTokenCodesFrame(spark, dir),
+        nnGraphFrame(spark, dir), tokQ,
+        MaxsimPqCandTok, BeamWidth, BeamIters, NndSample,
+        trainedRawCw(spark, dir))
       .select(expr(s"query_id div $MaxsimTok").as("query_id"),
         expr(s"vec_id div $MaxsimTok").as("doc_id"))
       .distinct()
@@ -2598,6 +2657,52 @@ object Similarity {
   private val duckBeamCtes: String =
     duckBeamCtesFor("g3", "q", "embeddings", "nseeds", "")
 
+  /** One beam round scored from a PRECOMPUTED similarity relation
+    * `simRel` (query_id, vec_id, sim) instead of an inline dot — the
+    * ADC-walk replay's building block (the LUT sum is not a dot
+    * expression, so the score is computed once in a relation and the
+    * ladder joins it). Expansion/cut identical to [[beamIter]].
+    */
+  private def beamIterScored(prev: String, next: String, graph: String,
+      simRel: String, bw: Int): String =
+    s"""${next}_cand AS MATERIALIZED (
+       |  SELECT DISTINCT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id FROM $prev
+       |    UNION ALL
+       |    SELECT p.query_id, g.nbr AS vec_id
+       |    FROM $prev p JOIN $graph g ON p.vec_id = g.id)),
+       |$next AS MATERIALIZED (
+       |  SELECT query_id, vec_id, sim FROM (
+       |    SELECT c.query_id, c.vec_id, s.sim,
+       |      row_number() OVER (PARTITION BY c.query_id
+       |        ORDER BY s.sim DESC, c.vec_id ASC) AS rn
+       |    FROM ${next}_cand c
+       |    JOIN $simRel s
+       |      ON s.query_id = c.query_id AND s.vec_id = c.vec_id)
+       |  WHERE rn <= $bw)""".stripMargin
+
+  /** Seed-entry beam + `iters` rounds scored from `simRel` — the
+    * [[duckBeamCtesFor]] ladder for precomputed scores; `seeds` needs
+    * only (seed_id). Ends at `{pfx}b{iters}`.
+    */
+  private def duckBeamCtesScored(graph: String, qCte: String,
+      simRel: String, seeds: String, pfx: String, bw: Int = BeamWidth,
+      iters: Int = BeamIters): String = {
+    val entry =
+      s"""${pfx}b0 AS MATERIALIZED (
+         |  SELECT query_id, vec_id, sim FROM (
+         |    SELECT qq.query_id, s.seed_id AS vec_id, a.sim,
+         |      row_number() OVER (PARTITION BY qq.query_id
+         |        ORDER BY a.sim DESC, s.seed_id ASC) AS rn
+         |    FROM $qCte qq CROSS JOIN $seeds s
+         |    JOIN $simRel a
+         |      ON a.query_id = qq.query_id AND a.vec_id = s.seed_id)
+         |  WHERE rn <= $bw)""".stripMargin
+    val ladder = (1 to iters).map(i =>
+      beamIterScored(s"${pfx}b${i - 1}", s"${pfx}b$i", graph, simRel, bw))
+    (entry +: ladder).mkString(",\n")
+  }
+
   /** The insert pipeline replay, ending at `mg1` — the updated graph:
     * base build on vec_id ≥ InsertSplit ([[duckNnGraphCtesFor]], pfx
     * `bg`), each new vector's beam walk over the base graph (pfx
@@ -2648,6 +2753,40 @@ object Similarity {
        |  WHERE vec_id < $NumQueries),
        |${duckBeamCtesFor(s"c${l}g3", s"cq$l", s"col$l", s"c${l}nseeds",
           s"cb$l")}""".stripMargin
+
+  /** One shard's construction + walk replay for the sharded-graph
+    * oracle: the shard partition (`shd$s` — vec_id mod NumShards), its
+    * full NN-descent build (pfx `s$s`, whose seed sample is the
+    * within-shard md5 ranking — matching
+    * [[graft.search.NnGraph.shardedSeedSample]] by construction since
+    * duckNnGraphCtesFor samples FROM the shard relation), and the beam
+    * ladder of EVERY query over this shard's graph (pfx `sb$s`).
+    */
+  private def duckShardCtes(s: Int): String =
+    s"""shd$s AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $NumShards = $s),
+       |${duckNnGraphCtesFor(s"shd$s", s"s$s")},
+       |${duckBeamCtesFor(s"s${s}g3", "q", s"shd$s", s"s${s}nseeds",
+          s"sb$s")}""".stripMargin
+
+  /** The sharded fan-out MERGE: union of the per-shard final beams,
+    * per-query top-k across shards (shard membership is disjoint, so
+    * no vec_id appears twice). Ends at `shmerge` (query_id, rank,
+    * vec_id).
+    */
+  private def duckShardMergeCte: String =
+    s"""shmerge AS (
+       |  SELECT query_id, rank, vec_id FROM (
+       |    SELECT query_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY sim DESC, vec_id ASC) AS INTEGER)
+       |        AS rank,
+       |      vec_id
+       |    FROM (${(0 until NumShards)
+                 .map(s => s"SELECT query_id, vec_id, sim FROM sb${s}b$BeamIters")
+                 .mkString("\n          UNION ALL ")}))
+       |  WHERE rank <= $K)""".stripMargin
 
   private def duckCollectionCut(l: Int): String =
     s"""SELECT query_id, rank, vec_id, CAST($l AS INTEGER) AS label FROM (
@@ -2980,32 +3119,43 @@ object Similarity {
 
   /** Compressed-gather replay (the [[retrieveMaxsimPq]] contract):
     * trained codebooks over raw subvectors (`sub` → `cb1` → `cb2`, the
-    * ann_pq_trained ladder), encode-all + decode (`dec` — the
-    * reconstructed token index the walk scores against), decoded seed
-    * sample (`dseeds`), the per-token beam ladder over `g3` scoring
-    * decoded vectors (pfx `pp`), the 2×-oversampled
-    * [[MaxsimPqCandTok]] cut (`ppg`), candidate-doc union (`ppc`),
-    * and FULL-WIDTH restricted scoring
-    * ending at `ppscore`. Requires [[duckNnGraphCtes]]' `g3`,
-    * [[pqCbCtes]]' `cb`/`sub`, the raw-subvector `sv`, and
-    * [[duckMaxsimCtes]]' `qt` in scope.
+    * ann_pq_trained ladder), encode-all (`enc` — the code rows the
+    * walk scores), the per-token-query ADC LUT (`pplut`) and the
+    * LUT-ORDER score relation (`adcs` — per-subspace dots summed in
+    * ascending-j list order, EXACTLY the Spark side's Σ_j LUT(j)(c_j);
+    * NOT dot(q, decode(codes)), which reassociates the float sum —
+    * the pqTopKWith replay convention), the seed-id sample (`cseeds` —
+    * md5 over ids, identical to the float walk's), the per-token beam
+    * ladder over `g3` scored from `adcs` (pfx `pp`), the
+    * 2×-oversampled [[MaxsimPqCandTok]] cut (`ppg`), candidate-doc
+    * union (`ppc`), and FULL-WIDTH restricted scoring ending at
+    * `ppscore`. Requires [[duckNnGraphCtes]]' `g3`, [[pqCbCtes]]'
+    * `cb`/`sub`, the raw-subvector `sv`, and [[duckMaxsimCtes]]' `qt`
+    * in scope.
     */
   private val duckMaxsimPqCtes: String =
     s"""${pqTrainIter("sub", "cb1")},
        |${pqTrainIter("cb1", "cb2")},
        |${pqEncCte("cb2")},
-       |dec AS MATERIALIZED (
-       |  SELECT e.vec_id, flatten(list(s.cw ORDER BY e.j)) AS embedding
-       |  FROM enc e JOIN cb2 s ON e.j = s.j AND e.code = s.code
-       |  GROUP BY e.vec_id),
-       |dseeds AS MATERIALIZED (
-       |  SELECT vec_id AS seed_id, embedding AS svec FROM dec
-       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
-       |  LIMIT $NndSample),
        |ppq AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE vec_id < ${MaxsimQueries * MaxsimTok}),
-       |${duckBeamCtesFor("g3", "ppq", "dec", "dseeds", "pp")},
+       |pplut AS MATERIALIZED (
+       |  SELECT q.query_id, s.j, s.code,
+       |    list_aggregate(list_transform(
+       |      list_zip(${duckSub("q.qv", "s.j")}, s.cw),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum') AS d
+       |  FROM ppq q CROSS JOIN cb2 s),
+       |adcs AS MATERIALIZED (
+       |  SELECT l.query_id, en.vec_id,
+       |    list_aggregate(list(l.d ORDER BY l.j), 'sum') AS sim
+       |  FROM enc en JOIN pplut l ON en.j = l.j AND en.code = l.code
+       |  GROUP BY 1, 2),
+       |cseeds AS MATERIALIZED (
+       |  SELECT vec_id AS seed_id FROM embeddings
+       |  ORDER BY md5('nnd|' || CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $NndSample),
+       |${duckBeamCtesScored("g3", "ppq", "adcs", "cseeds", "pp")},
        |ppg AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
@@ -3226,6 +3376,8 @@ object Similarity {
     "ann_graph_collection" -> (annGraphCollection _),
     "ann_graph_insert" -> (annGraphInsert _),
     "ann_recall_graph_insert" -> (annRecallGraphInsert _),
+    "ann_graph_sharded" -> (annGraphSharded _),
+    "ann_recall_graph_sharded" -> (annRecallGraphSharded _),
     "ann_graph_delete" -> (annGraphDelete _),
     "ann_recall_graph_delete" -> (annRecallGraphDelete _),
     "ann_graph_binary" -> (annGraphBinary _),
@@ -3883,6 +4035,41 @@ object Similarity {
          |    vec_id
          |  FROM sbb4) WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+    // sharded build + fan-out serve replay: both per-shard
+    // constructions, both all-query walks, per-query top-k merge
+    "ann_graph_sharded" ->
+      s"""WITH $pqQCte,
+         |${(0 until NumShards).map(duckShardCtes).mkString(",\n")},
+         |$duckShardMergeCte
+         |SELECT query_id, rank, vec_id FROM shmerge
+         |ORDER BY query_id, rank""".stripMargin,
+    // sharded vs monolithic recall against the same exact truth
+    "ann_recall_graph_sharded" ->
+      s"""WITH $pqQCte,
+         |xsims AS (
+         |  SELECT q.query_id, e.vec_id,
+         |         ${duckDot("e.embedding", "q.qv")} AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |${topKIdsCte("xsims", "xk")},
+         |${(0 until NumShards).map(duckShardCtes).mkString(",\n")},
+         |$duckShardMergeCte,
+         |$duckNnGraphCtes,
+         |$duckBeamCtes,
+         |rk AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY sim DESC, vec_id ASC) AS rn
+         |    FROM b4) WHERE rn <= $K)
+         |SELECT algo, hits, CAST(${NumQueries * K} AS BIGINT) AS n FROM (
+         |  SELECT 'ann_graph' AS algo,
+         |    (SELECT count(*) FROM rk a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits
+         |  UNION ALL
+         |  SELECT 'ann_graph_sharded' AS algo,
+         |    (SELECT count(*) FROM shmerge a JOIN xk x
+         |       ON a.query_id = x.query_id AND a.vec_id = x.vec_id) AS hits)
+         |ORDER BY algo""".stripMargin,
     // insert-path vs full-rebuild recall against the same exact truth
     "ann_recall_graph_insert" ->
       s"""WITH $pqQCte,

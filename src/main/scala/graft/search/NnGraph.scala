@@ -745,4 +745,261 @@ object NnGraph {
     writeArtifact(refineRound(survivors, merged, k, w), artifactDir,
       prev = Some(merged))
   }
+
+  /** Beam walk over PQ CODE ROWS with true asymmetric-distance (ADC)
+    * scoring — VERDICT r19 #3: the compressed-gather walk previously
+    * decoded codes to full-width floats and dotted them (m · subDim
+    * multiply-adds per scored row); real ADC does m TABLE LOOKUPS. Per
+    * query, a LUT over the broadcast codebooks prices every (subspace,
+    * code) cell once — LUT(j)(c) = dot(q_j, cw(j)(c)), d-ascending
+    * double accumulation — and a scored row costs Σ_j LUT(j)(codes_j),
+    * j-ascending. NOTE the per-subspace accumulation REASSOCIATES the
+    * float sum vs dot(q, decode(codes)) (same value in exact
+    * arithmetic, different rounding), so an oracle must replay the LUT
+    * order — the [[graft.search.Ann.pqTopKWith]] replay convention.
+    *
+    * `codes` carries (vec_id, codes int[m]) — the persisted 8–16×-
+    * smaller index; `graph` any edge artifact over the same ids;
+    * `queries` full-width float/double (query_id, qvec) — queries stay
+    * uncompressed, the asymmetric half. Output (query_id, rank,
+    * vec_id), rank by (ADC sim DESC, vec_id ASC). Plan shape per
+    * round: codes scan + graph scan against broadcast beam frames, the
+    * scoring a scalar UDF over the broadcast LUT map — the index never
+    * shuffles, the candidate budget is the standard walk's.
+    */
+  def graphTopKAdc(codes: DataFrame, graph: DataFrame, queries: DataFrame,
+      k: Int, beamWidth: Int, iters: Int, sampleSize: Int,
+      cw: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    if (cw.isEmpty)
+      return Seq.empty[(Long, Int, Long)].toDF("query_id", "rank", "vec_id")
+    val nc = cw(0).length
+    val sub = cw(0)(0).length
+    val codesL = codes.select(col("vec_id").cast("long"), col("codes"))
+    val q = queries.select(col("query_id").cast("long"), col("qvec"))
+    // fused prelude collect (the walkPrelude discipline): query vectors
+    // + the seed sample's CODE rows in one tagged-union job (codes are
+    // small ints — the double cast round-trips exactly)
+    val seeds = codesL
+      .select(col("vec_id").as("seed_id"),
+        md5(concat(lit("nnd|"), col("vec_id"))).as("r"), col("codes"))
+      .orderBy(col("r"), col("seed_id")).limit(sampleSize)
+      .select(col("seed_id"), col("codes"))
+    val both = q.select(lit(0).as("t"), col("query_id").as("id"),
+        col("qvec").cast("array<double>").as("v"))
+      .unionByName(seeds.select(lit(1).as("t"), col("seed_id").as("id"),
+        col("codes").cast("array<double>").as("v")))
+      .as[(Int, Long, Array[Double])].collect()
+    val qRows = both.filter(_._1 == 0).map(t => (t._2, t._3)).sortBy(_._1)
+    val seedRows = both.filter(_._1 == 1)
+      .map(t => (t._2, t._3.map(_.toInt))).sortBy(_._1)
+    // per-query ADC LUTs, keyed by query_id (they broadcast to the
+    // scoring UDF; ≤ |queries| × m × nc doubles)
+    val m = cw.length
+    val luts: Map[Long, Array[Double]] = qRows.map { case (qid, qv) =>
+      val t = new Array[Double](m * nc)
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < nc) {
+          var s = 0.0; var d = 0
+          while (d < sub) { s += qv(j * sub + d) * cw(j)(c)(d).toDouble; d += 1 }
+          t(j * nc + c) = s
+          c += 1
+        }
+        j += 1
+      }
+      qid -> t
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+    val ncL = nc
+    val lutUdf = udf((qid: Long, cs: scala.collection.Seq[Int]) => {
+      val t = bcLut.value(qid)
+      var s = 0.0; var j = 0
+      while (j < cs.length) { s += t(j * ncL + cs(j)); j += 1 }
+      s
+    })
+    def adcRound(beam: DataFrame): DataFrame = {
+      val nb = graph
+        .join(broadcast(beam.select(col("query_id"),
+          col("vec_id").as("id"))), "id")
+        .select(col("query_id"), col("nbr").as("vec_id"))
+      val cand = beam.select("query_id", "vec_id").union(nb).distinct()
+      codesL.join(broadcast(cand), "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          lutUdf(col("query_id"), col("codes")).as("sim"))
+    }
+    // driver entry round: LUT scores of every (query, seed) pair
+    var beam = driverTop(
+      for {
+        (qid, _) <- qRows
+        (sid, scs) <- seedRows
+      } yield (qid, sid, {
+        val t = luts(qid)
+        var s = 0.0; var j = 0
+        while (j < scs.length) { s += t(j * ncL + scs(j)); j += 1 }
+        s
+      }),
+      beamWidth)
+    for (_ <- 1 until iters) {
+      beam = driverTop(
+        adcRound(planted(spark, beam)).as[(Long, Long, Double)].collect(),
+        beamWidth)
+    }
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    adcRound(planted(spark, beam))
+      .select(col("query_id"),
+        row_number().over(qw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= k)
+  }
+
+  // ---- SHARDED graphs: the 100 TB build-and-serve story --------------
+  //
+  // A single monolithic NN-descent graph per collection builds as ONE
+  // job chain whose cost grows ~linearly with the collection — at
+  // 100 TB that is a multi-day job and an artifact no one machine
+  // holds. Production graph stores shard instead (Faiss IndexShards;
+  // DiskANN's partitioned build): build an INDEPENDENT graph per
+  // shard, serve a query by walking every shard and merging per-query
+  // top-k. Shard = vec_id mod numShards, so membership is a row-local
+  // function and edges NEVER cross shards by construction.
+
+  /** Per-shard md5-ranked seed sample — [[seedSample]] ranked WITHIN
+    * each shard (same "nnd|" hash, same tie-break), s seeds per shard:
+    * (shard, seed_id, svec). One window job; no per-shard pass.
+    */
+  def shardedSeedSample(index: DataFrame, numShards: Int,
+      s: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("r"), col("seed_id"))
+    index
+      .select((col("vec_id").cast("long") % numShards).as("shard"),
+        col("vec_id").cast("long").as("seed_id"),
+        col("embedding").as("svec"),
+        md5(concat(lit("nnd|"), col("vec_id"))).as("r"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= s)
+      .select("shard", "seed_id", "svec")
+  }
+
+  /** Sharded NN-descent build: `numShards` INDEPENDENT per-shard
+    * graphs, materialized as one edge frame (id, nbr, sim) whose edges
+    * are in-shard by construction — bit-identical to running
+    * [[buildGraph]] separately on each shard's vectors, but built in
+    * the job count of ONE build: init scores each node against ITS
+    * shard's seed sample (one narrow map), and every refinement round
+    * runs [[refineRound]] on the union edge frame — the
+    * neighbor-of-neighbor self-join keys on nbr = id, so proposals
+    * stay in-shard and one global round IS the per-shard round for
+    * all shards simultaneously, with the shuffle work parallelizing
+    * across shards. At 100 TB each shard's rows (and its slice of the
+    * artifact) live on their own executor group; nothing about the
+    * build requires the shards to see each other.
+    */
+  def buildShardedGraph(index: DataFrame, numShards: Int, k: Int,
+      iters: Int, sampleSize: Int,
+      artifactDir: Option[String] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val seeds: Array[(Long, Long, Array[Float])] =
+      shardedSeedSample(index, numShards, sampleSize)
+        .as[(Long, Long, Array[Float])].collect().sortBy(t => (t._1, t._2))
+    val byShard: Map[Long, Array[(Long, Array[Float])]] =
+      seeds.groupBy(_._1).map { case (sh, a) =>
+        sh -> a.map(t => (t._2, t._3))
+      }
+    val bcSeeds = spark.sparkContext.broadcast(byShard)
+    val vecs = index.select(col("vec_id").cast("long"), col("embedding"))
+    val nS = numShards.toLong
+    var edges: DataFrame = barrier(vecs.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val m = bcSeeds.value
+        it.flatMap { case (id, v) =>
+          m.getOrElse(id % nS, Array.empty[(Long, Array[Float])]).iterator
+            .filter { case (sid, _) => sid != id }
+            .map { case (sid, sv) => (sid, dotFF(v, sv)) }
+            .toArray
+            .sortBy { case (sid, s) => (-s, sid) }
+            .take(k)
+            .map { case (sid, s) => (id, sid, s) }
+        }
+      }.toDF("id", "nbr", "sim"), None)
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
+    for (_ <- 1 until iters) {
+      edges = barrier(refineRound(vecs, edges, k, w), Some(edges))
+    }
+    if (iters == 0) writeArtifact(edges, artifactDir, prev = Some(edges))
+    else writeArtifact(refineRound(vecs, edges, k, w), artifactDir,
+      prev = Some(edges))
+  }
+
+  /** Fan-out serve over a sharded graph: every query walks EVERY
+    * shard's graph, and the answer is the per-query top-k over the
+    * union of the per-shard final beams (the Faiss IndexShards merge —
+    * a window over ≤ numShards × beamWidth rows per query, never a
+    * global sort). The walks run as ONE composite beam keyed
+    * query_id × numShards + shard — entry from the shard's own seeds,
+    * expansion in-shard automatically (the edges are) — so the serve
+    * costs the job count of ONE walk regardless of shard count.
+    * Requires query_id < Long.MaxValue / numShards (the composite-id
+    * space). Output (query_id, rank, vec_id), rank by (sim DESC,
+    * vec_id ASC) across shards.
+    */
+  def shardedGraphTopK(index: DataFrame, graph: DataFrame,
+      queries: DataFrame, k: Int, numShards: Int, beamWidth: Int,
+      iters: Int, sampleSize: Int): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val nS = numShards.toLong
+    val vecs = index.select(col("vec_id").cast("long"), col("embedding"))
+    val q = queries.select(col("query_id").cast("long"), col("qvec"))
+    // fused prelude collect (the walkPrelude discipline): composite
+    // queries + per-shard seeds in ONE tagged-union job
+    val both = q.select(lit(0).as("t"), lit(0L).as("shard"),
+        col("query_id").as("id"), col("qvec").cast("array<double>").as("v"))
+      .unionByName(shardedSeedSample(index, numShards, sampleSize)
+        .select(lit(1).as("t"), col("shard"), col("seed_id").as("id"),
+          col("svec").cast("array<double>").as("v")))
+      .as[(Int, Long, Long, Array[Double])].collect()
+    val qRows = both.filter(_._1 == 0).map(t => (t._3, t._4)).sortBy(_._1)
+    val seedRows = both.filter(_._1 == 1).map(t => (t._2, t._3, t._4))
+      .sortBy(t => (t._1, t._2))
+    // composite entry: (query, shard) scored against the SHARD's seeds
+    val entry = for {
+      (qid, qv) <- qRows
+      (sh, sid, sv) <- seedRows
+    } yield (qid * nS + sh, sid, {
+      var s = 0.0; val n = math.min(qv.length, sv.length); var i = 0
+      while (i < n) { s += qv(i) * sv(i); i += 1 }
+      s
+    })
+    var beam = driverTop(entry, beamWidth)
+    val qLocal = spark.createDataset(
+        (for { (qid, qv) <- qRows; sh <- 0L until nS }
+          yield (qid * nS + sh, qv)).toIndexedSeq)
+      .toDF("query_id", "qvec")
+    for (_ <- 1 until iters) {
+      beam = driverTop(
+        roundScored(vecs, graph, qLocal, planted(spark, beam))
+          .as[(Long, Long, Double)].collect(),
+        beamWidth)
+    }
+    // final round lazy (the serve plan: one artifact scan + one index
+    // scan against broadcast frames), per-(query, shard) beam cut,
+    // then the MERGE: per-ORIGINAL-query top-k over all shards' beams
+    val qC = q.crossJoin(broadcast(
+        spark.range(nS).select(col("id").as("shard"))))
+      .select((col("query_id") * nS + col("shard")).as("query_id"),
+        col("qvec"))
+    val cw = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val shardBeams = roundScored(vecs, graph, qC, planted(spark, beam))
+      .withColumn("rn", row_number().over(cw)).filter(col("rn") <= beamWidth)
+      .select(expr(s"query_id div $nS").as("query_id"), col("vec_id"),
+        col("sim"))
+    shardBeams
+      .select(col("query_id"),
+        row_number().over(cw).as("rank"), col("vec_id"))
+      .filter(col("rank") <= k)
+  }
 }

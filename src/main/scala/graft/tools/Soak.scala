@@ -310,6 +310,25 @@ object Soak {
             .select(col("vec_id")), k = 10).count()
       }
 
+      // SHARDED graph build + fan-out serve at mult× vectors (4
+      // shards): the unified build runs every shard's NN-descent
+      // simultaneously in the job count of ONE build (edges never
+      // cross shards), so the column should track nnd_build — while
+      // producing 4 INDEPENDENT per-shard graphs, each buildable and
+      // servable on its own executor group at 100 TB (the
+      // Faiss-IndexShards / DiskANN-partition contract). The serve
+      // walks all 4 shards as one composite beam and merges per-query
+      // top-k — expect ~nnd_serve with a 4× candidate budget.
+      var shardGraph: DataFrame = null
+      val tShardBuild = time {
+        shardGraph = graft.search.NnGraph.buildShardedGraph(emb,
+          numShards = 4, k = 10, iters = 3, sampleSize = 16)
+      }
+      val tShardServe = time {
+        graft.search.NnGraph.shardedGraphTopK(emb, shardGraph, qs, 10,
+          numShards = 4, beamWidth = 16, iters = 4, sampleSize = 16).count()
+      }
+
       // full-interaction maxsim at mult× vectors (docs = vec_id div 4
       // token groups, 5 fixed queries): the (query, doc, qt) max
       // aggregate is the only corpus-sized exchange (map-side
@@ -351,18 +370,20 @@ object Soak {
           10, 4).count()
       }
       // PLAID with the COMPRESSED token index at mult× tokens: codebook
-      // training is two narrow passes (linear), the walk scores decoded
-      // PQ tokens (the 8×-smaller index bytes) at the 2×-oversampled
-      // cut, rescore reads full-width for the gathered docs only —
-      // expect the plaid column's near-flat serve plus a linear train
+      // training is two narrow passes (linear), the walk scores CODE
+      // ROWS via per-query ADC LUTs (m table lookups per scored row —
+      // the r20 LUT path, vs the old decode-then-dot's m·subDim
+      // multiply-adds) at the 2×-oversampled cut, rescore reads
+      // full-width for the gathered docs only — expect the plaid
+      // column's near-flat serve plus a linear train+encode
       val tMaxsimPq = time {
         val cw = graft.search.Ann.trainPqCodebooks(emb, m = 8,
           numCodes = 16, iters = 2)
-        val dec = graft.search.Ann.pqDecoded(emb, 8, cw)
+        val codes = graft.search.Ann.pqEncodeFrame(emb, 8, cw)
         val tq = emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-        val cands = graft.search.NnGraph.graphTopK(dec, nndGraph, tq, 16,
-            beamWidth = 16, iters = 4, sampleSize = 16)
+        val cands = graft.search.NnGraph.graphTopKAdc(codes, nndGraph, tq,
+            16, beamWidth = 16, iters = 4, sampleSize = 16, cw)
           .select((col("query_id") / 4).cast("long").as("query_id"),
             (col("vec_id") / 4).cast("long").as("doc_id"))
           .distinct()
@@ -526,7 +547,7 @@ object Soak {
       emb.unpersist()
       spark.sharedState.cacheManager.clearCache()
 
-      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  maxsim_plaid=${tMaxsimPlaid}%6.2f s  maxsim_pq=${tMaxsimPq}%6.2f s  mrlg_build=${tMrlgBuild}%6.2f s  mrlg_serve=${tMrlgServe}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
+      println(f"SOAK mult=$m%2d docs=$nDocs%7d  chunk+embed+retrieve=${tRag}%7.2f s  minhash_dedup=${tDedup}%7.2f s  components=${tCc}%7.2f s  bm25=${tBm25}%7.2f s  boilerplate=${tBoiler}%7.2f s  media_decode=${tDecode}%7.2f s  vecs=$nVecs%7d  knn_topk=${tKnn}%6.2f s  knn_lsh=${tLsh}%6.2f s  ann_ivf=${tIvf}%6.2f s  ann_pq=${tPq}%6.2f s  ann_ivf_pq=${tIvfPq}%6.2f s  ann_ivf_pq_res=${tIvfPqRes}%6.2f s  ann_ivf_sq=${tIvfSq}%6.2f s  retrieve_mmr=${tMmr}%6.2f s  ann_binary=${tBinary}%6.2f s  ann_rp=${tRp}%6.2f s  coreset=${tCoreset}%6.2f s  bpe_train=${tBpe}%6.2f s  dsir=${tDsir}%6.2f s  quality_lr=${tQualityLr}%6.2f s  textrank=${tTextrank}%6.2f s  dedup_semantic=${tSemDedup}%6.2f s  ann_recall3=${tAnnRecall}%6.2f s  nnd_build=${tNndBuild}%7.2f s  nnd_serve=${tNndServe}%6.2f s  nnd_delete=${tNndDelete}%7.2f s  shard_build=${tShardBuild}%7.2f s  shard_serve=${tShardServe}%6.2f s  maxsim=${tMaxsim}%6.2f s  maxsim_ann=${tMaxsimAnn}%6.2f s  maxsim_plaid=${tMaxsimPlaid}%6.2f s  maxsim_pq=${tMaxsimPq}%6.2f s  mrlg_build=${tMrlgBuild}%6.2f s  mrlg_serve=${tMrlgServe}%6.2f s  pca=${tPca}%6.2f s  bloom_ingest=${tBloomIngest}%6.2f s  pack_nosplit=${tPackNosplit}%6.2f s  minhash_recall=${tMinhashRecall}%6.2f s  winnow=${tWinnow}%6.2f s  fuzzy_vocab=${tFuzzy}%6.2f s  fuzzy_dropped_blocks=${fuzzyDrops}  fuzzy_sparse=${tFuzzySparse}%6.2f s  fuzzy_sparse_dropped=${fuzzySparseDrops}  dropped_buckets=${dropAcc.value - dropBefore}")
     }
     spark.stop()
   }

@@ -296,4 +296,61 @@ class NnGraphSpec extends SparkSpec {
       s"graph recall ${rows("ann_graph")} must beat IVF ${rows("ann_ivf")}")
     assert(rows("ann_graph") >= 80, s"recall regression: ${rows("ann_graph")}")
   }
+
+  test("buildShardedGraph: edges never cross shards, and each shard's graph IS the independent per-shard build") {
+    val nS = 2
+    val sharded = NnGraph.buildShardedGraph(emb, nS, k = 6, iters = 2,
+        sampleSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sharded.nonEmpty)
+    assert(sharded.forall { case (id, nbr, _) => id % nS == nbr % nS },
+      "an edge crossed shards — the independent-build contract is broken")
+    // the 100 TB claim made literal: the unified build (one job chain
+    // for all shards) must equal running buildGraph independently on
+    // each shard's vectors — so at scale each shard CAN build alone
+    // on its own executor group and nothing changes
+    val independent = (0 until nS).flatMap { s =>
+      NnGraph.buildGraph(emb.filter(col("vec_id") % nS === s), k = 6,
+          iters = 2, sampleSize = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(sharded == independent,
+      "unified sharded build diverged from independent per-shard builds")
+  }
+
+  test("shardedGraphTopK: fan-out serve equals per-shard walks merged by per-query top-k") {
+    val nS = 2
+    val g = NnGraph.buildShardedGraph(emb, nS, k = 8, iters = 2,
+      sampleSize = 16)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val fanout = NnGraph.shardedGraphTopK(emb, g, queries, k = 7, nS,
+        beamWidth = 12, iters = 3, sampleSize = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // reference: walk each shard separately (its own index subset, its
+    // own graph slice — exactly what a per-shard serving group would
+    // run), keep each walk's final beam WITH sims, merge per query
+    val perShard = (0 until nS).flatMap { s =>
+      val idx = emb.filter(col("vec_id") % nS === s)
+      val gs = g.filter(col("id") % nS === s)
+      graft.search.NnGraph.graphTopK(idx, gs, queries, k = 12,
+          beamWidth = 12, iters = 3, sampleSize = 16)
+        .join(idx.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.Vec.dot(col("qvec"), col("embedding")).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    val merged = perShard.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(7).zipWithIndex
+        .map { case ((_, vid, _), i) => (q, i + 1, vid) }
+    }.toSet
+    assert(fanout == merged,
+      "fan-out serve diverged from independently-walked shards")
+    // dense ranks per query
+    for (q <- 0L to 4L) {
+      val ranks = fanout.filter(_._1 == q).map(_._2).toSeq.sorted
+      assert(ranks == (1 to 7), s"query $q ranks: $ranks")
+    }
+  }
 }

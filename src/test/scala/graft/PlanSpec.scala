@@ -500,6 +500,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("ann_graph_sharded: fan-out serves from the artifact; the merge is a per-query top-k, never a global sort") {
+    // the sharded serve's scale contract (VERDICT r19 #2): both the
+    // per-shard walk cut and the cross-shard merge are row_number
+    // windows PARTITIONED BY query — a global (unpartitioned) sort of
+    // the shard beams would funnel every query's candidates through
+    // one task and grow with |queries| × shards × beamWidth
+    val df = graft.queries.Similarity.annGraphSharded(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("graft_nngraph_"),
+      "the walk must scan the written sharded-graph artifact")
+    assert(!plan.contains("SerializeFromObject") && !plan.contains("MapPartitions"),
+      "the construction subtree must not appear in the serve plan")
+    assert(!plan.contains("SortMergeJoin"), plan.linesIterator
+      .filter(_.contains("SortMergeJoin")).mkString("; "))
+    assert(!plan.contains("CartesianProduct"))
+    // every Window partitions by query_id (the merge included); every
+    // Sort below one is a per-partition sort feeding it, never a
+    // global exchange-to-one
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")),
+      windows.mkString("; "))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "the merge must not funnel through one partition")
+  }
+
   test("retrieve_maxsim_plaid: the token gather serves from the graph artifact, not a flat scan") {
     // the PLAID shape's whole point: stage 1's per-token gather walks
     // the SAME written graph artifact the single-vector family serves
