@@ -57,6 +57,50 @@ object VectorStore {
   val PqCodes = 16
   val PqIters = 2
 
+  // IVF parameters — the coarse quantizer's production rung (8 Lloyd
+  // cells, 2 iterations, probe 4 — the ann_ivf_trained configuration)
+  val IvfCells = 8
+  val IvfIters = 2
+  val IvfNprobe = 4
+
+  // trained-IVF centroid memo + identity token + train census — the
+  // codebooksOf discipline applied to the coarse quantizer (VERDICT
+  // r19 #5: the .pq persistence covered PQ only; IVF centroids
+  // retrained per session)
+  private val ivfMemo =
+    new graft.SessionMemo[(String, String), Array[Array[Float]]]
+  private val ivfTokenMemo = new graft.SessionMemo[(String, String), String]
+  private val ivfTrains = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.AtomicLong]
+  private def bumpIvfTrain(key: (String, String)): Unit = {
+    ivfTrains.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet(): Unit
+  }
+  private[graft] def ivfTrainsOf(base: String, name: String): Long = {
+    val c = ivfTrains.get((base, name))
+    if (c == null) 0L else c.get()
+  }
+
+  // per-collection PQ CODE-ROW artifact memo + encode census (the
+  // ColBERT/PLAID compressed token index as store state — VERDICT r19
+  // #6): codes derive from BOTH the collection contents and the
+  // trained codebooks, so their artifact dir is stamped with both
+  // identities and any mutation re-encodes
+  private val codesMemo = new graft.FrameMemo[(String, String)]
+  private val codesStampMemo = new graft.SessionMemo[(String, String), String]
+  private val codesEncodes = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.atomic.AtomicLong]
+  private def bumpEncode(key: (String, String)): Unit = {
+    codesEncodes.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet(): Unit
+  }
+  private[graft] def codesEncodesOf(base: String, name: String): Long = {
+    val c = codesEncodes.get((base, name))
+    if (c == null) 0L else c.get()
+  }
+
   // FULL-build census per (store, collection) — the spec hook proving
   // upsert/delete maintain incrementally: maintenance must never bump
   // a collection's count, and collection A's maintenance must never
@@ -80,6 +124,11 @@ object VectorStore {
   val BeamWidth = 16
   val BeamIters = 4
   val NndSample = 16
+
+  // maxsim serve: per-token candidate cut, 2×-oversampled for the
+  // compressed gather (the Qdrant oversampling / Faiss k_factor
+  // convention — the retrieve_maxsim_pq rung)
+  val MaxsimCandTok = 16
 }
 
 /** Partitioned-parquet vector store — the Spark restatement of the
@@ -135,6 +184,22 @@ class VectorStore(spark: SparkSession, basePath: String) {
     VectorStore.cwTokenMemo.entries(spark).remove(gkey(name))
     val pqDir = new java.io.File(s"$basePath/.pq/$name")
     if (pqDir.exists) rmTree(pqDir)
+    dropDerivedArtifacts(name)
+  }
+
+  /** Drop the IVF-centroid and code-row artifacts + memos — every
+    * trained/derived artifact a recreate or collection drop
+    * invalidates (the graph and PQ codebooks have their own inline
+    * handling above for historical reasons).
+    */
+  private def dropDerivedArtifacts(name: String): Unit = {
+    VectorStore.ivfMemo.entries(spark).remove(gkey(name))
+    VectorStore.ivfTokenMemo.entries(spark).remove(gkey(name))
+    val ivfDir = new java.io.File(s"$basePath/.ivf/$name")
+    if (ivfDir.exists) rmTree(ivfDir)
+    VectorStore.codesMemo.drop(spark, gkey(name))
+    VectorStore.codesStampMemo.entries(spark).remove(gkey(name))
+    if (codesRoot(name).exists) rmTree(codesRoot(name))
   }
 
   /** V3: exact cosine top-k within one collection (vector_db.py:93-119). */
@@ -371,6 +436,177 @@ class VectorStore(spark: SparkSession, basePath: String) {
         VectorStore.PqM, codebooksOf(name))
       .select(col("query_id"), col("rank"), col("vec_id").as("id"))
 
+  // ---- persisted per-collection IVF centroids (VERDICT r19 #5) ------
+  //
+  // The coarse quantizer is the store's third trained artifact: same
+  // lifecycle as the PQ codebooks (train once per collection lifetime,
+  // persist under `.ivf/<name>/v1/` with a `_token` identity, cold
+  // load bit-exact, upsert/delete keep — the Faiss train-once
+  // contract — recreate retrains).
+
+  private def ivfRoot(name: String): java.io.File =
+    new java.io.File(s"$basePath/.ivf/$name/v1")
+
+  private def persistCentroids(name: String,
+      cents: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("cent_id", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(ivfRoot(name).toString)
+    java.nio.file.Files.write(
+      new java.io.File(ivfRoot(name), "_token").toPath,
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8")): Unit
+  }
+
+  private def ivfToken(name: String): Option[String] = {
+    val f = new java.io.File(ivfRoot(name), "_token")
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
+  private def loadPersistedCentroids(
+      name: String): Option[Array[Array[Float]]] = {
+    val dir = ivfRoot(name)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) return None
+    // the loadPersistedCodebooks crash-window rule: a tokenless
+    // artifact must retrain, or the staleness guard goes inert
+    if (ivfToken(name).isEmpty) return None
+    import spark.implicits._
+    val rows = spark.read.parquet(dir.toString)
+      .select(col("cent_id"), col("cvec"))
+      .as[(Long, Array[Float])].collect()
+    if (rows.isEmpty) None
+    else Some(rows.sortBy(_._1).map(_._2))
+  }
+
+  /** The collection's Lloyd-trained IVF centroids: persisted-or-train-
+    * once per collection lifetime ([[VectorStore.ivfTrainsOf]] counts),
+    * cross-session staleness guarded by the `_token` identity exactly
+    * like [[codebooksOf]].
+    */
+  def centroidsOf(name: String): Array[Array[Float]] = {
+    val key = gkey(name)
+    val recorded = VectorStore.ivfTokenMemo.entries(spark).get(key)
+    if (recorded != null && !ivfToken(name).contains(recorded)) {
+      VectorStore.ivfMemo.entries(spark).remove(key)
+      VectorStore.ivfTokenMemo.entries(spark).remove(key)
+    }
+    val cents = VectorStore.ivfMemo.computeIfAbsent(spark, key) {
+      loadPersistedCentroids(name).getOrElse {
+        VectorStore.bumpIvfTrain(key)
+        import spark.implicits._
+        val trained = graft.search.Ann.trainCentroids(asIndex(read(name)),
+            VectorStore.IvfCells, VectorStore.IvfIters)
+          .orderBy(col("cent_id"))
+          .select(col("cvec")).as[Array[Float]].collect()
+        persistCentroids(name, trained)
+        trained
+      }
+    }
+    ivfToken(name).foreach(t =>
+      VectorStore.ivfTokenMemo.entries(spark).put(key, t): Unit)
+    cents
+  }
+
+  /** V3's cell-probed path: IVF top-k over THIS collection's trained,
+    * persisted centroids — the Faiss IndexIVFFlat serve beside
+    * [[search]]/[[graphSearch]]/[[searchCompressed]], same train-once/
+    * cold-load artifact discipline.
+    */
+  def ivfSearch(name: String, queries: DataFrame, k: Int,
+      nprobe: Int = VectorStore.IvfNprobe): DataFrame = {
+    import spark.implicits._
+    val cents = centroidsOf(name).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("cent_id", "cvec")
+    graft.search.Ann.ivfTopK(asIndex(read(name)), queries, cents, k, nprobe)
+      .select(col("query_id"), col("rank"), col("vec_id").as("id"))
+  }
+
+  // ---- persisted per-collection PQ code rows + maxsim serve ---------
+  //
+  // The compressed token index (VERDICT r19 #6): code rows derive from
+  // the collection CONTENTS and the trained CODEBOOKS, so the artifact
+  // dir stamps both identities — any data mutation or quantizer
+  // retrain re-encodes on next use (one narrow pass), and a fresh
+  // session cold-loads with zero encodes.
+
+  private def codesRoot(name: String): java.io.File =
+    new java.io.File(s"$basePath/.codes/$name")
+
+  private def codesStamp(name: String): String =
+    collStamp(name) + "-" + cwToken(name).map(_.take(8)).getOrElse("none")
+
+  private def codesDir(name: String): String =
+    new java.io.File(codesRoot(name), s"v1-${codesStamp(name)}").toString
+
+  private def pruneCodesDirs(name: String, keep: Option[String]): Unit = {
+    val kids = Option(codesRoot(name).listFiles()).getOrElse(Array.empty)
+    kids.filter(d => !keep.contains(d.toString)).foreach(rmTree)
+  }
+
+  /** The collection's PQ code rows (id, codes int[m]) — encoded once
+    * per (contents, codebooks) version via [[graft.search.Ann
+    * .pqEncodeFrame]], persisted beside the data, served from the
+    * artifact scan ([[VectorStore.codesEncodesOf]] counts encodes).
+    */
+  def codesOf(name: String): DataFrame = {
+    val key = gkey(name)
+    val cw = codebooksOf(name) // resolves/loads the quantizer first
+    val cur = codesStamp(name)
+    val recorded = VectorStore.codesStampMemo.entries(spark).get(key)
+    if (recorded != null && recorded != cur)
+      VectorStore.codesMemo.drop(spark, key)
+    val codes = VectorStore.codesMemo.computeIfAbsent(spark, key) {
+      val dir = new java.io.File(codesDir(name))
+      if (new java.io.File(dir, "_SUCCESS").isFile)
+        spark.read.parquet(dir.toString)
+      else {
+        VectorStore.bumpEncode(key)
+        graft.search.Ann.pqEncodeFrame(asIndex(read(name)),
+          VectorStore.PqM, cw)
+          .write.mode("overwrite").parquet(dir.toString)
+        pruneCodesDirs(name, keep = Some(dir.toString))
+        spark.read.parquet(dir.toString)
+      }
+    }
+    VectorStore.codesStampMemo.entries(spark).put(key, cur): Unit
+    codes
+  }
+
+  /** Late-interaction (ColBERT-style) serve as a STORE API — the
+    * [[graft.queries.Similarity.retrieveMaxsimPq]] shape composed from
+    * the collection's persisted artifacts: stage 1 walks the
+    * collection's graph ([[graphOf]]) over its persisted CODE ROWS
+    * ([[codesOf]]) with true ADC scoring (per-token LUT over
+    * [[codebooksOf]]), stage 2 rescores the gathered docs exact and
+    * full-width. Collection rows are token vectors; doc = id div
+    * `tokPerDoc` (consecutive-token layout); `queryTokens` carries
+    * (query_id, qt, qvec) with qt in [0, tokPerDoc). A second session
+    * over the same path serves this with ZERO builds, trains, or
+    * encodes — everything loads cold.
+    */
+  def maxsimSearch(name: String, queryTokens: DataFrame, k: Int,
+      tokPerDoc: Int): DataFrame = {
+    val t = tokPerDoc
+    val tokQ = queryTokens.select(
+      (col("query_id").cast("long") * t + col("qt")).as("query_id"),
+      col("qvec"))
+    val cands = graft.search.NnGraph.graphTopKAdc(codesOf(name),
+        graphOf(name), tokQ, VectorStore.MaxsimCandTok,
+        VectorStore.BeamWidth, VectorStore.BeamIters, VectorStore.NndSample,
+        codebooksOf(name))
+      .select(expr(s"query_id div $t").as("query_id"),
+        expr(s"vec_id div $t").as("doc_id"))
+      .distinct()
+    val docs = read(name).select(expr(s"id div $t").as("doc_id"),
+      col("id").as("vec_id"), col("embedding"))
+    val qtok = queryTokens.select(col("query_id").cast("long"),
+      col("qt"), col("qvec"))
+    graft.search.Knn.maxsimTopKCandidates(docs, qtok, cands, k, t)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+  }
+
   /** Read one collection (partition-pruned). */
   def read(collection: String): DataFrame =
     spark.read.parquet(s"$basePath/collection=$collection")
@@ -392,6 +628,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
       VectorStore.cwTokenMemo.entries(spark).remove(gkey(name))
       val pqDir = new java.io.File(s"$basePath/.pq/$name")
       if (pqDir.exists) rmTree(pqDir)
+      dropDerivedArtifacts(name)
     }
   }
 

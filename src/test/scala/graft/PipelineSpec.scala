@@ -384,6 +384,99 @@ class VectorStoreSpec extends SparkSpec {
       "a recreated collection must retrain, not serve stale codebooks")
   }
 
+  test("per-collection IVF centroids: train once, serve probed, cold-start load, recreate retrains") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-ivf").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def rows(pfx: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, s"$pfx doc $i", HashingEmbedder.embed(s"$pfx doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+    val store = new VectorStore(spark, base)
+    store.createCollection("a", rows("rho", 30), "row_order")
+
+    // first serve trains exactly once; the second is a memo hit
+    val hits = store.ivfSearch("a", q("rho doc 4"), 3).orderBy("rank").collect()
+    assert(hits.length == 3)
+    assert(hits.map(_.getAs[Long]("id")).contains(4L), hits.toSeq.toString)
+    store.ivfSearch("a", q("rho doc 7"), 3).collect()
+    assert(VectorStore.ivfTrainsOf(base, "a") == 1L)
+
+    // upsert keeps the trained centroids (train-once)
+    store.upsertPoints("a", Seq((50L, "rho brand new",
+        HashingEmbedder.embed("rho brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order"))
+    val c1 = store.centroidsOf("a")
+    assert(VectorStore.ivfTrainsOf(base, "a") == 1L)
+
+    // cold start: a fresh session loads bit-exact, zero training
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    val c2 = store2.centroidsOf("a")
+    assert(VectorStore.ivfTrainsOf(base, "a") == 1L,
+      "a fresh session must load persisted centroids, not retrain")
+    assert(c1.length == c2.length &&
+      c1.zip(c2).forall { case (u, v) => u.sameElements(v) },
+      "persisted centroids must round-trip bit-exact")
+
+    // recreate invalidates: a new dataset retrains
+    store2.createCollection("a", rows("sigma", 12), "row_order")
+    store2.ivfSearch("a", q("sigma doc 2"), 3).collect()
+    assert(VectorStore.ivfTrainsOf(base, "a") == 2L,
+      "a recreated collection must retrain, not serve stale centroids")
+  }
+
+  test("store maxsim serve: a second session composes persisted graph + codebooks + codes with ZERO builds, trains, or encodes") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-maxsim").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    val tok = 4
+    // 16 docs × 4 tokens: token id = doc*4 + t, token text interleaves
+    // shared vocabulary with doc/token-specific ids (the ingest-loop
+    // fixture discipline: similar enough to keep the graph navigable,
+    // distinct enough that self-tokens are unique exact matches)
+    def tokText(d: Int, t: Int) = s"corpus shared d$d token t$t body x${d}y$t"
+    val rows = (0 until 16).flatMap { d =>
+      (0 until tok).map { t =>
+        ((d * tok + t).toLong, tokText(d, t),
+          HashingEmbedder.embed(tokText(d, t), m))
+      }
+    }.toDF("row_order", "content", "embedding")
+    val store = new VectorStore(spark, base)
+    store.createCollection("c", rows, "row_order")
+    // query 0 = doc 3's own tokens, query 1 = doc 11's
+    def queryTokens = Seq(3, 11).zipWithIndex.flatMap { case (d, qi) =>
+      (0 until tok).map(t =>
+        (qi.toLong, t, HashingEmbedder.embed(tokText(d, t), m)))
+    }.toDF("query_id", "qt", "qvec")
+
+    val r1 = store.maxsimSearch("c", queryTokens, 3, tok)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(r1.count(_._2 == 1) == 2, r1.toString)
+    // self-doc at rank 1: the query IS the doc's token set, and the
+    // exact full-width rescore cannot rank anything above a perfect
+    // per-token match
+    assert(r1.contains((0L, 1, 3L)) && r1.contains((1L, 1, 11L)), r1.toString)
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L)
+    assert(VectorStore.cwTrainsOf(base, "c") == 1L)
+    assert(VectorStore.codesEncodesOf(base, "c") == 1L)
+
+    // a SECOND session serves the identical answer with zero new work:
+    // graph, codebooks, and code rows all load cold from the store path
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    val r2 = store2.maxsimSearch("c", queryTokens, 3, tok)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(r2 == r1, s"cold serve diverged: $r2 vs $r1")
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L,
+      "cold maxsim serve must not rebuild the graph")
+    assert(VectorStore.cwTrainsOf(base, "c") == 1L,
+      "cold maxsim serve must not retrain the quantizer")
+    assert(VectorStore.codesEncodesOf(base, "c") == 1L,
+      "cold maxsim serve must not re-encode the code rows")
+  }
+
   test("compact rewrites the file layout without changing a row") {
     val base = java.nio.file.Files.createTempDirectory("vstore-compact").toString
     val store = new VectorStore(spark, base)
