@@ -33,39 +33,41 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-19 measurement at the 227-query surface:
-    * 68.972 s (contended=false, loads [2.5, 1.7]) — the min of FOUR
-    * contended=false runs at this surface as the day's windows
-    * quieted: mid-round pair 85.464/87.112 (loads ≤ [2.0, 2.0]), then
-    * at the final code 79.267 (loads [1.5, 2.2], pass totals
-    * 160.5/87.9/88.0) and 68.972. The 85.5 → 79.3 step is partly the
-    * post-pair commits (driver entry round: every graph serve lost a
-    * job, retrieve_maxsim_plaid 1.04 → 0.90, ann_graph_filtered
-    * 0.87 → 0.76; the PQ codes artifact: encode argmin no longer
-    * re-runs per walk round) and the 79.3 → 69.0 step is IDENTICAL
-    * measurement-path code — both steps spread thinly per query
-    * (largest movers 0.22 s and 0.35 s across 227 queries, the
-    * window-weather signature per the band convention). Post-stamp
-    * confirm run: 80.657 contended=false at loads [2.0, 2.0] (the
-    * committed bench_full.json — its clean_ref echo matches these
-    * constants); the day's full clean ladder at this surface is
-    * 68.97/79.27/80.66/85.46/87.11. The three queries added
-    * this round price at ~2.3 s summed (ann_mrl_graph_funnel 1.34 —
-    * the 50-wide prefix-graph walk; retrieve_maxsim_pq 1.00 —
-    * per-token walks scoring decoded PQ tokens; ann_recall_mrl_graph
-    * 0.09), on top of the r18 224-surface band of 83.907 — net: more
-    * surface, same level (85.5 − 2.3 ≈ 83.2 ≈ the r18 stamp, within
-    * window noise). The round-19 beam-walk fusion (windowless
-    * intermediate rounds — single-stage jobs) holds the graph family
-    * at its r18 per-query levels while halving each serve's stage
-    * count (the contended-spread lever: r18's 9.5× ann_graph_insert
-    * spread came from per-round exchanges amplifying host noise);
-    * ann_graph_insert reads 0.688–0.746 across the final-code clean
-    * runs (0.92 in the mid-round pair's window) — at PARITY with
-    * ann_graph's own serve (0.70–0.77: the insert query's min-of-pass
-    * cost IS the shared 5-job serve; the r18 verdict's 0.6 s bar is
-    * within one job's overhead of the serve floor) with ~half the
-    * stages exposed to weather.
+    * Current value: round-20 measurement at the 229-query surface:
+    * 75.747 s (contended=false, loads [2.2, 3.0], pass totals
+    * 156.6/82.9 + a rotated pass 3) — the min of the round's
+    * contended=false runs at this surface (85.392 at loads [1.6, 2.2],
+    * then 75.747; a first run in the post-compile window read 79.856
+    * at load 3.5 = contended, excluded per the convention). The two
+    * queries added this round (the sharded-graph pair) price ~0.8 s
+    * summed clean (ann_graph_sharded 0.67–0.78 — the 2-shard fan-out
+    * serve at near-parity with ann_graph's own walk, since the
+    * composite beam costs the job count of ONE walk;
+    * ann_recall_graph_sharded 0.10 — replay-memo hits). Against the
+    * r19 band (68.972 at 227) the level step is window weather at a
+    * LOWER per-query floor: the round-20 fused q+seed collect cut one
+    * job from every graph serve and the ADC-LUT rewrite cut
+    * retrieve_maxsim_pq's stage-1 arithmetic — in the 75.7 run the
+    * graph family reads BELOW every r19 clean floor (ann_graph
+    * 0.58 vs 0.70, ann_graph_insert 0.61 vs 0.688, ann_graph_delete
+    * 0.66 vs 0.814, retrieve_maxsim_pq 0.89 vs 1.00,
+    * retrieve_maxsim_plaid 0.82 vs 0.90) while the total sits above
+    * the r19 stamp — the code got faster and the window was merely
+    * ordinary, the exact decomposition the band convention exists to
+    * make readable. Insert serve jobs: 5 → 4 (fused query+seed
+    * collect); the insert MAINTENANCE pipeline itself went ~8 → 6
+    * sequential jobs (final walk round fused with the candidate-
+    * adjacency fetch, backlink re-prune moved driver-side, repair
+    * fused into the artifact write with no checkpoint barrier) — all
+    * pre-existing graph-family oracle hashes unchanged (229/229 green
+    * at sf0.001 and sf0.01 across the round's verify drives).
+    * Round-19 history: 68.972 s at 227 (contended=false, loads
+    * [2.5, 1.7]) — min of FOUR contended=false runs as the day
+    * quieted (85.464/87.112 mid-round, 79.267 and 68.972 at final
+    * code; post-stamp confirm 80.657); the 85.5 → 79.3 step was
+    * partly code (driver entry round, PQ codes artifact), the
+    * 79.3 → 69.0 step identical code in a quieter window (largest
+    * mover 0.35 s, spread thinly — the weather signature).
     * Round-18 history: 83.907 s at the 224 surface — min of the pair
     * (90.466 / 83.907, both contended=false, loads ≤ [2.2, 2.9]; the
     * funnel pair ann_mrl_funnel 0.37 + ann_recall_mrl_funnel 0.09
@@ -118,8 +120,8 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 68.972
-  private[graft] val CleanRefQueries = 227
+  private[graft] val CleanRefTotal = 75.747
+  private[graft] val CleanRefQueries = 229
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
     * CENTISECONDS, one 3-char group per query in ALPHABETICAL order

@@ -177,22 +177,25 @@ class VectorStore(spark: SparkSession, basePath: String) {
     // next graphSearch rebuilds fresh. Trained codebooks are dataset
     // artifacts too: a recreate retrains (unlike upsert/delete, which
     // keep them — the Faiss train-once contract).
+    dropAllArtifacts(name)
+  }
+
+  /** Drop EVERY per-collection artifact + session memo — graph, PQ
+    * codebooks, IVF centroids, code rows. The ONE invalidation path a
+    * recreate and a collection drop share: a new artifact class added
+    * here is invalidated everywhere, instead of being remembered at
+    * each call site (a missed site would leave a recreate serving a
+    * stale artifact class silently).
+    */
+  private def dropAllArtifacts(name: String): Unit = {
     VectorStore.graphMemo.drop(spark, gkey(name))
     VectorStore.graphStampMemo.entries(spark).remove(gkey(name))
-    pruneGraphDirs(name, keep = None)
+    val gRoot = graphRoot(name)
+    if (gRoot.exists) rmTree(gRoot)
     VectorStore.cwMemo.entries(spark).remove(gkey(name))
     VectorStore.cwTokenMemo.entries(spark).remove(gkey(name))
     val pqDir = new java.io.File(s"$basePath/.pq/$name")
     if (pqDir.exists) rmTree(pqDir)
-    dropDerivedArtifacts(name)
-  }
-
-  /** Drop the IVF-centroid and code-row artifacts + memos — every
-    * trained/derived artifact a recreate or collection drop
-    * invalidates (the graph and PQ codebooks have their own inline
-    * handling above for historical reasons).
-    */
-  private def dropDerivedArtifacts(name: String): Unit = {
     VectorStore.ivfMemo.entries(spark).remove(gkey(name))
     VectorStore.ivfTokenMemo.entries(spark).remove(gkey(name))
     val ivfDir = new java.io.File(s"$basePath/.ivf/$name")
@@ -345,6 +348,20 @@ class VectorStore(spark: SparkSession, basePath: String) {
   private def pqRoot(name: String): java.io.File =
     new java.io.File(s"$basePath/.pq/$name/v1")
 
+  // _token identity plumbing shared by every trained artifact (PQ
+  // codebooks, IVF centroids): written AFTER the parquet commit, read
+  // by the cross-session staleness guards; a missing token means the
+  // crash window between the two writes — loaders treat it as invalid
+  private def writeToken(dir: java.io.File): Unit =
+    java.nio.file.Files.write(new java.io.File(dir, "_token").toPath,
+      java.util.UUID.randomUUID().toString.getBytes("UTF-8")): Unit
+
+  private def readToken(dir: java.io.File): Option[String] = {
+    val f = new java.io.File(dir, "_token")
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
+
   private def persistCodebooks(name: String,
       cw: Array[Array[Array[Float]]]): Unit = {
     import spark.implicits._
@@ -358,17 +375,11 @@ class VectorStore(spark: SparkSession, basePath: String) {
     // source ignores it): the cross-session staleness check compares a
     // memoized entry's token against this file, so a recreate (which
     // deletes the dir) invalidates every session's memo on next lookup
-    java.nio.file.Files.write(
-      new java.io.File(pqRoot(name), "_token").toPath,
-      java.util.UUID.randomUUID().toString.getBytes("UTF-8")): Unit
+    writeToken(pqRoot(name))
   }
 
   /** The persisted codebooks' identity token — None when absent. */
-  private def cwToken(name: String): Option[String] = {
-    val f = new java.io.File(pqRoot(name), "_token")
-    if (!f.isFile) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-  }
+  private def cwToken(name: String): Option[String] = readToken(pqRoot(name))
 
   private def loadPersistedCodebooks(
       name: String): Option[Array[Array[Array[Float]]]] = {
@@ -453,16 +464,10 @@ class VectorStore(spark: SparkSession, basePath: String) {
     cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
       .toSeq.toDF("cent_id", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(ivfRoot(name).toString)
-    java.nio.file.Files.write(
-      new java.io.File(ivfRoot(name), "_token").toPath,
-      java.util.UUID.randomUUID().toString.getBytes("UTF-8")): Unit
+    writeToken(ivfRoot(name))
   }
 
-  private def ivfToken(name: String): Option[String] = {
-    val f = new java.io.File(ivfRoot(name), "_token")
-    if (!f.isFile) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
-  }
+  private def ivfToken(name: String): Option[String] = readToken(ivfRoot(name))
 
   private def loadPersistedCentroids(
       name: String): Option[Array[Array[Float]]] = {
@@ -619,17 +624,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
   def deleteCollection(name: String, dropGraph: Boolean = true): Unit = {
     val dir = new java.io.File(s"$basePath/collection=$name")
     if (dir.exists) rmTree(dir)
-    if (dropGraph) {
-      VectorStore.graphMemo.drop(spark, gkey(name))
-      VectorStore.graphStampMemo.entries(spark).remove(gkey(name))
-      val root = graphRoot(name)
-      if (root.exists) rmTree(root)
-      VectorStore.cwMemo.entries(spark).remove(gkey(name))
-      VectorStore.cwTokenMemo.entries(spark).remove(gkey(name))
-      val pqDir = new java.io.File(s"$basePath/.pq/$name")
-      if (pqDir.exists) rmTree(pqDir)
-      dropDerivedArtifacts(name)
-    }
+    if (dropGraph) dropAllArtifacts(name)
   }
 
   /** Point-level DELETE within a collection — the other half of the

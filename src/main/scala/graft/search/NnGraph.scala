@@ -61,6 +61,18 @@ object NnGraph {
     s
   }
 
+  /** [[dotFF]]'s double twin — the driver-side replica of the
+    * graft_dot plan expression (min-length, left-to-right double
+    * accumulation) over already-double rows. ONE definition shared by
+    * every walk prelude: the accumulation convention is what the
+    * oracles replay bit-for-bit, so it must not fork per call site.
+    */
+  private def dotDD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; val n = math.min(a.length, b.length); var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   private def rddOf(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -398,17 +410,12 @@ object NnGraph {
     val qLocal = spark.createDataset(qRows.toIndexedSeq)
       .toDF("query_id", "qvec")
     // round 0 ON THE DRIVER: ≤ |queries| × sample entry dots via
-    // [[dotFF]]'s double twin — left-to-right double accumulation,
-    // bit-identical to the graft_dot plan form
+    // [[dotDD]] — bit-identical to the graft_dot plan form
     var beam = driverTop(
       for {
         (qid, qv) <- qRows
         (sid, sv) <- seedRows
-      } yield (qid, sid, {
-        var s = 0.0; val n = math.min(qv.length, sv.length); var i = 0
-        while (i < n) { s += qv(i) * sv(i); i += 1 }
-        s
-      }),
+      } yield (qid, sid, dotDD(qv, sv)),
       beamWidth)
     for (_ <- 1 until iters) {
       beam = driverTop(
@@ -461,11 +468,7 @@ object NnGraph {
     val entry: Array[(Long, Long, Double)] = for {
       (qid, qv) <- qRows
       (sid, sv) <- seedRows
-    } yield (qid, sid, {
-      var s = 0.0; val n = math.min(qv.length, sv.length); var i = 0
-      while (i < n) { s += qv(i) * sv(i); i += 1 }
-      s
-    })
+    } yield (qid, sid, dotDD(qv, sv))
     entry.foreach(r => candAll += ((r._1, r._2)))
     var beam = driverTop(entry, beamWidth)
     for (_ <- 1 to iters) {
@@ -522,22 +525,36 @@ object NnGraph {
     val (qLocal, beam) = walkPrelude(spark, vecs, graph, newQ, seeds,
       beamWidth, iters)
     val beamDf = planted(spark, beam)
-    val nb = graph
-      .join(broadcast(beamDf.select(col("query_id"), col("vec_id").as("id"))),
-        "id")
-      .select(col("query_id"), col("nbr").as("vec_id"))
-    val cand = beamDf.select("query_id", "vec_id").union(nb).distinct()
-    val scored = vecs
-      .join(broadcast(cand), "vec_id")
-      .join(broadcast(qLocal), "query_id")
-      .select(lit(0).as("t"), col("query_id").as("a"), col("vec_id").as("b"),
-        Vec.dot(col("qvec"), col("embedding")).as("sim"))
-    val candEdges = graph
-      .join(broadcast(cand.select(col("vec_id").as("id")).distinct()), "id")
-      .select(lit(1).as("t"), col("id").as("a"), col("nbr").as("b"),
-        col("sim"))
-    val rows = scored.unionByName(candEdges)
-      .as[(Int, Long, Long, Double)].collect()
+    val rows: Array[(Int, Long, Long, Double)] = if (iters == 0) {
+      // entry-only walk (the beamWithSims iters == 0 contract): the
+      // driver entry beam IS the final scored set — one job fetches
+      // just the candidate adjacency the re-prune needs
+      val candEdges = graph
+        .join(broadcast(beamDf.select(col("vec_id").as("id")).distinct()),
+          "id")
+        .select(lit(1).as("t"), col("id").as("a"), col("nbr").as("b"),
+          col("sim"))
+        .as[(Int, Long, Long, Double)].collect()
+      beam.map { case (q, v, s) => (0, q, v, s) } ++ candEdges
+    } else {
+      val nb = graph
+        .join(broadcast(beamDf.select(col("query_id"),
+          col("vec_id").as("id"))), "id")
+        .select(col("query_id"), col("nbr").as("vec_id"))
+      val cand = beamDf.select("query_id", "vec_id").union(nb).distinct()
+      val scored = vecs
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(qLocal), "query_id")
+        .select(lit(0).as("t"), col("query_id").as("a"),
+          col("vec_id").as("b"),
+          Vec.dot(col("qvec"), col("embedding")).as("sim"))
+      val candEdges = graph
+        .join(broadcast(cand.select(col("vec_id").as("id")).distinct()), "id")
+        .select(lit(1).as("t"), col("id").as("a"), col("nbr").as("b"),
+          col("sim"))
+      scored.unionByName(candEdges)
+        .as[(Int, Long, Long, Double)].collect()
+    }
     // the new nodes' out-edges: top-k of the final round's scored set —
     // driverTop(driverTop(x, beamWidth), k) ≡ driverTop(x, k) for
     // k ≤ beamWidth, so cutting straight to k is bit-identical to the
@@ -831,17 +848,26 @@ object NnGraph {
           lutUdf(col("query_id"), col("codes")).as("sim"))
     }
     // driver entry round: LUT scores of every (query, seed) pair
-    var beam = driverTop(
-      for {
-        (qid, _) <- qRows
-        (sid, scs) <- seedRows
-      } yield (qid, sid, {
-        val t = luts(qid)
-        var s = 0.0; var j = 0
-        while (j < scs.length) { s += t(j * ncL + scs(j)); j += 1 }
-        s
-      }),
-      beamWidth)
+    val entry = for {
+      (qid, _) <- qRows
+      (sid, scs) <- seedRows
+    } yield (qid, sid, {
+      val t = luts(qid)
+      var s = 0.0; var j = 0
+      while (j < scs.length) { s += t(j * ncL + scs(j)); j += 1 }
+      s
+    })
+    // iters == 0 keeps the beamWithSims contract: the ranked entry
+    // beam, no expansion round
+    if (iters == 0) {
+      val ranked = entry.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+          .map { case ((_, vid, _), i) => (q, i + 1, vid) }
+      }.sortBy(t => (t._1, t._2))
+      return spark.createDataset(ranked.toIndexedSeq)
+        .toDF("query_id", "rank", "vec_id")
+    }
+    var beam = driverTop(entry, beamWidth)
     for (_ <- 1 until iters) {
       beam = driverTop(
         adcRound(planted(spark, beam)).as[(Long, Long, Double)].collect(),
@@ -968,11 +994,19 @@ object NnGraph {
     val entry = for {
       (qid, qv) <- qRows
       (sh, sid, sv) <- seedRows
-    } yield (qid * nS + sh, sid, {
-      var s = 0.0; val n = math.min(qv.length, sv.length); var i = 0
-      while (i < n) { s += qv(i) * sv(i); i += 1 }
-      s
-    })
+    } yield (qid * nS + sh, sid, dotDD(qv, sv))
+    // iters == 0 keeps the beamWithSims contract: per-(query, shard)
+    // entry beams, merged per query — no expansion round
+    if (iters == 0) {
+      val entryBeams = driverTop(entry, beamWidth)
+      val ranked = entryBeams.map { case (qc, vid, s) => (qc / nS, vid, s) }
+        .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+          rows.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+            .map { case ((_, vid, _), i) => (q, i + 1, vid) }
+        }.sortBy(t => (t._1, t._2))
+      return spark.createDataset(ranked.toIndexedSeq)
+        .toDF("query_id", "rank", "vec_id")
+    }
     var beam = driverTop(entry, beamWidth)
     val qLocal = spark.createDataset(
         (for { (qid, qv) <- qRows; sh <- 0L until nS }

@@ -366,9 +366,31 @@ object Streams extends Serializable {
       // when a prior stream with this screenDir kept at least one batch
       val persisted: Option[DataFrame] = screenDir.flatMap { d =>
         val bd = new java.io.File(d, "bands")
-        val hasData = Option(bd.listFiles())
-          .exists(_.exists(_.getName.startsWith("part-")))
-        if (hasData) Some(spark0.read.parquet(bd.toString)) else None
+        val parts = Option(bd.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("part-"))
+        if (parts.isEmpty) None
+        else {
+          // small-files hygiene: per-batch appends leave ~one file per
+          // kept batch; past 32 files a (re)start compacts the table
+          // in place (write-to-temp + atomic swap — the
+          // VectorStore.compact discipline), so restart seeding never
+          // pays task-per-file scheduling that dwarfs the band data
+          if (parts.length > 32) {
+            val tmp = new java.io.File(d, ".bands-compact")
+            spark0.read.parquet(bd.toString)
+              .select(col("band").cast("int"), col("bkey")).distinct()
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles.foreach(rm)
+              f.delete(): Unit
+            }
+            rm(bd)
+            if (!tmp.renameTo(bd))
+              throw new java.io.IOException(
+                s"ingest screen: band compaction rename failed under $d")
+          }
+          Some(spark0.read.parquet(bd.toString))
+        }
       }
       val seeded = (existingBands.toSeq ++ persisted.toSeq)
         .map(_.select(col("band").cast("int"), col("bkey")))
