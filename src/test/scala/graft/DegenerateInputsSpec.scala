@@ -266,6 +266,31 @@ class DegenerateInputsSpec extends SparkSpec {
       "decode∘encode must be the identity when x is the only codeword")
   }
 
+  test("ADC walk and sharded serve survive empty codebooks and empty query sets") {
+    import graft.search.{Ann, NnGraph}
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emptyQ = Seq.empty[(Long, Array[Float])].toDF("query_id", "qvec")
+    val emptyG = Seq.empty[(Long, Long, Double)].toDF("id", "nbr", "sim")
+    // empty codebooks short-circuit to an empty ranked frame (the
+    // pqEncodeFrame convention), never a 0-length LUT index
+    val cwE = Ann.sampleCodebooks(empty, m = 8, numCodes = 16)
+    assert(NnGraph.graphTopKAdc(
+      Seq.empty[(Long, Array[Int])].toDF("vec_id", "codes"),
+      emptyG, emptyQ, 5, 8, 2, 8, cwE).count() == 0)
+    // a real index with ZERO queries: entry/rounds score nothing, the
+    // ranked output is empty — no per-query state to trip on
+    val some = (0L until 10L)
+      .map(i => (i, Array.tabulate(64)(j => ((i + j) % 5).toFloat / 4)))
+      .toDF("vec_id", "embedding")
+    val cw = Ann.sampleCodebooks(some, m = 8, numCodes = 16)
+    val g = NnGraph.buildGraph(some, k = 3, iters = 1, sampleSize = 4)
+    assert(NnGraph.graphTopKAdc(Ann.pqEncodeFrame(some, 8, cw), g, emptyQ,
+      5, 8, 2, 4, cw).count() == 0)
+    assert(NnGraph.shardedGraphTopK(some,
+      NnGraph.buildShardedGraph(some, 2, 3, 1, 4), emptyQ,
+      5, 2, 8, 2, 4).count() == 0)
+  }
+
   test("LR trainer returns zero weights on an empty corpus, never NPEs") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
     val w = graft.queries.Quality.trainWeightsOf(

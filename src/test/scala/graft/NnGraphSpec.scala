@@ -297,6 +297,68 @@ class NnGraphSpec extends SparkSpec {
     assert(rows("ann_graph") >= 80, s"recall regression: ${rows("ann_graph")}")
   }
 
+  test("graphTopKAdc: full-coverage walk degenerates to the exact ADC scan (pqTopKWith)") {
+    // with the corpus no larger than the seed sample every code row is
+    // scored at entry, survives the beam (width >= corpus), and the
+    // LUT-ordered top-k IS the exact asymmetric-distance scan — the
+    // annGraphBinary degeneration, ADC edition. Both sides build the
+    // per-query LUT the same way (d-ascending double dots) and sum it
+    // j-ascending, so equality here pins the LUT association the
+    // oracle replays.
+    import graft.search.Ann
+    val tiny = emb.filter(col("vec_id") < 24)
+    val cw = Ann.trainPqCodebooks(tiny, m = 8, numCodes = 16, iters = 2)
+    val codes = Ann.pqEncodeFrame(tiny, 8, cw)
+    val g = NnGraph.buildGraph(tiny, k = 4, iters = 1, sampleSize = 16)
+    val queries = tiny.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = NnGraph.graphTopKAdc(codes, g, queries, k = 5,
+        beamWidth = 24, iters = 2, sampleSize = 24, cw)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = Ann.pqTopKWith(tiny, queries, 5, 8, cw)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == exact,
+      "full-coverage ADC walk must equal the exact ADC scan")
+  }
+
+  test("graphTopKAdc: iters == 0 is the ranked entry beam over the seed sample (the beamWithSims contract)") {
+    import graft.search.Ann
+    val tiny = emb.filter(col("vec_id") < 40)
+    val cw = Ann.trainPqCodebooks(tiny, m = 8, numCodes = 16, iters = 2)
+    val codes = Ann.pqEncodeFrame(tiny, 8, cw)
+    val g = NnGraph.buildGraph(tiny, k = 4, iters = 1, sampleSize = 8)
+    val queries = tiny.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val seedIds = NnGraph.seedSample(tiny, 8)
+      .collect().map(_.getLong(0)).toSet
+    val got = NnGraph.graphTopKAdc(codes, g, queries, k = 3,
+        beamWidth = 8, iters = 0, sampleSize = 8, cw)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.forall(r => seedIds.contains(r._3)),
+      "a zero-iteration walk may only return entry candidates")
+    // equals the exact ADC scan RESTRICTED to the seed sample
+    val exact = Ann.pqTopKWith(
+        tiny.filter(col("vec_id").isin(seedIds.toSeq: _*)), queries, 3,
+        8, cw)
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.toSet == exact,
+      "the entry beam must be the ADC ranking of the seed sample")
+  }
+
+  test("buildShardedGraph with numShards = 1 IS buildGraph, bitwise") {
+    // shard 0 = everything, the per-shard seed ranking = the global
+    // ranking — one shard degenerates the whole sharded machinery to
+    // the monolithic build
+    val a = NnGraph.buildShardedGraph(emb, numShards = 1, k = 5,
+        iters = 2, sampleSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = NnGraph.buildGraph(emb, k = 5, iters = 2, sampleSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, "numShards = 1 must be the monolithic build")
+  }
+
   test("buildShardedGraph: edges never cross shards, and each shard's graph IS the independent per-shard build") {
     val nS = 2
     val sharded = NnGraph.buildShardedGraph(emb, nS, k = 6, iters = 2,
