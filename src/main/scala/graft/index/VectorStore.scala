@@ -259,9 +259,20 @@ class VectorStore(spark: SparkSession, basePath: String) {
       .map(b => f"$b%02x").mkString.take(16)
   }
 
+  // artifact-dir prefixes: the monolithic graph and each shard-count
+  // variant coexist under graphRoot — pruning is PREFIX-scoped so
+  // maintaining one never reclaims the other
+  private def monoPrefix: String = s"v$GraphArtifactVersion-"
+  private def shardPrefix(numShards: Int): String =
+    s"v${GraphArtifactVersion}s$numShards-"
+
   private def stampDir(name: String): String =
     new java.io.File(graphRoot(name),
-      s"v$GraphArtifactVersion-${collStamp(name)}").toString
+      monoPrefix + collStamp(name)).toString
+
+  private def shardedStampDir(name: String, numShards: Int): String =
+    new java.io.File(graphRoot(name),
+      shardPrefix(numShards) + collStamp(name)).toString
 
   /** The persisted artifact for the collection's CURRENT contents —
     * None when absent, half-written (no _SUCCESS), or stamped for a
@@ -279,12 +290,19 @@ class VectorStore(spark: SparkSession, basePath: String) {
     f.delete(): Unit
   }
 
-  /** Drop every persisted artifact EXCEPT `keep` (or all of them):
-    * superseded stamps are garbage once the current one is written.
+  /** Drop every persisted artifact with dir-name prefix `prefix`
+    * EXCEPT `keep` (superseded stamps are garbage once the current one
+    * is written) — prefix-scoped so the monolithic path's maintenance
+    * never reclaims a sharded variant's artifact or vice versa. A
+    * `keep = None` with the bare version prefix ("v") drops them all
+    * (the recreate path; [[dropAllArtifacts]] removes the root anyway).
     */
-  private def pruneGraphDirs(name: String, keep: Option[String]): Unit = {
+  private def pruneGraphDirs(name: String, keep: Option[String],
+      prefix: String): Unit = {
     val kids = Option(graphRoot(name).listFiles()).getOrElse(Array.empty)
-    kids.filter(d => !keep.contains(d.toString)).foreach(rmTree)
+    kids.filter(d => d.getName.startsWith(prefix) &&
+        !keep.contains(d.toString))
+      .foreach(rmTree)
   }
 
   /** The collection's NN-descent graph artifact: loaded from the
@@ -316,7 +334,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
         val built = NnGraph.buildGraph(asIndex(read(name)),
           VectorStore.GraphK, VectorStore.NndIters, VectorStore.NndSample,
           artifactDir = Some(dir))
-        pruneGraphDirs(name, keep = Some(dir))
+        pruneGraphDirs(name, keep = Some(dir), prefix = monoPrefix)
         built
       }
     }
@@ -333,6 +351,98 @@ class VectorStore(spark: SparkSession, basePath: String) {
     NnGraph.graphTopK(asIndex(read(name)), graphOf(name), queries, k,
         VectorStore.BeamWidth, VectorStore.BeamIters, VectorStore.NndSample)
       .withColumnRenamed("vec_id", "id")
+
+  // ---- SHARDED graph artifacts: the 100 TB collection --------------
+  //
+  // The monolithic graphOf path builds ONE graph per collection — one
+  // job chain whose cost grows with the collection, the design
+  // question a 100 TB collection forces. shardedGraphOf brings the
+  // NnGraph sharded family to the store with the FULL artifact
+  // contract: per-shard-count stamped dirs beside the monolithic ones
+  // (prefix-scoped pruning keeps them independent), load-before-build,
+  // cross-session stamp guards, and INCREMENTAL maintenance —
+  // upsert/delete repair each shard's graph in place (delete via the
+  // shard-preserving tombstone/bridge, insert via the shard-restricted
+  // walk — NnGraph.insertIntoShardedGraph), never a rebuild.
+
+  private def skey(name: String, numShards: Int): (String, String) =
+    (basePath, s"$name#s$numShards")
+
+  private def loadPersistedSharded(name: String,
+      numShards: Int): Option[DataFrame] = {
+    val dir = new java.io.File(shardedStampDir(name, numShards))
+    if (new java.io.File(dir, "_SUCCESS").isFile)
+      Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
+  /** The shard counts with a persisted artifact stamped for the
+    * CURRENT contents — what a mutation must maintain (the disk
+    * listing is authoritative: every sharded build/maintenance pass
+    * persists, so there is no memo-only sharded graph).
+    */
+  private def persistedShardCounts(name: String): Seq[Int] = {
+    val stamp = collStamp(name)
+    val re = (s"^v${GraphArtifactVersion}s(\\d+)-" +
+      java.util.regex.Pattern.quote(stamp) + "$").r
+    Option(graphRoot(name).listFiles()).getOrElse(Array.empty)
+      .flatMap(d => re.findFirstMatchIn(d.getName).map(_.group(1).toInt))
+      .toSeq.sorted
+  }
+
+  /** The collection's SHARDED edge artifact for `numShards` — the
+    * graphOf lifecycle (load/build-once/maintain/stamp-guard) applied
+    * to the sharded family. Keyed (store path, collection, shard
+    * count): different shard counts are independent artifacts.
+    */
+  def shardedGraphOf(name: String, numShards: Int): DataFrame = {
+    val key = skey(name, numShards)
+    val cur = collStamp(name)
+    val recorded = VectorStore.graphStampMemo.entries(spark).get(key)
+    if (recorded != null && recorded != cur)
+      VectorStore.graphMemo.drop(spark, key)
+    val g = VectorStore.graphMemo.computeIfAbsent(spark, key) {
+      loadPersistedSharded(name, numShards).getOrElse {
+        VectorStore.bump(key)
+        val dir = shardedStampDir(name, numShards)
+        val built = NnGraph.buildShardedGraph(asIndex(read(name)),
+          numShards, VectorStore.GraphK, VectorStore.NndIters,
+          VectorStore.NndSample, artifactDir = Some(dir))
+        pruneGraphDirs(name, keep = Some(dir),
+          prefix = shardPrefix(numShards))
+        built
+      }
+    }
+    VectorStore.graphStampMemo.entries(spark).put(key, cur): Unit
+    g
+  }
+
+  /** V3's sharded fan-out path: every query walks every shard of THIS
+    * collection's sharded artifact and merges per-query top-k — the
+    * Faiss IndexShards serve as a store API, with build cost and
+    * artifact size split across independent shards at 100 TB.
+    */
+  def graphSearchSharded(name: String, queries: DataFrame, k: Int,
+      numShards: Int = 2): DataFrame =
+    NnGraph.shardedGraphTopK(asIndex(read(name)),
+        shardedGraphOf(name, numShards), queries, k, numShards,
+        VectorStore.BeamWidth, VectorStore.BeamIters, VectorStore.NndSample)
+      .withColumnRenamed("vec_id", "id")
+
+  /** Sharded artifacts to MAINTAIN across a data mutation — the
+    * [[graphToMaintain]] contract per persisted shard count, looked up
+    * BEFORE the swap (pre-mutation stamp).
+    */
+  private def shardedToMaintain(name: String): Seq[(Int, DataFrame)] =
+    persistedShardCounts(name).flatMap { s =>
+      val key = skey(name, s)
+      val recorded = VectorStore.graphStampMemo.entries(spark).get(key)
+      if (recorded != null && recorded != collStamp(name))
+        VectorStore.graphMemo.drop(spark, key)
+      VectorStore.graphMemo.peek(spark, key)
+        .orElse(loadPersistedSharded(name, s))
+        .map(g => (s, g))
+    }
 
   // ---- persisted per-collection PQ codebooks (VERDICT r18 #7) -------
   //
@@ -670,6 +780,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
     val before = df.count()
     val kept = df.filter(!col("id").isin(ids: _*))
     val preGraph = graphToMaintain(name)
+    val preSharded = shardedToMaintain(name)
     kept.write.mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
     deleteCollection(name, dropGraph = false)
@@ -686,10 +797,25 @@ class VectorStore(spark: SparkSession, basePath: String) {
       val dir = stampDir(name)
       val updated = NnGraph.deleteFromGraph(asIndex(read(name)), g, del,
         VectorStore.GraphK, artifactDir = Some(dir))
-      pruneGraphDirs(name, keep = Some(dir))
+      pruneGraphDirs(name, keep = Some(dir), prefix = monoPrefix)
       VectorStore.graphMemo.put(spark, gkey(name))(updated)
       VectorStore.graphStampMemo.entries(spark)
         .put(gkey(name), collStamp(name)): Unit
+    }
+    // sharded artifacts repair the same way — deleteFromGraph is
+    // shard-preserving by construction (tombstone drops in-shard
+    // edges, the bridge joins in-shard pairs, the repair round
+    // proposes neighbors-of-neighbors — NnGraphSpec pins it)
+    preSharded.foreach { case (s, g) =>
+      import spark.implicits._
+      val del = ids.toDF("vec_id")
+      val dir = shardedStampDir(name, s)
+      val updated = NnGraph.deleteFromGraph(asIndex(read(name)), g, del,
+        VectorStore.GraphK, artifactDir = Some(dir))
+      pruneGraphDirs(name, keep = Some(dir), prefix = shardPrefix(s))
+      VectorStore.graphMemo.put(spark, skey(name, s))(updated)
+      VectorStore.graphStampMemo.entries(spark)
+        .put(skey(name, s), collStamp(name)): Unit
     }
     before - after
   }
@@ -706,6 +832,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
     val tmp = s"$basePath/.upsert-$name"
     val existing = spark.read.parquet(src)
     val preGraph = graphToMaintain(name)
+    val preSharded = shardedToMaintain(name)
     existing.join(rows.select(col("id")), Seq("id"), "left_anti")
       .unionByName(rows.select(existing.columns.map(col).toIndexedSeq: _*))
       .write.mode("overwrite").parquet(tmp)
@@ -731,10 +858,30 @@ class VectorStore(spark: SparkSession, basePath: String) {
         VectorStore.GraphK, VectorStore.BeamWidth,
         VectorStore.BeamIters, VectorStore.NndSample,
         artifactDir = Some(dir))
-      pruneGraphDirs(name, keep = Some(dir))
+      pruneGraphDirs(name, keep = Some(dir), prefix = monoPrefix)
       VectorStore.graphMemo.put(spark, gkey(name))(updated)
       VectorStore.graphStampMemo.entries(spark)
         .put(gkey(name), collStamp(name)): Unit
+    }
+    // sharded artifacts: tombstone (shard-preserving), then the
+    // SHARD-RESTRICTED insert — each upserted row search-then-connects
+    // within its own shard only, keeping every edge in-shard
+    preSharded.foreach { case (s, g) =>
+      val upIds = rows.select(col("id").as("vec_id"))
+      val g1 = NnGraph.deleteFromGraph(asIndex(read(name)), g, upIds,
+        VectorStore.GraphK)
+      val base = read(name)
+        .join(rows.select(col("id")), Seq("id"), "left_anti")
+      val dir = shardedStampDir(name, s)
+      val updated = NnGraph.insertIntoShardedGraph(asIndex(base), g1,
+        rows.select(col("id").as("vec_id"), col("embedding")), s,
+        VectorStore.GraphK, VectorStore.BeamWidth,
+        VectorStore.BeamIters, VectorStore.NndSample,
+        artifactDir = Some(dir))
+      pruneGraphDirs(name, keep = Some(dir), prefix = shardPrefix(s))
+      VectorStore.graphMemo.put(spark, skey(name, s))(updated)
+      VectorStore.graphStampMemo.entries(spark)
+        .put(skey(name, s), collStamp(name)): Unit
     }
   }
 
@@ -765,6 +912,7 @@ class VectorStore(spark: SparkSession, basePath: String) {
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
     val preGraph = graphToMaintain(name)
+    val preSharded = shardedToMaintain(name)
     df.repartition(files).write.mode("overwrite").parquet(tmp)
     // layout-only rewrite: contents are row-identical, so any graph
     // artifact stays valid — keep it
@@ -780,10 +928,19 @@ class VectorStore(spark: SparkSession, basePath: String) {
     preGraph.foreach { g =>
       val dir = stampDir(name)
       g.write.mode("overwrite").parquet(dir)
-      pruneGraphDirs(name, keep = Some(dir))
+      pruneGraphDirs(name, keep = Some(dir), prefix = monoPrefix)
       VectorStore.graphMemo.put(spark, gkey(name))(spark.read.parquet(dir))
       VectorStore.graphStampMemo.entries(spark)
         .put(gkey(name), collStamp(name)): Unit
+    }
+    preSharded.foreach { case (s, g) =>
+      val dir = shardedStampDir(name, s)
+      g.write.mode("overwrite").parquet(dir)
+      pruneGraphDirs(name, keep = Some(dir), prefix = shardPrefix(s))
+      VectorStore.graphMemo.put(spark, skey(name, s))(
+        spark.read.parquet(dir))
+      VectorStore.graphStampMemo.entries(spark)
+        .put(skey(name, s), collStamp(name)): Unit
     }
   }
 

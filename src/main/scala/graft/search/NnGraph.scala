@@ -524,6 +524,41 @@ object NnGraph {
     // intermediate rounds + 1 fused final round + 1 artifact write.
     val (qLocal, beam) = walkPrelude(spark, vecs, graph, newQ, seeds,
       beamWidth, iters)
+    connectAndRepair(spark, vecs, graph, newVecs, qLocal, beam, k, iters,
+      w, artifactDir)
+  }
+
+  /** The insert pipeline's tail, shared by [[insertIntoGraph]] and
+    * [[insertIntoShardedGraph]] (only their walk ENTRY differs): the
+    * fused final round + candidate-adjacency job, the driver-side
+    * backlink re-prune, and the repair round fused into the artifact
+    * write.
+    *
+    *  - the new nodes' out-edges are the top-k of the final round's
+    *    scored set — driverTop(driverTop(x, beamWidth), k) ≡
+    *    driverTop(x, k) for k ≤ beamWidth, so cutting straight to k is
+    *    bit-identical to collect-the-beam-then-cut;
+    *  - the backlink re-prune runs ON THE DRIVER (previously a
+    *    checkpointed whole-graph groupBy+window job): only nodes
+    *    receiving backlinks change adjacency, and every target's full
+    *    out-edge list is in the collected candEdges (targets are
+    *    final-round candidates by construction) — the merge +
+    *    (sim DESC, nbr ASC) top-k replays the old plan's groupBy-max +
+    *    window cut exactly; untouched nodes keep their rows verbatim
+    *    via the anti-join. The max-collapse is kept for exactness
+    *    though vacuous (a base node's existing edges never point at
+    *    new ids);
+    *  - `merged` is flat (artifact scan + broadcast anti-join +
+    *    LocalRelation), so refineRound's ~5 references re-evaluate a
+    *    cheap subtree and the whole repair+write is ONE job, no
+    *    checkpoint barrier.
+    */
+  private def connectAndRepair(spark: org.apache.spark.sql.SparkSession,
+      vecs: DataFrame, graph: DataFrame, newVecs: DataFrame,
+      qLocal: DataFrame, beam: Array[(Long, Long, Double)], k: Int,
+      iters: Int, w: org.apache.spark.sql.expressions.WindowSpec,
+      artifactDir: Option[String]): DataFrame = {
+    import spark.implicits._
     val beamDf = planted(spark, beam)
     val rows: Array[(Int, Long, Long, Double)] = if (iters == 0) {
       // entry-only walk (the beamWithSims iters == 0 contract): the
@@ -555,22 +590,8 @@ object NnGraph {
       scored.unionByName(candEdges)
         .as[(Int, Long, Long, Double)].collect()
     }
-    // the new nodes' out-edges: top-k of the final round's scored set —
-    // driverTop(driverTop(x, beamWidth), k) ≡ driverTop(x, k) for
-    // k ≤ beamWidth, so cutting straight to k is bit-identical to the
-    // old collect-the-beam-then-cut
     val fin = rows.filter(_._1 == 0).map(t => (t._2, t._3, t._4))
     val newOut = driverTop(fin, k)
-    // 2. backlink re-prune ON THE DRIVER (previously a checkpointed
-    // whole-graph groupBy+window job): only nodes receiving backlinks
-    // change adjacency — every target's full out-edge list is in the
-    // collected candEdges (targets are final-round candidates by
-    // construction), so the merge + (sim DESC, nbr ASC) top-k replays
-    // exactly the old plan's groupBy-max + window cut for the affected
-    // nodes, and untouched nodes keep their rows verbatim via the
-    // anti-join below. The max-collapse is kept for exactness though
-    // vacuous here (a base node's existing edges never point at new
-    // ids — they weren't in the graph).
     val adjacency = rows.filter(_._1 == 1).map(t => (t._2, t._3, t._4))
       .groupBy(_._1)
     val offers = newOut.map { case (nid, bid, s) => (bid, nid, s) }
@@ -590,11 +611,6 @@ object NnGraph {
     val merged = graph.select("id", "nbr", "sim")
       .join(broadcast(touchedDf), Seq("id"), "left_anti")
       .unionByName(updatedLocal)
-    // 3. one repair round over the merged graph with the full table —
-    // fused into the artifact write. `merged` is flat (one artifact
-    // scan + a broadcast anti-join + a LocalRelation), so refineRound's
-    // ~5 references re-evaluate a cheap subtree instead of needing a
-    // checkpoint barrier — the whole repair+write is ONE job.
     val fullVecs = vecs
       .unionByName(newVecs.select(col("vec_id").cast("long"),
         col("embedding")))
@@ -957,6 +973,62 @@ object NnGraph {
     if (iters == 0) writeArtifact(edges, artifactDir, prev = Some(edges))
     else writeArtifact(refineRound(vecs, edges, k, w), artifactDir,
       prev = Some(edges))
+  }
+
+  /** Batch INSERT into a SHARDED graph — [[insertIntoGraph]] with the
+    * search-then-connect walk restricted to each new vector's OWN
+    * shard (entry from the shard's seed sample; expansion is in-shard
+    * automatically because the edges are), so every new out-edge, the
+    * reversed backlinks, and the repair round stay in-shard and the
+    * sharded invariant survives maintenance. [[deleteFromGraph]] needs
+    * no sharded twin: tombstoning drops edges (in-shard by
+    * construction), the bridge joins lost in-shard edges with deleted
+    * nodes' in-shard out-edges, and the repair round proposes only
+    * neighbors-of-neighbors — NnGraphSpec pins both claims by
+    * comparing against independent per-shard maintenance, bitwise.
+    * Same artifact contract and job count as [[insertIntoGraph]].
+    */
+  def insertIntoShardedGraph(baseIndex: DataFrame, graph: DataFrame,
+      newVecs: DataFrame, numShards: Int, k: Int, beamWidth: Int,
+      iters: Int, sampleSize: Int,
+      artifactDir: Option[String] = None): DataFrame = {
+    val spark = baseIndex.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("nbr").asc)
+    val nS = numShards.toLong
+    val vecs = baseIndex.select(col("vec_id").cast("long"), col("embedding"))
+    val newQ = newVecs.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("qvec"))
+    // fused prelude: new-vector queries + PER-SHARD seeds in one job;
+    // entry pairs each query only with ITS shard's seeds
+    val both = newQ.select(lit(0).as("t"), lit(0L).as("shard"),
+        col("query_id").as("id"), col("qvec").cast("array<double>").as("v"))
+      .unionByName(shardedSeedSample(baseIndex, numShards, sampleSize)
+        .select(lit(1).as("t"), col("shard"), col("seed_id").as("id"),
+          col("svec").cast("array<double>").as("v")))
+      .as[(Int, Long, Long, Array[Double])].collect()
+    val qRows = both.filter(_._1 == 0).map(t => (t._3, t._4)).sortBy(_._1)
+    val seedRows = both.filter(_._1 == 1).map(t => (t._2, t._3, t._4))
+      .sortBy(t => (t._1, t._2))
+    val qLocal = spark.createDataset(qRows.toIndexedSeq)
+      .toDF("query_id", "qvec")
+    val entry = for {
+      (qid, qv) <- qRows
+      (sh, sid, sv) <- seedRows
+      if sh == ((qid % nS) + nS) % nS
+    } yield (qid, sid, dotDD(qv, sv))
+    var beam = driverTop(entry, beamWidth)
+    for (_ <- 1 until iters) {
+      beam = driverTop(
+        roundScored(vecs, graph, qLocal, planted(spark, beam))
+          .as[(Long, Long, Double)].collect(),
+        beamWidth)
+    }
+    // shared tail (every candidate is in-shard, so the connect/
+    // re-prune/repair machinery preserves the invariant without
+    // knowing about shards)
+    connectAndRepair(spark, vecs, graph, newVecs, qLocal, beam, k, iters,
+      w, artifactDir)
   }
 
   /** Fan-out serve over a sharded graph: every query walks EVERY

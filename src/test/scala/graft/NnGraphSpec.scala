@@ -380,6 +380,52 @@ class NnGraphSpec extends SparkSpec {
       "unified sharded build diverged from independent per-shard builds")
   }
 
+  test("insertIntoShardedGraph: edges stay in-shard and the result IS independent per-shard inserts") {
+    val nS = 2
+    val base = emb.filter(col("vec_id") >= 24)
+    val nv = emb.filter(col("vec_id") < 24)
+      .select(col("vec_id"), col("embedding"))
+    val g = NnGraph.buildShardedGraph(base, nS, k = 5, iters = 2,
+      sampleSize = 8)
+    val got = NnGraph.insertIntoShardedGraph(base, g, nv, nS, k = 5,
+        beamWidth = 10, iters = 3, sampleSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.forall { case (id, nbr, _) => id % nS == nbr % nS },
+      "a maintained edge crossed shards")
+    // equals running the monolithic insert independently on each
+    // shard's base/new slice — the property that lets each shard's
+    // serving group ingest alone at 100 TB
+    val independent = (0 until nS).flatMap { s =>
+      val baseS = base.filter(col("vec_id") % nS === s)
+      val gS = g.filter(col("id") % nS === s)
+      NnGraph.insertIntoGraph(baseS, gS,
+          nv.filter(col("vec_id") % nS === s), k = 5, beamWidth = 10,
+          iters = 3, sampleSize = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got == independent,
+      "sharded insert diverged from independent per-shard inserts")
+  }
+
+  test("deleteFromGraph on a sharded graph IS independent per-shard deletes (shard-preserving by construction)") {
+    val nS = 2
+    val g = NnGraph.buildShardedGraph(emb, nS, k = 5, iters = 2,
+      sampleSize = 8)
+    val del = emb.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+      .select(col("vec_id"))
+    val got = NnGraph.deleteFromGraph(emb, g, del, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.forall { case (id, nbr, _) => id % nS == nbr % nS })
+    val independent = (0 until nS).flatMap { s =>
+      NnGraph.deleteFromGraph(emb.filter(col("vec_id") % nS === s),
+          g.filter(col("id") % nS === s),
+          del.filter(col("vec_id") % nS === s), k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got == independent,
+      "sharded delete diverged from independent per-shard deletes")
+  }
+
   test("shardedGraphTopK: fan-out serve equals per-shard walks merged by per-query top-k") {
     val nS = 2
     val g = NnGraph.buildShardedGraph(emb, nS, k = 8, iters = 2,

@@ -384,6 +384,68 @@ class VectorStoreSpec extends SparkSpec {
       "a recreated collection must retrain, not serve stale codebooks")
   }
 
+  test("sharded graph serving: persisted artifact, incremental in-shard maintenance, cold start, coexists with the monolithic path") {
+    val base = java.nio.file.Files.createTempDirectory("vstore-shard").toString
+    val m = HashingEmbedder.modelsByName("hash-64")
+    def rows(pfx: String, n: Int) = (0 until n)
+      .map(i => (i.toLong, s"$pfx doc $i", HashingEmbedder.embed(s"$pfx doc $i", m)))
+      .toDF("row_order", "content", "embedding")
+    def q(text: String) = Seq((0L, HashingEmbedder.embed(text, m)))
+      .toDF("query_id", "qvec")
+    val store = new VectorStore(spark, base)
+    store.createCollection("c", rows("tau", 30), "row_order")
+
+    // both index flavors build exactly once and coexist on disk
+    assert(store.graphSearchSharded("c", q("tau doc 4"), 3)
+      .orderBy("rank").collect().head.getAs[Long]("id") == 4L)
+    assert(store.graphSearch("c", q("tau doc 4"), 3)
+      .orderBy("rank").collect().head.getAs[Long]("id") == 4L)
+    assert(VectorStore.graphBuildsOf(base, "c#s2") == 1L)
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L)
+    def artifactDirs() = Option(new java.io.File(s"$base/.graph/c")
+      .listFiles()).getOrElse(Array.empty).map(_.getName).sorted.toSeq
+    assert(artifactDirs().exists(_.startsWith("v1-")) &&
+      artifactDirs().exists(_.startsWith("v1s2-")), artifactDirs().toString)
+
+    // upsert maintains BOTH incrementally (no rebuild), each serving
+    // the new doc; the sharded edges stay in-shard
+    store.upsertPoints("c", Seq((77L, "tau brand new",
+        HashingEmbedder.embed("tau brand new", m), 0L))
+      .toDF("id", "content", "embedding", "row_order"))
+    assert(store.graphSearchSharded("c", q("tau brand new"), 3)
+      .orderBy("rank").collect().head.getAs[Long]("id") == 77L)
+    assert(store.graphSearch("c", q("tau brand new"), 3)
+      .orderBy("rank").collect().head.getAs[Long]("id") == 77L)
+    assert(VectorStore.graphBuildsOf(base, "c#s2") == 1L,
+      "sharded maintenance must not rebuild")
+    assert(VectorStore.graphBuildsOf(base, "c") == 1L)
+    val edges = store.shardedGraphOf("c", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.forall { case (id, nbr) => id % 2 == nbr % 2 },
+      "maintained sharded artifact has a cross-shard edge")
+
+    // point delete maintains both too; deleted ids vanish from serves
+    assert(store.deletePoints("c", Seq(4L)) == 1L)
+    assert(VectorStore.graphBuildsOf(base, "c#s2") == 1L)
+    assert(!store.graphSearchSharded("c", q("tau doc 4"), 5)
+      .collect().map(_.getAs[Long]("id")).contains(4L))
+
+    // cold start: a fresh session serves the maintained artifacts with
+    // zero builds
+    val spark2 = spark.newSession()
+    val store2 = new VectorStore(spark2, base)
+    assert(store2.graphSearchSharded("c", q("tau brand new"), 3)
+      .orderBy("rank").collect().head.getAs[Long]("id") == 77L)
+    assert(VectorStore.graphBuildsOf(base, "c#s2") == 1L,
+      "a fresh session must load the persisted sharded artifact")
+
+    // recreate invalidates the sharded artifact like every other one
+    store2.createCollection("c", rows("ups", 12), "row_order")
+    assert(store2.graphSearchSharded("c", q("ups doc 2"), 3)
+      .collect().nonEmpty)
+    assert(VectorStore.graphBuildsOf(base, "c#s2") == 2L)
+  }
+
   test("per-collection IVF centroids: train once, serve probed, cold-start load, recreate retrains") {
     val base = java.nio.file.Files.createTempDirectory("vstore-ivf").toString
     val m = HashingEmbedder.modelsByName("hash-64")
