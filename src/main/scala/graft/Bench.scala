@@ -35,10 +35,14 @@ object Bench {
     *
     * Current value: round-20 measurement at the 229-query surface:
     * 75.747 s (contended=false, loads [2.2, 3.0], pass totals
-    * 156.6/82.9 + a rotated pass 3) — the min of the round's
-    * contended=false runs at this surface (85.392 at loads [1.6, 2.2],
-    * then 75.747; a first run in the post-compile window read 79.856
-    * at load 3.5 = contended, excluded per the convention). The two
+    * 156.6/82.9 + a rotated pass 3) — the min of SIX runs across the
+    * round's day, five contended=false
+    * (75.747/77.514/78.452/85.392/88.677 — the final-code trio
+    * 75.7/77.5/78.5 sits within ±2%, the two higher runs landed in
+    * post-test-suite warm windows; a first run read 79.856 at load
+    * 3.5 = contended, excluded per the convention). The committed
+    * bench_full.json is the 77.514 post-stamp confirm (clean_ref echo
+    * matches these constants). The two
     * queries added this round (the sharded-graph pair) price ~0.8 s
     * summed clean (ann_graph_sharded 0.67–0.78 — the 2-shard fan-out
     * serve at near-parity with ann_graph's own walk, since the
