@@ -11,9 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, load(spark, dir, "documents"))
+    spreadMemo.computeIfAbsent(spark, (dir, "documents#spread"))(
+      spread(spark, load(spark, dir, "documents")))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, load(spark, dir, "embeddings"))
+    spreadMemo.computeIfAbsent(spark, (dir, "embeddings#spread"))(
+      spread(spark, load(spark, dir, "embeddings")))
+
+  /** Memoized spread-scan plans per (session, dir, table) — r21: every
+    * query construction previously re-ran `spark.read.parquet` (footer/
+    * schema read + file listing on the driver) and [[spread]]'s
+    * `df.rdd.getNumPartitions` (forces full physical planning of the
+    * scan) — ~3 such calls per query × 229 queries × 3 bench passes of
+    * pure fixed driver overhead. The memo stores only the analyzed PLAN
+    * (a session temp view via [[FrameMemo]]); every action still scans
+    * the parquet files — nothing about query RESULTS is cached.
+    * Contract: fixture dirs are immutable for a session's lifetime (the
+    * driver's testdata contract); a caller that rewrites a fixture
+    * in-place must use a new SparkSession (or dir).
+    */
+  private val spreadMemo = new FrameMemo[(String, String)]
 
   /** Fan a coarse scan out to full cluster parallelism.
     *
@@ -39,9 +55,13 @@ object Tables {
     * type actually read so both generator vintages load; either way
     * the values equal the DuckDB oracle's `CAST(ts AS TIMESTAMP)`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spreadMemo.computeIfAbsent(spark, (dir, "events#typed"))(
+      eventsUncached(spark, dir))
+
+  private def eventsUncached(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
@@ -75,6 +95,9 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
 
+  /** Memoized plain scan (same memo + immutability contract as the
+    * spread tables above). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spreadMemo.computeIfAbsent(spark, (dir, name))(
+      spark.read.parquet(s"$dir/$name.parquet"))
 }

@@ -185,8 +185,12 @@ object Similarity {
   private[graft] def coresetKcenterOf(spark: SparkSession,
       emb: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    // cached: the greedy loop makes k−1 passes over the corpus, and
+    // without the cache each pass re-decodes the parquet scan (plan-
+    // keyed, no closures in the plan — one entry across calls; caller
+    // evicts via clearCache)
     val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
+      .as[(Long, Array[Float])].cache()
     val seedArr = vecs.orderBy(col("vec_id").asc).take(1)
     if (seedArr.isEmpty) {
       // empty corpus: no seed to plant — empty result with the schema
@@ -203,6 +207,12 @@ object Similarity {
     for (step <- 2 to k if live) {
       val cs = centers
       val ids = selIds.toSet
+      // the picked center's EMBEDDING rides the argmin struct as a
+      // third field (r21): (maxsim, vec_id) is already unique per row
+      // (vec_id is unique), so appending the vector can never alter
+      // which row wins — and it removes the second full-corpus job per
+      // step that previously re-scanned just to fetch the chosen
+      // center's vector (k−1 jobs halved to one per step)
       val picked = vecs
         .filter(t => !ids.contains(t._1))
         .map { case (id, v) =>
@@ -217,11 +227,11 @@ object Similarity {
             if (s > mx) mx = s
             c += 1
           }
-          (mx, id)
+          (mx, id, v)
         }
-        .toDF("maxsim", "vec_id")
-        .agg(min(struct(col("maxsim"), col("vec_id"))).as("m"))
-        .select(col("m.maxsim"), col("m.vec_id")).head()
+        .toDF("maxsim", "vec_id", "cvec")
+        .agg(min(struct(col("maxsim"), col("vec_id"), col("cvec"))).as("m"))
+        .select(col("m.maxsim"), col("m.vec_id"), col("m.cvec")).head()
       // a corpus smaller than k exhausts candidates: the min over an
       // empty set is a null struct — stop with the centers found, the
       // oracle's empty pick_k CTEs degrade identically
@@ -229,7 +239,7 @@ object Similarity {
       else {
         val (mx, id) = (picked.getDouble(0), picked.getLong(1))
         out += ((step, id, Some(mx)))
-        centers :+= vecs.filter(col("vec_id") === id).head()._2
+        centers :+= picked.getSeq[Float](2).toArray
         selIds :+= id
       }
     }

@@ -435,6 +435,11 @@ object TextAnalysis {
     * beyond 2^53 documents).
     */
   def pplBucket(spark: SparkSession, dir: String): DataFrame = {
+    // scored feeds three branches but is deliberately NOT cached — the
+    // sample_quality precedent: AQE's ReusedExchange dedups the LM
+    // chain's exchanges within the one plan, and materializing the
+    // InMemoryRelation measured net-slower than the reuse (r21 re-check
+    // agreed)
     val scored = lmScores(spark, dir)
     val byScore = scored.groupBy(col("avg_logp"))
       .agg(count(lit(1)).as("cnt"))
@@ -459,20 +464,22 @@ object TextAnalysis {
     * the pairwise [[graft.queries.DedupQueries]] detectors: same
     * shingle space, but a profile score instead of a pair join.
     *
-    * Scale shape (round-15 rewrite — this was the slowest clean-bench
-    * query at 4.7 s): a df=1 shingle has exactly ONE owner document, so
-    * the novel count per document is an aggregate of the df table
-    * itself (min(doc_id) over a df=1 group IS the owner) — the
-    * corpus-scale join-back of the old aggregate-then-rejoin form, and
-    * the corpus-scale re-aggregation onto doc_id after it, are both
-    * unnecessary. Two aggregates over the one distinct (doc, shingle)
-    * frame (AQE reuses its exchange): per-doc shingle counts (map-side
-    * combined onto |docs| keys) and per-shingle (df, owner) → filtered
-    * to df=1 → counted per owner; the final join runs at |docs| grain
-    * on both sides. Corpus-scale exchanges: the distinct + ONE
-    * shingle-keyed aggregate — nothing corpus-scale is ever joined.
-    * Nothing is pairwise; documents with fewer than 3 tokens have no
-    * shingles and are absent by construction.
+    * Scale shape (round-21 rewrite — this was the slowest clean-bench
+    * query at 2.4 s): (doc, shingle) duplicates only arise WITHIN a
+    * document, so `array_distinct` inside the shingle lambda replaces
+    * the corpus-wide `.distinct()` exchange row-locally (the
+    * [[boilerplateFrac]] shape), and a df=1 row's OWNER is the row's
+    * own doc_id — so one window count over the shingle key carries df
+    * to every row and the per-doc aggregate reads both n_shingles
+    * (count) and n_novel (sum of df=1) in a single pass. Corpus-scale
+    * exchanges: ONE (the shingle-keyed window); the old form paid a
+    * corpus distinct + a second shingle aggregate + a join. Tokens are
+    * bound to a column BEFORE the shingle lambda (the
+    * [[graft.dedup.Dedup.shingleSet]] rule: splicing `split()` into the
+    * higher-order function re-runs the regex split per element —
+    * O(tokens²) per document, measured 5× slower at sf0.1). Nothing is
+    * pairwise; documents with fewer than 3 tokens have no shingles and
+    * are absent by construction.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyOf(Tables.documents(spark, dir))
@@ -482,17 +489,14 @@ object TextAnalysis {
     */
   private[graft] def ngramNoveltyOf(docs: DataFrame): DataFrame = {
     val sh = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(TextFns.shingles3(TextFns.tokens(col("text")))).as("sh"))
-      .distinct()
-    val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val novel = sh.groupBy(col("sh"))
-      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
-      .filter(col("df") === 1)
-      .groupBy(col("owner")).agg(count(lit(1)).as("novel_cnt"))
-    perDoc.join(novel, col("doc_id") === col("owner"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("novel_cnt"), lit(0L)).as("n_novel"))
+        explode(array_distinct(TextFns.shingles3(col("t")))).as("sh"))
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 4))
       .orderBy("doc_id")
@@ -663,6 +667,12 @@ object TextAnalysis {
     val nDf = nodes.agg(count(lit(1)).as("nn"))
     var pr = nodes.crossJoin(broadcast(nDf))
       .select(col("token"), snap8(lit(1.0) / col("nn")).as("pr"))
+    // r21 note: an iteration-barrier variant (localCheckpoint per round
+    // + final parquet artifact, the NnGraph build discipline) measured
+    // NEUTRAL here — 2.11 vs 2.09 s at sf0.001 — because the cost is
+    // the 5 inherently sequential shuffle stages (rank mass crossing
+    // edges), not plan size: the barrier jobs repay exactly what the
+    // smaller plans save. Kept lazy — simpler, zero extra jobs.
     for (_ <- 1 to 5) {
       val contrib = ew.join(pr, ew("src") === pr("token"))
         .select(col("dst").as("token"),
@@ -1500,9 +1510,13 @@ object TextAnalysis {
     */
   def boilerplateFracOf(docs: DataFrame): DataFrame = {
     def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+    // tokens bound to a column BEFORE the shingle lambda (the
+    // Dedup.shingleSet rule): spliced in, every element_at re-runs the
+    // regex split — O(tokens²) per document, measured ~2× on this query
     val sh = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles3(TextFns.tokens(col("text"))))).as("s"))
+        explode(array_distinct(TextFns.shingles3(col("t")))).as("s"))
       .select(col("doc_id"), TextFns.md5Int(col("s")).as("h"))
     // sh is distinct per (doc, shingle), so a window count per h =
     // #docs containing the shingle — one exchange on the hash key, no
@@ -1587,8 +1601,10 @@ object TextAnalysis {
   def spanDedupRewriteOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("p", "tok")))
-    val sh = docs.select(col("doc_id").as("s_doc"),
-        posexplode(TextFns.shingles3(TextFns.tokens(col("text")))).as(Seq("q", "s")))
+    // tokens bound before the shingle lambda (the Dedup.shingleSet rule)
+    val sh = docs.select(col("doc_id").as("s_doc"), TextFns.tokens(col("text")).as("t"))
+      .select(col("s_doc"),
+        posexplode(TextFns.shingles3(col("t"))).as(Seq("q", "s")))
       .select(col("s_doc"), col("q"), TextFns.md5Int(col("s")).as("h"))
     val firstOcc = sh.groupBy(col("h"))
       .agg(min(struct(col("s_doc"), col("q"))).as("f"), count(lit(1)).as("occ"))

@@ -451,12 +451,16 @@ class PlanSpec extends SparkSpec {
     assert(!pPb.contains("CartesianProduct"), pPb)
   }
 
-  test("ngram_novelty: novel counts ride the df aggregate — no corpus-scale join") {
-    // round-15 rewrite pin: a df=1 shingle has exactly one owner, so
-    // the per-doc novel count is an aggregate of the df table itself.
-    // The ONLY join allowed is the |docs|-grain LeftOuter broadcast of
-    // per-owner counts; a SortMergeJoin (or a second documents scan)
-    // would mean the old corpus-scale aggregate-then-rejoin came back
+  test("ngram_novelty: one shingle-keyed window, no join, one corpus scan") {
+    // round-21 rewrite pin (supersedes the round-15 aggregate-then-
+    // rejoin pin): (doc, shingle) duplicates only arise WITHIN a
+    // document, so array_distinct inside the shingle lambda replaces
+    // the corpus-wide distinct, and a df=1 row's owner is the row
+    // itself — the whole query is explode → ONE shingle-keyed window →
+    // per-doc aggregate. Any join, a second documents scan, or a
+    // second shingle-keyed exchange means the old two-pass form came
+    // back; element_at must reference a BOUND token column (a spliced
+    // split() re-runs the regex per element — O(tokens²) per document).
     val df = graft.queries.TextAnalysis.ngramNovelty(spark, dir)
     df.collect()
     val whole = planOf(df)
@@ -464,10 +468,13 @@ class PlanSpec extends SparkSpec {
       case -1 => whole
       case i => whole.substring(0, i)
     }
-    assert(plan.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")), plan)
-    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Join"), plan)
     assert(plan.linesIterator.count(_.contains("documents.parquet")) == 1, plan)
+    assert(plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(sh")) == 1, plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Generate explode") && l.contains("split(")),
+      "tokens must be bound to a column before the shingle lambda")
   }
 
   test("decontaminate_spans: eval shingles broadcast; corpus side never shuffle-joins") {
