@@ -805,7 +805,9 @@ object NnGraph {
       cw: Array[Array[Array[Float]]]): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
-    if (cw.isEmpty)
+    // degenerate guard extended to a zero-length subspace list (ADVICE
+    // r20: cw(0)(0) threw IndexOutOfBounds instead of returning empty)
+    if (cw.isEmpty || cw(0).isEmpty)
       return Seq.empty[(Long, Int, Long)].toDF("query_id", "rank", "vec_id")
     val nc = cw(0).length
     val sub = cw(0)(0).length
@@ -845,10 +847,17 @@ object NnGraph {
       }
       qid -> t
     }.toMap
-    val bcLut = spark.sparkContext.broadcast(luts)
+    // the LUT map rides the UDF CLOSURE, not a broadcast (ADVICE r20:
+    // the per-call broadcast was never destroyed, so a long-lived
+    // session serving repeated maxsim calls accumulated driver/executor
+    // broadcast blocks — and the returned frame is lazy, so no safe
+    // destroy point exists inside this method). The map is ≤ |queries|
+    // × m × nc doubles (~100 KB at the serving shapes) — task-closure
+    // freight on par with the planted beam frames each round already
+    // ships, and it is garbage the moment the query's tasks finish.
     val ncL = nc
     val lutUdf = udf((qid: Long, cs: scala.collection.Seq[Int]) => {
-      val t = bcLut.value(qid)
+      val t = luts(qid)
       var s = 0.0; var j = 0
       while (j < cs.length) { s += t(j * ncL + cs(j)); j += 1 }
       s
@@ -891,7 +900,13 @@ object NnGraph {
     }
     val qw = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
+    // final round cuts to beamWidth BEFORE ranking to k (ADVICE r20):
+    // graphTopK and the DuckDB ladder cut every round at bw, so a
+    // caller passing k > beamWidth must see the same contract here —
+    // for k <= bw (every current call site) the cut is a no-op, and
+    // both windows share one exchange + sort.
     adcRound(planted(spark, beam))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= beamWidth)
       .select(col("query_id"),
         row_number().over(qw).as("rank"), col("vec_id"))
       .filter(col("rank") <= k)
@@ -1012,10 +1027,18 @@ object NnGraph {
       .sortBy(t => (t._1, t._2))
     val qLocal = spark.createDataset(qRows.toIndexedSeq)
       .toDF("query_id", "qvec")
+    // SIGNED `%`, matching shardedSeedSample (Spark `%`) and
+    // buildShardedGraph (Scala `%`) — ADVICE r20: the previous pmod
+    // normalization never matched a negative vec_id's (negative) shard,
+    // so such nodes were inserted with an EMPTY entry beam and no
+    // out-edges. Shard membership is `vec_id % numShards` with one
+    // consistent signed semantics across build, maintenance and serve;
+    // the fan-out serve additionally requires non-negative ids (its
+    // composite-id space — see shardedGraphTopK's scaladoc).
     val entry = for {
       (qid, qv) <- qRows
       (sh, sid, sv) <- seedRows
-      if sh == ((qid % nS) + nS) % nS
+      if sh == qid % nS
     } yield (qid, sid, dotDD(qv, sv))
     var beam = driverTop(entry, beamWidth)
     for (_ <- 1 until iters) {
@@ -1039,9 +1062,14 @@ object NnGraph {
     * query_id × numShards + shard — entry from the shard's own seeds,
     * expansion in-shard automatically (the edges are) — so the serve
     * costs the job count of ONE walk regardless of shard count.
-    * Requires query_id < Long.MaxValue / numShards (the composite-id
-    * space). Output (query_id, rank, vec_id), rank by (sim DESC,
-    * vec_id ASC) across shards.
+    * Requires 0 <= query_id < Long.MaxValue / numShards (the
+    * composite-id space: `query_id * numShards + shard` and the
+    * `div`-decode are only injective for non-negative ids; vec_ids
+    * must likewise be non-negative for the fan-out to reach every
+    * shard, since signed `vec_id % numShards` parks negative ids in
+    * negative shards the 0..numShards-1 fan-out never walks). Output
+    * (query_id, rank, vec_id), rank by (sim DESC, vec_id ASC) across
+    * shards.
     */
   def shardedGraphTopK(index: DataFrame, graph: DataFrame,
       queries: DataFrame, k: Int, numShards: Int, beamWidth: Int,

@@ -1192,6 +1192,74 @@ class StreamingSpec extends SparkSpec {
         s"the previous incarnation's docs, so 200 should pass: $idsC")
   }
 
+  test("ingest screen: a crash mid-compaction never loses persisted bands (ADVICE r20)") {
+    // The compaction swap renames the live table ASIDE before
+    // installing the compacted copy; startup recovers whichever
+    // complete table a crash left behind. Two simulated crash points:
+    //  A) after the set-aside rename, before install — `bands` missing,
+    //     `.bands-old` complete, `.bands-compact` PARTIAL (no _SUCCESS):
+    //     must recover the set-aside original and discard the partial;
+    //  B) compacted copy fully written and set-aside done, crash before
+    //     install — `bands` missing, `.bands-compact` complete: must
+    //     adopt the compacted copy.
+    // The old delete-then-rename order had a window that destroyed ALL
+    // persisted screen state and silently re-ingested near-dups.
+    import graft.index.VectorStore
+    val m = HashingEmbedder.modelsByName("hash-64")
+    val base = java.nio.file.Files.createTempDirectory("ingest-cr").toString
+    val store = new VectorStore(spark, base)
+    val rows = (0 until 8)
+      .map(i => (i.toLong, s"seed document number $i",
+        HashingEmbedder.embed(s"seed document number $i", m)))
+      .toDF("row_order", "content", "embedding")
+    store.createCollection("c", rows, "row_order")
+    val screen = java.nio.file.Files.createTempDirectory("ingest-cr-sc").toString
+    def writeDoc(in: String, id: Long, text: String): Unit =
+      Seq((id, id, text)).toDF("doc_id", "row_order", "content")
+        .coalesce(1).write.mode("append").parquet(in)
+    def incarnation(in: String): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, row_order LONG, content STRING").parquet(in)
+      val sq = Streams.ingestIndexStream(src, store, "c", None, m, Some(screen))
+        .trigger(Trigger.AvailableNow()).start()
+      sq.processAllAvailable(); sq.stop()
+    }
+    val doc = "retrieval x100 corpus y100 quality z100 training w100"
+    val in1 = java.nio.file.Files.createTempDirectory("ingest-cr-in1").toString
+    writeDoc(in1, 100L, doc)
+    incarnation(in1)
+    val bd = new java.io.File(screen, "bands")
+    val old = new java.io.File(screen, ".bands-old")
+    val tmp = new java.io.File(screen, ".bands-compact")
+    // crash state A
+    assert(bd.renameTo(old), "test setup: set-aside rename")
+    tmp.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(tmp, "part-00000-partial.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val in2 = java.nio.file.Files.createTempDirectory("ingest-cr-in2").toString
+    writeDoc(in2, 200L, doc) // republication across the "crash"
+    writeDoc(in2, 201L, "wholly different a201 b201 c201 d201 e201")
+    incarnation(in2)
+    import spark.implicits._
+    val idsA = store.read("c").select("id").as[Long].collect().toSet
+    assert(!idsA.contains(200L),
+      "crash state A: recovery from the set-aside table failed — a " +
+        "near-dup of a previously ingested doc reached the index")
+    assert(idsA.contains(201L), s"fresh doc must land: $idsA")
+    assert(!old.exists() && !tmp.exists(),
+      "recovery must clear the crash leftovers")
+    // crash state B: the (recovered, appended) live table plays the
+    // fully-written compacted copy — a parquet dir with _SUCCESS
+    assert(bd.renameTo(tmp), "test setup: simulate installed-copy crash")
+    val in3 = java.nio.file.Files.createTempDirectory("ingest-cr-in3").toString
+    writeDoc(in3, 300L, doc) // republication again
+    incarnation(in3)
+    val idsB = store.read("c").select("id").as[Long].collect().toSet
+    assert(!idsB.contains(300L),
+      "crash state B: the complete compacted copy was not adopted")
+  }
+
   test("streaming dedup drops same-fingerprint docs within the watermark") {
     val in = java.nio.file.Files.createTempDirectory("stream-dd").toString
     Seq(

@@ -407,6 +407,71 @@ class NnGraphSpec extends SparkSpec {
       "sharded insert diverged from independent per-shard inserts")
   }
 
+  test("insertIntoShardedGraph: NEGATIVE vec_ids use the same signed shard as build/seed (ADVICE r20)") {
+    // shard = signed `vec_id % numShards` everywhere: buildShardedGraph
+    // (Scala %), shardedSeedSample (Spark %), and — fixed this round —
+    // the insert's entry filter (previously pmod, which never matched a
+    // negative id's negative shard, so new negative nodes got an EMPTY
+    // entry beam and were silently inserted with no out-edges).
+    val nS = 2
+    val negEmb = emb.select((col("vec_id") - 50).as("vec_id"), col("embedding"))
+    val base = negEmb.filter(col("vec_id") >= -26)
+    val nv = negEmb.filter(col("vec_id") < -26)
+      .select(col("vec_id"), col("embedding"))
+    val g = NnGraph.buildShardedGraph(base, nS, k = 5, iters = 2,
+      sampleSize = 8)
+    val got = NnGraph.insertIntoShardedGraph(base, g, nv, nS, k = 5,
+        beamWidth = 10, iters = 3, sampleSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every inserted node has out-edges (the pmod bug left them empty)
+    val insertedIds = nv.collect().map(_.getLong(0)).toSet
+    val outDeg = got.groupBy(_._1)
+    assert(insertedIds.forall(id => outDeg.contains(id)),
+      "an inserted negative-id node has no out-edges — entry beam was empty")
+    assert(got.forall { case (id, nbr, _) => id % nS == nbr % nS },
+      "a maintained edge crossed (signed) shards")
+    // equals independent per-shard inserts over the SIGNED shard
+    // values — a mixed-sign corpus occupies THREE of them at nS = 2
+    // (-1 for negative odd, 0 for even, 1 for positive odd): that IS
+    // the signed-% semantics the scaladoc documents
+    val shards = Seq(-1L, 0L, 1L)
+    val independent = shards.flatMap { s =>
+      val baseS = base.filter(col("vec_id") % nS === s)
+      val gS = g.filter(col("id") % nS === s)
+      NnGraph.insertIntoGraph(baseS, gS,
+          nv.filter(col("vec_id") % nS === s), k = 5, beamWidth = 10,
+          iters = 3, sampleSize = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(got == independent,
+      "negative-id sharded insert diverged from independent per-shard inserts")
+  }
+
+  test("graphTopKAdc: k > beamWidth caps at the beam cut (the graphTopK/oracle-ladder contract) and a zero-subspace codebook returns empty") {
+    import graft.search.Ann
+    val tiny = emb.filter(col("vec_id") < 24)
+    val cw = Ann.trainPqCodebooks(tiny, m = 8, numCodes = 16, iters = 2)
+    val codes = Ann.pqEncodeFrame(tiny, 8, cw)
+    val g = NnGraph.buildGraph(tiny, k = 4, iters = 1, sampleSize = 8)
+    val queries = tiny.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val atBw = NnGraph.graphTopKAdc(codes, g, queries, k = 4,
+        beamWidth = 4, iters = 2, sampleSize = 8, cw)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val overBw = NnGraph.graphTopKAdc(codes, g, queries, k = 9,
+        beamWidth = 4, iters = 2, sampleSize = 8, cw)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(overBw == atBw,
+      "k > beamWidth must see the final beam cut, not the raw candidate set")
+    // degenerate: a codebook with an empty subspace list (nc = 0) is
+    // invalid input — the guard returns the empty frame instead of
+    // throwing (ADVICE r20: cw(0)(0) threw IndexOutOfBounds)
+    val empty = NnGraph.graphTopKAdc(codes, g, queries, k = 3,
+      beamWidth = 4, iters = 1, sampleSize = 8,
+      Array(Array.empty[Array[Float]]))
+    assert(empty.count() == 0)
+  }
+
   test("deleteFromGraph on a sharded graph IS independent per-shard deletes (shard-preserving by construction)") {
     val nS = 2
     val g = NnGraph.buildShardedGraph(emb, nS, k = 5, iters = 2,
