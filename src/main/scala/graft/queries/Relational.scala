@@ -420,15 +420,19 @@ object Relational {
     * LATE supplier), decorrelated to a semi join and an anti join over
     * the same lineitem table with different conditions. Lateness is
     * the fixture convention from q4 (shipped > 30 days after the order
-    * date); per-order supplier participation is deduplicated BEFORE
-    * either join so the correlation keys carry no duplicate inflation.
+    * date). The LATE side is deduplicated before the joins (its rows
+    * ARE the output grain — numwait counts orders, not lineitems); the
+    * participants side is NOT (r21): it only ever feeds a LEFT SEMI
+    * probe, whose result is duplicate-insensitive, and the distinct
+    * cost a corpus-scale exchange + aggregate over the full fact table
+    * before the join re-exchanged it on the correlation key anyway.
     */
   def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
     val participants = li.select(col("l_orderkey").as("p_okey"),
-      col("l_suppkey").as("p_skey")).distinct()
+      col("l_suppkey").as("p_skey"))
     val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .select(col("l_orderkey").as("w_okey"), col("l_suppkey").as("w_skey"))
