@@ -33,16 +33,37 @@ object Bench {
     * contention that doesn't span all passes, and the load gate rules
     * out windows where it does.
     *
-    * Current value: round-20 measurement at the 229-query surface:
-    * 75.747 s (contended=false, loads [2.2, 3.0], pass totals
+    * Current value: round-21 (optimization round) measurement at the
+    * unchanged 229-query surface: 73.455 s (contended=false, loads
+    * [2.1, 1.6], pass totals 165.9/86.4/84.6 — passes 2/3 agree within
+    * 2%). Same-day ladder on the same host: the ROUND-20 code measured
+    * 95.920 clean (loads [1.8, 2.4]) hours earlier, and the round-21
+    * code 74.134/73.455 — a −23% code step on a day whose weather ran
+    * ~25% slower than the r20 stamp's window (the r20 code's 75.747
+    * was never reproducible this day). Biggest movers, per-query mins,
+    * clean-vs-clean: boilerplate_frac 2.49 → 0.26 and ngram_novelty
+    * 2.36 → 0.23 (the O(tokens²) spliced-split lambda fix + the
+    * novelty one-pass rewrite), dedup_minhash_recall 1.20 → 0.07
+    * (cites the collected verified-pair memo), coreset_kcenter
+    * 1.35 → 0.66 (argmin struct carries the center vector — one job
+    * per greedy step), dedup_simhash_k 1.66 → 1.09 (signature frame
+    * cached across the census and pair jobs), the TPC-H family
+    * −0.3 s each (Tables scan-plan memo: no per-construction
+    * footer/listing/planning), q21 1.61 → 1.17 (participants distinct
+    * dropped — semi-join probes are duplicate-insensitive). All 229
+    * oracle hashes unchanged (sf0.01 and sf0.001 drives green at the
+    * final code).
+    * Round-20 history: 75.747 s at the same 229-query surface
+    * (contended=false, loads [2.2, 3.0], pass totals
     * 156.6/82.9 + a rotated pass 3) — the min of SIX runs across the
     * round's day, five contended=false
     * (75.747/77.514/78.452/85.392/88.677 — the final-code trio
     * 75.7/77.5/78.5 sits within ±2%, the two higher runs landed in
     * post-test-suite warm windows; a first run read 79.856 at load
-    * 3.5 = contended, excluded per the convention). The committed
-    * bench_full.json is the 77.514 post-stamp confirm (clean_ref echo
-    * matches these constants). The two
+    * 3.5 = contended, excluded per the convention; r20's committed
+    * bench_full.json was its 77.514 post-stamp confirm — r21's is this
+    * round's post-stamp run, clean_ref echo matching the constants
+    * above). The two
     * queries added this round (the sharded-graph pair) price ~0.8 s
     * summed clean (ann_graph_sharded 0.67–0.78 — the 2-shard fan-out
     * serve at near-parity with ann_graph's own walk, since the
@@ -124,7 +145,7 @@ object Bench {
     * r14 band 102.6 s best-of-5 at 183 (old convention); r13 ladder
     * 74.0/78.1/82.1 s at 155 → 60.6 s at 173.
     */
-  private[graft] val CleanRefTotal = 75.747
+  private[graft] val CleanRefTotal = 73.455
   private[graft] val CleanRefQueries = 229
 
   /** Fixed-width base36 encoding of every query's min-of-passes time in
